@@ -1,0 +1,275 @@
+"""Engine-semantics tests — skipEmpty, required-family cross-field,
+defaults, scenes, StopOnError, wildcard slices, safe rows.
+
+Mirrors validating_test.go (TestRule_Apply, TestValidation_RequiredIf/
+...Unless/...With/...WithoutAll, TestStruct_useDefault, wildcard suites)
+and validation_test.go golden fixtures.
+"""
+
+import pyspark.sql.functions as F
+
+from validate_spark import RuleSet, validate
+
+
+def viol_set(res):
+    return {(r["field"], r["validator"]) for r in res.violations().collect()}
+
+
+# --- skipEmpty ---------------------------------------------------------------
+
+def test_skip_on_empty_default(spark):
+    # non-required rules pass on empty values (validating.go:282-284)
+    df = spark.createDataFrame([("",), (None,), ("ab",)], "email string")
+    res = validate(df, RuleSet(rules={"email": "email"}), key_cols=["email"])
+    rows = {r["email"]: r["pass"] for r in res.verdicts().collect()}
+    assert rows[""] is True and rows[None] is True and rows["ab"] is False
+
+
+def test_no_skip_when_disabled(spark):
+    df = spark.createDataFrame([("",)], "email string")
+    res = validate(df, RuleSet(rules={"email": "email"}, skip_on_empty=False))
+    assert res.verdicts().collect()[0]["pass"] is False
+
+
+# --- required-family cross-field ----------------------------------------------
+
+def test_required_if(spark):
+    df = spark.createDataFrame(
+        [("admin", None), ("admin", "x"), ("guest", None)], "role string, token string"
+    )
+    res = validate(df, RuleSet(rules={"token": "required_if:role,admin"}), key_cols=["role", "token"])
+    rows = {(r["role"], r["token"]): r["pass"] for r in res.verdicts().collect()}
+    assert rows[("admin", None)] is False
+    assert rows[("admin", "x")] is True
+    assert rows[("guest", None)] is True
+
+
+def test_required_unless(spark):
+    df = spark.createDataFrame(
+        [("guest", None), ("admin", None), ("admin", "x")], "role string, token string"
+    )
+    res = validate(df, RuleSet(rules={"token": "required_unless:role,guest"}), key_cols=["role", "token"])
+    rows = {(r["role"], r["token"]): r["pass"] for r in res.verdicts().collect()}
+    assert rows[("guest", None)] is True
+    assert rows[("admin", None)] is False
+    assert rows[("admin", "x")] is True
+
+
+def test_required_with_and_without(spark):
+    df = spark.createDataFrame(
+        [("a", None, None), (None, None, None), (None, "b", None)],
+        "f1 string, f2 string, target string",
+    )
+    # required when ANY of f1,f2 present
+    res = validate(df, RuleSet(rules={"target": "required_with:f1,f2"}), key_cols=["f1", "f2"])
+    rows = {(r["f1"], r["f2"]): r["pass"] for r in res.verdicts().collect()}
+    assert rows[("a", None)] is False
+    assert rows[(None, None)] is True
+    assert rows[(None, "b")] is False
+    # required when ALL absent
+    res2 = validate(df, RuleSet(rules={"target": "required_without_all:f1,f2"}), key_cols=["f1", "f2"])
+    rows2 = {(r["f1"], r["f2"]): r["pass"] for r in res2.verdicts().collect()}
+    assert rows2[(None, None)] is False
+    assert rows2[("a", None)] is True
+
+
+def test_required_with_all(spark):
+    df = spark.createDataFrame(
+        [("a", "b", None), ("a", None, None)], "f1 string, f2 string, target string"
+    )
+    res = validate(df, RuleSet(rules={"target": "required_with_all:f1,f2"}), key_cols=["f1", "f2"])
+    rows = {(r["f1"], r["f2"]): r["pass"] for r in res.verdicts().collect()}
+    assert rows[("a", "b")] is False
+    assert rows[("a", None)] is True
+
+
+def test_eq_field_cross(spark):
+    # as_cross fixture (validating_autoskip_test.go:13-33) with trim filter:
+    # the FILTERED value must feed the eq_field compare
+    df = spark.createDataFrame(
+        [("secret", " secret "), ("secret", "other")], "pwd string, confirm string"
+    )
+    rs = RuleSet(
+        rules={"pwd": "required", "confirm": "required|eq_field:pwd"},
+        filters={"confirm": "trim"},
+    )
+    res = validate(df, rs, key_cols=["pwd", "confirm"])
+    rows = sorted(res.verdicts().collect(), key=lambda r: r["confirm"])
+    by_pass = [r["pass"] for r in rows]
+    assert by_pass == [False, True]  # "other" fails, trimmed " secret " passes
+
+
+# --- defaults -------------------------------------------------------------------
+
+def test_default_substitution(spark):
+    # TestStruct_useDefault semantics: empty value → default, then validated
+    df = spark.createDataFrame([(None,), ("",), ("30",)], "age string")
+    rs = RuleSet(rules={"age": "default:18|required|int:1,99"})
+    res = validate(df, rs, key_cols=["age"])
+    assert all(r["pass"] for r in res.verdicts().collect())
+    safe = {r["age"] for r in res.safe_rows().collect()}
+    assert safe == {"18", "30"}
+
+
+def test_default_still_validated(spark):
+    # CheckDefault: the substituted default runs through the rules
+    df = spark.createDataFrame([(None,)], "age string")
+    rs = RuleSet(rules={"age": "default:999|required|int:1,99"})
+    res = validate(df, rs)
+    assert res.verdicts().collect()[0]["pass"] is False
+
+
+# --- scenes ---------------------------------------------------------------------
+
+def test_scenes_subset(spark):
+    df = spark.createDataFrame([("", "")], "name string, email string")
+    rs = RuleSet(
+        rules={"name": "required", "email": "required|email"},
+        scenes={"create": ["name"], "update": ["email"]},
+    )
+    res_create = validate(df, rs, scene="create")
+    assert viol_set(res_create) == {("name", "required")}
+    res_update = validate(df, rs, scene="update")
+    assert viol_set(res_update) == {("email", "required")}
+    res_all = validate(df, rs)
+    assert len(viol_set(res_all)) == 2
+
+
+def test_scene_wildcard_entry(spark):
+    # wildcard scene keys (#283, validation.go:840-849)
+    df = spark.createDataFrame(
+        [([{"github": "", "status1": 1}],)],
+        "extra array<struct<github:string,status1:int>>",
+    )
+    rs = RuleSet(
+        rules={"extra.*.github": "required", "extra.*.status1": "required"},
+        scenes={"s": ["extra.*"]},
+    )
+    res = validate(df, rs, scene="s")
+    assert ("extra.*.github", "required") in viol_set(res)
+
+
+# --- StopOnError / first error ------------------------------------------------------
+
+def test_stop_on_error_keeps_first_by_rule_order(spark):
+    df = spark.createDataFrame([("", "bad")], "name string, email string")
+    rs = RuleSet(rules={"name": "required|minLen:3", "email": "email"}, stop_on_error=True)
+    res = validate(df, rs, key_cols=["name"])
+    v = res.violations().collect()
+    assert len(v) == 1
+    assert (v[0]["field"], v[0]["validator"]) == ("name", "required")
+
+
+def test_first_errors_without_stop(spark):
+    df = spark.createDataFrame([("", "bad")], "name string, email string")
+    rs = RuleSet(rules={"name": "required", "email": "email"})
+    res = validate(df, rs, key_cols=["name"])
+    fe = res.first_errors().collect()
+    assert len(fe) == 1 and fe[0]["field"] == "name"
+
+
+# --- wildcard slices ---------------------------------------------------------------
+
+def test_wildcard_elements(spark):
+    # TestValidate_map_subSlice_1dotStar analogue
+    df = spark.createDataFrame(
+        [
+            ("d1", [{"kind": "text", "offset": 0}, {"kind": "image", "offset": 1}]),
+            ("d2", [{"kind": "bogus", "offset": 0}]),
+            ("d3", []),
+        ],
+        "doc_id string, spans array<struct<kind:string,offset:int>>",
+    )
+    rs = RuleSet(rules={"spans.*.kind": "in:text,image,audio,video"})
+    res = validate(df, rs, key_cols=["doc_id"])
+    rows = {r["doc_id"]: r["pass"] for r in res.verdicts().collect()}
+    assert rows == {"d1": True, "d2": False, "d3": True}  # empty parent passes non-required
+
+
+def test_wildcard_required_empty_parent_fails(spark):
+    df = spark.createDataFrame(
+        [("d1", []), ("d2", [{"kind": "text"}])],
+        "doc_id string, spans array<struct<kind:string>>",
+    )
+    rs = RuleSet(rules={"spans.*.kind": "required"})
+    res = validate(df, rs, key_cols=["doc_id"])
+    rows = {r["doc_id"]: r["pass"] for r in res.verdicts().collect()}
+    assert rows == {"d1": False, "d2": True}
+
+
+def test_nested_struct_field(spark):
+    # rc_nested fixture (regression_compat_test.go)
+    df = spark.createDataFrame(
+        [("a", ("city1", "zip123")), ("b", ("", "zp"))],
+        "name string, addr struct<city:string,zip:string>",
+    )
+    rs = RuleSet(rules={"name": "required", "addr.city": "required", "addr.zip": "required|minLen:3"})
+    res = validate(df, rs, key_cols=["name"])
+    rows = {r["name"]: r["pass"] for r in res.verdicts().collect()}
+    assert rows == {"a": True, "b": False}
+    assert viol_set(res) == {("addr.city", "required"), ("addr.zip", "minLength")}
+
+
+def test_multi_level_wildcard(spark):
+    df = spark.createDataFrame(
+        [("a", [[1, 2], [3]]), ("b", [[1, -2]])],
+        "k string, m array<array<int>>",
+    )
+    rs = RuleSet(rules={"m.*.*": "min:0"})
+    res = validate(df, rs, key_cols=["k"])
+    rows = {r["k"]: r["pass"] for r in res.verdicts().collect()}
+    assert rows == {"a": True, "b": False}
+
+
+# --- safe rows / custom messages / labels ---------------------------------------------
+
+def test_safe_rows_excludes_failing(spark):
+    df = spark.createDataFrame([("ok-name", 5), ("", 7)], "name string, n int")
+    res = validate(df, RuleSet(rules={"name": "required"}), key_cols=["name"])
+    safe = res.safe_rows().collect()
+    assert len(safe) == 1 and safe[0]["name"] == "ok-name"
+    assert set(res.safe_rows().columns) == {"name", "n"}
+
+
+def test_custom_message_and_label(spark):
+    # validation_test.go:227-228: "User Name min length is 7"
+    df = spark.createDataFrame([("ab",)], "name string")
+    rs = RuleSet(
+        rules={"name": "required|minLen:7"},
+        messages={"name.minLength": "User Name min length is 7"},
+    )
+    res = validate(df, rs)
+    msgs = {r["message"] for r in res.violations().collect()}
+    assert msgs == {"User Name min length is 7"}
+
+
+def test_label_substitution(spark):
+    df = spark.createDataFrame([("",)], "name string")
+    rs = RuleSet(rules={"name": "required"}, labels={"name": "User Name"})
+    res = validate(df, rs)
+    msgs = {r["message"] for r in res.violations().collect()}
+    assert msgs == {"User Name is required to not be empty"}
+
+
+# --- plan reuse / single-pass shape -------------------------------------------------
+
+def test_plan_reuse_across_frames(spark):
+    from validate_spark.plans.plan import compile_plan
+
+    df1 = spark.createDataFrame([("a@b.co",)], "email string")
+    df2 = spark.createDataFrame([("bad",)], "email string")
+    rs = RuleSet(rules={"email": "required|email"})
+    plan = compile_plan(rs, df1.schema)
+    r1 = validate(df1, rs, plan=plan)
+    r2 = validate(df2, rs, plan=plan)
+    assert r1.verdicts().collect()[0]["pass"] is True
+    assert r2.verdicts().collect()[0]["pass"] is False
+
+
+def test_no_shuffle_in_validation_plan(spark):
+    # the whole rule pass must be a single narrow projection — no Exchange
+    df = spark.createDataFrame([("a", 1)], "name string, n int")
+    rs = RuleSet(rules={"name": "required|minLen:2", "n": "min:0"})
+    res = validate(df, rs)
+    plan_str = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str

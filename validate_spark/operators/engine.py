@@ -1,0 +1,141 @@
+"""The validation engine: apply a compiled Plan to a DataFrame.
+
+Execution model (one narrow pass, zero shuffles, zero Python-per-row):
+
+1. default substitution + filter projections (``Filtering()``,
+   validation.go:503-518) — one ``withColumns`` projection;
+2. evaluate ALL rule predicates as one ordered
+   ``array<struct<idx,field,validator,message,ok>>`` column — rule order
+   is array order, so "first failing rule" (StopOnError,
+   validating.go:151) is ``filter(results, !ok)[0]`` with NO window
+   function and NO shuffle;
+3. verdict = no failures; violations = posexploded failures.
+
+Everything is Column expressions inside whole-stage codegen; at 100 TB
+this is a single scan of the table with predicate evaluation fused into
+the scan stage. Violations/verdicts are lazy DataFrames — writing them
+is the only action.
+
+Reference semantics mirrored: ``Validation.Validate()`` (validating.go:
+119-155), ``Errors`` map (messages.go:43-57) → violations rows,
+``safeData`` (validation.go:180-198) → pass-row projection.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from validate_spark.plans.plan import Plan, RuleSet, compile_plan
+
+RESULTS_COL = "_vs_results"
+FAILED_COL = "_vs_failed"
+PASS_COL = "_vs_pass"
+
+
+@dataclass
+class ValidationResult:
+    """Decoupled outcome — reference ``ValidResult`` (result.go:21-32)."""
+
+    annotated: DataFrame  # input + _vs_results/_vs_failed/_vs_pass
+    plan: Plan
+    key_cols: list[str]
+
+    @property
+    def is_lazy(self) -> bool:
+        return True
+
+    def verdicts(self) -> DataFrame:
+        """Per-row verdict: key columns + pass flag + n_violations."""
+        return self.annotated.select(
+            *self.key_cols,
+            F.col(PASS_COL).alias("pass"),
+            F.size(F.col(FAILED_COL)).alias("n_violations"),
+        )
+
+    def violations(self) -> DataFrame:
+        """Exploded violation rows: (key..., field, validator, message) —
+        the reference's ``Errors`` map in table form. Ordered per row by
+        rule declaration order (idx)."""
+        v = self.annotated.select(
+            *self.key_cols,
+            F.explode(F.col(FAILED_COL)).alias("_viol"),
+        )
+        return v.select(
+            *self.key_cols,
+            F.col("_viol.field").alias("field"),
+            F.col("_viol.validator").alias("validator"),
+            F.col("_viol.message").alias("message"),
+            F.col("_viol.idx").alias("rule_idx"),
+        )
+
+    def first_errors(self) -> DataFrame:
+        """StopOnError parity: ONLY the first failing (field, validator)
+        per row, in rule-declaration order (validating.go:151,
+        validation.go:873-875)."""
+        first = F.element_at(F.col(FAILED_COL), 1)
+        return self.annotated.filter(F.size(F.col(FAILED_COL)) > 0).select(
+            *self.key_cols,
+            first.getField("field").alias("field"),
+            first.getField("validator").alias("validator"),
+            first.getField("message").alias("message"),
+        )
+
+    def safe_rows(self) -> DataFrame:
+        """safeData semantics: rows with ZERO violations, carrying the
+        filtered/default-substituted (cleaned) values
+        (validation.go:180-198: safeData cleared on any error)."""
+        data_cols = [
+            c for c in self.annotated.columns
+            if c not in (RESULTS_COL, FAILED_COL, PASS_COL)
+        ]
+        return self.annotated.filter(F.col(PASS_COL)).select(*data_cols)
+
+    def summary(self) -> DataFrame:
+        """Violation counts per (field, validator) — dataset rollup."""
+        return (
+            self.violations()
+            .groupBy("field", "validator", "message")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+
+def validate(
+    df: DataFrame,
+    ruleset: RuleSet | dict,
+    *,
+    key_cols: list[str] | None = None,
+    scene: str | None = None,
+    plan: Plan | None = None,
+) -> ValidationResult:
+    """Validate a DataFrame against a rule set. Main entry point —
+    the engine analogue of ``validate.Map(...)/Struct(...).Validate()``.
+
+    ``key_cols`` identify rows in verdict/violation outputs (defaults to
+    the first column). Pass a pre-compiled ``plan`` to reuse across
+    same-schema DataFrames / streaming micro-batches.
+    """
+    if isinstance(ruleset, dict):
+        ruleset = RuleSet(rules=ruleset)
+    if plan is None:
+        plan = compile_plan(ruleset, df.schema, scene=scene)
+    if key_cols is None:
+        key_cols = [df.columns[0]]
+
+    out = df
+    if plan.default_projections:
+        out = out.withColumns(plan.default_projections)
+    if plan.filter_projections:
+        out = out.withColumns(plan.filter_projections)
+
+    results = plan.results_array()
+    out = out.withColumn(RESULTS_COL, results)
+    out = out.withColumn(
+        FAILED_COL, F.filter(F.col(RESULTS_COL), lambda r: ~r.getField("ok"))
+    )
+    if ruleset.stop_on_error:
+        out = out.withColumn(FAILED_COL, F.slice(F.col(FAILED_COL), 1, 1))
+    out = out.withColumn(PASS_COL, F.size(F.col(FAILED_COL)) == 0)
+
+    return ValidationResult(annotated=out, plan=plan, key_cols=key_cols)

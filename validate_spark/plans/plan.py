@@ -1,0 +1,386 @@
+"""RuleSet → Plan compiler.
+
+The reference builds a per-TYPE rule template once and clones it per
+record (struct_rules.go:25-166, 209-288; typeMeta cache cache.go:98-257).
+Our equivalent: compile the rule set ONCE on the driver into an ordered
+list of (field, validator, args, Column-expression, message) — the
+"static template" — then evaluate the whole list in a single projection
+over the DataFrame. The plan is pure metadata + unresolved Column
+expressions; Catalyst does constant folding (≈ argsReady pre-conversion,
+struct_rules.go:175-204) and common-subexpression elimination (≈ the
+reference's per-field value dedup, validation.go:119-198).
+
+Field paths: ``a`` (column), ``a.b`` (struct member), ``arr.*`` /
+``arr.*.kind`` / ``a.*.b.*.c`` (wildcard element validation — reference
+``validateWildcardSlice`` validating.go:489-563 → higher-order
+``forall``; no explode, no shuffle).
+
+Plan hash: stable sha256 over the rule-set definition — used by the
+lineage manifest (operators/manifest.py) to detect rule-set changes
+between resumable runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from validate_spark.plans.dsl import parse_rules, RuleSpec
+from validate_spark.plans.messages import render_message
+from validate_spark.functions.validators import (
+    VALIDATORS,
+    BuildCtx,
+    is_empty_col,
+    is_required_family,
+)
+from validate_spark.functions.filters import parse_filter_chain, apply_filter_chain
+
+
+# ---------------------------------------------------------------------------
+# rule set definition (user-facing)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RuleSet:
+    """Declarative rule set — the engine analogue of ``StringRules`` +
+    ``FilterRules`` + scenes + options (rule.go:171-246,
+    validation.go:823-854, validate.go:69-145)."""
+
+    rules: dict[str, str]
+    filters: dict[str, str] = dc_field(default_factory=dict)
+    messages: dict[str, str] = dc_field(default_factory=dict)
+    labels: dict[str, str] = dc_field(default_factory=dict)
+    scenes: dict[str, list[str]] = dc_field(default_factory=dict)
+    stop_on_error: bool = False  # v.StopOnError — default true in ref for
+    # abort-instance; for table-scale output we default to "collect all"
+    # and expose first-failure ordering in the violations array instead.
+    skip_on_empty: bool = True  # GlobalOption.SkipOnEmpty (validate.go:79)
+    zero_as_empty: bool = False  # numeric zero counts as empty (IsEmpty parity flag)
+
+    def hash(self) -> str:
+        payload = json.dumps(
+            {
+                "rules": self.rules,
+                "filters": self.filters,
+                "scenes": self.scenes,
+                "stop_on_error": self.stop_on_error,
+                "skip_on_empty": self.skip_on_empty,
+                "zero_as_empty": self.zero_as_empty,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# schema navigation
+# ---------------------------------------------------------------------------
+
+def dtype_at(schema: T.StructType, path: str) -> T.DataType | None:
+    """Walk ``a.*.b``-style paths through the schema; None if unknown."""
+    dt: T.DataType = schema
+    for part in path.split("."):
+        if part == "*":
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+            elif isinstance(dt, T.MapType):
+                dt = dt.valueType
+            else:
+                return None
+        else:
+            if isinstance(dt, T.StructType):
+                names = {f.name: f.dataType for f in dt.fields}
+                if part not in names:
+                    return None
+                dt = names[part]
+            else:
+                return None
+    return dt
+
+
+def col_at(path: str) -> Column:
+    """Column for a non-wildcard path (struct members via getField so
+    dotted column names can't collide)."""
+    parts = path.split(".")
+    c = F.col(parts[0])
+    for p in parts[1:]:
+        c = c.getField(p)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# compiled artifacts
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompiledRule:
+    index: int
+    field: str
+    validator: str
+    args: tuple[str, ...]
+    predicate: Column  # boolean, null-safe (already coalesced)
+    message: str
+
+
+@dataclass
+class Plan:
+    """Compiled, schema-bound rule plan. Immutable; reusable across
+    DataFrames with the same schema (≈ the reference's cached static
+    template, struct_rules.go:209-288)."""
+
+    rules: list[CompiledRule]
+    filter_projections: dict[str, Column]
+    default_projections: dict[str, Column]
+    ruleset: RuleSet
+    plan_hash: str
+
+    def results_array(self) -> Column:
+        """Ordered array<struct<idx,field,validator,message,ok>> — rule
+        order IS array order, giving deterministic StopOnError/"first
+        failing rule" semantics that independent columns can't
+        (SURVEY.md §4 item 5)."""
+        if not self.rules:
+            return F.array().cast(
+                "array<struct<idx:int,field:string,validator:string,message:string,ok:boolean>>"
+            )
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r.index).alias("idx"),
+                    F.lit(r.field).alias("field"),
+                    F.lit(r.validator).alias("validator"),
+                    F.lit(r.message).alias("message"),
+                    r.predicate.alias("ok"),
+                )
+                for r in self.rules
+            ]
+        )
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+def _scene_fields(ruleset: RuleSet, scene: str | None) -> set[str] | None:
+    """Scene filter incl. `.*` wildcard scene entries (validation.go:840-849)."""
+    if not scene:
+        return None
+    if scene not in ruleset.scenes:
+        return None
+    return set(ruleset.scenes[scene])
+
+
+def _field_in_scene(field: str, scene_fields: set[str] | None) -> bool:
+    if scene_fields is None:
+        return True
+    if field in scene_fields:
+        return True
+    # wildcard scene keys: scene entry "extra.*" admits "extra.*.github"
+    for sf in scene_fields:
+        if field.startswith(sf.rstrip("*")) and sf.endswith("*"):
+            return True
+        if field.split(".")[0] == sf:
+            return True
+    return False
+
+
+def _leaf_with_skip(
+    pred: Column, col: Column, dt: T.DataType | None, spec: RuleSpec, ruleset: RuleSet
+) -> Column:
+    """skipEmpty gate (validating.go:282-284): non-required validators
+    pass on empty values."""
+    if spec.required_family or not (spec.skip_empty and ruleset.skip_on_empty):
+        return F.coalesce(pred, F.lit(False))
+    empty = is_empty_col(col, dt, zero_as_empty=ruleset.zero_as_empty)
+    return F.when(empty, F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def _compile_path_pred(
+    path_parts: list[str],
+    cur: Column,
+    cur_dt: T.DataType | None,
+    make_leaf,
+    required: bool,
+) -> Column:
+    """Recursive wildcard compilation: every ``*`` becomes ``forall`` over
+    the array (validateWildcardSlice parity: required + empty parent →
+    fail; non-required + empty/missing parent → pass, handled by the
+    caller's skip gate)."""
+    if not path_parts:
+        return make_leaf(cur, cur_dt)
+    head, rest = path_parts[0], path_parts[1:]
+    if head == "*":
+        elem_dt = cur_dt.elementType if isinstance(cur_dt, T.ArrayType) else None
+        inner = F.forall(
+            cur,
+            lambda x: F.coalesce(
+                _compile_path_pred(rest, x, elem_dt, make_leaf, required),
+                F.lit(False),
+            ),
+        )
+        if required:
+            # required over wildcard: empty slice fails (validating.go:497-516)
+            return (F.size(cur) > 0) & inner
+        return inner
+    # struct member
+    sub_dt = None
+    if isinstance(cur_dt, T.StructType):
+        for f in cur_dt.fields:
+            if f.name == head:
+                sub_dt = f.dataType
+                break
+    return _compile_path_pred(rest, cur.getField(head), sub_dt, make_leaf, required)
+
+
+def compile_plan(
+    ruleset: RuleSet,
+    schema: T.StructType,
+    scene: str | None = None,
+) -> Plan:
+    """Compile a RuleSet against a schema into a Plan (one-time, driver)."""
+    scene_fields = _scene_fields(ruleset, scene)
+
+    # -- filter projections (applied BEFORE validation, filtering.go:142-237)
+    filter_projections: dict[str, Column] = {}
+    for field, chain_str in ruleset.filters.items():
+        if not _field_in_scene(field, scene_fields):
+            continue
+        chain = parse_filter_chain(chain_str)
+        if "." in field:
+            # interior `.*` filter (issue #262): transform each element
+            parent, _, sub = field.partition(".*.")
+            if parent and sub and "." not in sub:
+                elem_chain = chain
+                filter_projections[parent] = F.transform(
+                    F.col(parent),
+                    lambda x: x.withField(sub, apply_filter_chain(x.getField(sub), elem_chain)),
+                )
+                continue
+            raise NotImplementedError(f"filter path not supported: {field}")
+        filter_projections[field] = apply_filter_chain(F.col(field), chain)
+
+    # -- parse rules, preserving declaration order (dict order is insertion
+    #    order — rule order drives StopOnError semantics)
+    compiled: list[CompiledRule] = []
+    default_projections: dict[str, Column] = {}
+    idx = 0
+
+    def resolve(f: str) -> Column:
+        return col_at(f)
+
+    def dtype_of(f: str) -> T.DataType | None:
+        return dtype_at(schema, f)
+
+    for field, rule_str in ruleset.rules.items():
+        if not _field_in_scene(field, scene_fields):
+            continue
+        fr = parse_rules(
+            field,
+            rule_str,
+            skip_empty=ruleset.skip_on_empty,
+            messages=ruleset.messages,
+        )
+        leaf_dt = dtype_at(schema, field)
+
+        if fr.default is not None and "." not in field:
+            base = F.col(field)
+            dt = leaf_dt
+            default_lit = F.lit(fr.default)
+            if dt is not None:
+                default_lit = default_lit.try_cast(dt)
+            default_projections[field] = F.when(
+                is_empty_col(base, dt, zero_as_empty=ruleset.zero_as_empty),
+                default_lit,
+            ).otherwise(base)
+
+        for spec in fr.rules:
+            name = spec.name
+            if name not in VALIDATORS:
+                raise KeyError(
+                    f"unknown validator '{name}' for field '{field}' "
+                    f"(register with register_validator)"
+                )
+            builder = VALIDATORS[name]
+
+            if "*" in field:
+                parts = field.split(".")
+                root = parts[0]
+                rest = parts[1:]
+                root_col = F.col(root)
+                root_dt = dtype_at(schema, root)
+
+                def make_leaf(c, dt, _b=builder, _spec=spec):
+                    ctx = BuildCtx(
+                        dtype=dt,
+                        resolve=resolve,
+                        dtype_of=dtype_of,
+                        zero_as_empty=ruleset.zero_as_empty,
+                    )
+                    pred = _b(c, _spec.args, ctx)
+                    if _spec.required_family or not (
+                        _spec.skip_empty and ruleset.skip_on_empty
+                    ):
+                        return F.coalesce(pred, F.lit(False))
+                    empty = is_empty_col(c, dt, zero_as_empty=ruleset.zero_as_empty)
+                    return F.when(empty, F.lit(True)).otherwise(
+                        F.coalesce(pred, F.lit(False))
+                    )
+
+                inner = _compile_path_pred(
+                    rest, root_col, root_dt, make_leaf, spec.required_family
+                )
+                if spec.required_family:
+                    pred = F.coalesce(inner, F.lit(False))
+                else:
+                    # non-required: empty/missing parent passes (optional gate)
+                    parent_empty = is_empty_col(
+                        root_col, root_dt, zero_as_empty=ruleset.zero_as_empty
+                    )
+                    pred = F.when(parent_empty, F.lit(True)).otherwise(
+                        F.coalesce(inner, F.lit(False))
+                    )
+            else:
+                target = col_at(field)
+                ctx = BuildCtx(
+                    dtype=leaf_dt,
+                    resolve=resolve,
+                    dtype_of=dtype_of,
+                    zero_as_empty=ruleset.zero_as_empty,
+                )
+                raw = builder(target, spec.args, ctx)
+                pred = _leaf_with_skip(raw, target, leaf_dt, spec, ruleset)
+
+            if spec.optional and not spec.required_family:
+                # optional field: children skipped when value empty
+                # (validation.go:880-904) — subsumed by the skip gate above
+                pass
+
+            compiled.append(
+                CompiledRule(
+                    index=idx,
+                    field=field,
+                    validator=name,
+                    args=spec.args,
+                    predicate=pred,
+                    message=render_message(
+                        name,
+                        field,
+                        spec.args,
+                        custom=spec.message,
+                        label=ruleset.labels.get(field),
+                    ),
+                )
+            )
+            idx += 1
+
+    return Plan(
+        rules=compiled,
+        filter_projections=filter_projections,
+        default_projections=default_projections,
+        ruleset=ruleset,
+        plan_hash=ruleset.hash(),
+    )
