@@ -1,0 +1,150 @@
+"""Dataset-level operator tests: stats, uniqueness, referential,
+drift, resumable manifest (SURVEY.md §2.9, north_rule)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from validate_spark import RuleSet
+from validate_spark.operators.stats import column_stats, length_histogram, numeric_histogram
+from validate_spark.operators.uniq import duplicate_keys, uniqueness_report
+from validate_spark.operators.refcheck import dangling_refs, dangling_span_refs, ref_integrity_report
+from validate_spark.operators.drift import (
+    numeric_drift,
+    ks_from_histograms,
+    chi_square_from_histograms,
+)
+from validate_spark.operators.manifest import run_resumable, with_partition_id
+from validate_spark.sources.synth import synth_documents, synth_media_catalog
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("", 2), (None, 3), ("dd", None)], "s string, n int"
+    )
+    stats = {r["column"]: r for r in column_stats(df, approx_distinct=False).collect()}
+    s = stats["s"]
+    assert s["n"] == 4 and s["n_null"] == 1 and s["n_empty"] == 1
+    assert s["null_rate"] == 0.25
+    assert s["min_str"] == "" and s["max_str"] == "dd"
+    assert s["n_distinct"] == 3
+    n = stats["n"]
+    assert n["n_null"] == 1 and n["min_str"] == "1" and n["max_str"] == "3"
+
+
+def test_column_stats_one_aggregate_no_multiple_scans(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, n int")
+    plan = column_stats(df)._jdf.queryExecution().optimizedPlan().toString()
+    # a single scan of the relation (stats is ONE agg pass)
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_length_histogram(spark):
+    df = spark.createDataFrame([("a" * 10,), ("b" * 60,), ("c" * 70,)], "t string")
+    h = {r["bucket"]: r["cnt"] for r in length_histogram(df, "t", bucket_width=50).collect()}
+    assert h == {0: 1, 1: 2}
+
+
+def test_duplicate_keys_plain_and_salted(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",), (None,)], "k string"
+    )
+    for salt in (None, 4):
+        dups = {(r["k"], r["dup_count"]) for r in duplicate_keys(df, "k", salt_buckets=salt).collect()}
+        assert dups == {("a", 2), ("c", 3)}
+
+
+def test_uniqueness_report(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    r = uniqueness_report(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["n_dup_keys"], r["n_dup_rows"]) == (3, 2, 1, 2)
+
+
+def test_dangling_refs_broadcast_anti_join(spark):
+    fact = spark.createDataFrame([("x", "r1"), ("y", "r9"), ("z", None)], "id string, ref string")
+    cat = spark.createDataFrame([("r1",), ("r2",)], "ref string")
+    out = dangling_refs(fact, "ref", cat).collect()
+    assert len(out) == 1 and out[0]["id"] == "y"
+    # broadcast hint must reach the physical plan
+    plan = dangling_refs(fact, "ref", cat)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_dangling_span_refs_on_synth(spark):
+    docs = synth_documents(spark, 3000)
+    cat = synth_media_catalog(spark, 100000)
+    dang = dangling_span_refs(docs, cat)
+    rows = dang.collect()
+    assert len(rows) > 0  # seeded dangling class (id%71==19)
+    assert all(r["media_ref"].startswith("m-9") or "bad" in r["media_ref"] for r in rows)
+    rep = ref_integrity_report(docs, cat).collect()[0]
+    assert rep["n_dangling"] == len(rows) and rep["n_refs"] > rep["n_dangling"]
+
+
+def test_numeric_histogram_and_drift_same_source(spark):
+    a = spark.range(0, 10000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(0, 10000).select((F.col("id") % 100).cast("double").alias("v"))
+    rep = numeric_drift(a, b, "v", lo=0, hi=100, n_buckets=20, method="ks")
+    assert rep.statistic == 0.0 and not rep.drifted
+
+
+def test_numeric_drift_detects_shift(spark):
+    a = spark.range(0, 10000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(0, 10000).select(((F.col("id") % 100) + 40).cast("double").alias("v"))
+    rep = numeric_drift(a, b, "v", lo=0, hi=140, n_buckets=28, method="ks")
+    assert rep.statistic > 0.2 and rep.drifted
+
+
+def test_ks_chi2_math():
+    d, p = ks_from_histograms([100, 0, 0], [0, 0, 100])
+    assert d == 1.0 and p < 1e-6
+    stat, p2 = chi_square_from_histograms([50, 50], [50, 50])
+    assert stat == 0.0 and p2 > 0.9
+
+
+def test_resumable_manifest_kill_and_resume(spark, tmp_path):
+    """Kill-after-partition-k semantics: first run covers half the
+    partitions, resume touches ONLY the rest (SURVEY.md §5 test plan e)."""
+    docs = synth_documents(spark, 2000)
+    rs = RuleSet(rules={"doc_id": "required|minLen:6"})
+    mpath = str(tmp_path / "manifest")
+    vpath = str(tmp_path / "violations")
+
+    # simulate a killed run: only process partitions 0..31 of 64
+    parted = with_partition_id(docs, "doc_id", 64)
+    half = parted.filter(F.col("_vs_part") < 32).drop("_vs_part")
+    r1 = run_resumable(spark, half, rs, mpath, key_col="doc_id", n_partitions=64, violations_path=vpath)
+    assert r1["n_partitions_done_before"] == 0
+    assert r1["n_partitions_run"] <= 32
+
+    # resume over the FULL table: only unfinished partitions recompute
+    r2 = run_resumable(spark, docs, rs, mpath, key_col="doc_id", n_partitions=64, violations_path=vpath)
+    assert r2["n_partitions_done_before"] == r1["n_partitions_run"]
+    assert r2["n_partitions_run"] + r1["n_partitions_run"] == 64
+
+    # a third run: everything finished, nothing recomputes
+    r3 = run_resumable(spark, docs, rs, mpath, key_col="doc_id", n_partitions=64)
+    assert r3["n_partitions_done_before"] == 64
+    assert r3["n_partitions_run"] == 0
+
+    # manifest totals must cover every row exactly once
+    m = spark.read.parquet(mpath)
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == 2000
+    # violations appended without duplication: the two-run total equals
+    # one clean full-table run (rows with NULL doc_id are naturally
+    # identical, so distinct() is not a valid dedup check here)
+    from validate_spark import validate
+
+    v = spark.read.parquet(vpath)
+    full = validate(docs, rs, key_cols=["doc_id"]).violations()
+    assert v.count() == full.count()
+
+
+def test_manifest_invalidated_by_ruleset_change(spark, tmp_path):
+    docs = synth_documents(spark, 500)
+    mpath = str(tmp_path / "manifest")
+    r1 = run_resumable(spark, docs, RuleSet(rules={"doc_id": "required"}), mpath, n_partitions=8)
+    assert r1["n_partitions_run"] == 8
+    # different rules → different hash → full re-run
+    r2 = run_resumable(spark, docs, RuleSet(rules={"doc_id": "required|minLen:6"}), mpath, n_partitions=8)
+    assert r2["n_partitions_done_before"] == 0
+    assert r2["n_partitions_run"] == 8

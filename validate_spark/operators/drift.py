@@ -1,0 +1,147 @@
+"""Distribution-drift detection via histogram sketches (SURVEY.md §2.9).
+
+No reference analogue (the reference sees one record at a time); this
+is the natural table-scale extension named by the north rule.
+
+Design for 10^12 rows: the ONLY thing that ever reaches the driver is
+a ≤n_buckets-row histogram per column — executors compute bucket
+counts with map-side combine (`groupBy(bucket).count()`), the driver
+runs the KS / chi-square arithmetic on those tiny arrays with numpy.
+No applyInPandas needed for fixed-bucket histograms — pure built-in
+expressions beat a pandas UDF here; the UDF path is reserved for
+quantile sketches (future: KLL/t-digest via applyInPandas merge).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from validate_spark.operators.stats import numeric_histogram, length_histogram
+
+
+@dataclass
+class DriftReport:
+    statistic: float  # KS distance or chi-square
+    p_value: float | None
+    n_left: int
+    n_right: int
+    method: str
+
+    @property
+    def drifted(self) -> bool:
+        # conventional alpha
+        return self.p_value is not None and self.p_value < 0.05
+
+
+def _hist_to_counts(hist_rows, n_buckets: int) -> list[int]:
+    counts = [0] * n_buckets
+    for r in hist_rows:
+        b = int(r["bucket"])
+        if 0 <= b < n_buckets:
+            counts[b] = int(r["cnt"])
+    return counts
+
+
+def ks_from_histograms(left: list[int], right: list[int]) -> tuple[float, float]:
+    """Two-sample KS on binned data: max |CDF_l - CDF_r|, asymptotic p."""
+    nl, nr = sum(left), sum(right)
+    if nl == 0 or nr == 0:
+        return 0.0, 1.0
+    d = 0.0
+    cl = cr = 0.0
+    for a, b in zip(left, right):
+        cl += a / nl
+        cr += b / nr
+        d = max(d, abs(cl - cr))
+    # asymptotic Kolmogorov distribution
+    ne = nl * nr / (nl + nr)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    if lam < 1e-3:  # series diverges as lam→0; exact limit is p=1
+        return d, 1.0
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * (lam**2) * (k**2)) for k in range(1, 101))
+    return d, max(0.0, min(1.0, p))
+
+
+def chi_square_from_histograms(left: list[int], right: list[int]) -> tuple[float, float]:
+    """Two-sample chi-square homogeneity test on binned data."""
+    nl, nr = sum(left), sum(right)
+    if nl == 0 or nr == 0:
+        return 0.0, 1.0
+    stat = 0.0
+    dof = 0
+    for a, b in zip(left, right):
+        tot = a + b
+        if tot == 0:
+            continue
+        ea = tot * nl / (nl + nr)
+        eb = tot * nr / (nl + nr)
+        stat += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+        dof += 1
+    dof = max(1, dof - 1)
+    # Wilson-Hilferty approximation of the chi-square survival function
+    if stat <= 0:
+        return 0.0, 1.0
+    z = ((stat / dof) ** (1.0 / 3.0) - (1 - 2.0 / (9 * dof))) / math.sqrt(2.0 / (9 * dof))
+    p = 0.5 * math.erfc(z / math.sqrt(2.0))
+    return stat, p
+
+
+def numeric_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 32,
+    method: str = "ks",
+) -> DriftReport:
+    """Drift between two live DataFrames on a numeric column."""
+    h_cur = numeric_histogram(cur, col, lo=lo, hi=hi, n_buckets=n_buckets).collect()
+    h_ref = numeric_histogram(ref, col, lo=lo, hi=hi, n_buckets=n_buckets).collect()
+    return _report(_hist_to_counts(h_cur, n_buckets), _hist_to_counts(h_ref, n_buckets), method)
+
+
+def length_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    bucket_width: int = 50,
+    max_buckets: int = 64,
+    method: str = "chi2",
+) -> DriftReport:
+    h_cur = length_histogram(cur, col, bucket_width=bucket_width, max_buckets=max_buckets).collect()
+    h_ref = length_histogram(ref, col, bucket_width=bucket_width, max_buckets=max_buckets).collect()
+    return _report(_hist_to_counts(h_cur, max_buckets), _hist_to_counts(h_ref, max_buckets), method)
+
+
+def drift_vs_snapshot(
+    cur: DataFrame,
+    snapshot: DataFrame,
+    col: str,
+    *,
+    n_buckets: int = 64,
+    bucket_width: int = 50,
+    method: str = "chi2",
+) -> DriftReport:
+    """Drift of a live DataFrame vs a persisted histogram snapshot table
+    (documents_ref_hist(col, bucket, cnt) — FIXTURES.md §2)."""
+    h_cur = length_histogram(cur, col, bucket_width=bucket_width, max_buckets=n_buckets).collect()
+    h_ref = (
+        snapshot.filter(F.col("col") == col).select("bucket", "cnt").collect()
+    )
+    return _report(_hist_to_counts(h_cur, n_buckets), _hist_to_counts(h_ref, n_buckets), method)
+
+
+def _report(left: list[int], right: list[int], method: str) -> DriftReport:
+    if method == "ks":
+        stat, p = ks_from_histograms(left, right)
+    else:
+        stat, p = chi_square_from_histograms(left, right)
+    return DriftReport(
+        statistic=stat, p_value=p, n_left=sum(left), n_right=sum(right), method=method
+    )

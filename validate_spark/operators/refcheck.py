@@ -1,0 +1,85 @@
+"""Referential-integrity checks as anti-joins (SURVEY.md §2.9).
+
+The reference's filesystem/upload probes (`pathExists`,
+validators_compare.go:22-28; `isFile`, validators.go:505-517) are
+side-effecting per-record lookups. The table-scale re-expression:
+"every media_ref must exist in the media catalog" = LEFT ANTI JOIN.
+
+Strategy selection mirrors what a 1000-executor cluster needs:
+- catalog small (dimension-sized) → ``broadcast()`` the catalog; the
+  anti-join runs map-side with ZERO shuffle of the 10^12-row fact side;
+- catalog large → shuffle anti-join; AQE converts to broadcast at
+  runtime if the built side turns out small, and handles skew.
+
+For the interleaved documents table the refs live INSIDE the spans
+array — ``dangling_span_refs`` explodes only (doc_id, media_ref),
+projecting away text before the shuffle so the wide payload never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dangling_refs(
+    fact: DataFrame,
+    ref_col: str,
+    catalog: DataFrame,
+    catalog_key: str = "ref",
+    *,
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """Rows of ``fact`` whose ``ref_col`` is non-null but absent from the
+    catalog."""
+    cat = catalog.select(F.col(catalog_key).alias("__cat_key")).distinct()
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    refs = fact.filter(F.col(ref_col).isNotNull())
+    return refs.join(cat, refs[ref_col] == cat["__cat_key"], "left_anti")
+
+
+def dangling_span_refs(
+    docs: DataFrame,
+    catalog: DataFrame,
+    *,
+    spans_col: str = "spans",
+    key_col: str = "doc_id",
+    catalog_key: str = "ref",
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """(doc_id, media_ref) pairs dangling vs the catalog. Projects to the
+    two needed columns BEFORE exploding so column pruning reaches the
+    parquet scan and the anti-join moves minimal bytes."""
+    refs = (
+        docs.select(
+            F.col(key_col),
+            F.explode(
+                F.filter(
+                    F.col(spans_col).getField("media_ref"),
+                    lambda r: r.isNotNull(),
+                )
+            ).alias("media_ref"),
+        )
+    )
+    cat = catalog.select(F.col(catalog_key).alias("__cat_key")).distinct()
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    return refs.join(cat, refs["media_ref"] == cat["__cat_key"], "left_anti")
+
+
+def ref_integrity_report(
+    docs: DataFrame,
+    catalog: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """One row: (n_refs, n_dangling) for the spans media_ref column."""
+    spans_col = kwargs.get("spans_col", "spans")
+    n_refs = docs.select(
+        F.sum(
+            F.size(F.filter(F.col(spans_col).getField("media_ref"), lambda r: r.isNotNull()))
+        ).alias("n_refs")
+    )
+    n_dangling = dangling_span_refs(docs, catalog, **kwargs).agg(
+        F.count(F.lit(1)).alias("n_dangling")
+    )
+    return n_refs.crossJoin(n_dangling)
