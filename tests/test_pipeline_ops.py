@@ -1,0 +1,205 @@
+"""Tests for the training-data pipeline operators: text analysis,
+dedup (exact / MinHash-LSH / SimHash / embedding), similarity search,
+and multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from validate_spark.operators import textstats as ts
+from validate_spark.operators import dedup as dd
+from validate_spark.operators import similarity as sim
+from validate_spark.operators import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("1", "the cat sat on the mat and it is that for the win"),
+            ("2", "der hund ist nicht zu haus und das ist gut"),
+            ("3", "le chat est dans la maison et les chiens pour"),
+            ("4", "el perro en la casa con una mesa por los gatos"),
+            ("5", "xyzzy plugh"),
+            ("6", None),
+        ],
+        "id string, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", ts.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {"1": "en", "2": "de", "3": "fr", "4": "es", "5": "und", "6": "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c", 3), ("", 0), ("  ", 0), ("one", 1), (None, 0)],
+        "text string, want int",
+    )
+    rows = df.select(
+        "want", ts.whitespace_token_count(F.col("text")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+    bpe = df.select(ts.bpe_token_count(F.lit("don't stop-me now!")).alias("n")).first()["n"]
+    # don / ' / t / stop / - / me / now / !  → 8
+    assert bpe == 8
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("a", "The quick brown fox is in the barn with it."),
+         ("b", "the quick brown fox IS in the barn with it")],
+        "id string, text string",
+    )
+    out = ts.annotate(df, "text").select("id", "quality", "fp").collect()
+    by_id = {r["id"]: r for r in out}
+    # normalization folds case and punctuation → identical fingerprints
+    assert by_id["a"]["fp"] == by_id["b"]["fp"]
+    assert 0.0 <= by_id["a"]["quality"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [("d1", "Hello, World!"), ("d2", "hello world"), ("d3", "unrelated text")],
+        "doc_id string, text string",
+    )
+    groups = dd.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["dup_count"] == 2 and g["keep_key"] == "d1" and g["dup_keys"] == ["d2"]
+    kept = dd.drop_exact_duplicates(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == ["d1", "d3"]
+
+
+def test_minhash_lsh_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffle partitions and joins"
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far), ("d", base)],
+        "doc_id string, text string",
+    )
+    pairs = dd.minhash_dedup_pairs(df, threshold=0.5).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert ("a", "b") in got and ("a", "d") in got and ("b", "d") in got
+    assert not any("c" in p for p in got)
+    # exact dup pair has jaccard exactly 1.0
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    assert jac[("a", "d")] == 1.0
+
+
+def test_simhash_neardup(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok7 ", "tok7x ")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far)], "doc_id string, text string"
+    )
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in dd.simhash_candidates(df, max_hamming=16).collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_embedding_neardup_and_lsh(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    bf = {(r["a"], r["b"]) for r in dd.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert bf == {(1, 2)}
+    lsh = {(r["a"], r["b"]) for r in dd.embedding_neardup_lsh(df, threshold=0.95, n_planes=4).collect()}
+    # sign-LSH: identical-direction vectors always share every bucket
+    assert lsh == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_deterministic(spark, emb):
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, sim.brute_force_topk(emb, q, k=4).collect()))
+    b = sorted(map(tuple, sim.brute_force_topk(emb, q, k=4).collect()))
+    assert a == b and len(a) == 12
+    ranks = {r[2] for r in a}
+    assert ranks == {1, 2, 3, 4}
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = sim.sample_centroids(emb, 4)
+    exact = sim.brute_force_topk(emb, q, k=5)
+    approx = sim.ivf_topk(emb, q, cents, k=5, nprobe=4)  # probe ALL buckets
+    assert sim.recall_at_k(approx, exact) == 1.0
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = sim.sample_centroids(emb, 8)
+    exact = sim.brute_force_topk(emb, q, k=5)
+    approx = sim.ivf_topk(emb, q, cents, k=5, nprobe=3)
+    assert sim.recall_at_k(approx, exact) >= 0.3  # random vectors: weak but nonzero
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_media_attach_sniff_meta(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(30)], "doc_id string")
+    m = mm.media_metadata(mm.attach_fake_media(df))
+    rows = m.select("doc_id", "media_meta").collect()
+    mimes = {r["media_meta"]["mime"] for r in rows}
+    assert mimes <= {"image/jpeg", "image/png", "audio/wav"}
+    assert len(mimes) > 1  # the kind hash spreads
+    for r in rows:
+        assert r["media_meta"]["n_bytes"] > 48
+        assert 1 <= r["media_meta"]["width"] <= 1920
+
+
+def test_extract_media_features_schema_and_batch(spark):
+    df = mm.attach_fake_media(
+        spark.createDataFrame([(str(i),) for i in range(20)], "doc_id string")
+    )
+    feats = mm.extract_media_features(df)
+    assert feats.schema == mm.FEATURES_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bytes"] > 0 and 0.0 <= r["feat_mean"] <= 255.0
+        assert r["mime"] in {"image/jpeg", "image/png", "audio/wav"}
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"\xff\xd8\xff")
+
+
+def test_sample_frames(spark):
+    df = mm.attach_fake_media(
+        spark.createDataFrame([("v1",)], "doc_id string")
+    )
+    frames = mm.sample_frames(df, every_n=2).collect()
+    # 51-byte payload → 3 frames → keep idx 0, 2
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs[0] == 0 and all(i % 2 == 0 for i in idxs)
+    assert all(len(r["frame_bytes"]) == 16 for r in frames)

@@ -1,0 +1,419 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a different cost/recall point, all shuffle-bounded:
+
+1. **Exact** — md5 fingerprint of normalized text → one hash-aggregate.
+   md5 keys are uniform, so the shuffle never skews; 10^12 rows is one
+   map-side-combined groupBy.
+2. **MinHash + LSH** — char-shingle → minhash signature → band buckets →
+   candidate pairs only within buckets → exact-Jaccard verify. The
+   self-join is replaced by ``collect_list`` within a bucket (bounded by
+   ``max_bucket``), so the worst case is O(bucket²) per bucket, never
+   O(n²) — the textbook LSH bound.
+3. **SimHash** — 64-bit token-vote signature (vectorized pandas UDF,
+   Arrow-batched — the one place Python earns its transfer cost), then
+   Hamming-ball candidate pairs via 4×16-bit chunk buckets (any pair
+   within Hamming distance 3 shares ≥1 exact chunk — pigeonhole).
+4. **Embedding near-dup** — cosine ≥ τ pairs; exact O(n²) only inside
+   LSH sign-buckets (deterministic hyperplanes), brute-force variant for
+   oracle-exact small-scale verification.
+
+Portability note: every hash in the exact/minhash path is md5-hex, so a
+DuckDB oracle reproduces candidate pairs byte-identically — the LSH
+pipeline itself is deterministically testable, not just "roughly
+similar". (xxhash64 would be faster but engine-local; at 100 TB the
+md5 cost is still trivially scan-dominated.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from validate_spark.operators.textstats import fingerprint, normalize_text
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by normalized-text fingerprint:
+    (fp, dup_count, keep_key, dup_keys). ``keep_key`` = min key — the
+    canonical survivor; ``dup_keys`` the sorted losers."""
+    with_fp = df.select(F.col(key_col).cast("string").alias("k"), fingerprint(F.col(text_col)).alias("fp"))
+    groups = with_fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("k").alias("keep_key"),
+        F.array_sort(F.collect_list("k")).alias("all_keys"),
+    )
+    return (
+        groups.filter(F.col("dup_count") > 1)
+        .select(
+            "fp",
+            "dup_count",
+            "keep_key",
+            F.array_remove(
+                F.col("all_keys"), F.col("keep_key")
+            ).alias("dup_keys"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min key) per fingerprint. Single shuffle on fp;
+    min_by avoids a window function."""
+    fp = fingerprint(F.col(text_col))
+    tagged = df.withColumn("_fp", fp)
+    keep = tagged.groupBy("_fp").agg(F.min(F.col(key_col)).alias("_keep"))
+    return (
+        tagged.join(keep, on="_fp", how="inner")
+        .filter(F.col(key_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text. Short texts
+    (< k chars) contribute their whole text as the single shingle so
+    they can still match exactly."""
+    t = normalize_text(text)
+    n = F.length(t)
+    shingled = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(shingled)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
+    """array<string> of per-hash minima. Hash family i = md5(i ':' s) —
+    independent-enough permutations, engine-portable (md5-hex min is
+    lexicographic, identical in Spark and DuckDB)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, _i=i: F.md5(F.concat(F.lit(f"{_i}:"), s)),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def band_signatures(sig: Column, n_bands: int = 4, rows_per_band: int = 3) -> Column:
+    """array<string> of per-band md5s over signature slices."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (a, b) sharing ≥1 LSH band bucket, a < b.
+
+    Pairs are generated WITHIN buckets via collect_list + array pair
+    expansion — no self-join, no O(n²). ``max_bucket`` guards degenerate
+    buckets (e.g. empty docs): oversized buckets are dropped here; the
+    exact-dedup pass catches their members anyway.
+    """
+    rows_per_band = n_hashes // n_bands
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        char_shingles(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = keyed.select(
+        "k", band_signatures(minhash_signature(F.col("sh"), n_hashes), n_bands, rows_per_band).alias("bands")
+    )
+    exploded = sig.select("k", F.posexplode("bands").alias("band", "bsig"))
+    buckets = (
+        exploded.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_set("k")).alias("ks"))
+        .filter((F.size("ks") > 1) & (F.size("ks") <= max_bucket))
+    )
+    # all ordered pairs within a bucket: flatten of per-index tail-pairings
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ks"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ks"), i + 2, F.size(F.col("ks"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs → (a, b, jaccard).
+    Two hash joins against the (key, shingle-set) frame; the pair frame
+    is tiny relative to the corpus, so both joins broadcast-or-shuffle
+    cheaply under AQE."""
+    sets_ = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        char_shingles(F.col(text_col), k).alias("sh"),
+    )
+    a = sets_.select(F.col("k").alias("a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("k").alias("b"), F.col("sh").alias("sh_b"))
+    j = candidates.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        j.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard ≥ threshold."""
+    cands = minhash_candidates(
+        df, text_col, key_col, k=k, n_hashes=n_hashes, n_bands=n_bands, max_bucket=max_bucket
+    )
+    return jaccard_pairs(df, cands, text_col, key_col, k=k, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_column(text_col: str = "text") -> Column:
+    """64-bit SimHash as a vectorized pandas UDF (Arrow batches; numpy
+    bit-votes — no per-row Python function calls inside the batch loop
+    beyond tokenization)."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(s: pd.Series) -> pd.Series:
+        import hashlib
+        import numpy as np
+
+        out = np.zeros(len(s), dtype=np.int64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for row_i, txt in enumerate(s.fillna("")):
+            toks = txt.lower().split()
+            if not toks:
+                continue
+            digests = b"".join(
+                hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks
+            )
+            bits = np.unpackbits(
+                np.frombuffer(digests, dtype=np.uint8)
+            ).reshape(len(toks), 64)
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+            sig = int(((votes > 0).astype(np.uint64) * weights).sum(dtype=np.uint64))
+            out[row_i] = sig - 2**64 if sig >= 2**63 else sig
+        return pd.Series(out)
+
+    return _simhash(F.col(text_col))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Bucket by each of the 4 disjoint 16-bit chunks: two signatures
+    within Hamming distance 3 must agree exactly on ≥1 chunk
+    (pigeonhole over 4 chunks), so per-chunk buckets have full recall.
+    """
+    sigs = df.select(
+        F.col(key_col).cast("string").alias("k"), simhash_column(text_col).alias("sig")
+    )
+    chunks = sigs.select(
+        "k",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("k", "sig", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    buckets = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.array_sort(F.collect_set(F.struct("k", "sig"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x.getField("k").alias("a"),
+                            y.getField("k").alias("b"),
+                            x.getField("sig").alias("sa"),
+                            y.getField("sig").alias("sb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.sa", "p.sb").distinct()
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Exact cosine between two array<float/double> columns — pure
+    higher-order functions, JVM-side (zip_with + aggregate)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force (a, b) id pairs with cosine ≥ threshold, a < b.
+    O(n²) — correct at any scale but only AFFORDABLE inside a bucket;
+    this is the verify kernel and the small-scale oracle path. The
+    scale path is ``embedding_neardup_lsh``."""
+    a = df.select(F.col(key_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(key_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return pairs.select("a", "b", sim.alias("cos")).filter(F.col("cos") >= threshold).select("a", "b")
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Scale path: random-hyperplane sign buckets (deterministic planes
+    derived from (seed, plane, dim) hashes), exact cosine only within a
+    bucket. Recall < 1 by construction (sign-LSH); raise n_planes ↓
+    bucket sizes, lower it ↑ recall."""
+    dim = len(df.select(vec_col).first()[0])
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    v = F.col(vec_col)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(planes[p, d])) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    bucket = sum(bits[1:], bits[0])
+
+    tagged = df.select(F.col(key_col).alias("k"), v.alias("vec"), bucket.alias("bucket"))
+    grouped = (
+        tagged.groupBy("bucket")
+        .agg(F.collect_list(F.struct("k", "vec")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            F.least(x.getField("k"), y.getField("k")).alias("a"),
+                            F.greatest(x.getField("k"), y.getField("k")).alias("b"),
+                            x.getField("vec").alias("va"),
+                            y.getField("vec").alias("vb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.va", "p.vb")
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("a", "b", sim.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b")
+        .distinct()
+    )

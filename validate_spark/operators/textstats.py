@@ -1,0 +1,175 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything here is pure ``Column`` expressions — JVM-side, inside
+whole-stage codegen, zero Python in the hot path. At 100 TB each of
+these is a narrow projection fused into the parquet scan (no shuffle at
+all until an optional aggregation), which is exactly what you want for
+a per-document annotate pass over 10^12 docs.
+
+Determinism matters doubly here: the fingerprint uses ``md5`` (not
+xxhash64) precisely because md5 hex strings are engine-portable — the
+DuckDB oracle computes byte-identical values, so the driver's
+value-hash correctness gate covers these operators exactly.
+
+Reference seeds: the string/format validator family (SURVEY.md §2.6)
+is the per-record ancestor of these per-document quality signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# language ID — n-gram/stopword heuristic
+# ---------------------------------------------------------------------------
+
+# Most-frequent function words per language. Marker hits are counted with
+# one compiled regex per language (codegen compiles the pattern once per
+# task; ≈ the reference's precompiled regexes, validators.go:47-87).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "que", "dans", "pour"],
+    "es": ["el", "los", "de", "que", "en", "una", "por", "con", "para", "las"],
+}
+
+LANGS = list(STOPWORDS)  # deterministic tie-break order
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (word-boundary regex, case-folded)."""
+    low = F.lower(text)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.coalesce(F.regexp_count(low, F.lit(pat)), F.lit(0))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Best-guess language code, or 'und' when no marker word hits.
+
+    Argmax with deterministic first-wins tie-break in LANGS order —
+    a chain of comparisons, no UDF.
+    """
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier langs win ties (strict > when replacing)
+    for lang in reversed(LANGS):
+        s = scores[lang]
+        take = (s > F.lit(0)) & (s >= best_score)
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols —
+# the shape GPT-style BPE vocabularies split on before merges.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace tokens; empty/NULL → 0."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count (pre-merge word/symbol pieces)."""
+    return F.coalesce(F.regexp_count(text, F.lit(BPE_TOKEN_RE)), F.lit(0)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """Raw quality signals (all JVM expressions):
+    n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+    upper_ratio, digit_ratio."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = whitespace_token_count(t)
+    n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
+    n_upper = F.coalesce(F.regexp_count(t, F.lit(r"[A-Z]")), F.lit(0))
+    n_digit = F.coalesce(F.regexp_count(t, F.lit(r"[0-9]")), F.lit(0))
+    n_stop = F.coalesce(
+        F.regexp_count(
+            F.lower(t),
+            F.lit(r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"),
+        ),
+        F.lit(0),
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars.cast("double") / safe_tokens),
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "stopword_ratio": n_stop.cast("double") / safe_tokens,
+        "upper_ratio": n_upper.cast("double") / safe_chars,
+        "digit_ratio": n_digit.cast("double") / safe_chars,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score — monotone in length (to a cap),
+    rewarded for stopword presence, penalized for punct/digit excess.
+    Deterministic closed form so the DuckDB oracle reproduces it."""
+    s = quality_signals(text)
+    len_score = F.least(s["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(s["stopword_ratio"] * F.lit(2.0), F.lit(1.0))
+    punct_pen = F.least(s["punct_ratio"] * F.lit(4.0), F.lit(1.0))
+    digit_pen = F.least(s["digit_ratio"] * F.lit(4.0), F.lit(1.0))
+    raw = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * stop_score
+        + F.lit(0.2) * (F.lit(1.0) - (punct_pen + digit_pen) / F.lit(2.0))
+    )
+    return F.round(raw, 6)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup: casefold, strip non-alphanumerics to
+    spaces, collapse runs, trim."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    t = F.regexp_replace(t, r"[^a-z0-9]+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 hex of the normalized text — the exact-dedup key. md5 (not
+    xxhash64) so DuckDB oracles produce byte-identical values."""
+    return F.md5(normalize_text(text))
+
+
+# ---------------------------------------------------------------------------
+# table-level convenience
+# ---------------------------------------------------------------------------
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One narrow projection adding all text-analysis columns."""
+    t = F.col(text_col)
+    sig = quality_signals(t)
+    return df.select(
+        "*",
+        lang_id(t).alias("lang_pred"),
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        bpe_token_count(t).alias("n_tokens_bpe"),
+        F.round(sig["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(sig["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(sig["stopword_ratio"], 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
