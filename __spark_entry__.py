@@ -1,38 +1,587 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship interleaved-documents validation;
+`queries()` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-pipeline extensions); `oracle_sql()` gives
+the DuckDB-equivalent SQL for every SQL-expressible query. Hash-
+portability rule: every hash whose VALUE crosses the engine boundary
+(fingerprints, media bytes) is md5 — identical hex in Spark and DuckDB.
+The MinHash-LSH pipeline hashes internally with seeded xxhash64; its
+oracle instead recomputes the expected OUTPUT pairs with an exhaustive
+exact-Jaccard join, so the approximate pipeline is still value-checked
+exactly, not just row-counted.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from validate_spark import RuleSet, validate
+from validate_spark.operators import stats as st
+from validate_spark.operators import uniq as uq
+from validate_spark.operators import refcheck as rc
+from validate_spark.operators import dedup as dd
+from validate_spark.operators import similarity as sim
+from validate_spark.operators import textstats as ts
+from validate_spark.operators import multimodal as mm
+from validate_spark.sources.synth import synth_documents, synth_media_catalog
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# rule sets
+# ---------------------------------------------------------------------------
+
+DOC_RULES = RuleSet(
+    rules={
+        "doc_id": "required",
+        "text": "required|minLength:100",
+        "lang": "required|enum:en,de,fr,es",
+        "source": "required|regexp:^src[0-9]+$",
+        "n_chars": "required|min:50|max:600",
+    }
+)
+
+SPANS_RULES = RuleSet(
+    rules={
+        "doc_id": "required|minLength:5",
+        "spans": "required|minLength:1",
+        "spans.*.kind": "required|enum:text,image,audio,video",
+        "spans.*.offset": "min:0",
+        "spans.*.media_ref": "regexp:^m-[0-9]{8}$",
+    }
+)
+
+
+def _flagship(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Validate the interleaved documents table (input_hint schema):
+    rule-DSL verdicts + violations summary, one pass."""
+    docs = synth_documents(spark, n_docs)
+    res = validate(docs, SPANS_RULES, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("field", "validator")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved-table validation at sf0.001 scale."""
+    return _flagship(spark, 6000)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q01_verdicts_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return (
+        res.verdicts().groupBy("pass").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q02_violations_by_rule(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q03_first_errors(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return res.first_errors().select("doc_id", "field", "validator")
+
+
+def q04_filtered_safe_rows(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rs = RuleSet(
+        rules={"lang": "required|enum:EN,DE,FR,ES"},
+        filters={"lang": "trim|upper"},
+    )
+    res = validate(docs, rs, key_cols=["doc_id"])
+    return res.safe_rows().select("doc_id", "lang")
+
+
+def q05_cross_field_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    rs = RuleSet(rules={"value": "required|ltField:user_id"})
+    res = validate(ev, rs, key_cols=["event_id"])
+    return res.verdicts().groupBy("pass").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q06_column_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    s = st.column_stats(docs, ["doc_id", "text", "lang", "n_chars"], approx_distinct=False)
+    return s.select(
+        "column",
+        "n",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        "n_empty",
+        F.round("avg_len", 4).alias("avg_len"),
+        "min_str",
+        "max_str",
+        "n_distinct",
+    )
+
+
+def q07_duplicate_keys(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return uq.duplicate_keys(ev, ["user_id", "event_type"])
+
+
+def q08_uniqueness_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return uq.uniqueness_report(docs, "doc_id")
+
+
+def q09_ref_integrity(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    dangling = rc.dangling_refs(orders, "o_custkey", cust, "c_custkey")
+    n_refs = orders.filter(F.col("o_custkey").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    n_d = dangling.agg(F.count(F.lit(1)).alias("n_dangling"))
+    return n_refs.crossJoin(n_d)
+
+
+def q10_length_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return st.length_histogram(docs, "text", bucket_width=50, max_buckets=64)
+
+
+def q11_drift_histograms(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    even = st.numeric_histogram(ev.filter(F.col("event_id") % 2 == 0), "value", lo=0.0, hi=500.0, n_buckets=25)
+    odd = st.numeric_histogram(ev.filter(F.col("event_id") % 2 == 1), "value", lo=0.0, hi=500.0, n_buckets=25)
+    return (
+        even.withColumnRenamed("cnt", "cnt_even")
+        .join(odd.withColumnRenamed("cnt", "cnt_odd"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cnt_even", F.lit(0)).alias("cnt_even"),
+            F.coalesce("cnt_odd", F.lit(0)).alias("cnt_odd"),
+        )
+    )
+
+
+def q12_text_annotate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ts.annotate(docs).select(
+        "doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpe", "quality", "fp"
+    )
+
+
+def q13_lang_distribution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(ts.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q14_token_totals(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.agg(
+        F.sum(ts.whitespace_token_count(t).cast("long")).alias("sum_tokens_ws"),
+        F.sum(ts.bpe_token_count(t).cast("long")).alias("sum_tokens_bpe"),
+        F.round(F.avg(ts.quality_score(t)), 4).alias("avg_quality"),
+    )
+
+
+def _doubled_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def q15_exact_dedup(spark, sf_dir):
+    return dd.exact_duplicates(_doubled_docs(spark, sf_dir)).select(
+        "fp", "dup_count", "keep_key"
+    )
+
+
+def q16_minhash_lsh_dedup(spark, sf_dir):
+    pairs = dd.minhash_dedup_pairs(_doubled_docs(spark, sf_dir), threshold=0.99)
+    return pairs.select("a", "b")
+
+
+def q17_simhash_dedup(spark, sf_dir):
+    # no SQL oracle: SimHash runs as an Arrow pandas UDF (rows-only check)
+    return dd.simhash_candidates(_doubled_docs(spark, sf_dir), max_hamming=0).select(
+        "a", "b"
+    )
+
+
+def _doubled_emb(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.unionAll(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+
+
+def q18_embedding_neardup(spark, sf_dir):
+    return dd.embedding_neardup_pairs(_doubled_emb(spark, sf_dir), threshold=0.99)
+
+
+def q19_ann_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.brute_force_topk(emb, q, k=10)
+
+
+def q20_ann_ivf_full_probe(spark, sf_dir):
+    # IVF with nprobe = n_centroids probes every bucket → must equal exact
+    # top-k; validates the bucket/probe plumbing against the same oracle.
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = sim.sample_centroids(emb, 4)
+    return sim.ivf_topk(emb, q, cents, k=10, nprobe=4)
+
+
+def q21_media_metadata(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = mm.media_metadata(mm.attach_fake_media(docs))
+    return m.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+def q22_media_features(spark, sf_dir):
+    # no SQL oracle: mapInPandas decode stub (rows-only check)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    feats = mm.extract_media_features(mm.attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.round("feat_std", 6).alias("feat_std"),
+        "n_frames",
+    )
+
+
+def q23_spans_validation(spark, sf_dir):
+    # no SQL oracle: input is the synthesized interleaved table (not one
+    # of the driver's pre-registered views); deterministic at fixed size
+    n = _t(spark, sf_dir, "documents").count() * 12
+    return _flagship(spark, n)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_verdicts_documents": q01_verdicts_documents,
+        "q02_violations_by_rule": q02_violations_by_rule,
+        "q03_first_errors": q03_first_errors,
+        "q04_filtered_safe_rows": q04_filtered_safe_rows,
+        "q05_cross_field_events": q05_cross_field_events,
+        "q06_column_stats": q06_column_stats,
+        "q07_duplicate_keys": q07_duplicate_keys,
+        "q08_uniqueness_report": q08_uniqueness_report,
+        "q09_ref_integrity": q09_ref_integrity,
+        "q10_length_histogram": q10_length_histogram,
+        "q11_drift_histograms": q11_drift_histograms,
+        "q12_text_annotate": q12_text_annotate,
+        "q13_lang_distribution": q13_lang_distribution,
+        "q14_token_totals": q14_token_totals,
+        "q15_exact_dedup": q15_exact_dedup,
+        "q16_minhash_lsh_dedup": q16_minhash_lsh_dedup,
+        "q17_simhash_dedup": q17_simhash_dedup,
+        "q18_embedding_neardup": q18_embedding_neardup,
+        "q19_ann_brute_force": q19_ann_brute_force,
+        "q20_ann_ivf_full_probe": q20_ann_ivf_full_probe,
+        "q21_media_metadata": q21_media_metadata,
+        "q22_media_features": q22_media_features,
+        "q23_spans_validation": q23_spans_validation,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# per-rule violation predicates over `documents` (engine semantics:
+# required → value empty; non-required → NOT empty AND NOT predicate)
+_V = {
+    "doc_id_required": "doc_id IS NULL",
+    "text_required": "(text IS NULL OR text = '')",
+    "text_minLength": "(text IS NOT NULL AND text <> '' AND strlen(text) < 100)",
+    "lang_required": "(lang IS NULL OR lang = '')",
+    "lang_enum": "(lang IS NOT NULL AND lang <> '' AND lang NOT IN ('en','de','fr','es'))",
+    "source_required": "(source IS NULL OR source = '')",
+    "source_regexp": "(source IS NOT NULL AND source <> '' AND NOT regexp_matches(source, '^src[0-9]+$'))",
+    "n_chars_required": "n_chars IS NULL",
+    "n_chars_min": "(n_chars IS NOT NULL AND n_chars < 50)",
+    "n_chars_max": "(n_chars IS NOT NULL AND n_chars > 600)",
+}
+
+_PASS = " AND ".join(f"NOT {v}" for v in _V.values())
+
+_RULE_ORDER = [  # (violation key, field, validator) in declaration order
+    ("doc_id_required", "doc_id", "required"),
+    ("text_required", "text", "required"),
+    ("text_minLength", "text", "minLength"),
+    ("lang_required", "lang", "required"),
+    ("lang_enum", "lang", "enum"),
+    ("source_required", "source", "required"),
+    ("source_regexp", "source", "regexp"),
+    ("n_chars_required", "n_chars", "required"),
+    ("n_chars_min", "n_chars", "min"),
+    ("n_chars_max", "n_chars", "max"),
+]
+
+# text-analysis building blocks (mirror validate_spark.operators.textstats)
+_NORM = "trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))"
+_FP = f"md5({_NORM})"
+_NTOK = (
+    "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\\s+')) END"
+)
+_NBPE = "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+_SW = {
+    "en": "the|and|of|to|in|is|that|for|it|with",
+    "de": "der|die|und|das|nicht|ist|ich|ein|zu|mit",
+    "fr": "le|la|et|les|des|une|est|que|dans|pour",
+    "es": "el|los|de|que|en|una|por|con|para|las",
+}
+_SCORES = ", ".join(
+    f"len(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS s_{lang}"
+    for lang, pat in _SW.items()
+)
+_LANG_PRED = (
+    "CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+    "WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de' "
+    "WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr' "
+    "WHEN s_es > 0 THEN 'es' ELSE 'und' END"
+)
+_QUALITY = f"""
+round(
+  0.4 * least(length(coalesce(text,'')) / 500.0, 1.0)
+  + 0.4 * least((len(regexp_extract_all(lower(coalesce(text,'')), '\\b({_SW["en"]})\\b'))
+                 / greatest({_NTOK}, 1)::double) * 2.0, 1.0)
+  + 0.2 * (1.0 - (
+      least((len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]'))
+             / greatest(length(coalesce(text,'')), 1)::double) * 4.0, 1.0)
+    + least((len(regexp_extract_all(coalesce(text,''), '[0-9]'))
+             / greatest(length(coalesce(text,'')), 1)::double) * 4.0, 1.0)
+  ) / 2.0)
+, 6)"""
+
+_STATS_COL = """
+SELECT '{c}' AS column, count(*)::bigint AS n,
+  count(*) FILTER ({c} IS NULL)::bigint AS n_null,
+  round(count(*) FILTER ({c} IS NULL) / count(*)::double, 6) AS null_rate,
+  {nempty}::bigint AS n_empty,
+  round(avg(length({c}::varchar)), 4) AS avg_len,
+  min({c})::varchar AS min_str, max({c})::varchar AS max_str,
+  count(DISTINCT {c})::bigint AS n_distinct
+FROM documents"""
+
+
+def _stats_union() -> str:
+    parts = []
+    for c in ["doc_id", "text", "lang", "n_chars"]:
+        nempty = f"count(*) FILTER ({c} = '')" if c in ("text", "lang") else "0"
+        parts.append(_STATS_COL.format(c=c, nempty=nempty))
+    return " UNION ALL ".join(parts)
+
+
+_DOUBLED_DOCS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents"
+)
+_DOUBLED_EMB = (
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings"
+)
+
+_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding, q.qv), 9) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, rk::int AS rank FROM r WHERE rk <= 10
+"""
+
+_MEDIA_META = """
+WITH m AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 1, 1)) - 1) % 3 AS kind
+  FROM documents
+), b AS (
+  SELECT doc_id, kind,
+         (CASE kind WHEN 0 THEN 3 WHEN 1 THEN 8 ELSE 4 END + 48) AS nb
+  FROM m
+)
+SELECT doc_id,
+  CASE kind WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  nb::int AS n_bytes,
+  ((nb * 7) % 1920 + 1)::int AS width,
+  (nb % 1080 + 1)::int AS height
+FROM b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    first_field = "CASE " + " ".join(
+        f"WHEN {_V[k]} THEN '{f}'" for k, f, _ in _RULE_ORDER
+    ) + " END"
+    first_validator = "CASE " + " ".join(
+        f"WHEN {_V[k]} THEN '{v}'" for k, _, v in _RULE_ORDER
+    ) + " END"
+    any_viol = " OR ".join(_V.values())
+    viol_counts = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, '{v}' AS validator, count(*)::bigint AS n "
+        f"FROM documents WHERE {_V[k]}"
+        for k, f, v in _RULE_ORDER
+    )
+
+    return {
+        "q01_verdicts_documents": f"""
+            SELECT ({_PASS}) AS pass, count(*)::bigint AS n
+            FROM documents GROUP BY 1
+        """,
+        "q02_violations_by_rule": f"""
+            SELECT * FROM ({viol_counts}) WHERE n > 0
+        """,
+        "q03_first_errors": f"""
+            SELECT doc_id, {first_field} AS field, {first_validator} AS validator
+            FROM documents WHERE {any_viol}
+        """,
+        "q04_filtered_safe_rows": """
+            SELECT doc_id, upper(trim(lang)) AS lang FROM documents
+            WHERE lang IS NOT NULL AND trim(lang) <> ''
+              AND upper(trim(lang)) IN ('EN','DE','FR','ES')
+        """,
+        "q05_cross_field_events": """
+            SELECT (value IS NOT NULL AND user_id IS NOT NULL AND value < user_id) AS pass,
+                   count(*)::bigint AS n
+            FROM events GROUP BY 1
+        """,
+        "q06_column_stats": _stats_union(),
+        "q07_duplicate_keys": """
+            SELECT user_id, event_type, count(*)::bigint AS dup_count
+            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id, event_type HAVING count(*) > 1
+        """,
+        "q08_uniqueness_report": """
+            WITH d AS (
+              SELECT doc_id, count(*) AS c FROM documents
+              WHERE doc_id IS NOT NULL GROUP BY doc_id
+            )
+            SELECT (SELECT count(*) FROM documents)::bigint AS n_rows,
+                   (SELECT count(DISTINCT doc_id) FROM documents)::bigint AS n_keys,
+                   (SELECT count(*) FROM d WHERE c > 1)::bigint AS n_dup_keys,
+                   (SELECT coalesce(sum(c), 0) FROM d WHERE c > 1)::bigint AS n_dup_rows
+        """,
+        "q09_ref_integrity": """
+            SELECT (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)::bigint AS n_refs,
+                   (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+                   )::bigint AS n_dangling
+        """,
+        "q10_length_histogram": """
+            SELECT least(floor(length(text) / 50), 63)::int AS bucket,
+                   count(*)::bigint AS cnt
+            FROM documents GROUP BY 1
+        """,
+        "q11_drift_histograms": """
+            WITH h AS (
+              SELECT greatest(0, least(24, floor((value - 0.0) / 20.0)))::int AS bucket,
+                     count(*) FILTER (event_id % 2 = 0)::bigint AS cnt_even,
+                     count(*) FILTER (event_id % 2 = 1)::bigint AS cnt_odd
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT bucket, cnt_even, cnt_odd FROM h
+        """,
+        "q12_text_annotate": f"""
+            WITH s AS (SELECT doc_id, text, {_SCORES} FROM documents)
+            SELECT doc_id, {_LANG_PRED} AS lang_pred,
+                   ({_NTOK})::int AS n_tokens_ws,
+                   ({_NBPE})::int AS n_tokens_bpe,
+                   {_QUALITY} AS quality,
+                   {_FP} AS fp
+            FROM s
+        """,
+        "q13_lang_distribution": f"""
+            WITH s AS (SELECT text, {_SCORES} FROM documents)
+            SELECT {_LANG_PRED} AS lang_pred, count(*)::bigint AS n
+            FROM s GROUP BY 1
+        """,
+        "q14_token_totals": f"""
+            SELECT sum(({_NTOK})::bigint)::bigint AS sum_tokens_ws,
+                   sum(({_NBPE})::bigint)::bigint AS sum_tokens_bpe,
+                   round(avg({_QUALITY}), 4) AS avg_quality
+            FROM documents
+        """,
+        "q15_exact_dedup": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, {_FP} AS fp FROM ({_DOUBLED_DOCS})
+            )
+            SELECT fp, count(*)::bigint AS dup_count, min(k) AS keep_key
+            FROM c GROUP BY fp HAVING count(*) > 1
+        """,
+        # exhaustive O(n²) exact-Jaccard oracle — the Spark side is LSH
+        # candidates + exact verify; at j≥0.99 with 6 bands × 2 rows the
+        # band-match probability is 1-(1-0.99²)⁶ ≈ 1-6e-11, and the
+        # seeded hash family is deterministic, so the sets coincide
+        "q16_minhash_lsh_dedup": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t FROM ({_DOUBLED_DOCS})
+            ), s AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM c WHERE length(t) > 0
+            )
+            SELECT x.k AS a, y.k AS b
+            FROM s x JOIN s y ON x.k < y.k
+            WHERE round(len(list_intersect(x.sh, y.sh))::double
+                        / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+        """,
+        # q17 simhash: rows-only (pandas UDF, not SQL-expressible)
+        "q18_embedding_neardup": f"""
+            WITH e AS ({_DOUBLED_EMB})
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+        """,
+        "q19_ann_brute_force": _ANN_TOPK,
+        "q20_ann_ivf_full_probe": _ANN_TOPK,
+        "q21_media_metadata": _MEDIA_META,
+        # q22 media features: rows-only (mapInPandas decode stub)
+        # q23 spans validation: rows-only (input is the synthesized
+        #     interleaved table, not a pre-registered view)
+    }

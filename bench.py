@@ -1,0 +1,147 @@
+"""Benchmark harness — headline metric: validated docs/sec on the
+interleaved documents table (full rule set + uniqueness + referential +
+drift histogram in one suite), plus per-query timings for the
+representative operators from __spark_entry__.
+
+Prints ONE JSON line:
+  {"metric": "validated_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_DOCS          override interleaved-table row count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from validate_spark import RuleSet, validate
+from validate_spark.operators import drift as dr
+from validate_spark.operators import refcheck as rc
+from validate_spark.operators import stats as st
+from validate_spark.operators import uniq as uq
+from validate_spark.session import get_spark
+from validate_spark.sources.synth import synth_documents, synth_media_catalog
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# per-query timings: the operator families a user actually runs
+BENCH_QUERIES = [
+    "q01_verdicts_documents",
+    "q02_violations_by_rule",
+    "q03_first_errors",
+    "q06_column_stats",
+    "q07_duplicate_keys",
+    "q09_ref_integrity",
+    "q10_length_histogram",
+    "q12_text_annotate",
+    "q13_lang_distribution",
+    "q15_exact_dedup",
+    "q16_minhash_lsh_dedup",
+    "q19_ann_brute_force",
+    "q21_media_metadata",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_suite(spark, n_docs: int) -> dict:
+    """The headline job: ONE pass over the interleaved table running the
+    full rule set, then uniqueness + referential + drift histogram +
+    per-rule rollup — the complete north-rule validation suite."""
+    docs = synth_documents(spark, n_docs)
+    catalog = synth_media_catalog(spark, 100_000)
+
+    res = validate(docs, em.SPANS_RULES, key_cols=["doc_id"])
+    ann = res.annotated
+
+    # verdict + violations rollup (single aggregation over the scan)
+    rollup = ann.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_vs_pass").cast("long")).alias("n_pass"),
+        F.sum(F.size("_vs_failed").cast("long")).alias("n_violations"),
+    ).collect()[0]
+
+    # uniqueness on doc_id (skew-safe two-phase not needed: md5-uniform)
+    n_dup = uq.duplicate_keys(docs, "doc_id").count()
+
+    # referential anti-join vs broadcast media catalog
+    n_dangling = rc.dangling_span_refs(docs, catalog).count()
+
+    # drift: span-count histogram of first half vs second half
+    spans_n = docs.select(
+        (F.xxhash64("doc_id") % 2 == 0).alias("h"),
+        F.size("spans").alias("ns"),
+    )
+    h1 = spans_n.filter("h").groupBy("ns").count().collect()
+    h2 = spans_n.filter("NOT h").groupBy("ns").count().collect()
+
+    return {
+        "n_rows": rollup["n_rows"],
+        "n_pass": rollup["n_pass"],
+        "n_violations": rollup["n_violations"],
+        "n_dup_keys": n_dup,
+        "n_dangling": n_dangling,
+        "drift_buckets": len(h1) + len(h2),
+    }
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app="validate_spark_bench", cores=cpus)
+    sf = sf_from_dir(SF_DIR)
+
+    # interleaved-table size: 12 spans-docs per documents row (sf0.1 → 600k)
+    try:
+        base_n = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    except Exception:
+        base_n = 5000
+    n_docs = int(os.environ.get("BENCH_DOCS", base_n * 12))
+
+    # warm the JVM/codegen once on a small slice
+    run_suite(spark, 10_000)
+
+    t0 = time.perf_counter()
+    suite_out = run_suite(spark, n_docs)
+    suite_sec = time.perf_counter() - t0
+    docs_per_sec = n_docs / suite_sec
+
+    qtimes: dict[str, float] = {}
+    qs = em.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = qs[name](spark, SF_DIR).count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    result = {
+        "metric": "validated_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "suite_sec": round(suite_sec, 3),
+        "suite_docs": n_docs,
+        "suite_out": {k: int(v) for k, v in suite_out.items()},
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

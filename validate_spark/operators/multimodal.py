@@ -44,7 +44,9 @@ def attach_fake_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     RNG, identical across runs/engines)."""
     k = F.col(key_col).cast("string")
     h = F.md5(k)
-    kind = F.pmod(F.xxhash64(k, F.lit(3)), F.lit(3))
+    # kind from the first md5 hex nibble — md5 (not xxhash64) so a DuckDB
+    # oracle derives the identical media bytes
+    kind = F.pmod(F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1, F.lit(3))
     prefix = (
         F.when(kind == 0, F.lit(b"\xff\xd8\xff"))
         .when(kind == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
