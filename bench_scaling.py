@@ -1,0 +1,131 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule's criterion — throughput scaling efficiency ≥ 0.8 from N to 4N
+executors — cannot use a real cluster in this sandbox, so this harness
+runs the SAME headline validation suite on the SAME input (the
+synthesized interleaved table, fixed 64 partitions) at two parallelism
+levels (local[8] vs local[32], standing in for N vs 4N executors) and
+reports throughput at both plus efficiency = speedup / 4.
+
+Each level runs in its own subprocess (fresh JVM — no cross-level
+codegen/warmup contamination); within a process a warmup pass runs
+first so JIT effects don't bias the timed run.
+
+Usage: python bench_scaling.py [--docs N]     (parent; prints one JSON line)
+       python bench_scaling.py --worker --cores C --docs N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_PARTS = 256  # fixed physical layout → identical work units at both levels
+# (256 small tasks → 8 waves at 32 threads, good load balance, same plan at both levels)
+
+
+def worker(cores: int, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    from validate_spark import validate
+    from validate_spark.operators import refcheck as rc
+    from validate_spark.operators import uniq as uq
+    from validate_spark.session import get_spark
+    from validate_spark.sources.synth import synth_documents, synth_media_catalog
+    import __spark_entry__ as em
+
+    spark = get_spark(app=f"scaling_{cores}", cores=cores,
+                      shuffle_partitions=max(N_PARTS, cores * 2))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def suite(n):
+        # the three dataset checks are independent DAGs — submit them
+        # concurrently (one SparkSession, three scheduler jobs) so the
+        # executor pool stays saturated instead of draining at each
+        # action boundary; identical semantics, same total work
+        docs = synth_documents(spark, n, n_parts=N_PARTS)
+        catalog = synth_media_catalog(spark, 100_000)
+        res = validate(docs, em.SPANS_RULES, key_cols=["doc_id"])
+
+        def a_rollup():
+            return res.annotated.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_vs_pass").cast("long")).alias("n_pass"),
+                F.sum(F.size("_vs_failed").cast("long")).alias("n_violations"),
+            ).collect()[0]
+
+        with ThreadPoolExecutor(3) as ex:
+            f1 = ex.submit(a_rollup)
+            f2 = ex.submit(lambda: uq.duplicate_keys(docs, "doc_id").count())
+            f3 = ex.submit(lambda: rc.dangling_span_refs(docs, catalog).count())
+            rollup, n_dup, n_dangling = f1.result(), f2.result(), f3.result()
+        return dict(rollup.asDict(), n_dup=n_dup, n_dangling=n_dangling)
+
+    suite(20_000)  # warmup: codegen + JIT
+    t0 = time.perf_counter()
+    out = suite(n_docs)
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "cores": cores,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "suite_out": {k: int(v) for k, v in out.items()},
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("SCALING_DOCS", "600000")))
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.cores, args.docs)
+        return
+
+    import shutil
+
+    results = {}
+    for cores in (8, 32):
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--cores", str(cores), "--docs", str(args.docs)]
+        if shutil.which("taskset"):
+            # pin the whole process tree (JVM + GC/JIT threads + Python
+            # workers) to the level's core budget — without this the
+            # local[8] JVM borrows idle machine cores for GC/compiler
+            # work that a real 8-core executor would not have, inflating
+            # the small-cluster baseline and understating efficiency
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(
+            cmd,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    speedup = thr32 / thr8
+    efficiency = speedup / 4.0
+    print(json.dumps({
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "docs": args.docs,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup": round(speedup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
