@@ -286,6 +286,55 @@ def q22_media_features(spark, sf_dir):
     )
 
 
+KITCHEN_RULES = RuleSet(
+    rules={
+        "event_id": "required|isInt",
+        "ts_str": "required|isDate|dateFormat:yyyy-MM-dd HH:mm:ss|beforeDate:2024-01-15",
+        "event_type": "required|isAlpha|stringLength:5,8|notIn:purchase",
+        "value": "required|between:0,400",
+        "props": "required|isJSON|startsWith:{|contains:9",
+        "uid_str": "required|isNumber|maxLength:3",
+    }
+)
+
+
+def _events_kitchen(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        "value",
+        "props",
+        F.col("user_id").cast("string").alias("uid_str"),
+    )
+
+
+def q24_events_kitchen_sink(spark, sf_dir):
+    """Broad validator-family coverage in one rule set: type checks,
+    date parsing/compare, regex/format, membership, string length,
+    range — violations rolled up per rule."""
+    res = validate(_events_kitchen(spark, sf_dir), KITCHEN_RULES, key_cols=["event_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q25_filter_chain_safe(spark, sf_dir):
+    """Filter chain (trim|lower|ucFirst) + rules on the FILTERED value;
+    safe rows carry the cleaned value (reference Filtering() then
+    safeData, validation.go:503-518, 180-198)."""
+    cust = _t(spark, sf_dir, "customer")
+    rs = RuleSet(
+        rules={"c_mktsegment": "required|isAlpha|stringLength:5,9"},
+        filters={"c_mktsegment": "trim|lower|ucFirst"},
+    )
+    res = validate(cust, rs, key_cols=["c_custkey"])
+    return res.safe_rows().select("c_custkey", "c_mktsegment")
+
+
 def q23_spans_validation(spark, sf_dir):
     # no SQL oracle: input is the synthesized interleaved table (not one
     # of the driver's pre-registered views); deterministic at fixed size
@@ -318,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_media_metadata": q21_media_metadata,
         "q22_media_features": q22_media_features,
         "q23_spans_validation": q23_spans_validation,
+        "q24_events_kitchen_sink": q24_events_kitchen_sink,
+        "q25_filter_chain_safe": q25_filter_chain_safe,
     }
 
 
@@ -577,6 +628,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM e x JOIN e y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+        """,
+        "q24_events_kitchen_sink": """
+            WITH e AS (
+              SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+                     event_type, value, props, user_id::varchar AS uid_str
+              FROM events
+            ), v AS (
+              SELECT 'ts_str' AS field, 'beforeDate' AS validator, count(*)::bigint AS n
+                FROM e WHERE ts_str IS NOT NULL AND ts_str <> ''
+                         AND NOT (ts_str::timestamp < TIMESTAMP '2024-01-15')
+              UNION ALL
+              SELECT 'event_type', 'stringLength', count(*)::bigint
+                FROM e WHERE event_type IS NOT NULL AND event_type <> ''
+                         AND NOT (length(event_type) BETWEEN 5 AND 8)
+              UNION ALL
+              SELECT 'event_type', 'notIn', count(*)::bigint
+                FROM e WHERE event_type IS NOT NULL AND event_type <> ''
+                         AND event_type IN ('purchase')
+              UNION ALL
+              SELECT 'value', 'between', count(*)::bigint
+                FROM e WHERE value IS NOT NULL AND NOT (value >= 0 AND value <= 400)
+              UNION ALL
+              SELECT 'props', 'contains', count(*)::bigint
+                FROM e WHERE props IS NOT NULL AND props <> ''
+                         AND strpos(props, '9') = 0
+              UNION ALL
+              SELECT 'props', 'isJSON', count(*)::bigint
+                FROM e WHERE props IS NOT NULL AND props <> ''
+                         AND NOT (left(ltrim(props), 1) IN ('{', '[') AND json_valid(props))
+              UNION ALL
+              SELECT 'uid_str', 'maxLength', count(*)::bigint
+                FROM e WHERE uid_str IS NOT NULL AND uid_str <> ''
+                         AND strlen(uid_str) > 3
+            )
+            SELECT * FROM v WHERE n > 0
+        """,
+        "q25_filter_chain_safe": """
+            WITH f AS (
+              SELECT c_custkey,
+                     upper(substr(lower(trim(c_mktsegment)), 1, 1))
+                       || substr(lower(trim(c_mktsegment)), 2) AS c_mktsegment
+              FROM customer
+            )
+            SELECT c_custkey, c_mktsegment FROM f
+            WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+              AND regexp_matches(c_mktsegment, '^[a-zA-Z]+$')
+              AND length(c_mktsegment) BETWEEN 5 AND 9
         """,
         "q19_ann_brute_force": _ANN_TOPK,
         "q20_ann_ivf_full_probe": _ANN_TOPK,

@@ -1,0 +1,106 @@
+"""Plan-quality regression tests: the physical plans we shipped are the
+plans we keep. These assert the scale-critical properties — column
+pruning reaching the parquet scan, broadcast anti-joins, single-scan
+aggregation, shuffle counts — so a refactor that silently introduces an
+extra shuffle or un-prunes the scan fails here, not at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from validate_spark import RuleSet, validate
+from validate_spark.operators import refcheck as rc
+from validate_spark.operators import stats as st
+from validate_spark.operators import uniq as uq
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_validation_is_shuffle_free(spark):
+    """The whole rule-set evaluation is projections over the scan — no
+    Exchange anywhere in the annotated frame (SURVEY.md §3.5: one job =
+    projections; the only shuffles in the engine are in dataset ops)."""
+    docs = spark.read.parquet(DOCS)
+    res = validate(
+        docs,
+        RuleSet(rules={"text": "required|minLength:50", "lang": "enum:en,de"}),
+        key_cols=["doc_id"],
+    )
+    plan = physical(res.annotated)
+    assert "Exchange" not in plan
+    plan_v = physical(res.violations())
+    assert "Exchange" not in plan_v  # explode is stateless, still no shuffle
+
+
+def test_scan_column_pruning(spark):
+    """verdicts() over rules on (text) must not read lang/source/n_chars
+    from parquet — ReadSchema is the contract that pruning reached the
+    scan."""
+    docs = spark.read.parquet(DOCS)
+    res = validate(docs, RuleSet(rules={"text": "required|minLength:50"}), key_cols=["doc_id"])
+    plan = physical(res.verdicts())
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan_line and "doc_id" in scan_line
+    assert "lang" not in scan_line and "source" not in scan_line
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A pre-filter on the source composes with validation and lands in
+    PushedFilters."""
+    docs = spark.read.parquet(DOCS).filter(F.col("n_chars") > 100)
+    res = validate(docs, RuleSet(rules={"text": "required"}), key_cols=["doc_id"])
+    plan = physical(res.verdicts())
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)" in plan
+
+
+def test_refcheck_broadcast_anti_join(spark):
+    docs = spark.read.parquet(DOCS)
+    cat = spark.createDataFrame([("src0",), ("src1",)], "ref string")
+    dangling = rc.dangling_refs(docs, "source", cat, "ref")
+    plan = physical(dangling)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_stats_single_scan_partial_agg(spark):
+    """One multi-aggregate pass: exactly one parquet scan, and the
+    aggregation is partial+final (map-side combine) so only agg state
+    shuffles."""
+    docs = spark.read.parquet(DOCS)
+    s = st.column_stats(docs, ["doc_id", "text", "lang"], approx_distinct=True)
+    plan = physical(s)
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan  # partial aggregation present
+
+
+def test_uniqueness_partial_aggregation(spark):
+    """duplicate_keys must map-side combine before the shuffle: the plan
+    has a partial HashAggregate below the Exchange."""
+    docs = spark.read.parquet(DOCS)
+    dup = uq.duplicate_keys(docs, "doc_id")
+    plan = physical(dup)
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "HashAggregate" in pre_exchange and "partial_count" in plan
+
+
+def test_single_projection_rule_evaluation(spark):
+    """All rules evaluate in ONE projection pass — the optimized plan has
+    no repeated scans and the results array is a single Project."""
+    docs = spark.read.parquet(DOCS)
+    rules = {
+        "doc_id": "required",
+        "text": "required|minLength:10|maxLength:10000",
+        "lang": "required|enum:en,de,fr,es,zh",
+        "source": "regexp:^src[0-9]+$",
+        "n_chars": "min:0|max:100000",
+    }
+    res = validate(docs, RuleSet(rules=rules), key_cols=["doc_id"])
+    plan = optimized(res.annotated)
+    assert plan.count("Relation") == 1  # one scan feeds all 10 predicates

@@ -1,0 +1,130 @@
+"""Structured Streaming validation tests: plan reuse over micro-batches,
+append-mode violations, windowed counts with watermark, foreachBatch."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from validate_spark import RuleSet
+from validate_spark.streaming import (
+    validate_stream,
+    violations_stream,
+    windowed_violation_counts,
+    foreach_batch_validator,
+)
+
+RULES = RuleSet(rules={"v": "required|min:10", "name": "required|minLength:3"})
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    """A file-source stream over two parquet batches with a stable schema."""
+    src = str(tmp_path / "src")
+    df1 = spark.createDataFrame(
+        [(1, 15.0, "alice"), (2, 5.0, "bob"), (3, None, "xy")],
+        "id long, v double, name string",
+    )
+    df1.write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, v double, name string").parquet(src)
+    )
+    return src, stream
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_validate_stream_is_streaming_and_correct(spark, stream_src):
+    _, stream = stream_src
+    res = validate_stream(stream, RULES, key_cols=["id"])
+    assert res.verdicts().isStreaming
+    _run_to_memory(res.verdicts(), "t_verd")
+    rows = {r["id"]: (r["pass"], r["n_violations"]) for r in spark.sql("select * from t_verd").collect()}
+    # id=1 passes; id=2 fails min; id=3 fails required(v is null→empty? v
+    # required fails on null) + minLength
+    assert rows[1] == (True, 0)
+    assert rows[2] == (False, 1)
+    assert rows[3] == (False, 2)
+
+
+def test_violations_stream_rows(spark, stream_src):
+    _, stream = stream_src
+    _run_to_memory(violations_stream(stream, RULES, key_cols=["id"]), "t_viol")
+    got = {
+        (r["id"], r["field"], r["validator"])
+        for r in spark.sql("select * from t_viol").collect()
+    }
+    assert got == {
+        (2, "v", "min"),
+        (3, "v", "required"),
+        (3, "name", "minLength"),
+    }
+
+
+def test_windowed_violation_counts(spark, tmp_path):
+    src = str(tmp_path / "wsrc")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:10", 1.0),
+            ("2024-01-01 00:00:20", 50.0),
+            ("2024-01-01 00:01:10", 2.0),
+            ("2024-01-01 00:01:40", 3.0),
+        ],
+        "ts_s string, v double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    counts = windowed_violation_counts(
+        stream,
+        RuleSet(rules={"v": "required|min:10"}),
+        ts_col="ts",
+        window_duration="1 minute",
+        watermark="2 minutes",
+    )
+    # complete mode: append would emit only watermark-closed windows, and
+    # a single availableNow run never advances the watermark past the
+    # last window — complete shows every window's current count
+    _run_to_memory(counts, "t_wins", mode="complete")
+    rows = spark.sql("select * from t_wins").collect()
+    by_win = {(r["window"]["start"].minute, r["validator"]): r["n"] for r in rows}
+    assert by_win[(0, "min")] == 1  # 00:00 window: one violation (v=1)
+    assert by_win[(1, "min")] == 2  # 00:01 window: two (v=2, v=3)
+
+
+def test_foreach_batch_plan_reuse(spark, stream_src, tmp_path):
+    src, stream = stream_src
+    viol_path = str(tmp_path / "viol_out")
+    seen = []
+    cb = foreach_batch_validator(
+        RULES,
+        stream.schema,
+        key_cols=["id"],
+        violations_path=viol_path,
+        on_batch=lambda res, bid: seen.append((bid, res.plan.plan_hash)),
+    )
+    q = stream.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # second batch of data, new query run — same compiled plan instance
+    spark.createDataFrame([(4, 1.0, "zz")], "id long, v double, name string").write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema("id long, v double, name string").parquet(src)
+    q2 = stream2.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    assert len(seen) >= 2 and len({h for _, h in seen}) == 1  # one plan hash
+    out = spark.read.parquet(viol_path)
+    ids = {r["id"] for r in out.collect()}
+    assert 4 in ids and 2 in ids
+    assert "batch_id" in out.columns
