@@ -1,0 +1,109 @@
+"""Extension-surface tests: quantile-sketch drift (applyInPandas path),
+Iceberg-aware table IO shim, custom vectorized validators and filters
+(the reference's AddValidator/AddFilter surface, §2.11)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from validate_spark import RuleSet, register_validator, register_filter, validate
+from validate_spark.operators import drift as dr
+from validate_spark.sources import tables as tb
+
+
+# ---------------------------------------------------------------------------
+# sketch drift
+# ---------------------------------------------------------------------------
+
+def test_sketch_drift_same_distribution(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    rep = dr.sketch_drift(a, b, "value")
+    assert rep.method == "ks_sketch"
+    assert not rep.drifted, f"false drift: {rep}"
+
+
+def test_sketch_drift_detects_shift(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    shifted = ev.withColumn("value", F.col("value") * 3 + 100)
+    rep = dr.sketch_drift(ev, shifted, "value")
+    assert rep.drifted and rep.statistic > 0.3
+
+
+def test_sketch_rows_are_tiny(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = dr.partition_quantile_sketches(ev, "value", n_quantiles=16).collect()
+    assert all(len(r["q"]) == 16 for r in sk)
+    assert sum(r["n"] for r in sk) == ev.count()
+
+
+# ---------------------------------------------------------------------------
+# table IO shim
+# ---------------------------------------------------------------------------
+
+def test_read_table_parquet_path(spark):
+    df = tb.read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() > 0
+
+
+def test_read_table_snapshot_requires_iceberg(spark):
+    with pytest.raises(ValueError):
+        tb.read_table(spark, "/root/testdata/sf0.001/documents.parquet", snapshot_id=1)
+
+
+def test_write_table_parquet_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out_tbl")
+    df = spark.range(5)
+    tb.write_table(df, out)
+    assert spark.read.parquet(out).count() == 5
+    tb.write_table(df, out)  # append
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_iceberg_not_available_here(spark):
+    # sandbox has no Iceberg jar — the shim must report that honestly
+    assert tb.iceberg_available(spark) is False
+
+
+# ---------------------------------------------------------------------------
+# custom validator / filter surface (§2.11)
+# ---------------------------------------------------------------------------
+
+def test_custom_vectorized_validator(spark):
+    """AddValidator parity: a pandas-UDF-backed validator plugs into the
+    rule DSL by name and runs Arrow-vectorized."""
+
+    @F.pandas_udf("boolean")
+    def _pal(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda x: x == x[::-1])
+
+    register_validator("palindrome", lambda col, args, ctx: _pal(col))
+
+    df = spark.createDataFrame(
+        [("1", "level"), ("2", "spark"), ("3", None)], "id string, w string"
+    )
+    res = validate(df, RuleSet(rules={"w": "required|palindrome"}), key_cols=["id"])
+    got = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+    assert got == {"1": True, "2": False, "3": False}
+
+
+def test_custom_validator_with_args(spark):
+    register_validator(
+        "divisibleBy", lambda col, args, ctx: col % int(args[0]) == 0
+    )
+    df = spark.createDataFrame([(3,), (4,), (9,)], "n int")
+    res = validate(df, RuleSet(rules={"n": "divisibleBy:3"}), key_cols=["n"])
+    got = {r["n"]: r["pass"] for r in res.verdicts().collect()}
+    assert got == {3: True, 4: False, 9: True}
+
+
+def test_custom_filter(spark):
+    register_filter("reverse", lambda col, args: F.reverse(col))
+    df = spark.createDataFrame([("1", "abc")], "id string, w string")
+    res = validate(
+        df,
+        RuleSet(rules={"w": "required"}, filters={"w": "reverse|upper"}),
+        key_cols=["id"],
+    )
+    assert res.safe_rows().collect()[0]["w"] == "CBA"

@@ -137,6 +137,96 @@ def drift_vs_snapshot(
     return _report(_hist_to_counts(h_cur, n_buckets), _hist_to_counts(h_ref, n_buckets), method)
 
 
+# ---------------------------------------------------------------------------
+# per-partition quantile sketches (pandas/Arrow path — north_star wording:
+# "per-partition KS sketches via pandas/Arrow UDFs")
+# ---------------------------------------------------------------------------
+
+SKETCH_SCHEMA = "n long, q array<double>"
+
+
+def partition_quantile_sketches(df: DataFrame, col: str, *, n_quantiles: int = 64) -> DataFrame:
+    """One (n, equi-depth-quantiles) sketch row PER ARROW BATCH via
+    ``mapInPandas`` — numpy quantile over the batch, nothing but the
+    sketch leaves the executor. At 10^12 rows the driver receives
+    ~(batches × n_quantiles) doubles, independent of row count.
+
+    This is the sketch path for statistics fixed-bucket histograms can't
+    express (unknown value range, heavy tails); for known ranges the
+    pure-expression ``numeric_histogram`` is cheaper (no Python)."""
+    import numpy as np  # noqa: F401
+    import pandas as pd
+
+    probs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            v = pdf[col].dropna().to_numpy(dtype=float)
+            if len(v) == 0:
+                continue
+            yield pd.DataFrame(
+                {"n": [len(v)], "q": [np.quantile(v, probs).tolist()]}
+            )
+
+    return df.select(col).mapInPandas(gen, SKETCH_SCHEMA)
+
+
+def _sketch_cdf(sketches: list, grid) -> "list[float]":
+    """Weighted CDF estimate at grid points from (n, quantiles) sketches:
+    within a sketch, CDF is linear between quantile points (equi-depth)."""
+    import numpy as np
+
+    total = sum(int(s["n"]) for s in sketches)
+    acc = np.zeros(len(grid))
+    for s in sketches:
+        q = np.asarray(s["q"], dtype=float)
+        probs = np.linspace(0.0, 1.0, len(q))
+        cdf = np.interp(grid, q, probs, left=0.0, right=1.0)
+        acc += int(s["n"]) * cdf
+    return acc / max(total, 1)
+
+
+def sketch_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    *,
+    n_quantiles: int = 64,
+) -> DriftReport:
+    """KS drift from per-partition quantile sketches — the only driver
+    traffic is the sketch rows. Grid = union of both sides' quantile
+    points, so the KS sup is evaluated exactly where the estimated CDFs
+    bend."""
+    import numpy as np
+
+    s_cur = partition_quantile_sketches(cur, col, n_quantiles=n_quantiles).collect()
+    s_ref = partition_quantile_sketches(ref, col, n_quantiles=n_quantiles).collect()
+    if not s_cur or not s_ref:
+        return DriftReport(0.0, 1.0, 0, 0, "ks_sketch")
+    grid = np.unique(
+        np.concatenate(
+            [np.asarray(s["q"], dtype=float) for s in (*s_cur, *s_ref)]
+        )
+    )
+    c1 = _sketch_cdf(s_cur, grid)
+    c2 = _sketch_cdf(s_ref, grid)
+    d = float(np.max(np.abs(c1 - c2)))
+    nl = sum(int(s["n"]) for s in s_cur)
+    nr = sum(int(s["n"]) for s in s_ref)
+    ne = nl * nr / (nl + nr)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    if lam < 1e-3:
+        p = 1.0
+    else:
+        p = 2.0 * sum(
+            (-1) ** (k - 1) * math.exp(-2.0 * (lam**2) * (k**2)) for k in range(1, 101)
+        )
+    return DriftReport(d, max(0.0, min(1.0, p)), nl, nr, "ks_sketch")
+
+
 def _report(left: list[int], right: list[int], method: str) -> DriftReport:
     if method == "ks":
         stat, p = ks_from_histograms(left, right)
