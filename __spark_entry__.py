@@ -342,6 +342,63 @@ def q23_spans_validation(spark, sf_dir):
     return _flagship(spark, n)
 
 
+def q26_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components (min-label propagation):
+    the cluster assignment a dedup pipeline actually consumes."""
+    pairs = dd.minhash_dedup_pairs(_doubled_docs(spark, sf_dir), threshold=0.99)
+    return dd.dedup_clusters(pairs)
+
+
+def q27_partition_manifest(spark, sf_dir):
+    """Per-partition lineage manifest rows (content-defined partitions,
+    fixed run id). Rows-only: partition ids use xxhash64 (engine-local)."""
+    from validate_spark.operators.manifest import partition_manifest, with_partition_id
+
+    docs = with_partition_id(_t(spark, sf_dir, "documents"), "doc_id", 16)
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return partition_manifest(res, run_id="r0").select(
+        "part_id", "ruleset_hash", "n_rows", "n_pass", "n_fail", "n_violations", "verdict"
+    )
+
+
+def q28_violation_messages(spark, sf_dir):
+    """Violations WITH rendered messages — the reference's Errors map
+    (field → validator → message) as rows; the oracle embeds the same
+    compile-time-rendered message literals."""
+    res = validate(_t(spark, sf_dir, "documents"), DOC_RULES, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator", "message")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q29_required_family(spark, sf_dir):
+    """Cross-field presence family (requiredIf / requiredWith) over
+    derived nullable columns + default substitution."""
+    ev = _t(spark, sf_dir, "events")
+    derived = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when((F.col("event_type") == "purchase") & (F.col("value") > 50), F.col("value"))
+        .alias("purchase_value"),
+        F.when(F.col("value") > 250, F.col("props")).alias("big_props"),
+    )
+    rs = RuleSet(
+        rules={
+            "purchase_value": "requiredIf:event_type,purchase",
+            "big_props": "requiredWith:purchase_value",
+        }
+    )
+    res = validate(derived, rs, key_cols=["event_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -369,6 +426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_spans_validation": q23_spans_validation,
         "q24_events_kitchen_sink": q24_events_kitchen_sink,
         "q25_filter_chain_safe": q25_filter_chain_safe,
+        "q26_dedup_clusters": q26_dedup_clusters,
+        "q27_partition_manifest": q27_partition_manifest,
+        "q28_violation_messages": q28_violation_messages,
+        "q29_required_family": q29_required_family,
     }
 
 
@@ -503,6 +564,38 @@ SELECT doc_id,
   (nb % 1080 + 1)::int AS height
 FROM b
 """
+
+
+# rule args for DOC_RULES, used to render the expected message literals
+_RULE_ARGS = {
+    "doc_id_required": (),
+    "text_required": (),
+    "text_minLength": ("100",),
+    "lang_required": (),
+    "lang_enum": ("en", "de", "fr", "es"),
+    "source_required": (),
+    "source_regexp": ("^src[0-9]+$",),
+    "n_chars_required": (),
+    "n_chars_min": ("50",),
+    "n_chars_max": ("600",),
+}
+
+
+def _q28_sql() -> str:
+    """Violation counts per (field, validator, message) — the message
+    literals are rendered by the SAME compile-time renderer the engine
+    uses, so templating is oracle-checked, not just assumed."""
+    from validate_spark.plans.messages import render_message
+
+    parts = []
+    for key, field, validator in _RULE_ORDER:
+        msg = render_message(validator, field, _RULE_ARGS[key]).replace("'", "''")
+        parts.append(
+            f"SELECT '{field}' AS field, '{validator}' AS validator, "
+            f"'{msg}' AS message, count(*)::bigint AS n "
+            f"FROM documents WHERE {_V[key]}"
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") WHERE n > 0"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -682,4 +775,48 @@ def oracle_sql() -> dict[str, str]:
         # q22 media features: rows-only (mapInPandas decode stub)
         # q23 spans validation: rows-only (input is the synthesized
         #     interleaved table, not a pre-registered view)
+        # connected components of the exact near-dup graph via recursive
+        # transitive closure; cluster = min reachable member (string min,
+        # same collation both engines)
+        "q26_dedup_clusters": f"""
+            WITH RECURSIVE c AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t FROM ({_DOUBLED_DOCS})
+            ), s AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM c WHERE length(t) > 0
+            ), e AS (
+              SELECT x.k AS u, y.k AS v
+              FROM s x JOIN s y ON x.k < y.k
+              WHERE round(len(list_intersect(x.sh, y.sh))::double
+                          / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+            ), adj AS (
+              SELECT u, v FROM e UNION SELECT v, u FROM e
+            ), reach(node, r) AS (
+              SELECT u, u FROM adj
+              UNION
+              SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
+            )
+            SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
+        """,
+        # q27 manifest: rows-only (content-defined partition ids use
+        #     engine-local xxhash64)
+        "q28_violation_messages": _q28_sql(),
+        "q29_required_family": """
+            WITH d AS (
+              SELECT event_id, event_type, value,
+                CASE WHEN event_type = 'purchase' AND value > 50 THEN value END AS purchase_value,
+                CASE WHEN value > 250 THEN props END AS big_props
+              FROM events
+            ), v AS (
+              SELECT 'purchase_value' AS field, 'requiredIf' AS validator, count(*)::bigint AS n
+                FROM d WHERE event_type IN ('purchase') AND purchase_value IS NULL
+              UNION ALL
+              SELECT 'big_props', 'requiredWith', count(*)::bigint
+                FROM d WHERE purchase_value IS NOT NULL
+                         AND (big_props IS NULL OR big_props = '')
+            )
+            SELECT * FROM v WHERE n > 0
+        """,
     }

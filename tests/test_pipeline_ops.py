@@ -93,6 +93,26 @@ def test_minhash_lsh_neardup(spark):
     assert jac[("a", "d")] == 1.0
 
 
+def test_dedup_clusters_label_propagation(spark):
+    # two components: {a,b,c} via chain a-b, b-c; {x,y}
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "a string, b string"
+    )
+    got = {(r["member"], r["cluster"]) for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
+def test_dedup_clusters_long_chain(spark):
+    # diameter > 1 iteration: chain of 6 nodes converges to min label
+    edges = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    pairs = spark.createDataFrame(edges, "a string, b string")
+    got = {(r["member"], r["cluster"]) for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {(f"n{i}", "n0") for i in range(6)}
+
+
 def test_simhash_neardup(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = base.replace("tok7 ", "tok7x ")

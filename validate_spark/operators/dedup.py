@@ -349,6 +349,68 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# 2b. duplicate clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """(member, cluster) assignment from near-dup pairs — connected
+    components via iterative min-label propagation: each round joins the
+    edge list with the current labels and takes the per-node min
+    (one shuffle join + one hash-aggregate per round), converging in
+    O(component diameter) rounds. Near-dup clusters have tiny diameter
+    (every member pairs with the canonical doc through 1-2 hops), so
+    2-4 rounds in practice; checkpointed labels keep the plan from
+    growing with iterations. Cluster id = min member key.
+
+    Fixed point is detected with a changed-label count — deterministic,
+    independent of partitioning. For adversarially long chains switch
+    to large-star/small-star; for dedup workloads label propagation is
+    the cheaper loop.
+    """
+    edges = (
+        pairs.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # symmetric adjacency
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels → per-node min(own, neighbors')
+        msgs = adj.join(
+            labels.select(F.col("node").alias("v"), F.col("label").alias("nlabel")),
+            "v",
+        ).select(F.col("u").alias("node"), F.col("nlabel").alias("label"))
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    adj.unpersist()
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
 # 3. SimHash
 # ---------------------------------------------------------------------------
 
