@@ -92,6 +92,31 @@ class ValidationResult:
         ]
         return self.annotated.filter(F.col(PASS_COL)).select(*data_cols)
 
+    def errors_map(self) -> dict:
+        """Collect violations into the reference's ``Errors`` shape
+        (messages.go:43-57): {key → {field → {validator → message}}}.
+        Driver-side — for golden-fixture tests and small results only;
+        at scale use the lazy ``violations()`` frame."""
+        out: dict = {}
+        for r in self.violations().collect():
+            key = tuple(r[c] for c in self.key_cols)
+            key = key[0] if len(key) == 1 else key
+            out.setdefault(key, {}).setdefault(r["field"], {})[r["validator"]] = r["message"]
+        return out
+
+    def field_one(self, key, field: str) -> str | None:
+        """First error message for a field — ``Errors.FieldOne``
+        (messages.go:120-135)."""
+        rows = (
+            self.violations()
+            .filter(F.col(self.key_cols[0]) == key)
+            .filter(F.col("field") == field)
+            .orderBy("rule_idx")
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["message"] if rows else None
+
     def summary(self) -> DataFrame:
         """Violation counts per (field, validator) — dataset rollup."""
         return (

@@ -81,10 +81,13 @@ class RuleSet:
 # ---------------------------------------------------------------------------
 
 def dtype_at(schema: T.StructType, path: str) -> T.DataType | None:
-    """Walk ``a.*.b``-style paths through the schema; None if unknown."""
+    """Walk ``a.*.b`` / ``a.0.b``-style paths through the schema; None if
+    unknown. Numeric parts index arrays (the reference expands slice
+    elements to indexed paths like ``Extra.0.Status1``,
+    struct_rules.go:456-491)."""
     dt: T.DataType = schema
     for part in path.split("."):
-        if part == "*":
+        if part == "*" or part.isdigit():
             if isinstance(dt, T.ArrayType):
                 dt = dt.elementType
             elif isinstance(dt, T.MapType):
@@ -103,12 +106,17 @@ def dtype_at(schema: T.StructType, path: str) -> T.DataType | None:
 
 
 def col_at(path: str) -> Column:
-    """Column for a non-wildcard path (struct members via getField so
-    dotted column names can't collide)."""
+    """Column for a non-wildcard path: struct members via getField,
+    numeric parts as 0-based array indices (``Extra.0.Status1`` —
+    reference indexed-path expansion, struct_rules.go:456-491;
+    out-of-range indices yield NULL ≡ missing element)."""
     parts = path.split(".")
     c = F.col(parts[0])
     for p in parts[1:]:
-        c = c.getField(p)
+        if p.isdigit():
+            c = F.get(c, int(p))  # 0-based, NULL when absent
+        else:
+            c = c.getField(p)
     return c
 
 
