@@ -1,0 +1,120 @@
+"""Issue-driven regression corpus transliterated from the reference
+(issues_test.go / issues_x2 / issues_x3) — the cases that pinned down
+tricky semantics there must hold here too."""
+
+import pytest
+from pyspark.sql import Row
+
+from validate_spark import RuleSet, validate
+
+
+# --- Issue #292: rule_one_of (issues_x3_test.go:178-230) -------------------
+
+@pytest.mark.parametrize(
+    "addr,ok",
+    [("1.2.3.4", True), ("10.0.0.0/8", True), ("not-an-addr", False), ("abc", False)],
+)
+def test_issue_292_rule_one_of(spark, addr, ok):
+    df = spark.createDataFrame([Row(rid=1, Addr=addr)])
+    res = validate(df, RuleSet(rules={"Addr": "rule_one_of:ip,cidr"}), key_cols=["rid"])
+    assert res.verdicts().collect()[0]["pass"] is ok
+    if not ok:
+        assert "did not satisfy any" in res.field_one(1, "Addr")
+
+
+def test_issue_292_alias_resolution(spark):
+    # uppercase/alias names resolve inside rule_one_of too
+    df = spark.createDataFrame([Row(rid=1, Addr="1.2.3.4")])
+    res = validate(df, RuleSet(rules={"Addr": "rule_one_of:isIP,isCIDR"}), key_cols=["rid"])
+    assert res.verdicts().collect()[0]["pass"] is True
+
+
+# --- Issue #283: wildcard scene entries (issues_x2_test.go:362-401) --------
+
+ISSUE283_SCHEMA = (
+    "rid int, Name string, Code string, Test int, "
+    "Tags array<struct<Id:string,Name:string,Date:string>>"
+)
+ISSUE283_RULES = {
+    "Name": "required|minLen:7",
+    "Tags.*.Id": "required",
+    "Tags.*.Name": "required",
+    "Tags.0.Date": "required",
+}
+ISSUE283_SCENES = {
+    "update": ["Tags.Id", "Test"],          # index-less: must NOT match
+    "updateStar": ["Tags.*"],                # wildcard: matches slice rules
+    "updateIdx": ["Tags.0.Date"],            # explicit index matches
+}
+
+
+def _issue283_df(spark):
+    return spark.createDataFrame(
+        [(1, "inhere", "asd", 1, [("", "", "")])], ISSUE283_SCHEMA
+    )
+
+
+def test_issue_283_indexless_scene_misses(spark):
+    res = validate(
+        _issue283_df(spark),
+        RuleSet(rules=ISSUE283_RULES, scenes=ISSUE283_SCENES),
+        key_cols=["rid"],
+        scene="update",
+    )
+    fields = {r["field"] for r in res.violations().collect()}
+    assert not any(f.startswith("Tags") for f in fields)
+
+
+def test_issue_283_wildcard_scene_hits(spark):
+    res = validate(
+        _issue283_df(spark),
+        RuleSet(rules=ISSUE283_RULES, scenes=ISSUE283_SCENES),
+        key_cols=["rid"],
+        scene="updateStar",
+    )
+    fields = {r["field"] for r in res.violations().collect()}
+    assert "Tags.*.Id" in fields and "Tags.*.Name" in fields
+    assert "Name" not in fields  # short Name is out of scene
+
+
+def test_issue_283_explicit_index_scene(spark):
+    res = validate(
+        _issue283_df(spark),
+        RuleSet(rules=ISSUE283_RULES, scenes=ISSUE283_SCENES),
+        key_cols=["rid"],
+        scene="updateIdx",
+    )
+    got = {(r["field"], r["validator"]) for r in res.violations().collect()}
+    assert got == {("Tags.0.Date", "required")}
+
+
+# --- Issue #125: nil value must not blow up (issues_test.go:904-928) --------
+
+def test_issue_125_null_values_are_safe(spark):
+    df = spark.createDataFrame(
+        [Row(rid=1, name=None, age=None, tags=None)],
+        "rid int, name string, age int, tags array<string>",
+    )
+    rs = RuleSet(
+        rules={"name": "minLen:3|email", "age": "min:1|max:99", "tags": "minLen:1"}
+    )
+    res = validate(df, rs, key_cols=["rid"])  # must not raise
+    # all rules skip on empty (non-required) → row passes
+    assert res.verdicts().collect()[0]["pass"] is True
+
+
+# --- Issue #262: interior `.*` filter applies per element -------------------
+
+def test_issue_262_wildcard_filter_per_element(spark):
+    df = spark.createDataFrame(
+        [(1, [(" a ", 1), ("b ", 2)])],
+        "rid int, items array<struct<name:string,v:int>>",
+    )
+    rs = RuleSet(
+        rules={"items.*.name": "required|minLen:1"},
+        filters={"items.*.name": "trim"},
+    )
+    res = validate(df, rs, key_cols=["rid"])
+    assert res.verdicts().collect()[0]["pass"] is True
+    safe = res.safe_rows().collect()[0]
+    assert [x["name"] for x in safe["items"]] == ["a", "b"]

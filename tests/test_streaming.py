@@ -128,3 +128,45 @@ def test_foreach_batch_plan_reuse(spark, stream_src, tmp_path):
     ids = {r["id"] for r in out.collect()}
     assert 4 in ids and 2 in ids
     assert "batch_id" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# stateful cross-batch dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    from validate_spark.streaming.stateful_dedup import stateful_drop_duplicates
+
+    src = str(tmp_path / "dsrc")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "dout")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = stateful_drop_duplicates(stream)
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A, B (and an in-batch near-dup of A that must collapse)
+    spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "other text"), (3, "hello  world")], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    got1 = {r["key"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"1", "2"}  # "3" collapsed into fingerprint of "1" (min key wins)
+
+    # batch 2: exact dup of A (cross-batch, must be dropped) + new C
+    spark.createDataFrame([(4, "hello world"), (5, "brand new")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    got2 = {r["key"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {"1", "2", "5"}  # 4 suppressed by checkpointed state

@@ -1,0 +1,67 @@
+"""Cross-batch streaming deduplication — the custom stateful operator
+(``applyInPandasWithState``) of this engine.
+
+Spark's built-in ``dropDuplicates`` on a stream keys state by the dedup
+column VALUE; here we key by the content FINGERPRINT (normalized-text
+md5, operators/textstats.py), so near-identical formatting variants
+collapse, and we keep an occurrence count per fingerprint in state —
+the dedup analogue of the reference's slice-`unique` filter lifted to
+an unbounded stream.
+
+State per group: (n_seen long) — a few bytes per distinct fingerprint,
+persisted in the streaming checkpoint. Determinism: within one batch a
+group emits its min-key row; across batches the FIRST batch that saw
+the fingerprint wins (state says so).
+
+At 10^12-doc scale the state store shards by fingerprint hash across
+executors; fingerprints are md5-uniform so the state shuffle never
+skews.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from validate_spark.operators.textstats import fingerprint
+
+OUTPUT_DDL = "key string, text string, fp string, n_seen_before long"
+STATE_DDL = "n long"
+
+
+def stateful_drop_duplicates(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """First-seen rows only, keyed by content fingerprint, across the
+    whole lifetime of the stream (state in the checkpoint). Emits
+    (key, text, fp, n_seen_before) where n_seen_before is the state
+    count at emission time (always 0 for emitted rows)."""
+    with_fp = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(text_col).alias("text"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        n_batch = len(batch)
+        if state.exists:
+            (n,) = state.get
+            state.update((n + n_batch,))
+            return iter(())  # fingerprint already emitted in an earlier batch
+        state.update((n_batch,))
+        first = batch.sort_values("key").iloc[[0]].copy()
+        first["n_seen_before"] = 0
+        return iter([first[["key", "text", "fp", "n_seen_before"]]])
+
+    return with_fp.groupBy("fp").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
