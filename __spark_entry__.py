@@ -399,6 +399,26 @@ def q29_required_family(spark, sf_dir):
     )
 
 
+def q30_json_validation(spark, sf_dir):
+    """Rules on fields INSIDE a JSON column (FromJSON/MapData parity,
+    validate.go:345-364): parse once, dotted-path rules."""
+    from validate_spark.sources.jsonsrc import validate_json
+
+    ev = _t(spark, sf_dir, "events")
+    res = validate_json(
+        ev, "props", "k int", {"k": "required|min:10|max:95"}, key_cols=["event_id"]
+    )
+    return (
+        res.violations()
+        .select(
+            F.regexp_replace("field", r"^_doc\.", "").alias("field"),
+            "validator",
+        )
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -430,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_partition_manifest": q27_partition_manifest,
         "q28_violation_messages": q28_violation_messages,
         "q29_required_family": q29_required_family,
+        "q30_json_validation": q30_json_validation,
     }
 
 
@@ -816,6 +837,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'big_props', 'requiredWith', count(*)::bigint
                 FROM d WHERE purchase_value IS NOT NULL
                          AND (big_props IS NULL OR big_props = '')
+            )
+            SELECT * FROM v WHERE n > 0
+        """,
+        "q30_json_validation": """
+            WITH j AS (
+              SELECT try_cast(json_extract_string(props, '$.k') AS int) AS k
+              FROM events
+            ), v AS (
+              SELECT 'k' AS field, 'required' AS validator, count(*)::bigint AS n
+                FROM j WHERE k IS NULL
+              UNION ALL
+              SELECT 'k', 'min', count(*)::bigint FROM j
+                WHERE k IS NOT NULL AND k < 10
+              UNION ALL
+              SELECT 'k', 'max', count(*)::bigint FROM j
+                WHERE k IS NOT NULL AND k > 95
             )
             SELECT * FROM v WHERE n > 0
         """,

@@ -107,3 +107,20 @@ def test_custom_filter(spark):
         key_cols=["id"],
     )
     assert res.safe_rows().collect()[0]["w"] == "CBA"
+
+
+# ---------------------------------------------------------------------------
+# one-shot Val() parity (value.go:38-106)
+# ---------------------------------------------------------------------------
+
+def test_check_value_oneshot(spark):
+    from validate_spark import check_value
+
+    ok, msgs = check_value(spark, "inhere", "required|minLen:7")
+    assert not ok and msgs == ["v min length is 7"]
+    ok, msgs = check_value(spark, "long enough", "required|minLen:7")
+    assert ok and msgs == []
+    ok, _ = check_value(spark, 120, "int:0,100")
+    assert not ok
+    ok, _ = check_value(spark, None, "required", dtype="string")
+    assert not ok

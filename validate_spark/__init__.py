@@ -18,7 +18,7 @@ Tungsten evaluate it columnar on executors.
 
 from validate_spark.plans.dsl import parse_rules, RuleSpec
 from validate_spark.plans.plan import RuleSet, compile_plan, Plan
-from validate_spark.operators.engine import validate, ValidationResult
+from validate_spark.operators.engine import validate, check_value, ValidationResult
 from validate_spark.functions.validators import (
     register_validator,
     VALIDATORS,
@@ -33,6 +33,7 @@ __all__ = [
     "compile_plan",
     "Plan",
     "validate",
+    "check_value",
     "ValidationResult",
     "register_validator",
     "register_filter",

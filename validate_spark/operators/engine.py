@@ -126,6 +126,30 @@ class ValidationResult:
         )
 
 
+def check_value(spark, value, rule: str, *, dtype: str | None = None):
+    """One-shot single-value validation — the reference's ``Val(val,
+    "required|minLen:7")`` (value.go:38-106). Returns (ok, [messages]).
+
+    Driver-side convenience for config/CLI checks; the heavy path is
+    always :func:`validate` over a DataFrame. ``dtype`` (DDL string)
+    is required when ``value`` is None."""
+    if dtype is None:
+        if value is None:
+            raise ValueError("dtype is required when value is None")
+        dtype = {
+            bool: "boolean", int: "bigint", float: "double", str: "string"
+        }.get(type(value))
+        if dtype is None and isinstance(value, list):
+            inner = "string" if (not value or isinstance(value[0], str)) else "bigint"
+            dtype = f"array<{inner}>"
+        if dtype is None:
+            raise ValueError(f"cannot infer dtype for {type(value)}; pass dtype=")
+    df = spark.createDataFrame([(value,)], f"v {dtype}")
+    res = validate(df, RuleSet(rules={"v": rule}), key_cols=["v"])
+    msgs = [r["message"] for r in res.violations().orderBy("rule_idx").collect()]
+    return (len(msgs) == 0, msgs)
+
+
 def validate(
     df: DataFrame,
     ruleset: RuleSet | dict,
