@@ -419,6 +419,68 @@ def q30_json_validation(spark, sf_dir):
     )
 
 
+def _format_gauntlet(spark, sf_dir):
+    """Deterministic derived columns exercising the regex/format family."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = F.md5(i.cast("string"))
+    email = F.when(i % 7 == 0, F.lit("bad email @@")).otherwise(
+        F.concat("source", F.lit("@"), "lang", F.lit(".example.com"))
+    )
+    uuid = F.when(i % 5 == 0, F.lit("not-a-uuid")).otherwise(
+        F.concat(
+            F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-4"),
+            F.substring(h, 14, 3), F.lit("-a"), F.substring(h, 18, 3), F.lit("-"),
+            F.substring(h, 21, 12),
+        )
+    )
+    ip = F.when(i % 11 == 0, F.lit("999.1.2.3")).otherwise(
+        F.concat_ws(
+            ".",
+            (i % 256).cast("string"),
+            ((i * 7) % 256).cast("string"),
+            ((i * 13) % 256).cast("string"),
+            (i % 200 + 1).cast("string"),
+        )
+    )
+    mac = F.when(i % 13 == 0, F.lit("zz:zz:zz:zz:zz:zz")).otherwise(
+        F.concat_ws(
+            ":", *[F.substring(h, 1 + 2 * j, 2) for j in range(6)]
+        )
+    )
+    b64 = F.when(i % 17 == 0, F.lit("!!notbase64!!")).otherwise(
+        F.base64(F.encode("source", "utf-8"))
+    )
+    return d.select(
+        "doc_id",
+        email.alias("email"),
+        uuid.alias("uuid"),
+        ip.alias("ip"),
+        mac.alias("mac"),
+        b64.alias("b64"),
+    )
+
+
+def q31_format_gauntlet(spark, sf_dir):
+    """Regex/format validator family (§2.6) oracle coverage: email,
+    UUID4, IPv4, MAC, base64 over derived columns with seeded bad rows."""
+    rs = RuleSet(
+        rules={
+            "email": "email",
+            "uuid": "uuid4",
+            "ip": "ipv4",
+            "mac": "mac",
+            "b64": "base64",
+        }
+    )
+    res = validate(_format_gauntlet(spark, sf_dir), rs, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -451,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_violation_messages": q28_violation_messages,
         "q29_required_family": q29_required_family,
         "q30_json_validation": q30_json_validation,
+        "q31_format_gauntlet": q31_format_gauntlet,
     }
 
 
@@ -600,6 +663,55 @@ _RULE_ARGS = {
     "n_chars_min": ("50",),
     "n_chars_max": ("600",),
 }
+
+
+def _q31_sql() -> str:
+    """Format-family oracle: the SAME regex literals the engine compiles
+    (validate_spark.functions.validators.RX — RE2-safe, identical
+    semantics in DuckDB), over the same md5-derived columns."""
+    from validate_spark.functions.validators import RX
+
+    derived = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'bad email @@'
+             ELSE source || '@' || lang || '.example.com' END AS email,
+        CASE WHEN doc_id % 5 = 0 THEN 'not-a-uuid'
+             ELSE substr(md5(doc_id::varchar),1,8) || '-' ||
+                  substr(md5(doc_id::varchar),9,4) || '-4' ||
+                  substr(md5(doc_id::varchar),14,3) || '-a' ||
+                  substr(md5(doc_id::varchar),18,3) || '-' ||
+                  substr(md5(doc_id::varchar),21,12) END AS uuid,
+        CASE WHEN doc_id % 11 = 0 THEN '999.1.2.3'
+             ELSE (doc_id % 256)::varchar || '.' || ((doc_id*7) % 256)::varchar
+                  || '.' || ((doc_id*13) % 256)::varchar || '.' || (doc_id % 200 + 1)::varchar
+             END AS ip,
+        CASE WHEN doc_id % 13 = 0 THEN 'zz:zz:zz:zz:zz:zz'
+             ELSE substr(md5(doc_id::varchar),1,2) || ':' || substr(md5(doc_id::varchar),3,2)
+                  || ':' || substr(md5(doc_id::varchar),5,2) || ':' || substr(md5(doc_id::varchar),7,2)
+                  || ':' || substr(md5(doc_id::varchar),9,2) || ':' || substr(md5(doc_id::varchar),11,2)
+             END AS mac,
+        CASE WHEN doc_id % 17 = 0 THEN '!!notbase64!!'
+             ELSE to_base64(source::BLOB) END AS b64
+      FROM documents
+    """
+    checks = [
+        ("email", "isEmail", RX["email"]),
+        ("uuid", "isUUID4", RX["uuid4"]),
+        ("ip", "isIPv4", RX["ipv4"]),
+        ("mac", "isMAC", RX["mac"]),
+        ("b64", "isBase64", RX["base64"]),
+    ]
+    parts = [
+        f"SELECT '{col}' AS field, '{val}' AS validator, count(*)::bigint AS n "
+        f"FROM d WHERE {col} IS NOT NULL AND {col} <> '' "
+        f"AND NOT regexp_matches({col}, '{rx}')"
+        for col, val, rx in checks
+    ]
+    return (
+        "WITH d AS (" + derived + ") SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") WHERE n > 0"
+    )
 
 
 def _q28_sql() -> str:
@@ -840,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM v WHERE n > 0
         """,
+        "q31_format_gauntlet": _q31_sql(),
         "q30_json_validation": """
             WITH j AS (
               SELECT try_cast(json_extract_string(props, '$.k') AS int) AS k
