@@ -124,3 +124,81 @@ def test_check_value_oneshot(spark):
     assert not ok
     ok, _ = check_value(spark, None, "required", dtype="string")
     assert not ok
+
+
+# ---------------------------------------------------------------------------
+# k-means IVF centroids, rule suggestion, IQR outliers, media validators
+# ---------------------------------------------------------------------------
+
+def test_kmeans_fit_deterministic_and_improves_recall(spark):
+    from validate_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = sim.kmeans_fit(emb, 8, n_iters=2)
+    c2 = sim.kmeans_fit(emb, 8, n_iters=2)
+    assert c1 == c2  # deterministic
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(emb, q, k=5)
+    sampled = sim.sample_centroids(emb, 8)
+    r_sampled = sim.recall_at_k(sim.ivf_topk(emb, q, sampled, k=5, nprobe=3), exact)
+    r_kmeans = sim.recall_at_k(sim.ivf_topk(emb, q, c1, k=5, nprobe=3), exact)
+    # fitted centroids should not be worse than raw samples (tolerance:
+    # random 64-dim vectors are a hard case; assert no collapse)
+    assert r_kmeans >= r_sampled - 0.15
+    assert r_kmeans > 0
+
+
+def test_suggest_rules_snapshot_passes(spark):
+    from validate_spark.operators.suggest import suggest_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rs = suggest_rules(docs)
+    assert "required" in rs.rules["doc_id"]
+    assert rs.rules["lang"].count("enum:") == 1
+    res = validate(docs, rs, key_cols=["doc_id"])
+    assert res.verdicts().filter("NOT pass").count() == 0  # snapshot passes
+
+    # perturbed data violates the learned rules
+    bad = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 10 == 0, F.lit("xx")).otherwise(F.col("lang"))
+    )
+    res2 = validate(bad, rs, key_cols=["doc_id"])
+    viol = {(r["field"], r["validator"]) for r in res2.violations().collect()}
+    assert ("lang", "enum") in viol
+
+
+def test_iqr_outliers(spark):
+    from validate_spark.operators.drift import count_outliers, iqr_outlier_bounds
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi = iqr_outlier_bounds(ev, "value")
+    assert lo < hi
+    # inject gross outliers; they must be counted
+    spiked = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 100 == 0, F.lit(1e9)).otherwise(F.col("value")),
+    )
+    base = count_outliers(ev, "value")
+    assert count_outliers(spiked, "value") >= base + 5
+
+
+def test_media_mime_validators(spark):
+    from validate_spark.operators import multimodal as mmod
+
+    df = mmod.media_metadata(
+        mmod.attach_fake_media(
+            spark.createDataFrame([(str(i),) for i in range(40)], "doc_id string")
+        )
+    ).select("doc_id", F.col("media_meta.mime").alias("mime"))
+    rs = RuleSet(
+        rules={"mime": "required|inMimeTypes:image/jpeg,image/png,audio/wav"}
+    )
+    res = validate(df, rs, key_cols=["doc_id"])
+    assert res.verdicts().filter("NOT pass").count() == 0
+    # isImage rejects the audio rows
+    res2 = validate(df, RuleSet(rules={"mime": "image"}), key_cols=["doc_id"])
+    fails = res2.verdicts().filter("NOT pass").count()
+    audio = df.filter(F.col("mime") == "audio/wav").count()
+    assert fails == audio and audio > 0

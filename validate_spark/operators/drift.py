@@ -227,6 +227,35 @@ def sketch_drift(
     return DriftReport(d, max(0.0, min(1.0, p)), nl, nr, "ks_sketch")
 
 
+def iqr_outlier_bounds(
+    df: DataFrame, col: str, *, k: float = 1.5, n_quantiles: int = 128
+) -> tuple[float, float]:
+    """Tukey fences from the merged per-partition quantile sketches:
+    [q1 - k·IQR, q3 + k·IQR]. Sketch-based — one scan, sketch-sized
+    driver traffic; pair with a ``between`` rule to turn the bounds into
+    violations."""
+    import numpy as np
+
+    sketches = partition_quantile_sketches(df, col, n_quantiles=n_quantiles).collect()
+    if not sketches:
+        return (float("-inf"), float("inf"))
+    grid = np.unique(
+        np.concatenate([np.asarray(s["q"], dtype=float) for s in sketches])
+    )
+    cdf = _sketch_cdf(sketches, grid)
+    q1 = float(np.interp(0.25, cdf, grid))
+    q3 = float(np.interp(0.75, cdf, grid))
+    iqr = q3 - q1
+    return (q1 - k * iqr, q3 + k * iqr)
+
+
+def count_outliers(df: DataFrame, col: str, *, k: float = 1.5) -> int:
+    """Rows outside the Tukey fences (sketch pass + one filter-count)."""
+    lo, hi = iqr_outlier_bounds(df, col, k=k)
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ((c < lo) | (c > hi))).count()
+
+
 def _report(left: list[int], right: list[int], method: str) -> DriftReport:
     if method == "ks":
         stat, p = ks_from_histograms(left, right)

@@ -113,6 +113,50 @@ def sample_centroids(
     return [list(map(float, r["v"])) for r in rows]
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int,
+    *,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical k-means for IVF centroids — distributed Lloyd rounds:
+    each round is ONE bucket-assign projection (plan literals, no
+    shuffle of vectors beyond the groupBy) + ONE groupBy-avg, then the
+    driver renormalizes C centroid rows. Deterministic: seeded md5
+    sample init (sample_centroids), fixed iteration count.
+
+    At 10^12 rows each round is a single scan with map-side partial
+    aggregation of C × dim doubles — centroid fitting costs n_iters
+    scans, independent of C beyond the plan size."""
+    import numpy as np
+
+    cents = sample_centroids(corpus, n_centroids, vec_col=vec_col, id_col=id_col)
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = assign_ivf_buckets(corpus, cents, vec_col=vec_col)
+        sums = (
+            assigned.groupBy("bucket")
+            .agg(
+                *[
+                    F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty buckets keep their old centroid
+        for r in sums:
+            v = np.array([r[f"s{d}"] for d in range(dim)], dtype=float) / r["n"]
+            norm = float(np.linalg.norm(v))
+            if norm > 0:
+                new_cents[r["bucket"]] = (v / norm).tolist()
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
