@@ -1,0 +1,129 @@
+"""Form / URL-values source tests (FromURLValues, validate.go:471-490;
+bracket-key normalization #324, util.go:200-221) and locale message
+maps (locales/zhcn/zhcn.go)."""
+
+from pyspark.sql import Row
+
+from validate_spark.plans.messages import LOCALES, register_locale, render_message
+from validate_spark.plans.plan import RuleSet
+from validate_spark.sources.formsrc import (
+    from_url_values,
+    normalize_form_key,
+    parse_query_column,
+    validate_form,
+)
+from validate_spark.operators.engine import validate
+
+
+def test_normalize_form_key():
+    # util.go:212-221: brackets → dots, [] kept verbatim
+    assert normalize_form_key("address[street]") == "address.street"
+    assert normalize_form_key("addr[street][no]") == "addr.street.no"
+    assert normalize_form_key("tags[]") == "tags[]"
+    assert normalize_form_key("plain") == "plain"
+
+
+def test_issue_324_bracket_form_keys(spark):
+    # TestIssue_324_v2 (issues_x2_test.go:639-695): bracket AND dot
+    # notation both bind nested fields addressable by dotted rules.
+    for street_key in ("address[street]", "address.street"):
+        df = from_url_values(
+            spark,
+            {"name": "John", street_key: "Main St", "address[city]": "New York"},
+        )
+        res = validate(
+            df,
+            {
+                "name": "required",
+                "address.street": "required",
+                "address.city": "required",
+            },
+            key_cols=["name"],
+        )
+        assert res.verdicts().collect()[0]["pass"] is True
+
+
+def test_issue_324_multi_level_bracket(spark):
+    df = from_url_values(spark, {"addr[street][no]": "12"})
+    res = validate(df, {"addr.street.no": "required|intStr"}, key_cols=["addr"])
+    assert res.violations().count() == 0
+    assert df.select("addr.street.no").collect()[0][0] == "12"
+
+
+def test_from_url_values_first_value_wins(spark):
+    # FormData.Get returns vs[0] (data_source.go:657-705)
+    df = from_url_values(spark, {"tag": ["a", "b"]})
+    assert df.collect()[0]["tag"] == "a"
+
+
+def test_parse_query_column_vectorized(spark):
+    df = spark.createDataFrame(
+        [
+            Row(qid=1, q="name=John&address%5Bstreet%5D=Main+St&age=31"),
+            Row(qid=2, q="name=&age=notnum"),
+        ]
+    )
+    parsed = parse_query_column(df, "q", ["name", "address.street", "age"])
+    rows = {r["qid"]: r["_form"] for r in parsed.collect()}
+    assert rows[1]["name"] == "John"
+    assert rows[1]["address"]["street"] == "Main St"  # %5B %5D + '+' decoded
+    assert rows[2]["address"]["street"] is None  # missing key → NULL ≡ empty
+    # plan stays Python-free: no BatchEvalPython / ArrowEval in the plan
+    plan_str = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan_str
+
+
+def test_validate_form_end_to_end(spark):
+    df = spark.createDataFrame(
+        [
+            Row(qid=1, q="name=John&age=31"),
+            Row(qid=2, q="name=&age=200"),
+        ]
+    )
+    res = validate_form(
+        df,
+        "q",
+        RuleSet(
+            rules={"name": "required", "age": "required|intStr"},
+            filters={"age": "trim"},
+        ),
+        key_cols=["qid"],
+    )
+    verd = {r["qid"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {1: True, 2: False}
+    viols = {(r["qid"], r["field"]) for r in res.violations().collect()}
+    assert (2, "_form.name") in viols
+
+
+def test_zh_cn_locale_messages(spark):
+    assert "zh-CN" in LOCALES
+    # alias keys were normalized: "date" entry also reachable as isDate
+    assert LOCALES["zh-CN"]["isDate"] == LOCALES["zh-CN"]["date"]
+    msg = render_message("required", "name", (), locale="zh-CN")
+    assert msg == "name 是必填项"
+    # verb fill still works through locale templates
+    msg = render_message("min", "age", ("3",), locale="zh-CN")
+    assert msg == "age 的最小值是 3"
+    # custom beats locale (resolution order, messages.go:458-588)
+    msg = render_message("required", "name", (), custom="nope", locale="zh-CN")
+    assert msg == "nope"
+    # unknown-in-locale falls back to builtin English
+    msg = render_message("isEmail", "mail", (), locale="zh-CN")
+    assert msg == "mail不是合法邮箱"
+
+
+def test_locale_flows_through_ruleset(spark):
+    df = spark.createDataFrame([Row(doc_id="", n=1)])
+    res = validate(
+        df,
+        RuleSet(rules={"doc_id": "required"}, locale="zh-CN"),
+        key_cols=["n"],
+    )
+    msgs = [r["message"] for r in res.violations().collect()]
+    assert msgs == ["doc_id 是必填项"]
+
+
+def test_register_custom_locale(spark):
+    register_locale("xx-TEST", {"required": "{field} MISSING!!"})
+    assert render_message("required", "f", (), locale="xx-TEST") == "f MISSING!!"
+    LOCALES.pop("xx-TEST")

@@ -19,6 +19,118 @@ import re
 
 DEFAULT_MSG = "{field} field did not pass validation"
 
+# ---------------------------------------------------------------------------
+# locales — pluggable per-language message maps (reference:
+# locales/zhcn/zhcn.go Register/RegisterGlobal; lookup merges locale
+# data over builtins via AddMessages, messages.go:458-588). Keys may be
+# aliases ("date", "url") exactly as in the reference locale files; we
+# normalize to canonical validator names at registration time.
+# ---------------------------------------------------------------------------
+
+LOCALES: dict[str, dict[str, str]] = {}
+
+
+def register_locale(name: str, data: dict[str, str]) -> None:
+    """Register a message map for a locale. Alias keys are also stored
+    under their canonical validator name (resolve order parity: the
+    reference indexes messages by the name the rule used, after alias
+    resolution — register.go:132-376)."""
+    from validate_spark.functions.validators import resolve_alias
+
+    norm = dict(data)
+    for k, v in data.items():
+        canon = resolve_alias(k)
+        norm.setdefault(canon, v)
+    LOCALES[name] = norm
+
+
+# zh-CN builtin, transliterated from the reference's locale map
+# (locales/zhcn/zhcn.go:19-119).
+ZH_CN = {
+    "_": "{field} 没有通过验证",
+    "min": "{field} 的最小值是 %v",
+    "max": "{field} 的最大值是 %v",
+    "minLength": "{field} 的最小长度是 %d",
+    "maxLength": "{field} 的最大长度是 %d",
+    "enum": "{field} 值必须在下列枚举中 %v",
+    "range": "{field} 值必须在此范围内 %v - %v",
+    "required": "{field} 是必填项",
+    "requiredIf": "当 {args0} 为 {args1end} 时 {field} 不能为空。",
+    "requiredUnless": "当 {args0} 不为 {args1end} 时 {field} 不能为空。",
+    "requiredWith": "当 {values} 存在时 {field} 不能为空。",
+    "requiredWithAll": "当 {values} 存在时 {field} 不能为空。",
+    "requiredWithout": "当 {values} 不存在时 {field} 不能为空。",
+    "requiredWithoutAll": "当 {values} 都不存在时 {field} 不能为空。",
+    "email": "{field}不是合法邮箱",
+    "eqField": "{field} 值必须等于该字段 %s",
+    "neField": "{field} 值不能等于该字段 %s",
+    "ltField": "{field} 值应小于该字段 %s",
+    "lteField": "{field} 值应小于等于该字段 %s",
+    "gtField": "{field} 值应大于该字段 %s",
+    "gteField": "{field} 值应大于等于该字段 %s",
+    "isString": "{field} 值必须是一个字符串",
+    "stringLength": "{field} 值长度必须在 %d - %d 范围内",
+    "isURL": "{field} 值必须是一个有效的URL地址",
+    "isFullURL": "{field} 值必须是一个完整、有效的URL地址",
+    "isFile": "{field} 值必须是一个可上传的文件",
+    "isImage": "{field} 值必须是一个可上传的图像文件",
+    "bool": "{field} 值必须是一个bool类型",
+    "float": "{field} 值必须是一个float类型",
+    "slice": "{field} 值必须是一个slice类型",
+    "map": "{field} 值必须是一个map类型",
+    "array": "{field} 值必须是一个array类型",
+    "strings": "{field} 值必须是一个[]string类型",
+    "notIn": "{field} 值不能出现在给定枚举列表中 %d",
+    "contains": "{field} 值不能出现在枚举列表中 %s",
+    "notContains": "{field} 值包含输入指定值 %s",
+    "startsWith": "{field} 值的前缀必须是：%s ",
+    "endsWith": "{field} 值的后缀必须是：%s ",
+    "regex": "{field} 值没有通过正则匹配",
+    "file": "{field} 值必须是一个文件",
+    "image": "{field} 值必须是一图像",
+    "date": "{field} 值应该是一个日期字符串",
+    "gtDate": "{field} 日期应该在 %s 之后",
+    "ltDate": "{field} 日期应该在 %s 之前",
+    "gteDate": "{field} 日期应该等于 %s 或者在其之后",
+    "lteDate": "{field} 日期应该等于 %s 或者在其之前",
+    "hasWhitespace": "{field} 值应该包含空格",
+    "ascii": "{field} 值应该是一个 ASCII 字符串",
+    "alpha": "{field} 值仅包含字母字符",
+    "alphaNum": "{field} 值仅包含字母字符和数字",
+    "alphaDash": "{field} 值仅包含字母字符、数字、破折号（-）、下划线（_）",
+    "multiByte": "{field} 值应该是一个多字节字符串",
+    "base64": "{field} 值应该是一个Base64字符串",
+    "dnsName": "{field} 值应该是一个DNS名称字符串",
+    "dataURI": "{field} 值应该是一个DataURI字符串",
+    "empty": "{field} 值应该为空",
+    "hexColor": "{field} 值应该是十六进制的颜色字符串",
+    "hexadecimal": "{field} 值应该是十六进制字符串",
+    "json": "{field} 值应该是一个json字符串",
+    "lat": "{field} 值应该是一个纬度坐标",
+    "lon": "{field} 值应该是一个经度坐标",
+    "mac": "{field} 值应该是一个 MAC 字符串",
+    "num": "{field} 值应该是一个数字字符串(>=0)",
+    "cnMobile": "{field} 值应该是中国11位手机号码字符串",
+    "printableASCII": "{field} 值应该是可打印ASCII字符串",
+    "rgbColor": "{field} 值应该是RGP颜色字符串",
+    "fullUrl": "{field} 值应该是一个完整的URL字符串",
+    "url": "{field} 值应该是一个URL字符串",
+    "ip": "{field} 值应该是一个IP（v4或v6）字符串",
+    "ipv4": "{field} 值应该是一个IPv4字符串",
+    "ipv6": "{field} 值应该是一个IPv6字符串",
+    "CIDR": "{field} 值应该是一个CIDR字符串",
+    "CIDRv4": "{field} 值应该是一个CIDRv4字符串",
+    "CIDRv6": "{field} 值应该是一个CIDRv6字符串",
+    "uuid": "{field} 值应该是一个UUID字符串",
+    "uuid3": "{field} 值应该是一个UUID3字符串",
+    "uuid4": "{field} 值应该是一个UUID4字符串",
+    "uuid5": "{field} 值应该是一个UUID5字符串",
+    "unixPath": "{field} 值应该是一个Unix路径字符串",
+    "winPath": "{field} 值应该是一个Windows路径字符串",
+    "isbn10": "{field} 值应该是一个ISBN10字符串",
+    "isbn13": "{field} 值应该是一个ISBN13字符串",
+}
+
 BUILTIN_MESSAGES: dict[str, str] = {
     "_": DEFAULT_MSG,
     "_validate": "{field} did not pass validation",
@@ -80,9 +192,15 @@ def render_message(
     args: tuple[str, ...],
     custom: str | None = None,
     label: str | None = None,
+    locale: str | None = None,
 ) -> str:
-    """Resolve + render a message to a static string at compile time."""
-    tpl = custom or BUILTIN_MESSAGES.get(name) or DEFAULT_MSG
+    """Resolve + render a message to a static string at compile time.
+
+    Resolution order: rule-level custom → locale map (if a locale is
+    set; reference merges locale data over builtins, AddMessages) →
+    builtin → default (messages.go:458-588)."""
+    loc = LOCALES.get(locale, {}) if locale else {}
+    tpl = custom or loc.get(name) or BUILTIN_MESSAGES.get(name) or DEFAULT_MSG
     shown = label or field
     out = tpl.replace("{field}", shown)
     out = out.replace("{values}", ",".join(args))
@@ -107,3 +225,6 @@ def render_message(
             filled.append(parts[k + 1])
         out = "".join(filled)
     return out
+
+
+register_locale("zh-CN", ZH_CN)

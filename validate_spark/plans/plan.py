@@ -60,6 +60,7 @@ class RuleSet:
     # and expose first-failure ordering in the violations array instead.
     skip_on_empty: bool = True  # GlobalOption.SkipOnEmpty (validate.go:79)
     zero_as_empty: bool = False  # numeric zero counts as empty (IsEmpty parity flag)
+    locale: str | None = None  # message locale (locales/zhcn Register parity)
 
     def hash(self) -> str:
         payload = json.dumps(
@@ -70,6 +71,7 @@ class RuleSet:
                 "stop_on_error": self.stop_on_error,
                 "skip_on_empty": self.skip_on_empty,
                 "zero_as_empty": self.zero_as_empty,
+                "locale": self.locale,
             },
             sort_keys=True,
         )
@@ -268,6 +270,22 @@ def compile_plan(
                     lambda x: x.withField(sub, apply_filter_chain(x.getField(sub), elem_chain)),
                 )
                 continue
+            if "*" not in field and not any(
+                p.isdigit() for p in field.split(".")
+            ):
+                # nested struct path a.b.c: rewrite the leaf inside the
+                # top-level struct column (withField takes dotted names);
+                # reads go through any prior projection on the same top
+                # column so multiple nested filters compose.
+                top, _, rest = field.partition(".")
+                base = filter_projections.get(top, F.col(top))
+                leaf = base
+                for p in rest.split("."):
+                    leaf = leaf.getField(p)
+                filter_projections[top] = base.withField(
+                    rest, apply_filter_chain(leaf, chain)
+                )
+                continue
             raise NotImplementedError(f"filter path not supported: {field}")
         filter_projections[field] = apply_filter_chain(F.col(field), chain)
 
@@ -380,6 +398,7 @@ def compile_plan(
                         spec.args,
                         custom=spec.message,
                         label=ruleset.labels.get(field),
+                        locale=ruleset.locale,
                     ),
                 )
             )
