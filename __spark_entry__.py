@@ -481,6 +481,122 @@ def q31_format_gauntlet(spark, sf_dir):
     )
 
 
+def q32_date_gauntlet(spark, sf_dir):
+    """Date validator family (§2.7: isDate / afterOrEqualDate /
+    beforeDate) over string dates derived from orders."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate")
+    )
+    rs = RuleSet(
+        rules={"odate": "required|date|gteDate:1995-06-01|ltDate:1997-06-30"}
+    )
+    res = validate(od, rs, key_cols=["o_orderkey"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _form_requests(spark, sf_dir):
+    """Deterministic query-string log derived from customer — the
+    vectorized FromQuery staging path (validate.go:471-490): encode →
+    str_to_map/url_decode parse → bracket-key nested struct →
+    filter-cast → validate. The oracle reads the ORIGINAL columns, so
+    the whole encode/parse/cast path is value-checked."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("name="),
+            F.url_encode(F.col("c_name")),
+            F.lit("&acct%5Bbal%5D="),
+            F.col("c_acctbal").cast("string"),
+            F.lit("&seg="),
+            F.url_encode(F.col("c_mktsegment")),
+        ).alias("q"),
+    )
+
+
+def q33_form_staging(spark, sf_dir):
+    from validate_spark.sources.formsrc import validate_form
+
+    rs = RuleSet(
+        rules={
+            "name": "required|startsWith:Customer",
+            "acct.bal": "required|min:0",
+            "seg": "required|enum:BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE",
+        },
+        filters={"acct.bal": "float"},
+    )
+    res = validate_form(_form_requests(spark, sf_dir), "q", rs, key_cols=["c_custkey"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q34_scene_projection(spark, sf_dir):
+    """Scene-gated validation (validation.go:823-854): only the scene's
+    fields compile; other rules never evaluate."""
+    rs = RuleSet(rules=dict(DOC_RULES.rules), scenes={"ingest": ["doc_id", "text"]})
+    res = validate(
+        _t(spark, sf_dir, "documents"), rs, key_cols=["doc_id"], scene="ingest"
+    )
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q35_locale_messages(spark, sf_dir):
+    """q28 with the zh-CN locale map active (locales/zhcn/zhcn.go):
+    message templates resolve through the locale, verified value-exact
+    against the oracle's literals."""
+    rs = RuleSet(rules=dict(DOC_RULES.rules), locale="zh-CN")
+    res = validate(_t(spark, sf_dir, "documents"), rs, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator", "message")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q36_drift_chi2(spark, sf_dir):
+    """Distribution-drift building block with a value oracle: two
+    cohorts (doc_id parity), shared n_chars buckets, per-bucket
+    chi-square homogeneity contributions — the same arithmetic
+    drift.chi_square_from_histograms runs on sketch output."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            (F.col("doc_id") % 2 == 0).alias("is_ref"),
+            F.least(F.lit(9), F.floor(F.col("n_chars") / 60)).cast("int").alias("bucket"),
+        )
+    )
+    h = docs.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = h.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = h.crossJoin(F.broadcast(tot))
+    row = F.col("n_ref") + F.col("n_cur")
+    e_ref = row * F.col("t_ref") / (F.col("t_ref") + F.col("t_cur"))
+    e_cur = row * F.col("t_cur") / (F.col("t_ref") + F.col("t_cur"))
+    contrib = (F.col("n_ref") - e_ref) ** 2 / e_ref + (F.col("n_cur") - e_cur) ** 2 / e_cur
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(contrib, 6).alias("chi2_contrib"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -512,6 +628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_partition_manifest": q27_partition_manifest,
         "q28_violation_messages": q28_violation_messages,
         "q29_required_family": q29_required_family,
+        "q32_date_gauntlet": q32_date_gauntlet,
+        "q33_form_staging": q33_form_staging,
+        "q34_scene_projection": q34_scene_projection,
+        "q35_locale_messages": q35_locale_messages,
+        "q36_drift_chi2": q36_drift_chi2,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
     }
@@ -723,6 +844,23 @@ def _q28_sql() -> str:
     parts = []
     for key, field, validator in _RULE_ORDER:
         msg = render_message(validator, field, _RULE_ARGS[key]).replace("'", "''")
+        parts.append(
+            f"SELECT '{field}' AS field, '{validator}' AS validator, "
+            f"'{msg}' AS message, count(*)::bigint AS n "
+            f"FROM documents WHERE {_V[key]}"
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") WHERE n > 0"
+
+
+def _q35_sql() -> str:
+    """q28's message oracle with the zh-CN locale active."""
+    from validate_spark.plans.messages import render_message
+
+    parts = []
+    for key, field, validator in _RULE_ORDER:
+        msg = render_message(
+            validator, field, _RULE_ARGS[key], locale="zh-CN"
+        ).replace("'", "''")
         parts.append(
             f"SELECT '{field}' AS field, '{validator}' AS validator, "
             f"'{msg}' AS message, count(*)::bigint AS n "
@@ -953,6 +1091,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM v WHERE n > 0
         """,
         "q31_format_gauntlet": _q31_sql(),
+        "q32_date_gauntlet": """
+            WITH od AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate FROM orders
+            ), v AS (
+              SELECT 'odate' AS field, 'required' AS validator,
+                     count(*)::bigint AS n
+                FROM od WHERE odate IS NULL OR odate = ''
+              UNION ALL
+              SELECT 'odate', 'isDate', count(*)::bigint FROM od
+                WHERE odate IS NOT NULL AND odate <> ''
+                  AND try_cast(odate AS date) IS NULL
+              UNION ALL
+              SELECT 'odate', 'afterOrEqualDate', count(*)::bigint FROM od
+                WHERE odate IS NOT NULL AND odate <> ''
+                  AND try_cast(odate AS date) < DATE '1995-06-01'
+              UNION ALL
+              SELECT 'odate', 'beforeDate', count(*)::bigint FROM od
+                WHERE odate IS NOT NULL AND odate <> ''
+                  AND try_cast(odate AS date) >= DATE '1997-06-30'
+            )
+            SELECT * FROM v WHERE n > 0
+        """,
+        "q33_form_staging": """
+            WITH v AS (
+              SELECT '_form.name' AS field, 'required' AS validator,
+                     count(*)::bigint AS n
+                FROM customer WHERE c_name IS NULL OR c_name = ''
+              UNION ALL
+              SELECT '_form.name', 'startsWith', count(*)::bigint FROM customer
+                WHERE c_name IS NOT NULL AND c_name <> ''
+                  AND NOT starts_with(c_name, 'Customer')
+              UNION ALL
+              SELECT '_form.acct.bal', 'required', count(*)::bigint FROM customer
+                WHERE c_acctbal IS NULL
+              UNION ALL
+              SELECT '_form.acct.bal', 'min', count(*)::bigint FROM customer
+                WHERE c_acctbal IS NOT NULL AND c_acctbal < 0
+              UNION ALL
+              SELECT '_form.seg', 'required', count(*)::bigint FROM customer
+                WHERE c_mktsegment IS NULL OR c_mktsegment = ''
+              UNION ALL
+              SELECT '_form.seg', 'enum', count(*)::bigint FROM customer
+                WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+                  AND c_mktsegment NOT IN
+                  ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE')
+            )
+            SELECT * FROM v WHERE n > 0
+        """,
+        "q34_scene_projection": f"""
+            WITH v AS (
+              SELECT 'doc_id' AS field, 'required' AS validator,
+                     count(*)::bigint AS n
+                FROM documents WHERE {_V["doc_id_required"]}
+              UNION ALL
+              SELECT 'text', 'required', count(*)::bigint FROM documents
+                WHERE {_V["text_required"]}
+              UNION ALL
+              SELECT 'text', 'minLength', count(*)::bigint FROM documents
+                WHERE {_V["text_minLength"]}
+            )
+            SELECT * FROM v WHERE n > 0
+        """,
+        "q35_locale_messages": _q35_sql(),
+        "q36_drift_chi2": """
+            WITH b AS (
+              SELECT (doc_id % 2 = 0) AS is_ref,
+                     least(9, floor(n_chars / 60))::int AS bucket
+              FROM documents WHERE n_chars IS NOT NULL
+            ), h AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::bigint AS n_ref,
+                     sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::bigint AS n_cur
+              FROM b GROUP BY bucket
+            ), t AS (
+              SELECT sum(n_ref)::bigint AS t_ref, sum(n_cur)::bigint AS t_cur FROM h
+            )
+            SELECT bucket, n_ref, n_cur,
+                   round(
+                     pow(n_ref - (n_ref + n_cur) * t_ref::double / (t_ref + t_cur), 2)
+                       / ((n_ref + n_cur) * t_ref::double / (t_ref + t_cur))
+                     + pow(n_cur - (n_ref + n_cur) * t_cur::double / (t_ref + t_cur), 2)
+                       / ((n_cur + n_ref) * t_cur::double / (t_ref + t_cur)),
+                     6) AS chi2_contrib
+            FROM h, t
+        """,
         "q30_json_validation": """
             WITH j AS (
               SELECT try_cast(json_extract_string(props, '$.k') AS int) AS k

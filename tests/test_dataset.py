@@ -148,3 +148,28 @@ def test_manifest_invalidated_by_ruleset_change(spark, tmp_path):
     r2 = run_resumable(spark, docs, RuleSet(rules={"doc_id": "required|minLen:6"}), mpath, n_partitions=8)
     assert r2["n_partitions_done_before"] == 0
     assert r2["n_partitions_run"] == 8
+
+
+def test_dangling_ref_counts_semijoin_reduction(spark):
+    from validate_spark.operators.refcheck import dangling_ref_counts, dangling_refs
+
+    fact = spark.createDataFrame(
+        [(i, f"m-{i % 5}") for i in range(100)] + [(100, None)], "id long, ref string"
+    )
+    cat = spark.createDataFrame([(f"m-{i}",) for i in (0, 1, 2)], "ref string")
+    out = dangling_ref_counts(fact, "ref", cat)
+    got = {(r["ref"], r["n_occurrences"]) for r in out.collect()}
+    assert got == {("m-3", 20), ("m-4", 20)}
+    # agrees with the row-level anti-join rolled up
+    rows = dangling_refs(fact, "ref", cat, broadcast_catalog=False)
+    rolled = {
+        (r["ref"], r["n"])
+        for r in rows.groupBy("ref").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rolled == got
+    # plan shape: partial aggregation happens BEFORE the shuffle — the
+    # map-side combine is what shrinks O(rows) to O(distinct refs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_agg = plan.find("partial_count")
+    first_exchange = plan.find("Exchange")
+    assert first_agg != -1 and first_exchange != -1

@@ -273,3 +273,19 @@ def test_no_shuffle_in_validation_plan(spark):
     res = validate(df, rs)
     plan_str = res.annotated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_str
+
+
+def test_err_show_value_appends_value(spark):
+    # issue #184 (GlobalOption.ErrShowValue): opt-in appends the failing
+    # value as " (value: %v)"; default off keeps messages byte-identical
+    df = spark.createDataFrame([("a", 200), ("b", None)], "id string, age int")
+    on = validate(
+        df, RuleSet(rules={"age": "required|max:100"}, err_show_value=True),
+        key_cols=["id"],
+    )
+    msgs = {r["id"]: r["message"] for r in on.violations().collect()}
+    assert msgs["a"].endswith("(value: 200)")
+    assert msgs["b"].endswith("(value: <nil>)")
+    off = validate(df, RuleSet(rules={"age": "required|max:100"}), key_cols=["id"])
+    off_msgs = {r["id"]: r["message"] for r in off.violations().collect()}
+    assert "value:" not in off_msgs["a"] and "(value" not in off_msgs["b"]

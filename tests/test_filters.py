@@ -100,3 +100,29 @@ def test_custom_filter_registration(spark):
         return F.reverse(col)
 
     assert apply_one(spark, "reverse_str", ["abc"]) == ["cba"]
+
+
+def test_cast_filter_changes_validation_dtype(spark):
+    # regression: a cast filter (`float`) must make downstream
+    # dtype-dependent machinery see the POST-filter type — the empty
+    # gate on a double is null-based, not ''-based (was: ANSI cast
+    # error comparing a double column to '')
+    df = spark.createDataFrame(
+        [("1", "12.5"), ("2", "-3.0"), ("3", "")], "id string, amt string"
+    )
+    rs = RuleSet(rules={"amt": "required|min:0"}, filters={"amt": "float"})
+    res = validate(df, rs, key_cols=["id"])
+    verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+    # "" try_casts to NULL → required fails; -3.0 fails min; 12.5 passes
+    assert verd == {"1": True, "2": False, "3": False}
+    viols = {(r["id"], r["validator"]) for r in res.violations().collect()}
+    assert viols == {("2", "min"), ("3", "required")}
+
+
+def test_nested_struct_filter_path(spark):
+    df = spark.createDataFrame(
+        [({"bal": " 10 ", "name": "x"},)], "acct struct<bal:string,name:string>"
+    )
+    rs = RuleSet(rules={"acct.bal": "required"}, filters={"acct.bal": "trim|int"})
+    res = validate(df, rs, key_cols=["acct"])
+    assert res.safe_rows().select("acct.bal").collect()[0][0] == 10

@@ -202,6 +202,42 @@ def _trim_strings(col, args):
     return F.transform(col, lambda x: F.trim(x))
 
 
+# output dtypes of type-changing filters — the plan compiler consults
+# this so dtype-dependent machinery (empty gates, numeric compares)
+# sees the POST-filter type, mirroring the reference where validation
+# always runs on the filtered value (Filtering() before rules,
+# validating.go:119-155).
+_CAST_OUTPUT: dict[str, "T.DataType"] = {}
+
+
+def _cast_outputs():
+    from pyspark.sql import types as T
+
+    return {
+        "int": T.IntegerType(),
+        "uint": T.LongType(),
+        "int64": T.LongType(),
+        "float": T.DoubleType(),
+        "bool": T.BooleanType(),
+        "strToTime": T.TimestampType(),
+        "str2arr": T.ArrayType(T.StringType()),
+        "str2ints": T.ArrayType(T.IntegerType()),
+    }
+
+
+def chain_output_dtype(chain: list[tuple[str, tuple]], input_dt):
+    """Data type a filter chain produces, given the input column type.
+    String-to-string filters keep the input type; cast filters override."""
+    if not _CAST_OUTPUT:
+        _CAST_OUTPUT.update(_cast_outputs())
+    dt = input_dt
+    for name, _args in chain:
+        real = resolve_filter_alias(name)
+        if real in _CAST_OUTPUT:
+            dt = _CAST_OUTPUT[real]
+    return dt
+
+
 def apply_filter_chain(col: Column, chain: list[tuple[str, tuple]]) -> Column:
     """Compose a parsed chain [(name, args), ...] into one Column expr."""
     for name, args in chain:

@@ -67,6 +67,39 @@ def dangling_span_refs(
     return refs.join(cat, refs["media_ref"] == cat["__cat_key"], "left_anti")
 
 
+def dangling_ref_counts(
+    fact: DataFrame,
+    ref_col: str,
+    catalog: DataFrame,
+    catalog_key: str = "ref",
+    *,
+    broadcast_catalog: bool = False,
+) -> DataFrame:
+    """Scale path for the case BOTH sides are huge: (ref, n_occurrences)
+    for every dangling ref, via semi-join reduction.
+
+    At 10^12 fact rows a ref column repeats heavily (maybe 10^8 distinct
+    refs). Anti-joining raw rows shuffles O(rows); pre-aggregating
+    ``groupBy(ref).count()`` first lets Catalyst's partial (map-side)
+    aggregate collapse each scan partition to its distinct refs before
+    anything moves, so the shuffle is O(distinct refs) — then the
+    anti-join runs on the reduced frame. Same trick a bloom-filter
+    runtime filter approximates, but exact and with zero extra pass.
+
+    Default is a shuffle join (both sides large); pass
+    ``broadcast_catalog=True`` when the catalog is dimension-sized.
+    """
+    counts = (
+        fact.filter(F.col(ref_col).isNotNull())
+        .groupBy(ref_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    cat = catalog.select(F.col(catalog_key).alias("__cat_key")).distinct()
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    return counts.join(cat, counts[ref_col] == cat["__cat_key"], "left_anti")
+
+
 def ref_integrity_report(
     docs: DataFrame,
     catalog: DataFrame,

@@ -28,20 +28,21 @@ from dataclasses import dataclass, field as dc_field
 
 from validate_spark.functions.validators import resolve_alias, is_required_family
 
-# validators whose single argument is a comma-separated list
+# validators whose single argument is a comma-separated list — CANONICAL
+# names (parse_segment matches after alias resolution)
 _LIST_ARG = {
     "enum",
-    "not_in",
+    "notIn",
     "rule_one_of",
     "contains",
-    "not_contains",
-    "required_if",
-    "required_unless",
-    "required_with",
-    "required_with_all",
-    "required_without",
-    "required_without_all",
-    "in_mime_types",
+    "notContains",
+    "requiredIf",
+    "requiredUnless",
+    "requiredWith",
+    "requiredWithAll",
+    "requiredWithout",
+    "requiredWithoutAll",
+    "inMimeTypes",
 }
 
 # validators that keep the raw string after the first ':' as one argument

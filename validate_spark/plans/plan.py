@@ -37,7 +37,11 @@ from validate_spark.functions.validators import (
     is_empty_col,
     is_required_family,
 )
-from validate_spark.functions.filters import parse_filter_chain, apply_filter_chain
+from validate_spark.functions.filters import (
+    parse_filter_chain,
+    apply_filter_chain,
+    chain_output_dtype,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -61,6 +65,8 @@ class RuleSet:
     skip_on_empty: bool = True  # GlobalOption.SkipOnEmpty (validate.go:79)
     zero_as_empty: bool = False  # numeric zero counts as empty (IsEmpty parity flag)
     locale: str | None = None  # message locale (locales/zhcn Register parity)
+    err_show_value: bool = False  # append failing value to messages
+    # (GlobalOption.ErrShowValue, validate.go:104-108; issue #184)
 
     def hash(self) -> str:
         payload = json.dumps(
@@ -72,6 +78,7 @@ class RuleSet:
                 "skip_on_empty": self.skip_on_empty,
                 "zero_as_empty": self.zero_as_empty,
                 "locale": self.locale,
+                "err_show_value": self.err_show_value,
             },
             sort_keys=True,
         )
@@ -134,6 +141,9 @@ class CompiledRule:
     args: tuple[str, ...]
     predicate: Column  # boolean, null-safe (already coalesced)
     message: str
+    # set only under ErrShowValue: the failing value gets appended to
+    # the message as " (value: %v)" (issue #184; validating.go:292-298)
+    value_col: Column | None = None
 
 
 @dataclass
@@ -157,13 +167,23 @@ class Plan:
             return F.array().cast(
                 "array<struct<idx:int,field:string,validator:string,message:string,ok:boolean>>"
             )
+        def msg_col(r: CompiledRule) -> Column:
+            if r.value_col is None:
+                return F.lit(r.message)
+            # ErrShowValue: "%s (value: %v)" — Go renders nil as <nil>
+            return F.concat(
+                F.lit(r.message + " (value: "),
+                F.coalesce(r.value_col.cast("string"), F.lit("<nil>")),
+                F.lit(")"),
+            )
+
         return F.array(
             *[
                 F.struct(
                     F.lit(r.index).alias("idx"),
                     F.lit(r.field).alias("field"),
                     F.lit(r.validator).alias("validator"),
-                    F.lit(r.message).alias("message"),
+                    msg_col(r).alias("message"),
                     r.predicate.alias("ok"),
                 )
                 for r in self.rules
@@ -256,10 +276,17 @@ def compile_plan(
 
     # -- filter projections (applied BEFORE validation, filtering.go:142-237)
     filter_projections: dict[str, Column] = {}
+    # post-filter dtypes: validation sees the FILTERED value's type
+    # (cast filters change it — e.g. `float` makes the empty gate
+    # null-based instead of ''-based)
+    filter_dtypes: dict[str, T.DataType] = {}
     for field, chain_str in ruleset.filters.items():
         if not _field_in_scene(field, scene_fields):
             continue
         chain = parse_filter_chain(chain_str)
+        out_dt = chain_output_dtype(chain, dtype_at(schema, field))
+        if out_dt is not None:
+            filter_dtypes[field] = out_dt
         if "." in field:
             # interior `.*` filter (issue #262): transform each element
             parent, _, sub = field.partition(".*.")
@@ -299,6 +326,8 @@ def compile_plan(
         return col_at(f)
 
     def dtype_of(f: str) -> T.DataType | None:
+        if f in filter_dtypes:
+            return filter_dtypes[f]
         return dtype_at(schema, f)
 
     for field, rule_str in ruleset.rules.items():
@@ -310,7 +339,7 @@ def compile_plan(
             skip_empty=ruleset.skip_on_empty,
             messages=ruleset.messages,
         )
-        leaf_dt = dtype_at(schema, field)
+        leaf_dt = dtype_of(field)
 
         if fr.default is not None and "." not in field:
             base = F.col(field)
@@ -385,6 +414,12 @@ def compile_plan(
                 # (validation.go:880-904) — subsumed by the skip gate above
                 pass
 
+            value_col = None
+            if ruleset.err_show_value:
+                # wildcard rules report the whole source value (fv.Src()
+                # is the field's source value in the reference too)
+                value_col = col_at(field.split(".*")[0])
+
             compiled.append(
                 CompiledRule(
                     index=idx,
@@ -392,6 +427,7 @@ def compile_plan(
                     validator=name,
                     args=spec.args,
                     predicate=pred,
+                    value_col=value_col,
                     message=render_message(
                         name,
                         field,

@@ -156,19 +156,16 @@ def validate_form(
     """Validate fields of a query-string column — the engine analogue of
     ``validate.FromQuery(...).Create().Validate()`` over a whole table
     of requests at once."""
+    import dataclasses
+
     rs = rules if isinstance(rules, RuleSet) else RuleSet(rules=dict(rules))
     field_paths = {f.split(".*")[0].split(".0")[0] for f in rs.rules}
     field_paths |= set(rs.filters)
     parsed = parse_query_column(df, query_col, sorted(field_paths))
-    prefixed = RuleSet(
+    prefixed = dataclasses.replace(
+        rs,
         rules={f"_form.{f}": r for f, r in rs.rules.items()},
         filters={f"_form.{f}": r for f, r in rs.filters.items()},
-        messages=rs.messages,
         labels={f"_form.{f}": v for f, v in rs.labels.items()},
-        scenes=rs.scenes,
-        stop_on_error=rs.stop_on_error,
-        skip_on_empty=rs.skip_on_empty,
-        zero_as_empty=rs.zero_as_empty,
-        locale=rs.locale,
     )
     return validate(parsed, prefixed, key_cols=key_cols)

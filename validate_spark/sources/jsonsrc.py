@@ -35,17 +35,15 @@ def validate_json(
     """Validate fields INSIDE a JSON column: rule paths are relative to
     the parsed document (``"k": "required|min:0"`` addresses ``$.k``) —
     the engine analogue of ``validate.FromJSONBytes(...).Validate()``."""
+    import dataclasses
+
     parsed = parse_json_column(df, json_col, ddl_schema, out_col="_doc")
     if isinstance(rules, RuleSet):
-        prefixed = RuleSet(
+        prefixed = dataclasses.replace(
+            rules,
             rules={f"_doc.{f}": r for f, r in rules.rules.items()},
             filters={f"_doc.{f}": r for f, r in rules.filters.items()},
-            messages=rules.messages,
-            labels=rules.labels,
-            scenes=rules.scenes,
-            stop_on_error=rules.stop_on_error,
-            skip_on_empty=rules.skip_on_empty,
-            zero_as_empty=rules.zero_as_empty,
+            labels={f"_doc.{f}": v for f, v in rules.labels.items()},
         )
     else:
         prefixed = RuleSet(rules={f"_doc.{f}": r for f, r in rules.items()})
