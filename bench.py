@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q29_required_family",
     "q30_json_validation",
     "q31_format_gauntlet",
+    "q32_date_gauntlet",
+    "q33_form_staging",
+    "q36_drift_chi2",
 ]
 
 

@@ -170,3 +170,33 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     run_once()
     got2 = {r["key"] for r in spark.read.parquet(out).collect()}
     assert got2 == {"1", "2", "5"}  # 4 suppressed by checkpointed state
+
+
+def test_windowed_drift_detects_shifted_window(spark, tmp_path):
+    from validate_spark.streaming import snapshot_histogram, windowed_drift
+
+    # snapshot: values uniform in [0, 100)
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    snap = snapshot_histogram(ref, "v", lo=0.0, hi=100.0, n_buckets=10)
+
+    # stream: window 0 matches the snapshot, window 1 is shifted high
+    rows = [(f"2024-01-01 00:00:{10+i%40:02d}", float(i % 100)) for i in range(200)]
+    rows += [(f"2024-01-01 00:01:{10+i%40:02d}", 90.0 + (i % 10)) for i in range(200)]
+    src = str(tmp_path / "dsrc")
+    spark.createDataFrame(rows, "ts_s string, v double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+
+    drift = windowed_drift(
+        stream, "v", snap, ts_col="ts", window="1 minute",
+        watermark="2 minutes", lo=0.0, hi=100.0, n_buckets=10,
+    )
+    assert drift.isStreaming
+    _run_to_memory(drift, "t_drift", mode="complete")
+    got = {r["window"]["start"].minute: r for r in spark.sql("select * from t_drift").collect()}
+    assert got[0]["n_obs"] == 200 and got[1]["n_obs"] == 200
+    # matching window: tiny statistic; shifted window: huge
+    assert got[0]["chi2"] < 10.0
+    assert got[1]["chi2"] > 100.0
+    assert got[1]["dof"] == 9  # all 10 buckets occupied on at least one side

@@ -312,20 +312,28 @@ def _byte_len(col: Column, dt: T.DataType | None) -> Column:
     return F.octet_length(col.cast("string"))
 
 
-# date parsing: strutil.ToTime layout list (most-common subset)
-_DATE_FORMATS = (
-    "yyyy-MM-dd HH:mm:ss",
-    "yyyy-MM-dd HH:mm",
-    "yyyy-MM-dd",
-    "yyyy/MM/dd HH:mm:ss",
-    "yyyy/MM/dd",
-    "yyyyMMdd",
-)
+# date parsing: strutil.ToTime layout list (most-common subset).
+# Layouts are grouped by the EXACT string length each produces (Spark's
+# CORRECTED parser needs 2-digit MM/dd, so length is decisive): trying
+# only length-compatible layouts avoids the JVM throw/catch a failed
+# try_to_timestamp costs per row per layout — measured 3.4x on a
+# 3-date-rule scan (BENCH.md §5).
+_DATE_FORMATS_BY_LEN = {
+    19: ("yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss"),
+    16: ("yyyy-MM-dd HH:mm",),
+    10: ("yyyy-MM-dd", "yyyy/MM/dd"),
+    8: ("yyyyMMdd",),
+}
 
 
 def _to_ts(col: Column) -> Column:
     c = col.cast("string")
-    return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in _DATE_FORMATS])
+    n = F.length(c)
+    expr = None
+    for ln, fmts in _DATE_FORMATS_BY_LEN.items():
+        branch = F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in fmts]) if len(fmts) > 1 else F.try_to_timestamp(c, F.lit(fmts[0]))
+        expr = F.when(n == ln, branch) if expr is None else expr.when(n == ln, branch)
+    return expr
 
 
 def _ts_lit(arg: str) -> Column:
