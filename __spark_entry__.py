@@ -597,6 +597,45 @@ def q36_drift_chi2(spark, sf_dir):
     )
 
 
+def q37_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier counts from EXACT percentiles (the
+    oracle-checkable twin of drift.iqr_outlier_bounds' sketch path):
+    q1/q3 in one aggregate, broadcast the 1-row bounds, one
+    filter-count pass."""
+    ev = _t(spark, sf_dir, "events")
+    qs = ev.agg(F.percentile("value", F.lit([0.25, 0.75])).alias("q"))
+    b = qs.select(
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("q3"),
+    ).select(
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    j = ev.crossJoin(F.broadcast(b))
+    v = F.col("value")
+    return j.agg(
+        F.count(v).alias("n_values"),
+        F.sum(((v < F.col("lo")) | (v > F.col("hi"))).cast("int")).alias("n_outliers"),
+        F.round(F.first("lo"), 4).alias("lo"),
+        F.round(F.first("hi"), 4).alias("hi"),
+    )
+
+
+def q38_salted_uniqueness(spark, sf_dir):
+    """Skew-safe two-phase uniqueness (salt → partial count → merge) —
+    value-identical to the plain hash-aggregate path, checked against
+    the same oracle as q08."""
+    docs = _t(spark, sf_dir, "documents")
+    return uq.uniqueness_report(docs, "doc_id", salt_buckets=8)
+
+
+def q39_composite_dup_keys(spark, sf_dir):
+    """Multi-column uniqueness: duplicate (lang, source) combinations —
+    duplicate_keys accepts a key LIST and aggregates once."""
+    docs = _t(spark, sf_dir, "documents")
+    return uq.duplicate_keys(docs, ["lang", "source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -633,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_scene_projection": q34_scene_projection,
         "q35_locale_messages": q35_locale_messages,
         "q36_drift_chi2": q36_drift_chi2,
+        "q37_iqr_outliers": q37_iqr_outliers,
+        "q38_salted_uniqueness": q38_salted_uniqueness,
+        "q39_composite_dup_keys": q39_composite_dup_keys,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
     }
@@ -1154,6 +1196,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM v WHERE n > 0
         """,
         "q35_locale_messages": _q35_sql(),
+        "q37_iqr_outliers": """
+            WITH b AS (
+              SELECT quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events
+            ), f AS (
+              SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM b
+            )
+            SELECT (SELECT count(value) FROM events)::bigint AS n_values,
+                   (SELECT count(*) FROM events, f
+                     WHERE value IS NOT NULL AND (value < lo OR value > hi))::bigint
+                     AS n_outliers,
+                   round(lo, 4) AS lo, round(hi, 4) AS hi
+            FROM f
+        """,
+        "q39_composite_dup_keys": """
+            SELECT lang, source, count(*)::bigint AS dup_count
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY lang, source
+            HAVING count(*) > 1
+        """,
+        "q38_salted_uniqueness": """
+            WITH d AS (
+              SELECT doc_id, count(*) AS c FROM documents
+              WHERE doc_id IS NOT NULL GROUP BY doc_id
+            )
+            SELECT (SELECT count(*) FROM documents)::bigint AS n_rows,
+                   (SELECT count(DISTINCT doc_id) FROM documents)::bigint AS n_keys,
+                   (SELECT count(*) FROM d WHERE c > 1)::bigint AS n_dup_keys,
+                   (SELECT coalesce(sum(c), 0) FROM d WHERE c > 1)::bigint AS n_dup_rows
+        """,
         "q36_drift_chi2": """
             WITH b AS (
               SELECT (doc_id % 2 = 0) AS is_ref,

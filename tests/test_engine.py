@@ -289,3 +289,27 @@ def test_err_show_value_appends_value(spark):
     off = validate(df, RuleSet(rules={"age": "required|max:100"}), key_cols=["id"])
     off_msgs = {r["id"]: r["message"] for r in off.violations().collect()}
     assert "value:" not in off_msgs["a"] and "(value" not in off_msgs["b"]
+
+
+def test_map_column_key_and_wildcard_rules(spark):
+    # MapData parity: dotted key addresses a map entry; `.*` validates
+    # every map VALUE (per-key rule expansion, struct_rules.go:456-491)
+    df = spark.createDataFrame(
+        [
+            ("1", {"a": 5, "b": 7}),
+            ("2", {"a": -1, "b": 3}),
+            ("3", {"b": 1}),
+        ],
+        "id string, attrs map<string,int>",
+    )
+    res = validate(
+        df,
+        RuleSet(rules={"attrs.a": "required|min:0", "attrs.*": "min:0"}),
+        key_cols=["id"],
+    )
+    viols = {(r["id"], r["field"], r["validator"]) for r in res.violations().collect()}
+    assert viols == {
+        ("2", "attrs.a", "min"),   # a = -1
+        ("2", "attrs.*", "min"),   # some value < 0
+        ("3", "attrs.a", "required"),  # key missing → null ≡ empty
+    }

@@ -200,3 +200,19 @@ def test_windowed_drift_detects_shifted_window(spark, tmp_path):
     assert got[0]["chi2"] < 10.0
     assert got[1]["chi2"] > 100.0
     assert got[1]["dof"] == 9  # all 10 buckets occupied on at least one side
+
+
+def test_foreach_batch_manifest_lineage(spark, stream_src, tmp_path):
+    src, stream = stream_src
+    mpath = str(tmp_path / "manifest")
+    cb = foreach_batch_validator(
+        RULES, stream.schema, key_cols=["id"], manifest_path=mpath
+    )
+    q = stream.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    m = spark.read.parquet(mpath).collect()
+    assert len(m) == 1
+    row = m[0]
+    assert row["n_rows"] == 3 and row["n_pass"] == 1 and row["n_fail"] == 2
+    assert row["n_violations"] == 3 and row["verdict"] is False
+    assert row["ruleset_hash"] == RULES.hash()

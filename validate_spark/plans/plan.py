@@ -109,6 +109,9 @@ def dtype_at(schema: T.StructType, path: str) -> T.DataType | None:
                 if part not in names:
                     return None
                 dt = names[part]
+            elif isinstance(dt, T.MapType):
+                # plain key into a map column: m.key → value type
+                dt = dt.valueType
             else:
                 return None
     return dt
@@ -244,7 +247,14 @@ def _compile_path_pred(
         return make_leaf(cur, cur_dt)
     head, rest = path_parts[0], path_parts[1:]
     if head == "*":
-        elem_dt = cur_dt.elementType if isinstance(cur_dt, T.ArrayType) else None
+        if isinstance(cur_dt, T.MapType):
+            # map wildcard validates every VALUE (reference expands map
+            # keys to per-key rules at parse time, struct_rules.go:456-491;
+            # same acceptance set, evaluated columnar)
+            cur = F.map_values(cur)
+            elem_dt = cur_dt.valueType
+        else:
+            elem_dt = cur_dt.elementType if isinstance(cur_dt, T.ArrayType) else None
         inner = F.forall(
             cur,
             lambda x: F.coalesce(

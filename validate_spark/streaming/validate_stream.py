@@ -101,6 +101,7 @@ def foreach_batch_validator(
     key_cols: list[str] | None = None,
     verdicts_path: str | None = None,
     violations_path: str | None = None,
+    manifest_path: str | None = None,
     on_batch=None,
 ):
     """Build a ``foreachBatch`` callback that validates each micro-batch
@@ -110,6 +111,13 @@ def foreach_batch_validator(
 
     ``on_batch(result, batch_id)`` gets the ValidationResult for custom
     sinks; paths, when given, append verdicts/violations as parquet.
+    ``manifest_path`` appends one lineage row per micro-batch —
+    (batch_id, ruleset_hash, n_rows, n_pass, n_fail, n_violations,
+    verdict) — the streaming twin of the batch per-partition manifest
+    (operators/manifest.py): Structured Streaming's checkpoint makes
+    batch replay exactly-once; the manifest adds rule-level lineage so
+    an auditor can tie every batch to the rule-set version that
+    validated it.
     """
     if isinstance(ruleset, dict):
         ruleset = RuleSet(rules=ruleset)
@@ -125,6 +133,20 @@ def foreach_batch_validator(
             res.violations().withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(violations_path)
+        if manifest_path is not None:
+            (
+                res.annotated.agg(
+                    F.lit(batch_id).alias("batch_id"),
+                    F.lit(plan.plan_hash).alias("ruleset_hash"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col(PASS_COL).cast("long")).alias("n_pass"),
+                    F.sum((~F.col(PASS_COL)).cast("long")).alias("n_fail"),
+                    F.sum(F.size(FAILED_COL).cast("long")).alias("n_violations"),
+                    (F.sum((~F.col(PASS_COL)).cast("long")) == 0).alias("verdict"),
+                )
+                .write.mode("append")
+                .parquet(manifest_path)
+            )
         if on_batch is not None:
             on_batch(res, batch_id)
 
