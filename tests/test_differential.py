@@ -1,0 +1,258 @@
+"""Differential test: the Spark engine vs a pure-Python mini-oracle that
+independently implements the REFERENCE's semantics (hand-derived from
+validators.go / validating.go, not from our Spark code). One seeded
+random corpus, every row × every rule compared — catches semantic drift
+that example-based tests and SQL oracles can both miss (regex dialect,
+empty gates, byte-vs-char lengths, numeric coercion of string columns).
+"""
+
+import random
+import re
+
+from pyspark.sql import types as T
+
+from validate_spark import RuleSet, validate
+
+SEED = 7
+N_ROWS = 300
+
+# the reference's Int / Email regexes, verbatim (validators.go:16,21) —
+# note the Email pattern REQUIRES a dotted domain with a 2+ letter TLD,
+# so "x@y" and "x@y.z" both fail (this differential test caught an
+# HTML5-style oracle regex accepting them)
+INT_RE = re.compile(r"^(?:[-+]?(?:0|[1-9][0-9]*))$")
+EMAIL_RE_PY = re.compile(
+    r'^(([^<>()\[\]\\.,;:\s@"]+(\.[^<>()\[\]\\.,;:\s@"]+)*)|(".+"))'
+    r"@((\[[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}])"
+    r"|(([a-zA-Z\-0-9]+\.)+[a-zA-Z]{2,}))$"
+)
+
+
+def _make_corpus():
+    rng = random.Random(SEED)
+    rows = []
+    strings = ["", "ab", "abc", "hello world", "zz", "ésumé", "42", "-7", "007",
+               "a@b.co", "not-an-email", "x" * 20, "café au lait"]
+    for i in range(N_ROWS):
+        s = rng.choice([None] + strings)
+        n = rng.choice([None, -50, -1, 0, 1, 50, 100, 101, 10**9])
+        d = rng.choice([None, -1.5, 0.0, 24.99, 50.0, 50.01, 1e6])
+        arr = rng.choice([None, [], ["a"], ["a", "b", "c"]])
+        s2 = rng.choice([None, "", "a@b.co", "u.name+tag@mail.example.org", "@bad",
+                         "no-at-sign", "x@y", "x@y.z"])
+        s3 = rng.choice([None, "", "a", "b", "c", "d", "A"])
+        s4 = rng.choice([None, "", "0", "42", "-7", "007", "1.5", "+3", "abc"])
+        twin = s if rng.random() < 0.5 else rng.choice([None] + strings)
+        rows.append((str(i), s, n, d, arr, s2, s3, s4, twin))
+    return rows
+
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("s", T.StringType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("d", T.DoubleType()),
+    T.StructField("arr", T.ArrayType(T.StringType())),
+    T.StructField("s2", T.StringType()),
+    T.StructField("s3", T.StringType()),
+    T.StructField("s4", T.StringType()),
+    T.StructField("twin", T.StringType()),
+])
+
+RULES = {
+    "s": "required|minLength:3|maxLength:10",
+    "n": "required|min:0|max:100",
+    "d": "between:0,50",
+    "arr": "required|minLength:2",
+    "s2": "email",
+    "s3": "enum:a,b,c",
+    "s4": "intStr",
+    "twin": "eqField:s",
+}
+
+
+# ---- mini-oracle: reference semantics in plain Python ----------------------
+
+def _empty(v):
+    return v is None or v == "" or (isinstance(v, list) and len(v) == 0)
+
+
+def _blen(v):
+    if isinstance(v, list):
+        return len(v)
+    if v is None:
+        return None
+    return len(v.encode("utf-8"))  # Go len(string) is BYTES
+
+
+def _numcmp(v, a, op):
+    # valueCompare funnel: numeric column → numeric; string column →
+    # numeric when the arg parses, else lexicographic; unparseable
+    # string value → fail (validators.go:62-145)
+    if isinstance(v, (int, float)):
+        x = float(v)
+    else:
+        try:
+            float(a)
+        except ValueError:
+            return op(v, a)  # lexicographic
+        try:
+            x = float(v)
+        except (TypeError, ValueError):
+            return False
+    return op(x, float(a))
+
+
+def _check(field, name, args, row):
+    v = row[field]
+    if name == "required":
+        return not _empty(v)
+    if _empty(v):  # skipEmpty gate for non-required validators
+        return True
+    if name == "minLength":
+        return _blen(v) >= int(args[0])
+    if name == "maxLength":
+        return _blen(v) <= int(args[0])
+    if name == "min":
+        return _numcmp(v, args[0], lambda x, a: x >= a)
+    if name == "max":
+        return _numcmp(v, args[0], lambda x, a: x <= a)
+    if name == "between":
+        return _numcmp(v, args[0], lambda x, a: x >= a) and _numcmp(
+            v, args[1], lambda x, a: x <= a
+        )
+    if name == "isEmail":
+        return v != "" and bool(EMAIL_RE_PY.match(v))
+    if name == "enum":
+        return v in args
+    if name == "isIntString":
+        return v != "" and bool(INT_RE.match(v))
+    if name == "eqField":
+        return v == row[args[0]]
+    raise AssertionError(f"mini-oracle has no {name}")
+
+
+_PARSED = {
+    "s": [("required", ()), ("minLength", ("3",)), ("maxLength", ("10",))],
+    "n": [("required", ()), ("min", ("0",)), ("max", ("100",))],
+    "d": [("between", ("0", "50"))],
+    "arr": [("required", ()), ("minLength", ("2",))],
+    "s2": [("isEmail", ())],
+    "s3": [("enum", ("a", "b", "c"))],
+    "s4": [("isIntString", ())],
+    "twin": [("eqField", ("s",))],
+}
+
+
+def _oracle_violations(rows):
+    out = set()
+    cols = [f.name for f in SCHEMA.fields]
+    for r in rows:
+        row = dict(zip(cols, r))
+        for field, checks in _PARSED.items():
+            for name, args in checks:
+                if not _check(field, name, args, row):
+                    out.add((row["id"], field, name))
+    return out
+
+
+def test_engine_matches_mini_oracle(spark):
+    rows = _make_corpus()
+    df = spark.createDataFrame(rows, SCHEMA)
+    res = validate(df, RuleSet(rules=RULES), key_cols=["id"])
+    got = {
+        (r["id"], r["field"], r["validator"])
+        for r in res.violations().collect()
+    }
+    want = _oracle_violations(rows)
+    only_engine = got - want
+    only_oracle = want - got
+    assert not only_engine and not only_oracle, (
+        f"engine-only: {sorted(only_engine)[:10]}  "
+        f"oracle-only: {sorted(only_oracle)[:10]}"
+    )
+    # sanity: the corpus actually exercises both outcomes of every rule
+    fields_violated = {f for _, f, _ in want}
+    assert fields_violated == set(RULES), f"corpus too tame: {fields_violated}"
+
+
+# ---- nested / wildcard differential (the flagship interleaved shape) -------
+
+NESTED_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+])
+
+NESTED_RULES = {
+    "spans": "required|minLength:1",
+    "spans.*.kind": "required|in:text,image,audio",
+    "spans.*.offset": "min:0",
+    "spans.*.media_ref": "regexp:^m-[0-9]{4}$",
+}
+
+MREF_RE = re.compile(r"^m-[0-9]{4}$")
+
+
+def _span_ok(name, span):
+    kind, off, mref = span[0], span[3], span[2]
+    if name == "kind_required":
+        return not _empty(kind)
+    if name == "kind_in":
+        return True if _empty(kind) else kind in ("text", "image", "audio")
+    if name == "offset_min":
+        # numeric zero is NOT empty by default (zero_as_empty=False)
+        return True if off is None else off >= 0
+    if name == "mref_regexp":
+        return True if _empty(mref) else bool(MREF_RE.match(mref))
+    raise AssertionError(name)
+
+
+def _nested_oracle(rows):
+    out = set()
+    checks = [
+        ("spans.*.kind", "required", "kind_required"),
+        ("spans.*.kind", "enum", "kind_in"),
+        ("spans.*.offset", "min", "offset_min"),
+        ("spans.*.media_ref", "regexp", "mref_regexp"),
+    ]
+    for rid, spans in rows:
+        if _empty(spans):
+            out.add((rid, "spans", "required"))
+            # required over wildcard: empty/missing parent FAILS the
+            # required child (validating.go:497-516); non-required
+            # children — and non-required validators on the empty parent
+            # itself (minLength) — pass via the skipEmpty gate
+            out.add((rid, "spans.*.kind", "required"))
+            continue
+        for field, validator, key in checks:
+            if not all(_span_ok(key, s) for s in spans):
+                out.add((rid, field, validator))
+    return out
+
+
+def test_nested_wildcard_matches_mini_oracle(spark):
+    rng = random.Random(11)
+    kinds = [None, "", "text", "image", "audio", "video"]
+    refs = [None, "", "m-0001", "m-99", "x-0001", "m-12345"]
+    rows = []
+    for i in range(N_ROWS):
+        if rng.random() < 0.08:
+            spans = rng.choice([None, []])
+        else:
+            spans = [
+                (rng.choice(kinds), "t", rng.choice(refs), rng.choice([None, -1, 0, 5]))
+                for _ in range(rng.randint(1, 4))
+            ]
+        rows.append((str(i), spans))
+    df = spark.createDataFrame(rows, NESTED_SCHEMA)
+    res = validate(df, RuleSet(rules=NESTED_RULES), key_cols=["id"])
+    got = {(r["id"], r["field"], r["validator"]) for r in res.violations().collect()}
+    want = _nested_oracle(rows)
+    assert got == want, (
+        f"engine-only: {sorted(got - want)[:8]}  oracle-only: {sorted(want - got)[:8]}"
+    )
