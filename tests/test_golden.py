@@ -186,3 +186,52 @@ def test_filter_on_struct(spark):
     safe = res.safe_rows().collect()[0]
     # filtered values land in safe data (reference: write-back + BindSafeData)
     assert safe["Tres"] == "ONE" and safe["Name"] == "INHERE"
+
+
+def test_plan_snapshot_stable(spark):
+    # golden-snapshot regression over the COMPILED plan — the engine
+    # analogue of dumpRuleSet (regression_compat_test.go:41-120): rules,
+    # order, resolved names, args (with types via repr), messages,
+    # filters, defaults all serialize to one stable string
+    from validate_spark.plans.plan import compile_plan
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("age", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("addr", T.StructType([T.StructField("city", T.StringType())])),
+    ])
+    rs = RuleSet(
+        rules={
+            "name": "required|minLen:2|maxLen:10",
+            "age": "required|int|min:1|max:99|default:30",
+            "tags.*": "in:a,b,c",
+            "addr.city": "required",
+        },
+        filters={"name": "trim|lower", "addr.city": "trim"},
+        messages={"age.min": "too young"},
+        labels={"name": "Name"},
+    )
+    plan = compile_plan(rs, schema)
+    lines = [
+        f"rule[{r.index}] {r.field} {r.validator}{list(r.args)!r} msg={r.message!r}"
+        for r in plan.rules
+    ]
+    lines += [f"filter {f}" for f in sorted(plan.filter_projections)]
+    lines += [f"default {f}" for f in sorted(plan.default_projections)]
+    snapshot = "\n".join(lines)
+    expected = """\
+rule[0] name required[] msg='Name is required to not be empty'
+rule[1] name minLength['2'] msg='Name min length is 2'
+rule[2] name maxLength['10'] msg='Name max length is 10'
+rule[3] age required[] msg='age is required to not be empty'
+rule[4] age isInt[] msg='age value must be an integer'
+rule[5] age min['1'] msg='too young'
+rule[6] age max['99'] msg='age max value is 99'
+rule[7] tags.* enum['a', 'b', 'c'] msg='tags.* value must be in the enum a,b,c'
+rule[8] addr.city required[] msg='addr.city is required to not be empty'
+filter addr
+filter name
+default age"""
+    assert snapshot == expected, f"plan snapshot drifted:\n{snapshot}"

@@ -118,3 +118,49 @@ def test_issue_262_wildcard_filter_per_element(spark):
     assert res.verdicts().collect()[0]["pass"] is True
     safe = res.safe_rows().collect()[0]
     assert [x["name"] for x in safe["items"]] == ["a", "b"]
+
+
+def test_issue_217_false_bool_is_present(spark):
+    # #217 (data_source.go:446): a present-but-zero bool (ptr to false)
+    # PASSES required; only a missing value (nil ptr → NULL) fails
+    df = spark.createDataFrame(
+        [("1", False), ("2", True), ("3", None)], "id string, val boolean"
+    )
+    res = validate(df, {"val": "required"}, key_cols=["id"])
+    verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {"1": True, "2": True, "3": False}
+    # the zero-as-empty carve-out is an explicit opt-in flag
+    res2 = validate(
+        df, RuleSet(rules={"val": "required"}, zero_as_empty=True), key_cols=["id"]
+    )
+    verd2 = {r["id"]: r["pass"] for r in res2.verdicts().collect()}
+    assert verd2 == {"1": False, "2": True, "3": False}
+
+
+def test_issue_217_nested_slice_of_bools(spark):
+    df = spark.createDataFrame(
+        [("1", [{"val": False}, {"val": True}]), ("2", [{"val": None}])],
+        "id string, samples array<struct<val:boolean>>",
+    )
+    res = validate(df, {"samples.*.val": "required"}, key_cols=["id"])
+    verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {"1": True, "2": False}
+
+
+def test_issue_221_deep_wildcard_through_maps(spark):
+    # #221: clinics.*.doctors.*.dates.*.date — wildcards through arrays
+    # of maps, leaf addressed by key
+    df = spark.createDataFrame(
+        [
+            ("1", [{"doctors": [{"dates": [{"date": "2023-01-01"}]}]}]),
+            ("2", [{"doctors": [{"dates": [{"date": "nope"}]}]}]),
+        ],
+        "id string, clinics array<struct<doctors:array<struct<dates:array<map<string,string>>>>>>",
+    )
+    res = validate(
+        df,
+        {"clinics.*.doctors.*.dates.*.date": "required|date"},
+        key_cols=["id"],
+    )
+    verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {"1": True, "2": False}
