@@ -636,6 +636,21 @@ def q39_composite_dup_keys(spark, sf_dir):
     return uq.duplicate_keys(docs, ["lang", "source"])
 
 
+def q40_training_pipeline(spark, sf_dir):
+    """Composite training-data pipeline — the operators composed the way
+    a user would: validate → keep passing docs → drop exact duplicates
+    (min doc_id survives per fingerprint) → per-language rollup with
+    token totals. One DAG, oracle-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    passing = res.safe_rows().select("doc_id", "text", "lang")
+    kept = dd.drop_exact_duplicates(passing)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ts.whitespace_token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -675,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_iqr_outliers": q37_iqr_outliers,
         "q38_salted_uniqueness": q38_salted_uniqueness,
         "q39_composite_dup_keys": q39_composite_dup_keys,
+        "q40_training_pipeline": q40_training_pipeline,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
     }
@@ -1210,6 +1226,20 @@ def oracle_sql() -> dict[str, str]:
                      AS n_outliers,
                    round(lo, 4) AS lo, round(hi, 4) AS hi
             FROM f
+        """,
+        "q40_training_pipeline": f"""
+            WITH pass AS (
+              SELECT doc_id, text, lang FROM documents WHERE {_PASS}
+            ), fp AS (
+              SELECT doc_id, text, lang, {_FP} AS f FROM pass
+            ), keep AS (
+              SELECT f, min(doc_id) AS k FROM fp GROUP BY f
+            ), kept AS (
+              SELECT fp.* FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.k
+            )
+            SELECT lang, count(*)::bigint AS n_docs,
+                   sum({_NTOK})::bigint AS n_tokens
+            FROM kept GROUP BY lang
         """,
         "q39_composite_dup_keys": """
             SELECT lang, source, count(*)::bigint AS dup_count
