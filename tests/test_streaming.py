@@ -216,3 +216,28 @@ def test_foreach_batch_manifest_lineage(spark, stream_src, tmp_path):
     assert row["n_rows"] == 3 and row["n_pass"] == 1 and row["n_fail"] == 2
     assert row["n_violations"] == 3 and row["verdict"] is False
     assert row["ruleset_hash"] == RULES.hash()
+
+
+def test_windowed_drift_single_stateful_operator(spark, tmp_path):
+    # scale contract: the whole drift computation is ONE watermarked
+    # aggregation — state per window is n_buckets longs, never O(rows)
+    from validate_spark.streaming import snapshot_histogram, windowed_drift
+
+    ref = spark.range(100).select((F.col("id") % 50).cast("double").alias("v"))
+    snap = snapshot_histogram(ref, "v", lo=0.0, hi=50.0, n_buckets=5)
+    src = str(tmp_path / "psrc")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:10", 1.0)], "ts_s string, v double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    drift = windowed_drift(
+        stream, "v", snap, ts_col="ts", window="1 minute",
+        watermark="2 minutes", lo=0.0, hi=50.0, n_buckets=5,
+    )
+    q = (
+        drift.writeStream.format("memory").queryName("t_plan_drift")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n_state_ops = len(q.lastProgress.get("stateOperators", []))
+    assert n_state_ops == 1, f"expected 1 stateful operator, got {n_state_ops}"
