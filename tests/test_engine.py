@@ -313,3 +313,18 @@ def test_map_column_key_and_wildcard_rules(spark):
         ("2", "attrs.*", "min"),   # some value < 0
         ("3", "attrs.a", "required"),  # key missing → null ≡ empty
     }
+
+
+def test_multi_field_rule_key(spark):
+    # one key binds several comma-separated fields (Rule.fields,
+    # rule.go:56-60); same for filter chains
+    df = spark.createDataFrame(
+        [("1", " a ", " b ", None)], "id string, x string, y string, z string"
+    )
+    rs = RuleSet(rules={"x, y, z": "required"}, filters={"x, y": "trim|upper"})
+    res = validate(df, rs, key_cols=["id"])
+    viols = {(r["field"], r["validator"]) for r in res.violations().collect()}
+    assert viols == {("z", "required")}
+    # rule order: x, y, z expand in declaration order
+    idxs = [(r.field, r.index) for r in res.plan.rules]
+    assert idxs == [("x", 0), ("y", 1), ("z", 2)]

@@ -284,13 +284,24 @@ def compile_plan(
     """Compile a RuleSet against a schema into a Plan (one-time, driver)."""
     scene_fields = _scene_fields(ruleset, scene)
 
+    def _expand_fields(d: dict[str, str]) -> list[tuple[str, str]]:
+        # a key may bind MULTIPLE comma-separated fields to one rule /
+        # filter chain (Rule.fields, rule.go:15-60: NewRule splits on ",")
+        out = []
+        for key, val in d.items():
+            for f in key.split(","):
+                f = f.strip()
+                if f:
+                    out.append((f, val))
+        return out
+
     # -- filter projections (applied BEFORE validation, filtering.go:142-237)
     filter_projections: dict[str, Column] = {}
     # post-filter dtypes: validation sees the FILTERED value's type
     # (cast filters change it — e.g. `float` makes the empty gate
     # null-based instead of ''-based)
     filter_dtypes: dict[str, T.DataType] = {}
-    for field, chain_str in ruleset.filters.items():
+    for field, chain_str in _expand_fields(ruleset.filters):
         if not _field_in_scene(field, scene_fields):
             continue
         chain = parse_filter_chain(chain_str)
@@ -340,7 +351,7 @@ def compile_plan(
             return filter_dtypes[f]
         return dtype_at(schema, f)
 
-    for field, rule_str in ruleset.rules.items():
+    for field, rule_str in _expand_fields(ruleset.rules):
         if not _field_in_scene(field, scene_fields):
             continue
         fr = parse_rules(
