@@ -651,6 +651,24 @@ def q40_training_pipeline(spark, sf_dir):
     )
 
 
+def q41_rune_vs_byte_length(spark, sf_dir):
+    """Go len(string) is BYTES (length family) while stringLength counts
+    RUNES (validators_compare.go:176-197) — exercised over a derived
+    Unicode column so the two diverge: 'café-' prefix = 5 runes, 6 bytes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("café-"), F.col("lang")).alias("u")
+    )
+    rs = RuleSet(
+        rules={"u": "byteLength:8,8|stringLength:8"}
+    )
+    res = validate(docs, rs, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -691,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_salted_uniqueness": q38_salted_uniqueness,
         "q39_composite_dup_keys": q39_composite_dup_keys,
         "q40_training_pipeline": q40_training_pipeline,
+        "q41_rune_vs_byte_length": q41_rune_vs_byte_length,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
     }
@@ -1226,6 +1245,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_outliers,
                    round(lo, 4) AS lo, round(hi, 4) AS hi
             FROM f
+        """,
+        "q41_rune_vs_byte_length": """
+            WITH u AS (SELECT 'café-' || lang AS u FROM documents)
+            SELECT * FROM (
+              SELECT 'u' AS field, 'byteLength' AS validator,
+                     count(*)::bigint AS n FROM u
+               WHERE u IS NOT NULL AND u <> ''
+                 AND (strlen(u) < 8 OR strlen(u) > 8)
+              UNION ALL
+              SELECT 'u', 'stringLength', count(*)::bigint FROM u
+               WHERE u IS NOT NULL AND u <> '' AND length(u) < 8
+            ) WHERE n > 0
         """,
         "q40_training_pipeline": f"""
             WITH pass AS (
