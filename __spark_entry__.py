@@ -669,6 +669,14 @@ def q41_rune_vs_byte_length(spark, sf_dir):
     )
 
 
+def q42_rule_report(spark, sf_dir):
+    """Per-rule health report from ONE aggregate (no explode): fail and
+    pass counts for every rule INCLUDING zero-failure rules."""
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return res.rule_report()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -710,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_composite_dup_keys": q39_composite_dup_keys,
         "q40_training_pipeline": q40_training_pipeline,
         "q41_rune_vs_byte_length": q41_rune_vs_byte_length,
+        "q42_rule_report": q42_rule_report,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
     }
@@ -927,6 +936,18 @@ def _q28_sql() -> str:
             f"FROM documents WHERE {_V[key]}"
         )
     return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") WHERE n > 0"
+
+
+def _q42_sql() -> str:
+    parts = []
+    for key, field, validator in _RULE_ORDER:
+        parts.append(
+            f"SELECT '{field}' AS field, '{validator}' AS validator, "
+            f"sum(CASE WHEN {_V[key]} THEN 1 ELSE 0 END)::bigint AS n_fail, "
+            f"sum(CASE WHEN {_V[key]} THEN 0 ELSE 1 END)::bigint AS n_pass "
+            f"FROM documents"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _q35_sql() -> str:
@@ -1231,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM v WHERE n > 0
         """,
         "q35_locale_messages": _q35_sql(),
+        "q42_rule_report": _q42_sql(),
         "q37_iqr_outliers": """
             WITH b AS (
               SELECT quantile_cont(value, 0.25) AS q1,

@@ -328,3 +328,35 @@ def test_multi_field_rule_key(spark):
     # rule order: x, y, z expand in declaration order
     idxs = [(r.field, r.index) for r in res.plan.rules]
     assert idxs == [("x", 0), ("y", 1), ("z", 2)]
+
+
+def test_violations_sample_deterministic_and_subset(spark):
+    df = spark.createDataFrame([(str(i), -i) for i in range(200)], "id string, n long")
+    res = validate(df, {"n": "required|min:0"}, key_cols=["id"])
+    full = {r["id"] for r in res.violations().collect()}
+    s1 = {r["id"] for r in res.violations_sample(0.3).collect()}
+    s2 = {r["id"] for r in res.violations_sample(0.3).collect()}
+    assert s1 == s2  # deterministic (hash-gated, not rand())
+    assert s1 < full and len(s1) > 0
+    assert abs(len(s1) / len(full) - 0.3) < 0.15
+    # plan stays shuffle-free: sampling is a map-side filter
+    plan = res.violations_sample(0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rule_report_single_aggregate(spark):
+    df = spark.createDataFrame(
+        [("1", 5, "x"), ("2", -1, ""), ("3", None, "ok")],
+        "id string, n long, s string",
+    )
+    res = validate(df, {"n": "required|min:0", "s": "required"}, key_cols=["id"])
+    rep = {(r["field"], r["validator"]): (r["n_fail"], r["n_pass"]) for r in res.rule_report().collect()}
+    assert rep == {
+        ("n", "required"): (1, 2),
+        ("n", "min"): (1, 2),       # -1 fails; NULL is skipped (passes)
+        ("s", "required"): (1, 2),
+    }
+    # the DATA side is one aggregation (single exchange); the stack()
+    # Generate runs on the 1-row aggregate output, not on the table
+    plan = res.rule_report()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

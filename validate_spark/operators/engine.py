@@ -125,6 +125,52 @@ class ValidationResult:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def rule_report(self) -> DataFrame:
+        """Per-rule (field, validator, n_fail, n_pass) WITHOUT exploding:
+        one aggregate over the results array — each partition emits
+        len(rules) longs (map-side partial), vs ``summary()`` which
+        shuffles one exploded row per violation. The right shape for a
+        10^12-row health dashboard; includes rules with zero failures."""
+        aggs = [
+            F.sum(
+                (~F.col(RESULTS_COL)[i].getField("ok")).cast("long")
+            ).alias(f"_r{i}")
+            for i in range(len(self.plan.rules))
+        ]
+        row = self.annotated.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+        parts = []
+        for i, r in enumerate(self.plan.rules):
+            parts += [f"'{r.field}'", f"'{r.validator}'", f"_r{i}"]
+        stacked = row.selectExpr(
+            "_n",
+            f"stack({len(self.plan.rules)}, {', '.join(parts)}) "
+            "as (field, validator, n_fail)",
+        )
+        return stacked.select(
+            "field",
+            "validator",
+            "n_fail",
+            (F.col("_n") - F.col("n_fail")).alias("n_pass"),
+        )
+
+    def violations_sample(self, fraction: float, *, seed: int = 0) -> DataFrame:
+        """Deterministic, shuffle-free sample of violation rows.
+
+        At 10^12 rows the violations frame itself can be billions of
+        rows; materializing all of them costs more than the validation.
+        The scale pattern: keep COUNTS exact (``summary()`` — a tiny
+        aggregate) and persist only a reproducible row sample for
+        debugging. Selection is by key hash, not ``rand()``, so re-runs
+        and resumed jobs sample the SAME rows (lineage-stable), and the
+        filter evaluates map-side — zero extra shuffle."""
+        if not 0.0 < fraction <= 1.0:
+            raise ValueError("fraction must be in (0, 1]")
+        m = 1_000_000
+        gate = F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols], F.lit(seed)), F.lit(m)
+        ) < int(fraction * m)
+        return self.violations().filter(gate)
+
 
 def check_value(spark, value, rule: str, *, dtype: str | None = None):
     """One-shot single-value validation — the reference's ``Val(val,
