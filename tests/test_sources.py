@@ -127,3 +127,20 @@ def test_register_custom_locale(spark):
     register_locale("xx-TEST", {"required": "{field} MISSING!!"})
     assert render_message("required", "f", (), locale="xx-TEST") == "f MISSING!!"
     LOCALES.pop("xx-TEST")
+
+
+def test_malformed_percent_escape_does_not_kill_job(spark):
+    # one bad %-escape in a trillion-row form log must become NULL ≡
+    # empty (required violation), never an ANSI runtime error
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(qid=1, q="name=ok"),
+            Row(qid=2, q="name=%zzbad"),      # malformed escape in VALUE
+            Row(qid=3, q="na%zzme=x"),        # malformed escape in KEY
+        ]
+    )
+    res = validate_form(df, "q", {"name": "required"}, key_cols=["qid"])
+    verd = {r["qid"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {1: True, 2: False, 3: False}

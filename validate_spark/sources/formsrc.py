@@ -127,21 +127,22 @@ def parse_query_column(
     logs rarely carry duplicates and "a value was present" verdicts
     are unaffected.
     """
+    # try_url_decode, not url_decode: a single malformed %-escape in one
+    # of 10^12 rows must yield NULL ≡ empty (a `required` violation),
+    # not kill the job with an ANSI error
     raw = F.str_to_map(F.col(query_col), F.lit("&"), F.lit("="))
+
+    def _dec_key(k: Column) -> Column:
+        # malformed %-escape in a KEY: fall back to the raw key (a null
+        # map key would abort the job)
+        d = F.coalesce(F.try_url_decode(k), k)
+        return F.when(k.contains("[]"), d).otherwise(
+            F.replace(F.replace(d, F.lit("["), F.lit(".")), F.lit("]"), F.lit(""))
+        )
+
     decoded = F.map_from_arrays(
-        F.transform(
-            F.map_keys(raw),
-            lambda k: F.when(
-                k.contains("[]"), F.url_decode(k)
-            ).otherwise(
-                F.replace(
-                    F.replace(F.url_decode(k), F.lit("["), F.lit(".")),
-                    F.lit("]"),
-                    F.lit(""),
-                )
-            ),
-        ),
-        F.transform(F.map_values(raw), F.url_decode),
+        F.transform(F.map_keys(raw), _dec_key),
+        F.transform(F.map_values(raw), F.try_url_decode),
     )
     return df.withColumn(out_col, _struct_from_map(decoded, fields))
 
