@@ -360,3 +360,24 @@ def test_rule_report_single_aggregate(spark):
     # Generate runs on the 1-row aggregate output, not on the table
     plan = res.rule_report()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_write_routed_one_scan_two_sinks(spark, tmp_path):
+    from validate_spark.operators.engine import write_routed
+
+    df = spark.createDataFrame(
+        [("1", 5), ("2", -1), ("3", None)], "id string, n long"
+    )
+    res = validate(df, {"n": "required|min:0"}, key_cols=["id"])
+    out = str(tmp_path / "routed")
+    write_routed(res, out)
+    clean = spark.read.parquet(out).filter("verdict = true")
+    quarantine = spark.read.parquet(out).filter("verdict = false")
+    assert {r["id"] for r in clean.collect()} == {"1"}
+    assert {r["id"] for r in quarantine.collect()} == {"2", "3"}
+    # quarantined rows carry their violation structs for triage
+    q2 = {r["id"]: r["_violations"] for r in quarantine.collect()}
+    assert {v["validator"] for v in q2["2"]} == {"min"}
+    assert {v["validator"] for v in q2["3"]} == {"required"}
+    # clean rows have NULL detail (column exists, partition-uniform schema)
+    assert all(r["_violations"] is None for r in clean.collect())

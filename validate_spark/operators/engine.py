@@ -172,6 +172,36 @@ class ValidationResult:
         return self.violations().filter(gate)
 
 
+def write_routed(
+    result: ValidationResult,
+    path: str,
+    *,
+    mode: str = "append",
+    include_violation_detail: bool = True,
+) -> None:
+    """Quarantine routing in ONE scan: every row lands under
+    ``<path>/verdict=true|false/`` via ``partitionBy`` — clean rows feed
+    the downstream pipeline, failing rows go to quarantine, and the
+    table is read in a single pass (two separate filtered writes would
+    scan 10^12 rows twice). Failing rows optionally carry their failed
+    (field, validator, message) structs for triage."""
+    ann = result.annotated
+    data_cols = [
+        c for c in ann.columns if c not in (RESULTS_COL, FAILED_COL, PASS_COL)
+    ]
+    out_cols = list(data_cols)
+    if include_violation_detail:
+        out_cols.append(
+            F.when(~F.col(PASS_COL), F.col(FAILED_COL)).alias("_violations")
+        )
+    (
+        ann.select(*out_cols, F.col(PASS_COL).alias("verdict"))
+        .write.mode(mode)
+        .partitionBy("verdict")
+        .parquet(path)
+    )
+
+
 def check_value(spark, value, rule: str, *, dtype: str | None = None):
     """One-shot single-value validation — the reference's ``Val(val,
     "required|minLen:7")`` (value.go:38-106). Returns (ok, [messages]).
