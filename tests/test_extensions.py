@@ -202,3 +202,25 @@ def test_media_mime_validators(spark):
     fails = res2.verdicts().filter("NOT pass").count()
     audio = df.filter(F.col("mime") == "audio/wav").count()
     assert fails == audio and audio > 0
+
+
+def test_schema_diff(spark):
+    from validate_spark.operators.suggest import schema_diff
+    from pyspark.sql import types as T
+
+    before = T.StructType.fromDDL(
+        "doc_id string, n int, spans array<struct<kind:string,offset:int>>"
+    )
+    after = T.StructType.fromDDL(
+        "doc_id string, n bigint, spans array<struct<kind:string>>, extra string"
+    )
+    d = {x["path"]: x["kind"] for x in schema_diff(before, after)}
+    assert d == {
+        "n": "type_changed",
+        "spans.*.offset": "removed",
+        "extra": "added",
+    }
+    assert schema_diff(before, before) == []
+    # DataFrames accepted directly
+    df = spark.createDataFrame([], before)
+    assert schema_diff(df, df) == []

@@ -90,3 +90,48 @@ def suggest_rules(
     return RuleSet(
         rules={c: "|".join(p for p in parts if p) for c, parts in rules.items() if parts}
     )
+
+
+def schema_diff(
+    before: "T.StructType | DataFrame",
+    after: "T.StructType | DataFrame",
+) -> list[dict]:
+    """Structural drift between two schemas: columns (recursively, by
+    dotted path) added, removed, or type-changed — the schema-level
+    complement of value drift (operators/drift.py). The reference pins a
+    struct's shape at compile time via its type meta (cache.go:98-257);
+    at table scale the analogous guard is diffing the CURRENT schema
+    against the trusted snapshot's before validating.
+
+    Returns [{"path", "kind": added|removed|type_changed,
+    "before", "after"}], sorted by path. Driver-side pure Python —
+    schemas are tiny.
+    """
+    def flatten(dt, prefix=""):
+        # leaf-level paths only: a changed array<struct<...>> container
+        # would just duplicate its children's precise diffs
+        out = {}
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                out.update(flatten(f.dataType, f"{prefix}{f.name}."))
+            return out
+        if isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, (T.StructType, T.ArrayType)
+        ):
+            return flatten(dt.elementType, f"{prefix}*.")
+        key = prefix[:-1] if prefix else ""
+        if key:
+            out[key] = dt.simpleString()
+        return out
+
+    a = flatten(before.schema if hasattr(before, "schema") else before)
+    b = flatten(after.schema if hasattr(after, "schema") else after)
+    diffs = []
+    for path in sorted(set(a) | set(b)):
+        if path not in b:
+            diffs.append({"path": path, "kind": "removed", "before": a[path], "after": None})
+        elif path not in a:
+            diffs.append({"path": path, "kind": "added", "before": None, "after": b[path]})
+        elif a[path] != b[path]:
+            diffs.append({"path": path, "kind": "type_changed", "before": a[path], "after": b[path]})
+    return diffs
