@@ -677,6 +677,69 @@ def q42_rule_report(spark, sf_dir):
     return res.rule_report()
 
 
+def q43_span_sequence_invariant(spark, sf_dir):
+    """The north rule's per-row invariant, oracle-checked: span-sequence
+    equality on (kind, text, media_ref, order). An interleaved spans
+    array is built DETERMINISTICALLY from the documents table (3 spans
+    per doc), validated with the wildcard rules, and each row emits the
+    md5 of its ordered span sequence — the DuckDB oracle rebuilds the
+    same sequence scalar-wise, so the value-hash compare IS the
+    span-sequence-equality check at every row."""
+    docs = _t(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
+
+    def span(i: int):
+        kind = F.element_at(kinds, ((F.col("doc_id") + i) % 3 + 1).cast("int"))
+        text = F.substring(F.coalesce(F.col("text"), F.lit("")), 1 + i * 10, 10)
+        # every 7th doc gets malformed (6-digit) refs → fails the regexp
+        width = F.when(F.col("doc_id") % 7 == 0, F.lit(6)).otherwise(F.lit(8))
+        mref = F.when(
+            kind != "text",
+            F.concat(
+                F.lit("m-"),
+                F.lpad(
+                    ((F.col("doc_id") * 3 + i) % 100000000).cast("string"),
+                    width,
+                    "0",
+                ),
+            ),
+        )
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            mref.alias("media_ref"),
+            F.lit(i).alias("offset"),
+        )
+
+    built = docs.select("doc_id", F.array(span(0), span(1), span(2)).alias("spans"))
+    rs = RuleSet(
+        rules={
+            "spans.*.kind": "required|enum:text,image,audio",
+            "spans.*.offset": "min:0",
+            "spans.*.media_ref": "regexp:^m-[0-9]{8}$",
+        }
+    )
+    res = validate(built, rs, key_cols=["doc_id"])
+    seq = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.concat_ws(
+                ":",
+                s.getField("kind"),
+                F.coalesce(s.getField("text"), F.lit("")),
+                F.coalesce(s.getField("media_ref"), F.lit("")),
+                s.getField("offset").cast("string"),
+            ),
+        ),
+        "|",
+    )
+    return res.annotated.select(
+        "doc_id",
+        F.md5(seq).alias("span_seq_md5"),
+        F.col("_vs_pass").alias("pass"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -719,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_training_pipeline": q40_training_pipeline,
         "q41_rune_vs_byte_length": q41_rune_vs_byte_length,
         "q42_rule_report": q42_rule_report,
+        "q43_span_sequence_invariant": q43_span_sequence_invariant,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
     }
@@ -1253,6 +1317,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_locale_messages": _q35_sql(),
         "q42_rule_report": _q42_sql(),
+        "q43_span_sequence_invariant": """
+            WITH s AS (
+              SELECT doc_id,
+                (['text','image','audio'])[((doc_id + 0) % 3)::int + 1] AS k0,
+                (['text','image','audio'])[((doc_id + 1) % 3)::int + 1] AS k1,
+                (['text','image','audio'])[((doc_id + 2) % 3)::int + 1] AS k2,
+                substr(coalesce(text,''), 1, 10)  AS t0,
+                substr(coalesce(text,''), 11, 10) AS t1,
+                substr(coalesce(text,''), 21, 10) AS t2,
+                CASE WHEN doc_id % 7 = 0 THEN 6 ELSE 8 END AS w
+              FROM documents
+            ), m AS (
+              SELECT *,
+                CASE WHEN k0 <> 'text' THEN 'm-' || lpad(((doc_id*3 + 0) % 100000000)::varchar, w, '0') END AS r0,
+                CASE WHEN k1 <> 'text' THEN 'm-' || lpad(((doc_id*3 + 1) % 100000000)::varchar, w, '0') END AS r1,
+                CASE WHEN k2 <> 'text' THEN 'm-' || lpad(((doc_id*3 + 2) % 100000000)::varchar, w, '0') END AS r2
+              FROM s
+            )
+            SELECT doc_id,
+                   md5(
+                     k0 || ':' || t0 || ':' || coalesce(r0,'') || ':0|' ||
+                     k1 || ':' || t1 || ':' || coalesce(r1,'') || ':1|' ||
+                     k2 || ':' || t2 || ':' || coalesce(r2,'') || ':2'
+                   ) AS span_seq_md5,
+                   (doc_id % 7 <> 0) AS pass
+            FROM m
+        """,
         "q37_iqr_outliers": """
             WITH b AS (
               SELECT quantile_cont(value, 0.25) AS q1,
