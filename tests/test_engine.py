@@ -381,3 +381,32 @@ def test_write_routed_one_scan_two_sinks(spark, tmp_path):
     assert {v["validator"] for v in q2["3"]} == {"required"}
     # clean rows have NULL detail (column exists, partition-uniform schema)
     assert all(r["_violations"] is None for r in clean.collect())
+
+
+def test_plan_cache_and_registry_invalidation(spark):
+    from validate_spark.operators.engine import _cached_plan, clear_plan_cache
+    from validate_spark.functions.validators import register_validator
+
+    clear_plan_cache()
+    df = spark.createDataFrame([("a",)], "s string")
+    rs = RuleSet(rules={"s": "required"})
+    p1 = _cached_plan(rs, df.schema, None)
+    p2 = _cached_plan(rs, df.schema, None)
+    assert p1 is p2  # same compiled template reused (typeMeta cache parity)
+    # different labels → different compiled messages → different entry
+    rs_lab = RuleSet(rules={"s": "required"}, labels={"s": "S!"})
+    assert _cached_plan(rs_lab, df.schema, None) is not p1
+    # registering a validator bumps the registry version → invalidates
+    register_validator("always_true_test")(lambda c, a, ctx: F.lit(True))
+    p3 = _cached_plan(rs, df.schema, None)
+    assert p3 is not p1
+
+
+def test_validate_empty_dataframe(spark):
+    df = spark.createDataFrame([], "id string, n long")
+    res = validate(df, {"n": "required|min:0"}, key_cols=["id"])
+    assert res.verdicts().count() == 0
+    assert res.violations().count() == 0
+    assert res.safe_rows().count() == 0
+    rep = {(r["field"], r["validator"]): r["n_fail"] for r in res.rule_report().collect()}
+    assert rep == {("n", "required"): 0, ("n", "min"): 0}

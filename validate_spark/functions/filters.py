@@ -46,10 +46,15 @@ def resolve_filter_alias(name: str) -> str:
     return _FILTER_ALIASES.get(name, name)
 
 
+FILTER_REGISTRY_VERSION = 0
+
+
 def register_filter(name: str, fn: FilterFn | None = None):
     """Custom-filter surface — reference ``AddFilter`` (filtering.go:19-53)."""
     def deco(f: FilterFn) -> FilterFn:
+        global FILTER_REGISTRY_VERSION
         FILTERS[resolve_filter_alias(name)] = f
+        FILTER_REGISTRY_VERSION += 1
         return f
     if fn is not None:
         return deco(fn)

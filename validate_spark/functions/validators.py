@@ -347,6 +347,17 @@ def _ts_lit(arg: str) -> Column:
 Builder = Callable[[Column, tuple, BuildCtx], Column]
 VALIDATORS: dict[str, Builder] = {}
 
+# bumped on every (re-)registration — cached plans are invalidated the
+# same way the reference's tag-version invalidates typeMeta caches
+# (validate.go:151-163 atomic tagVer bump)
+REGISTRY_VERSION = 0
+
+
+def registry_version() -> int:
+    from validate_spark.functions import filters as _flt
+
+    return REGISTRY_VERSION + _flt.FILTER_REGISTRY_VERSION
+
 
 def register_validator(name: str, builder: Builder | None = None, *, replace: bool = True):
     """Custom-validator surface — reference ``AddValidator``
@@ -356,9 +367,11 @@ def register_validator(name: str, builder: Builder | None = None, *, replace: bo
     logic Spark expressions can't say (README.md:713-736 custom surface).
     """
     def deco(fn: Builder) -> Builder:
+        global REGISTRY_VERSION
         if not replace and name in VALIDATORS:
             raise ValueError(f"validator {name} already registered")
         VALIDATORS[resolve_alias(name)] = fn
+        REGISTRY_VERSION += 1
         return fn
     if builder is not None:
         return deco(builder)

@@ -132,8 +132,9 @@ class ValidationResult:
         shuffles one exploded row per violation. The right shape for a
         10^12-row health dashboard; includes rules with zero failures."""
         aggs = [
-            F.sum(
-                (~F.col(RESULTS_COL)[i].getField("ok")).cast("long")
+            F.coalesce(
+                F.sum((~F.col(RESULTS_COL)[i].getField("ok")).cast("long")),
+                F.lit(0),  # empty input: sum is NULL, report 0
             ).alias(f"_r{i}")
             for i in range(len(self.plan.rules))
         ]
@@ -226,6 +227,42 @@ def check_value(spark, value, rule: str, *, dtype: str | None = None):
     return (len(msgs) == 0, msgs)
 
 
+# plan cache — the engine analogue of the reference's per-type static
+# rule template (typeMeta cache keyed by (type, tagVer), cache.go:90-118;
+# built once under sync.Once, cloned per instance). Keyed by schema +
+# full ruleset content + scene + registry version, so re-registering a
+# custom validator/filter invalidates exactly like the reference's
+# tag-version bump (validate.go:151-163).
+_PLAN_CACHE: dict[tuple, Plan] = {}
+_PLAN_CACHE_MAX = 256
+
+
+def _cached_plan(ruleset: RuleSet, schema, scene) -> Plan:
+    import json as _json
+
+    from validate_spark.functions.validators import registry_version
+
+    key = (
+        registry_version(),
+        schema.simpleString(),
+        ruleset.hash(),
+        _json.dumps(ruleset.messages, sort_keys=True),
+        _json.dumps(ruleset.labels, sort_keys=True),
+        scene,
+    )
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = compile_plan(ruleset, schema, scene=scene)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def clear_plan_cache() -> None:
+    _PLAN_CACHE.clear()
+
+
 def validate(
     df: DataFrame,
     ruleset: RuleSet | dict,
@@ -244,7 +281,7 @@ def validate(
     if isinstance(ruleset, dict):
         ruleset = RuleSet(rules=ruleset)
     if plan is None:
-        plan = compile_plan(ruleset, df.schema, scene=scene)
+        plan = _cached_plan(ruleset, df.schema, scene)
     if key_cols is None:
         key_cols = [df.columns[0]]
 
