@@ -256,3 +256,88 @@ def test_nested_wildcard_matches_mini_oracle(spark):
     assert got == want, (
         f"engine-only: {sorted(got - want)[:8]}  oracle-only: {sorted(want - got)[:8]}"
     )
+
+
+# ---- formats / cross-field / dates differential -----------------------------
+
+UUID4_RE = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+_BOOLS = {"1", "on", "yes", "true", "0", "off", "no", "false"}
+_DATE_LAYOUTS_BY_LEN = {19: ["%Y-%m-%d %H:%M:%S", "%Y/%m/%d %H:%M:%S"],
+                        16: ["%Y-%m-%d %H:%M"],
+                        10: ["%Y-%m-%d", "%Y/%m/%d"],
+                        8: ["%Y%m%d"]}
+
+
+def _parse_dt(v):
+    import datetime
+    for fmt in _DATE_LAYOUTS_BY_LEN.get(len(v), []):
+        try:
+            return datetime.datetime.strptime(v, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _fmt_oracle(rows):
+    import datetime
+    out = set()
+    lim = datetime.datetime(2020, 1, 1)
+    for rid, role, token, b, sw, ct, u, d in rows:
+        # requiredIf:role,admin,root (validators.go:268-303)
+        if role in ("admin", "root") and _empty(token):
+            out.add((rid, "token", "requiredIf"))
+        if not _empty(b) and b.lower() not in _BOOLS:
+            out.add((rid, "b", "isBool"))
+        if not _empty(sw) and not sw.startswith("pre"):
+            out.add((rid, "sw", "startsWith"))
+        if not _empty(ct) and "xy" not in ct:
+            out.add((rid, "ct", "contains"))
+        if not _empty(u) and not UUID4_RE.match(u):
+            out.add((rid, "u", "isUUID4"))
+        if not _empty(d):
+            ts = _parse_dt(d)
+            if ts is None:
+                out.add((rid, "d", "isDate"))
+                out.add((rid, "d", "afterOrEqualDate"))  # unparseable fails compare too
+            elif ts < lim:
+                out.add((rid, "d", "afterOrEqualDate"))
+    return out
+
+
+def test_formats_crossfield_dates_match_mini_oracle(spark):
+    rng = random.Random(23)
+    roles = [None, "", "admin", "root", "user", "guest"]
+    tokens = [None, "", "t1", "tok-9"]
+    bools = [None, "", "1", "on", "Yes", "TRUE", "0", "off", "No", "false", "x", "2"]
+    sws = [None, "", "prefix", "pre", "xpre", "PRE"]
+    cts = [None, "", "xy", "axyb", "x-y", "XY"]
+    us = [None, "", "550e8400-e29b-41d4-a716-446655440000",
+          "550e8400-e29b-11d4-a716-446655440000",  # version 1, not 4
+          "550E8400-E29B-41D4-A716-446655440000",  # uppercase fails (regex is lowercase)
+          "not-a-uuid"]
+    ds = [None, "", "2019-05-01", "2021-02-03", "not-a-date", "2021/02/03",
+          "20210203", "2021-02-03 04:05:06", "2021-13-45"]
+    rows = [
+        (str(i), rng.choice(roles), rng.choice(tokens), rng.choice(bools),
+         rng.choice(sws), rng.choice(cts), rng.choice(us), rng.choice(ds))
+        for i in range(N_ROWS)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, role string, token string, b string, sw string, "
+        "ct string, u string, d string",
+    )
+    rules = {
+        "token": "requiredIf:role,admin,root",
+        "b": "bool",
+        "sw": "startsWith:pre",
+        "ct": "contains:xy",
+        "u": "uuid4",
+        "d": "date|gteDate:2020-01-01",
+    }
+    res = validate(df, RuleSet(rules=rules), key_cols=["id"])
+    got = {(r["id"], r["field"], r["validator"]) for r in res.violations().collect()}
+    want = _fmt_oracle(rows)
+    assert got == want, (
+        f"engine-only: {sorted(got - want)[:8]}  oracle-only: {sorted(want - got)[:8]}"
+    )
