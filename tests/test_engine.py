@@ -410,3 +410,23 @@ def test_validate_empty_dataframe(spark):
     assert res.safe_rows().count() == 0
     rep = {(r["field"], r["validator"]): r["n_fail"] for r in res.rule_report().collect()}
     assert rep == {("n", "required"): 0, ("n", "min"): 0}
+
+
+def test_optional_parent_skips_required_children(spark):
+    # optional registers the field in v.optionals; required rules on
+    # dotted descendants pass when the parent is empty
+    # (rule.go:335-340; isInOptional, validation.go:880-904)
+    df = spark.createDataFrame(
+        [("1", {"city": "NY"}), ("2", None), ("3", {"city": None})],
+        "id string, addr struct<city:string>",
+    )
+    rs = RuleSet(rules={"addr": "optional", "addr.city": "required"})
+    res = validate(df, rs, key_cols=["id"])
+    verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+    # 1: present+valid; 2: parent empty → child skipped; 3: parent
+    # PRESENT but city missing → required still fails
+    assert verd == {"1": True, "2": True, "3": False}
+    # without optional, the empty parent fails the child's required
+    rs2 = RuleSet(rules={"addr.city": "required"})
+    verd2 = {r["id"]: r["pass"] for r in validate(df, rs2, key_cols=["id"]).verdicts().collect()}
+    assert verd2 == {"1": True, "2": False, "3": False}

@@ -351,6 +351,11 @@ def compile_plan(
             return filter_dtypes[f]
         return dtype_at(schema, f)
 
+    # pre-parse all fields so optional PARENTS are known before compiling
+    # descendants' rules (v.optionals, rule.go:335-340; gate
+    # isInOptional, validation.go:880-904)
+    parsed: list = []
+    optional_parents: list[str] = []
     for field, rule_str in _expand_fields(ruleset.rules):
         if not _field_in_scene(field, scene_fields):
             continue
@@ -360,6 +365,11 @@ def compile_plan(
             skip_empty=ruleset.skip_on_empty,
             messages=ruleset.messages,
         )
+        parsed.append((field, fr))
+        if fr.optional:
+            optional_parents.append(field)
+
+    for field, fr in parsed:
         leaf_dt = dtype_of(field)
 
         if fr.default is not None and "." not in field:
@@ -434,6 +444,25 @@ def compile_plan(
                 # optional field: children skipped when value empty
                 # (validation.go:880-904) — subsumed by the skip gate above
                 pass
+
+            # optional PARENT gate: required-family rules on a dotted
+            # descendant of an optional field pass when the parent is
+            # empty (Required's isInOptional check, validators.go:191-194;
+            # non-required rules already skip via the empty-child gate)
+            if spec.required_family:
+                gate = next(
+                    (p for p in optional_parents if field.startswith(p + ".")),
+                    None,
+                )
+                if gate is not None:
+                    parent_empty = is_empty_col(
+                        col_at(gate),
+                        dtype_of(gate),
+                        zero_as_empty=ruleset.zero_as_empty,
+                    )
+                    pred = F.when(parent_empty, F.lit(True)).otherwise(
+                        F.coalesce(pred, F.lit(False))
+                    )
 
             value_col = None
             if ruleset.err_show_value:
