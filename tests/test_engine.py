@@ -430,3 +430,19 @@ def test_optional_parent_skips_required_children(spark):
     rs2 = RuleSet(rules={"addr.city": "required"})
     verd2 = {r["id"]: r["pass"] for r in validate(df, rs2, key_cols=["id"]).verdicts().collect()}
     assert verd2 == {"1": True, "2": False, "3": False}
+
+
+def test_rule_report_quoted_field_names(spark):
+    # field names containing quotes are legal in rule keys (and arise
+    # from form-derived struct paths); the report must not build SQL
+    df = spark.createDataFrame([("1", "x")], "id string, `it's` string")
+    res = validate(df, {"it's": "required"}, key_cols=["id"])
+    rep = res.rule_report().collect()
+    assert [(r["field"], r["n_fail"], r["n_pass"]) for r in rep] == [("it's", 0, 1)]
+
+
+def test_rule_report_empty_input_reports_zero(spark):
+    df = spark.createDataFrame([], "id string, n long")
+    res = validate(df, {"n": "required"}, key_cols=["id"])
+    rep = res.rule_report().collect()
+    assert [(r["n_fail"], r["n_pass"]) for r in rep] == [(0, 0)]

@@ -144,3 +144,90 @@ def test_malformed_percent_escape_does_not_kill_job(spark):
     res = validate_form(df, "q", {"name": "required"}, key_cols=["qid"])
     verd = {r["qid"]: r["pass"] for r in res.verdicts().collect()}
     assert verd == {1: True, 2: False, 3: False}
+
+
+def test_duplicate_query_keys_first_wins_no_crash(spark):
+    # 'tag=a&tag=b' killed the job under mapKeyDedupPolicy=EXCEPTION
+    # when parsing built a map; the entries-array lookup keeps the FIRST
+    # occurrence — exact FormData.Get parity (data_source.go:657-705)
+    df = spark.createDataFrame(
+        [
+            Row(qid=1, q="tag=a&tag=b&tag=c"),
+            # raw keys that collide only AFTER bracket normalization
+            Row(qid=2, q="a%5Bb%5D=x&a.b=y"),
+            Row(qid=3, q="k=only"),
+        ]
+    )
+    parsed = parse_query_column(df, "q", ["tag", "a.b", "k"])
+    rows = {r["qid"]: r["_form"] for r in parsed.collect()}
+    assert rows[1]["tag"] == "a"
+    assert rows[2]["a"]["b"] == "x"
+    assert rows[3]["k"] == "only"
+    # value containing '=' splits at the FIRST '=' (strings.Cut parity)
+    df2 = spark.createDataFrame([Row(qid=1, q="expr=a=b")])
+    assert parse_query_column(df2, "q", ["expr"]).collect()[0]["_form"]["expr"] == "a=b"
+
+
+def test_comma_multi_field_keys_through_validate_form(spark):
+    # a rule key may bind MULTIPLE comma-separated fields (rule.go:15-60);
+    # prefixing must expand per segment, not produce '_form.a,b'
+    df = spark.createDataFrame(
+        [
+            Row(qid=1, q="first=John&last=Smith"),
+            Row(qid=2, q="first=&last=Smith"),
+        ]
+    )
+    res = validate_form(df, "q", {"first,last": "required"}, key_cols=["qid"])
+    verd = {r["qid"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {1: True, 2: False}
+    viols = {(r["qid"], r["field"]) for r in res.violations().collect()}
+    assert viols == {(2, "_form.first")}
+
+
+def test_comma_multi_field_keys_through_validate_json(spark):
+    from validate_spark.sources.jsonsrc import validate_json
+
+    df = spark.createDataFrame(
+        [
+            Row(qid=1, j='{"a": "x", "b": "y"}'),
+            Row(qid=2, j='{"a": "", "b": "y"}'),
+        ]
+    )
+    res = validate_json(
+        df, "j", "a string, b string", {"a,b": "required"}, key_cols=["qid"]
+    )
+    verd = {r["qid"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {1: True, 2: False}
+
+
+def test_field_scoped_messages_survive_form_prefixing(spark):
+    # messages keyed 'field.validator' must be rebased with the rules;
+    # validator-only keys pass through unchanged
+    df = spark.createDataFrame([Row(qid=1, q="name=&age=")])
+    res = validate_form(
+        df,
+        "q",
+        RuleSet(
+            rules={"name": "required", "age": "required"},
+            messages={"name.required": "NAME GONE", "required": "GENERIC GONE"},
+        ),
+        key_cols=["qid"],
+    )
+    msgs = {r["field"]: r["message"] for r in res.violations().collect()}
+    assert msgs["_form.name"] == "NAME GONE"
+    assert msgs["_form.age"] == "GENERIC GONE"
+
+
+def test_scene_fields_survive_form_prefixing(spark):
+    df = spark.createDataFrame([Row(qid=1, q="name=&age=")])
+    rs = RuleSet(
+        rules={"name": "required", "age": "required"},
+        scenes={"create": ["name"]},
+    )
+    from validate_spark.operators.engine import validate as _v
+    from validate_spark.sources.formsrc import parse_query_column as _p
+
+    parsed = _p(df, "q", ["name", "age"])
+    res = _v(parsed, rs.prefixed("_form."), key_cols=["qid"], scene="create")
+    viols = {r["field"] for r in res.violations().collect()}
+    assert viols == {"_form.name"}  # age is out of scene

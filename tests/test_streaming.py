@@ -241,3 +241,20 @@ def test_windowed_drift_single_stateful_operator(spark, tmp_path):
     q.awaitTermination(120)
     n_state_ops = len(q.lastProgress.get("stateOperators", []))
     assert n_state_ops == 1, f"expected 1 stateful operator, got {n_state_ops}"
+
+
+def test_manifest_empty_batch_reports_zeros_not_nulls(spark, tmp_path):
+    # an EMPTY micro-batch must write a verdict=true all-zeros manifest
+    # row — NULL sums would corrupt the lineage audit
+    from validate_spark.streaming.validate_stream import foreach_batch_validator
+
+    empty = spark.createDataFrame([], "id string, v long")
+    mpath = str(tmp_path / "manifest_empty")
+    cb = foreach_batch_validator(
+        {"v": "required"}, empty.schema, key_cols=["id"], manifest_path=mpath
+    )
+    cb(empty, 0)
+    row = spark.read.parquet(mpath).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_pass"] == 0 and row["n_fail"] == 0 and row["n_violations"] == 0
+    assert row["verdict"] is True

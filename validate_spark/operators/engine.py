@@ -139,13 +139,22 @@ class ValidationResult:
             for i in range(len(self.plan.rules))
         ]
         row = self.annotated.agg(F.count(F.lit(1)).alias("_n"), *aggs)
-        parts = []
-        for i, r in enumerate(self.plan.rules):
-            parts += [f"'{r.field}'", f"'{r.validator}'", f"_r{i}"]
-        stacked = row.selectExpr(
-            "_n",
-            f"stack({len(self.plan.rules)}, {', '.join(parts)}) "
-            "as (field, validator, n_fail)",
+        # no generated SQL here: interpolating field names into a
+        # selectExpr stack() breaks on names containing quotes (legal in
+        # rule keys and form-derived struct paths) — build the long form
+        # as an exploded array of literal structs instead
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(r.field).alias("field"),
+                    F.lit(r.validator).alias("validator"),
+                    F.col(f"_r{i}").alias("n_fail"),
+                )
+                for i, r in enumerate(self.plan.rules)
+            ]
+        )
+        stacked = row.select("_n", F.explode(structs).alias("_e")).select(
+            "_n", "_e.field", "_e.validator", "_e.n_fail"
         )
         return stacked.select(
             "field",

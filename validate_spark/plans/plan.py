@@ -84,6 +84,49 @@ class RuleSet:
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    def field_names(self) -> set[str]:
+        """All individual ruled/filtered field paths, comma keys expanded
+        (a key may bind MULTIPLE comma-separated fields, rule.go:15-60)."""
+        return {
+            f.strip()
+            for key in list(self.rules) + list(self.filters)
+            for f in key.split(",")
+            if f.strip()
+        }
+
+    def prefixed(self, prefix: str) -> "RuleSet":
+        """Rebase every field reference under ``prefix`` (used by
+        validate_form/validate_json, which parse the document into a
+        struct column named e.g. ``_form``). Comma multi-field keys are
+        prefixed per segment (NOT as one string — ``_form.a,b`` would
+        split into ``_form.a`` plus a bogus bare ``b``); message keys of
+        the form ``field.validator`` are rewritten only when their
+        leading path is a ruled/filtered field, validator-only keys pass
+        through unchanged (lookup order messages.go:478-520); scene
+        field lists are rebased too."""
+        import dataclasses
+
+        fields = self.field_names()
+
+        def pk(key: str) -> str:
+            return ",".join(
+                f"{prefix}{f.strip()}" for f in key.split(",") if f.strip()
+            )
+
+        def pm(key: str) -> str:
+            if any(key == f or key.startswith(f + ".") for f in fields):
+                return f"{prefix}{key}"
+            return key
+
+        return dataclasses.replace(
+            self,
+            rules={pk(k): v for k, v in self.rules.items()},
+            filters={pk(k): v for k, v in self.filters.items()},
+            labels={f"{prefix}{k}": v for k, v in self.labels.items()},
+            messages={pm(k): v for k, v in self.messages.items()},
+            scenes={s: [f"{prefix}{f}" for f in fl] for s, fl in self.scenes.items()},
+        )
+
 
 # ---------------------------------------------------------------------------
 # schema navigation

@@ -87,8 +87,8 @@ def from_url_values(
     return spark.createDataFrame([_row_of(nested)], _schema_of(nested))
 
 
-def _struct_from_map(m: Column, keys: Iterable[str]) -> Column:
-    """Nested all-string struct column from dotted map keys."""
+def _struct_from_keys(lookup, keys: Iterable[str]) -> Column:
+    """Nested all-string struct column; each leaf = ``lookup(dotted_key)``."""
     tree: dict = {}
     for key in keys:
         parts = key.split(".")
@@ -101,7 +101,7 @@ def _struct_from_map(m: Column, keys: Iterable[str]) -> Column:
         cols = []
         for k in sorted(node):
             v = node[k]
-            c = build(v) if isinstance(v, dict) else F.element_at(m, v)
+            c = build(v) if isinstance(v, dict) else lookup(v)
             cols.append(c.alias(k))
         return F.struct(*cols)
 
@@ -116,35 +116,58 @@ def parse_query_column(
     out_col: str = "_form",
 ) -> DataFrame:
     """Parse a raw query-string column (``a=1&address%5Bstreet%5D=x``)
-    into a nested all-string struct column, fully vectorized:
-    ``str_to_map`` splits pairs, ``url_decode`` handles percent-escapes,
-    and bracket keys normalize to dot paths JVM-side. ``fields`` are the
-    dotted paths the rule set will address (reference reads only ruled
-    fields too — safeData semantics). Missing keys yield NULL ≡ empty.
+    into a nested all-string struct column, fully vectorized: split into
+    a key/value entries array, ``try_url_decode`` the percent-escapes,
+    normalize bracket keys to dot paths — all JVM-side. ``fields`` are
+    the dotted paths the rule set will address (reference reads only
+    ruled fields too — safeData semantics). Missing keys yield NULL ≡
+    empty.
 
-    Duplicate keys: ``str_to_map`` keeps the LAST occurrence, while the
-    reference's ``Get`` returns the first — documented divergence, form
-    logs rarely carry duplicates and "a value was present" verdicts
-    are unaffected.
+    No map is ever built from the untrusted keys: ``str_to_map`` /
+    ``map_from_arrays`` abort the whole job on ANY row whose query
+    string repeats a key (``tag=a&tag=b``) or whose raw keys collide
+    after bracket normalization (``a[b]`` + ``a.b``) under Spark's
+    default ``spark.sql.mapKeyDedupPolicy=EXCEPTION``. Instead the
+    entries array is probed per ruled field with a first-match lookup —
+    which also matches the reference exactly: duplicate keys keep the
+    FIRST occurrence (``FormData.Get`` returns ``vs[0]``,
+    data_source.go:657-705).
     """
     # try_url_decode, not url_decode: a single malformed %-escape in one
     # of 10^12 rows must yield NULL ≡ empty (a `required` violation),
     # not kill the job with an ANSI error
-    raw = F.str_to_map(F.col(query_col), F.lit("&"), F.lit("="))
-
     def _dec_key(k: Column) -> Column:
-        # malformed %-escape in a KEY: fall back to the raw key (a null
-        # map key would abort the job)
+        # malformed %-escape in a KEY: fall back to the raw key
         d = F.coalesce(F.try_url_decode(k), k)
         return F.when(k.contains("[]"), d).otherwise(
             F.replace(F.replace(d, F.lit("["), F.lit(".")), F.lit("]"), F.lit(""))
         )
 
-    decoded = F.map_from_arrays(
-        F.transform(F.map_keys(raw), _dec_key),
-        F.transform(F.map_values(raw), F.try_url_decode),
-    )
-    return df.withColumn(out_col, _struct_from_map(decoded, fields))
+    def _entry(p: Column) -> Column:
+        raw_k = F.substring_index(p, "=", 1)
+        # value = everything after the FIRST '=' (strings.Cut parity);
+        # a bare key with no '=' yields NULL ≡ empty
+        raw_v = F.when(
+            p.contains("="), p.substr(F.length(raw_k) + F.lit(2), F.length(p))
+        )
+        return F.struct(_dec_key(raw_k).alias("k"), F.try_url_decode(raw_v).alias("v"))
+
+    entries = F.transform(F.split(F.col(query_col), "&"), _entry)
+    # stage the entries array in its OWN projection: the per-field
+    # lookups below reference it multiple times, and a non-cheap,
+    # multiply-referenced alias is exactly what CollapseProject keeps
+    # staged (same PERF boundary as shingle_frame)
+    ecol = f"{out_col}_entries"
+    staged = df.withColumn(ecol, entries)
+
+    def _lookup(key: str) -> Column:
+        # first occurrence wins; F.get (0-based) is NULL-on-missing even
+        # under ANSI, unlike element_at which throws on empty arrays
+        return F.get(
+            F.filter(F.col(ecol), lambda e: e.getField("k") == F.lit(key)), 0
+        ).getField("v")
+
+    return staged.withColumn(out_col, _struct_from_keys(_lookup, fields)).drop(ecol)
 
 
 def validate_form(
@@ -157,16 +180,7 @@ def validate_form(
     """Validate fields of a query-string column — the engine analogue of
     ``validate.FromQuery(...).Create().Validate()`` over a whole table
     of requests at once."""
-    import dataclasses
-
     rs = rules if isinstance(rules, RuleSet) else RuleSet(rules=dict(rules))
-    field_paths = {f.split(".*")[0].split(".0")[0] for f in rs.rules}
-    field_paths |= set(rs.filters)
+    field_paths = {f.split(".*")[0].split(".0")[0] for f in rs.field_names()}
     parsed = parse_query_column(df, query_col, sorted(field_paths))
-    prefixed = dataclasses.replace(
-        rs,
-        rules={f"_form.{f}": r for f, r in rs.rules.items()},
-        filters={f"_form.{f}": r for f, r in rs.filters.items()},
-        labels={f"_form.{f}": v for f, v in rs.labels.items()},
-    )
-    return validate(parsed, prefixed, key_cols=key_cols)
+    return validate(parsed, rs.prefixed("_form."), key_cols=key_cols)

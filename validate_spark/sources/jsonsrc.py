@@ -35,16 +35,6 @@ def validate_json(
     """Validate fields INSIDE a JSON column: rule paths are relative to
     the parsed document (``"k": "required|min:0"`` addresses ``$.k``) —
     the engine analogue of ``validate.FromJSONBytes(...).Validate()``."""
-    import dataclasses
-
     parsed = parse_json_column(df, json_col, ddl_schema, out_col="_doc")
-    if isinstance(rules, RuleSet):
-        prefixed = dataclasses.replace(
-            rules,
-            rules={f"_doc.{f}": r for f, r in rules.rules.items()},
-            filters={f"_doc.{f}": r for f, r in rules.filters.items()},
-            labels={f"_doc.{f}": v for f, v in rules.labels.items()},
-        )
-    else:
-        prefixed = RuleSet(rules={f"_doc.{f}": r for f, r in rules.items()})
-    return validate(parsed, prefixed, key_cols=key_cols)
+    rs = rules if isinstance(rules, RuleSet) else RuleSet(rules=dict(rules))
+    return validate(parsed, rs.prefixed("_doc."), key_cols=key_cols)

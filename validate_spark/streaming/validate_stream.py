@@ -135,14 +135,26 @@ def foreach_batch_validator(
             ).parquet(violations_path)
         if manifest_path is not None:
             (
+                # coalesce every sum: on an EMPTY micro-batch sum-over-
+                # zero-rows is NULL, which would corrupt the lineage
+                # audit the manifest exists for (verdict must be true)
                 res.annotated.agg(
                     F.lit(batch_id).alias("batch_id"),
                     F.lit(plan.plan_hash).alias("ruleset_hash"),
                     F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(F.col(PASS_COL).cast("long")).alias("n_pass"),
-                    F.sum((~F.col(PASS_COL)).cast("long")).alias("n_fail"),
-                    F.sum(F.size(FAILED_COL).cast("long")).alias("n_violations"),
-                    (F.sum((~F.col(PASS_COL)).cast("long")) == 0).alias("verdict"),
+                    F.coalesce(
+                        F.sum(F.col(PASS_COL).cast("long")), F.lit(0)
+                    ).alias("n_pass"),
+                    F.coalesce(
+                        F.sum((~F.col(PASS_COL)).cast("long")), F.lit(0)
+                    ).alias("n_fail"),
+                    F.coalesce(
+                        F.sum(F.size(FAILED_COL).cast("long")), F.lit(0)
+                    ).alias("n_violations"),
+                    (
+                        F.coalesce(F.sum((~F.col(PASS_COL)).cast("long")), F.lit(0))
+                        == 0
+                    ).alias("verdict"),
                 )
                 .write.mode("append")
                 .parquet(manifest_path)
