@@ -104,3 +104,30 @@ def test_single_projection_rule_evaluation(spark):
     res = validate(docs, RuleSet(rules=rules), key_cols=["doc_id"])
     plan = optimized(res.annotated)
     assert plan.count("Relation") == 1  # one scan feeds all 10 predicates
+
+
+def test_ann_topk_two_phase_no_window(spark):
+    """ANN top-k must never window over the scored frame: a
+    Window.partitionBy(query_id) funnels every scored row of a query to
+    ONE reducer (hot task + unbounded sort at 10^12 corpus rows). The
+    shipped plan is local top-k (partial collect below the exchange,
+    uniformly keyed by (partition, query)) + a k-bounded merge — and
+    corpus embedding vectors must be pruned before any exchange."""
+    from validate_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for df in (
+        sim.brute_force_topk(emb, q, k=5),
+        sim.ivf_topk(emb, q, sim.sample_centroids(emb, 4), k=5, nprobe=4),
+    ):
+        plan = physical(df)
+        assert "Window" not in plan
+        # partial aggregation below the exchange (map-side local top-k)
+        pre_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+        assert "partial_collect_list" in pre_exchange
+        # vectors pruned before shuffle: the collected struct carries
+        # only the (negated) score and the neighbor id
+        assert "partial_collect_list(struct(nc" in plan

@@ -15,16 +15,64 @@ Two paths, one contract (``(query_id, neighbor_id, rank)`` top-k):
   centroid id, so a query-batch join touches only matching partitions).
 
 Scale notes: the query side is always broadcast (queries ≪ corpus);
-the corpus side never shuffles in brute force (map-side window would
-shuffle — we aggregate per-partition top-k first, then merge, keeping
-the shuffle to k rows per partition per query).
+corpus vectors never shuffle — scoring projects to compact
+(query_id, neighbor_id, cos) triples map-side, then ``_two_phase_topk``
+does a uniformly-keyed local-top-k + k-bounded merge (no per-query hot
+reducer, no global sort; see its docstring).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from validate_spark.operators.dedup import cosine_sim
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, rank) from a scored frame
+    (query_id, neighbor_id, cos) WITHOUT shuffling every scored row.
+
+    A plain ``Window.partitionBy(query_id)`` funnels ALL scored rows of
+    a query to ONE reducer: at 10^12 corpus rows that is an unbounded-
+    memory global sort per query and a single hot task per query_id —
+    the straggler IS the job. Instead:
+
+    1. **local top-k** — groupBy (spark_partition_id, query_id): the
+       partial collect completes map-side (each map task owns exactly
+       one partition id, so every group is task-local), and the
+       grouping key space is n_partitions × |queries| — uniformly
+       spread, no hot reducer, and each aggregation buffer holds only
+       one task's rows for one query.
+    2. **global merge** — groupBy query_id over the k-sliced locals:
+       flatten + sort + slice over ≤ k × n_partitions tiny structs per
+       query — the theoretical minimum a distributed top-k must move.
+
+    Honest byte accounting: the scored triples (query_id, neighbor_id,
+    cos — ~24 B, embedding vectors pruned BEFORE the exchange) still
+    cross the wire once in stage 1, packed as per-group arrays; what
+    this buys over the window is uniform keying (no per-query hot
+    reducer), bounded per-buffer memory, no global per-query sort, and
+    a k-bounded merge stage. Bounding stage-1 bytes below one scored
+    pass would require a custom bounded-heap UDAF or a Python hop —
+    both worse trades than a uniformly-keyed compact shuffle.
+
+    Ordering: ascending array_sort on struct(-cos, neighbor_id) ≡
+    cos desc, id asc — fully deterministic, oracle-comparable ranks.
+    """
+    item = F.struct((-F.col("cos")).alias("nc"), F.col("neighbor_id").alias("neighbor_id"))
+    local = scored.groupBy(
+        F.spark_partition_id().alias("_p"), F.col("query_id")
+    ).agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top"))
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, k).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("_pos", "_e")
+    ).select(
+        "query_id",
+        F.col("_e.neighbor_id").alias("neighbor_id"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
 
 
 def brute_force_topk(
@@ -41,12 +89,9 @@ def brute_force_topk(
     """Exact top-k: (query_id, neighbor_id, rank), cosine-desc, id-asc
     tie-break (fully deterministic → oracle-comparable).
 
-    Two-phase top-k: per-partition window over the broadcast-joined
-    frame would still shuffle all scored rows; instead we pre-reduce
-    each partition to its local top-k (groupBy spark_partition_id is
-    implicit in the partial aggregation of min_by-style slice), then
-    take the global top-k. With queries broadcast, the scored frame
-    never materializes corpus-wide rows beyond the scan.
+    With queries broadcast, scoring is map-side and vectors are pruned
+    before any exchange; ``_two_phase_topk`` does the skew-free
+    local-top-k + merge (see its docstring for the byte accounting).
     """
     q = F.broadcast(
         queries.select(
@@ -62,14 +107,7 @@ def brute_force_topk(
         "neighbor_id",
         F.round(cosine_sim(F.col("cv"), F.col("qv")), 9).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _two_phase_topk(scored, k)
 
 
 def assign_ivf_buckets(
@@ -203,14 +241,7 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine_sim(F.col("cv"), F.col("qv")), 9).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _two_phase_topk(scored, k)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
