@@ -213,8 +213,15 @@ def _doubled_docs(spark, sf_dir):
 
 
 def q15_exact_dedup(spark, sf_dir):
-    return dd.exact_duplicates(_doubled_docs(spark, sf_dir)).select(
-        "fp", "dup_count", "keep_key"
+    """Exact-dup report incl. the CAPPED key sample + truncation counter
+    (the unbounded per-fingerprint collect_list was a skew OOM at
+    100 TB). Arrays comma-join to strings for the value-hash compare."""
+    return dd.exact_duplicates(_doubled_docs(spark, sf_dir), max_keys=100).select(
+        "fp",
+        "dup_count",
+        "keep_key",
+        F.array_join("dup_keys", ",").alias("dup_keys"),
+        "n_truncated",
     )
 
 
@@ -1126,9 +1133,18 @@ def oracle_sql() -> dict[str, str]:
         "q15_exact_dedup": f"""
             WITH c AS (
               SELECT doc_id::varchar AS k, {_FP} AS fp FROM ({_DOUBLED_DOCS})
+            ), g AS (
+              SELECT fp, count(*)::bigint AS dup_count,
+                     list_sort(list(k)) AS ks
+              FROM c GROUP BY fp HAVING count(*) > 1
             )
-            SELECT fp, count(*)::bigint AS dup_count, min(k) AS keep_key
-            FROM c GROUP BY fp HAVING count(*) > 1
+            SELECT fp, dup_count, ks[1] AS keep_key,
+                   array_to_string(list_filter(ks, x -> x <> ks[1])[1:100], ',')
+                     AS dup_keys,
+                   greatest(dup_count - 1
+                            - len(list_filter(ks, x -> x <> ks[1])[1:100]),
+                            0)::bigint AS n_truncated
+            FROM g
         """,
         # exhaustive O(n²) exact-Jaccard oracle — the Spark side is LSH
         # candidates + exact verify; at j≥0.99 with 6 bands × 2 rows the

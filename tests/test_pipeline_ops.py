@@ -223,3 +223,21 @@ def test_sample_frames(spark):
     idxs = sorted(r["frame_idx"] for r in frames)
     assert idxs[0] == 0 and all(i % 2 == 0 for i in idxs)
     assert all(len(r["frame_bytes"]) == 16 for r in frames)
+
+
+def test_exact_dedup_hot_fingerprint_capped(spark):
+    # a degenerate fingerprint (boilerplate duplicated en masse) must
+    # never materialize every duplicate key in one array: the report
+    # caps the key sample and surfaces the remainder as n_truncated
+    rows = [(f"d{i:04d}", "same boilerplate page") for i in range(500)]
+    rows.append(("zzz", "a unique document"))
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(8)
+    g = dd.exact_duplicates(df, max_keys=10).collect()
+    assert len(g) == 1
+    row = g[0]
+    assert row["dup_count"] == 500
+    assert row["keep_key"] == "d0000"
+    # sorted sample of exactly max_keys losers, truncation explicit
+    assert row["dup_keys"] == [f"d{i:04d}" for i in range(1, 11)]
+    assert row["n_truncated"] == 500 - 1 - 10
+

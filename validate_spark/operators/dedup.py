@@ -39,26 +39,61 @@ from validate_spark.operators.textstats import fingerprint, normalize_text
 # ---------------------------------------------------------------------------
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    max_keys: int = 100,
 ) -> DataFrame:
     """Duplicate groups by normalized-text fingerprint:
-    (fp, dup_count, keep_key, dup_keys). ``keep_key`` = min key — the
-    canonical survivor; ``dup_keys`` the sorted losers."""
-    with_fp = df.select(F.col(key_col).cast("string").alias("k"), fingerprint(F.col(text_col)).alias("fp"))
-    groups = with_fp.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("dup_count"),
-        F.min("k").alias("keep_key"),
-        F.array_sort(F.collect_list("k")).alias("all_keys"),
+    (fp, dup_count, keep_key, dup_keys, n_truncated). ``keep_key`` =
+    min key — the canonical survivor; ``dup_keys`` the first (sorted)
+    ``max_keys`` losers; ``n_truncated`` how many more exist.
+
+    The key sample is CAPPED: an unbounded ``collect_list`` per
+    fingerprint is an executor OOM at 100 TB — one boilerplate page
+    duplicated 10^8× would build a multi-hundred-MB aggregation buffer.
+    Collection is two-phase: stage 1 groups by (spark_partition_id,
+    fp), so every aggregation buffer holds at most ONE TASK's keys for
+    one fingerprint (never the global group — that is the OOM) and
+    slices to the ``max_keys + 1`` smallest; stage 2 merges the capped
+    locals and takes the smallest ``max_keys + 1`` overall — enough to
+    contain ``keep_key`` plus a full ``max_keys`` sample. Exact counts
+    stay exact (summed longs); only the key LIST is sampled, with the
+    truncation made explicit."""
+    with_fp = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    cap = max_keys + 1
+    local = with_fp.groupBy(F.spark_partition_id().alias("_p"), "fp").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.slice(F.array_sort(F.collect_list("k")), 1, cap).alias("ks"),
+    )
+    groups = local.groupBy("fp").agg(
+        F.sum("c").alias("dup_count"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ks"))), 1, cap
+        ).alias("all_keys"),
+    )
+    dup_keys = F.slice(
+        F.array_remove(F.col("all_keys"), F.element_at(F.col("all_keys"), 1)),
+        1,
+        max_keys,
     )
     return (
         groups.filter(F.col("dup_count") > 1)
         .select(
             "fp",
             "dup_count",
-            "keep_key",
-            F.array_remove(
-                F.col("all_keys"), F.col("keep_key")
-            ).alias("dup_keys"),
+            F.element_at(F.col("all_keys"), 1).alias("keep_key"),
+            dup_keys.alias("dup_keys"),
+        )
+        .withColumn(
+            "n_truncated",
+            F.greatest(
+                F.col("dup_count") - 1 - F.size("dup_keys"), F.lit(0)
+            ).cast("long"),
         )
     )
 
