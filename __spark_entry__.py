@@ -231,7 +231,11 @@ def q16_minhash_lsh_dedup(spark, sf_dir):
 
 
 def q17_simhash_dedup(spark, sf_dir):
-    # no SQL oracle: SimHash runs as an Arrow pandas UDF (rows-only check)
+    """Signature-equal pairs through the pigeonhole chunk buckets. The
+    md5-token-vote SimHash is engine-portable, so the DuckDB oracle
+    recomputes every signature and enumerates ALL equal pairs
+    exhaustively — proving the bucketed pair generation has full recall
+    at hamming 0 (incl. genuine signature collisions)."""
     return dd.simhash_candidates(_doubled_docs(spark, sf_dir), max_hamming=0).select(
         "a", "b"
     )
@@ -280,7 +284,9 @@ def q21_media_metadata(spark, sf_dir):
 
 
 def q22_media_features(spark, sf_dir):
-    # no SQL oracle: mapInPandas decode stub (rows-only check)
+    """The decode stub is deterministic md5 math, so the DuckDB oracle
+    reproduces every feature value — what this checks end-to-end is the
+    mapInPandas plumbing (Arrow batches, output schema, batch shape)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     feats = mm.extract_media_features(mm.attach_fake_media(docs))
     return feats.select(
@@ -357,8 +363,11 @@ def q26_dedup_clusters(spark, sf_dir):
 
 
 def q27_partition_manifest(spark, sf_dir):
-    """Per-partition lineage manifest rows (content-defined partitions,
-    fixed run id). Rows-only: partition ids use xxhash64 (engine-local)."""
+    """Per-partition lineage manifest rows. Partition ids are
+    content-defined from md5 (boundary-crossing hashes are md5 by repo
+    rule), so the DuckDB oracle recomputes them exactly; ruleset_hash
+    is deterministic (sha256 of the rule set) and compared as a
+    literal."""
     from validate_spark.operators.manifest import partition_manifest, with_partition_id
 
     docs = with_partition_id(_t(spark, sf_dir, "documents"), "doc_id", 16)
@@ -815,6 +824,7 @@ _V = {
 }
 
 _PASS = " AND ".join(f"NOT {v}" for v in _V.values())
+_NVIOL = " + ".join(f"({v})::int" for v in _V.values())
 
 _RULE_ORDER = [  # (violation key, field, validator) in declaration order
     ("doc_id_required", "doc_id", "required"),
@@ -1164,7 +1174,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(x.sh, y.sh))::double
                         / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
         """,
-        # q17 simhash: rows-only (pandas UDF, not SQL-expressible)
+        # q17: the SimHash is md5-token-vote math, so DuckDB recomputes
+        # every 64-bit signature exactly (bit j = majority over tokens of
+        # bit j of md5(token)[:8], MSB-first within bytes — mirrors
+        # np.unpackbits) and takes ALL signature-equal pairs exhaustively;
+        # the Spark side must find the same pairs through its pigeonhole
+        # chunk buckets (full recall at hamming 0)
+        "q17_simhash_dedup": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, lower(coalesce(text, '')) AS t
+              FROM ({_DOUBLED_DOCS})
+            ), tok AS (
+              SELECT k, unnest(list_filter(regexp_split_to_array(t, '\\s+'),
+                                           x -> x <> '')) AS tok
+              FROM c
+            ), bits AS (
+              SELECT k, md5(tok) AS h FROM tok
+            ), votes AS (
+              SELECT k, j,
+                     sum((CAST('0x' || substr(h, (j // 8) * 2 + 1, 2) AS INT)
+                          >> (7 - j % 8)) & 1) AS ones,
+                     count(*) AS n
+              FROM bits CROSS JOIN generate_series(0, 63) AS g(j)
+              GROUP BY k, j
+            ), sig AS (
+              SELECT k, list(CASE WHEN ones * 2 > n THEN 1 ELSE 0 END
+                             ORDER BY j) AS s
+              FROM votes GROUP BY k
+              UNION ALL
+              SELECT k, list_transform(generate_series(0, 63), x -> 0) AS s
+              FROM c WHERE len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                           x -> x <> '')) = 0
+            )
+            SELECT x.k AS a, y.k AS b
+            FROM sig x JOIN sig y ON x.k < y.k AND x.s = y.s
+        """,
         "q18_embedding_neardup": f"""
             WITH e AS ({_DOUBLED_EMB})
             SELECT x.vec_id AS a, y.vec_id AS b
@@ -1221,7 +1265,47 @@ def oracle_sql() -> dict[str, str]:
         "q19_ann_brute_force": _ANN_TOPK,
         "q20_ann_ivf_full_probe": _ANN_TOPK,
         "q21_media_metadata": _MEDIA_META,
-        # q22 media features: rows-only (mapInPandas decode stub)
+        # q22: the decode STUB is deterministic md5 math (per-byte mean/
+        # std of magic-prefix + unhexed md5 payload), so DuckDB rebuilds
+        # the identical byte list and aggregates it — the mapInPandas
+        # plumbing (Arrow batches, schema, astype) is what's under test
+        "q22_media_features": """
+            WITH h AS (
+              SELECT doc_id::varchar AS k,
+                     md5(doc_id::varchar) AS h1,
+                     md5(doc_id::varchar || ':2') AS h2,
+                     md5(doc_id::varchar || ':3') AS h3
+              FROM documents
+            ), b AS (
+              SELECT k,
+                     (strpos('0123456789abcdef', substr(h1, 1, 1)) - 1) % 3
+                       AS kind,
+                     h1 || h2 || h3 AS hx
+              FROM h
+            ), e AS (
+              SELECT k,
+                     CASE kind WHEN 0 THEN 'image/jpeg'
+                               WHEN 1 THEN 'image/png'
+                               ELSE 'audio/wav' END AS mime,
+                     (CASE kind WHEN 0 THEN [255, 216, 255]
+                                WHEN 1 THEN [137, 80, 78, 71, 13, 10, 26, 10]
+                                ELSE [82, 73, 70, 70] END
+                      || list_transform(generate_series(1, 48),
+                           i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INT)))
+                       AS bytes
+              FROM b
+            )
+            SELECT k AS doc_id, mime,
+                   len(bytes)::int AS n_bytes,
+                   round(list_aggregate(bytes, 'avg'), 6) AS feat_mean,
+                   round(sqrt(list_aggregate(
+                       list_transform(bytes,
+                         x -> (x - list_aggregate(bytes, 'avg'))
+                              * (x - list_aggregate(bytes, 'avg'))),
+                       'avg')), 6) AS feat_std,
+                   greatest(1, len(bytes) // 16)::int AS n_frames
+            FROM e
+        """,
         # q23 spans validation: rows-only (input is the synthesized
         #     interleaved table, not a pre-registered view)
         # connected components of the exact near-dup graph via recursive
@@ -1249,8 +1333,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
         """,
-        # q27 manifest: rows-only (content-defined partition ids use
-        #     engine-local xxhash64)
+        "q27_partition_manifest": f"""
+            WITH v AS (
+              SELECT CAST('0x' || substr(md5(coalesce(doc_id::varchar, '')),
+                                         1, 8) AS BIGINT)
+                       % 16 AS part_id,
+                     ({_PASS}) AS pass,
+                     ({_NVIOL}) AS nv
+              FROM documents
+            )
+            SELECT part_id::int AS part_id,
+                   '{DOC_RULES.hash()}' AS ruleset_hash,
+                   count(*)::bigint AS n_rows,
+                   sum(pass::int)::bigint AS n_pass,
+                   sum((NOT pass)::int)::bigint AS n_fail,
+                   sum(nv)::bigint AS n_violations,
+                   (sum((NOT pass)::int) = 0) AS verdict
+            FROM v GROUP BY part_id
+        """,
         "q28_violation_messages": _q28_sql(),
         "q29_required_family": """
             WITH d AS (

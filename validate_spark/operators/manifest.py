@@ -13,9 +13,12 @@ only the remainder — a killed 10^12-row job restarts where it stopped
 instead of rescanning everything. A changed rule set changes the hash,
 which invalidates the whole manifest automatically.
 
-Partition identity is CONTENT-defined (``pmod(xxhash64(key), n)``),
-not ``spark_partition_id()`` — executor scheduling must not change
-what "partition 17" means between runs.
+Partition identity is CONTENT-defined, not ``spark_partition_id()`` —
+executor scheduling must not change what "partition 17" means between
+runs. The hash is md5 (first 8 hex chars → int), NOT xxhash64: part_id
+crosses the engine boundary (external audits / the DuckDB oracle must
+recompute it from the key), and the repo rule is that boundary-crossing
+hashes are md5; xxhash64 stays engine-internal.
 """
 
 from __future__ import annotations
@@ -36,8 +39,16 @@ MANIFEST_SCHEMA = (
 
 
 def with_partition_id(df: DataFrame, key_col: str, n_partitions: int) -> DataFrame:
+    """Content-defined partition id, portable across engines:
+    ``conv(substr(md5(key), 1, 8), 16, 10) % n`` ≡ DuckDB
+    ``CAST('0x' || substr(md5(key), 1, 8) AS BIGINT) % n``.
+    NULL keys hash as '' — md5(NULL) is NULL (unlike xxhash64, which
+    never is), and a NULL part_id would make null-keyed rows
+    unresumable."""
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    h = F.conv(F.substring(F.md5(k), 1, 8), 16, 10)
     return df.withColumn(
-        PART_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
+        PART_COL, F.pmod(h.cast("long"), F.lit(n_partitions)).cast("int")
     )
 
 
