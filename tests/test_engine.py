@@ -111,12 +111,93 @@ def test_default_substitution(spark):
     assert safe == {"18", "30"}
 
 
-def test_default_still_validated(spark):
-    # CheckDefault: the substituted default runs through the rules
-    df = spark.createDataFrame([(None,)], "age string")
+def test_check_default_false_skips_validation(spark):
+    # reference default: CheckDefault=false — a substituted default is
+    # committed WITHOUT re-running the rules (validating.go:238-241),
+    # even when the default value itself would fail them
+    df = spark.createDataFrame([(None,), ("50",)], "age string")
     rs = RuleSet(rules={"age": "default:999|required|int:1,99"})
+    res = validate(df, rs, key_cols=["age"])
+    assert all(r["pass"] for r in res.verdicts().collect())
+    assert {r["age"] for r in res.safe_rows().collect()} == {"999", "50"}
+    # non-defaulted rows still validate normally
+    df2 = spark.createDataFrame([("500",)], "age string")
+    assert validate(df2, rs).verdicts().collect()[0]["pass"] is False
+
+
+def test_check_default_true_validates_default(spark):
+    # CheckDefault=true: the substituted default runs through the rules
+    # (TestValidation_CheckDefault, validating_test.go:61-77)
+    df = spark.createDataFrame([(None,)], "age string")
+    rs = RuleSet(rules={"age": "default:999|required|int:1,99"}, check_default=True)
     res = validate(df, rs)
     assert res.verdicts().collect()[0]["pass"] is False
+
+
+def test_check_default_filter_interaction(spark):
+    # TestValidation_CheckDefault (validating_test.go:61-77): with
+    # CheckDefault=true the default goes THROUGH the filter chain
+    # (default 'tom' + trim|upper → 'TOM'); with the reference default
+    # (false) the raw default is committed unfiltered
+    rules = RuleSet(
+        rules={"name": "required|default:tom"},
+        filters={"name": "trim|upper"},
+        check_default=True,
+    )
+    df = spark.createDataFrame([("",), ("  bob ",)], "name string")
+    safe = {r["name"] for r in validate(df, rules).safe_rows().collect()}
+    assert safe == {"TOM", "BOB"}
+    import dataclasses
+
+    raw = dataclasses.replace(rules, check_default=False)
+    safe = {r["name"] for r in validate(df, raw).safe_rows().collect()}
+    assert safe == {"tom", "BOB"}
+
+
+def test_nested_field_default(spark):
+    # defaults apply to ANY addressable field (rule.go:195-197;
+    # validating.go:229-246 SetByPath) — dotted paths included, and a
+    # NULL parent struct is created to hold the default
+    df = spark.createDataFrame(
+        [(1, ("x", "NY")), (2, ("", "LA")), (3, None)],
+        "id long, addr struct<street:string,city:string>",
+    )
+    rs = RuleSet(
+        rules={"addr.street": "default:unknown|required|minLen:1"},
+        check_default=True,
+    )
+    res = validate(df, rs, key_cols=["id"])
+    assert all(r["pass"] for r in res.verdicts().collect())
+    rows = {r["id"]: r["addr"] for r in res.safe_rows().collect()}
+    assert rows[1]["street"] == "x" and rows[1]["city"] == "NY"
+    assert rows[2]["street"] == "unknown" and rows[2]["city"] == "LA"
+    assert rows[3]["street"] == "unknown" and rows[3]["city"] is None
+
+
+def test_two_nested_defaults_same_struct_compose(spark):
+    df = spark.createDataFrame(
+        [(1, (None, None))],
+        "id long, addr struct<street:string,city:string>",
+    )
+    rs = RuleSet(
+        rules={"addr.street": "default:s0|required", "addr.city": "default:c0|required"}
+    )
+    row = validate(df, rs, key_cols=["id"]).safe_rows().collect()[0]
+    assert row["addr"]["street"] == "s0" and row["addr"]["city"] == "c0"
+
+
+def test_wildcard_default_raises_loudly(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, ["a"])], "id long, tags array<string>")
+    with _pytest.raises(NotImplementedError, match="wildcard"):
+        validate(df, RuleSet(rules={"tags.*": "default:x|required"}), key_cols=["id"])
+
+
+def test_default_markers_hidden_from_safe_rows(spark):
+    df = spark.createDataFrame([(None,)], "age string")
+    res = validate(df, RuleSet(rules={"age": "default:18|required"}))
+    assert res.safe_rows().columns == ["age"]
 
 
 # --- scenes ---------------------------------------------------------------------

@@ -233,5 +233,6 @@ rule[7] tags.* enum['a', 'b', 'c'] msg='tags.* value must be in the enum a,b,c'
 rule[8] addr.city required[] msg='addr.city is required to not be empty'
 filter addr
 filter name
+default _vs_def_0
 default age"""
     assert snapshot == expected, f"plan snapshot drifted:\n{snapshot}"

@@ -27,7 +27,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from validate_spark.plans.plan import Plan, RuleSet, compile_plan
+from validate_spark.plans.plan import (
+    DEFAULT_MARKER_PREFIX,
+    Plan,
+    RuleSet,
+    compile_plan,
+)
 
 RESULTS_COL = "_vs_results"
 FAILED_COL = "_vs_failed"
@@ -89,6 +94,7 @@ class ValidationResult:
         data_cols = [
             c for c in self.annotated.columns
             if c not in (RESULTS_COL, FAILED_COL, PASS_COL)
+            and not c.startswith(DEFAULT_MARKER_PREFIX)
         ]
         return self.annotated.filter(F.col(PASS_COL)).select(*data_cols)
 

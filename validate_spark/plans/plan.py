@@ -48,6 +48,12 @@ from validate_spark.functions.filters import (
 # rule set definition (user-facing)
 # ---------------------------------------------------------------------------
 
+# hidden boolean columns recording "default was substituted here";
+# added by the default projection, consumed by the CheckDefault gate
+# and excluded from safe-row output
+DEFAULT_MARKER_PREFIX = "_vs_def_"
+
+
 @dataclass
 class RuleSet:
     """Declarative rule set — the engine analogue of ``StringRules`` +
@@ -67,6 +73,11 @@ class RuleSet:
     locale: str | None = None  # message locale (locales/zhcn Register parity)
     err_show_value: bool = False  # append failing value to messages
     # (GlobalOption.ErrShowValue, validate.go:104-108; issue #184)
+    check_default: bool = False  # validate substituted default values?
+    # Reference default is FALSE (Validation.CheckDefault,
+    # validate.go:102-103; validating.go:238-241: "!CheckDefault →
+    # commitValue, skip checks") — a substituted default passes its
+    # field's rules and bypasses its filter chain unless this is True.
 
     def hash(self) -> str:
         payload = json.dumps(
@@ -79,6 +90,7 @@ class RuleSet:
                 "zero_as_empty": self.zero_as_empty,
                 "locale": self.locale,
                 "err_show_value": self.err_show_value,
+                "check_default": self.check_default,
             },
             sort_keys=True,
         )
@@ -412,19 +424,69 @@ def compile_plan(
         if fr.optional:
             optional_parents.append(field)
 
+    # field → hidden marker column name, set when a default is declared;
+    # the marker records "the ORIGINAL value was empty → default applied"
+    # (computed pre-substitution: all default_projections expressions are
+    # applied in ONE withColumns, so they see pre-projection values)
+    defaulted_fields: dict[str, str] = {}
+
     for field, fr in parsed:
         leaf_dt = dtype_of(field)
 
-        if fr.default is not None and "." not in field:
-            base = F.col(field)
-            dt = leaf_dt
+        if fr.default is not None:
+            if "*" in field or any(p.isdigit() for p in field.split(".")):
+                # never a silent no-op: the reference applies defaults to
+                # any addressable field (rule.go:195-197), but a wildcard
+                # has no single storage slot to write back to
+                raise NotImplementedError(
+                    f"default on wildcard/indexed field not supported: {field}"
+                )
             default_lit = F.lit(fr.default)
-            if dt is not None:
-                default_lit = default_lit.try_cast(dt)
-            default_projections[field] = F.when(
-                is_empty_col(base, dt, zero_as_empty=ruleset.zero_as_empty),
-                default_lit,
-            ).otherwise(base)
+            if leaf_dt is not None:
+                default_lit = default_lit.try_cast(leaf_dt)
+            marker = f"{DEFAULT_MARKER_PREFIX}{len(defaulted_fields)}"
+            defaulted_fields[field] = marker
+            if "." not in field:
+                base = F.col(field)
+                empty = is_empty_col(
+                    base, leaf_dt, zero_as_empty=ruleset.zero_as_empty
+                )
+                default_projections[field] = F.when(
+                    empty, default_lit
+                ).otherwise(base)
+                default_projections[marker] = empty
+            else:
+                # dotted field: rebuild the leaf inside the TOP-LEVEL
+                # struct column (withField takes dotted names) — the
+                # reference applies defaults to any field via SetByPath,
+                # creating missing parents (validating.go:229-246); a
+                # NULL top struct is normalized to an all-NULL struct so
+                # the path exists to write into. (Intermediate NULL
+                # structs below the top level stay NULL — withField
+                # cannot create them; documented limitation.)
+                top, _, rest = field.partition(".")
+                top_dt = dtype_at(schema, top)
+                base = default_projections.get(top)
+                if base is None:
+                    base = F.col(top)
+                    if isinstance(top_dt, T.StructType):
+                        nullstruct = F.struct(
+                            *[
+                                F.lit(None).cast(f.dataType).alias(f.name)
+                                for f in top_dt.fields
+                            ]
+                        )
+                        base = F.coalesce(base, nullstruct)
+                leaf = base
+                for p in rest.split("."):
+                    leaf = leaf.getField(p)
+                empty = is_empty_col(
+                    leaf, leaf_dt, zero_as_empty=ruleset.zero_as_empty
+                )
+                default_projections[top] = base.withField(
+                    rest, F.when(empty, default_lit).otherwise(leaf)
+                )
+                default_projections[marker] = empty
 
         for spec in fr.rules:
             name = spec.name
@@ -507,6 +569,16 @@ def compile_plan(
                         F.coalesce(pred, F.lit(False))
                     )
 
+            # CheckDefault gate (validating.go:238-241): unless
+            # check_default is set, a row whose value was empty and got
+            # the default substituted does NOT re-validate — the rule
+            # passes by fiat (the marker column records the substitution
+            # pre-projection)
+            if not ruleset.check_default and field in defaulted_fields:
+                pred = F.when(
+                    F.col(defaulted_fields[field]), F.lit(True)
+                ).otherwise(F.coalesce(pred, F.lit(False)))
+
             value_col = None
             if ruleset.err_show_value:
                 # wildcard rules report the whole source value (fv.Src()
@@ -532,6 +604,18 @@ def compile_plan(
                 )
             )
             idx += 1
+
+    # !CheckDefault also bypasses the FILTER chain for substituted
+    # defaults (the reference commits the raw default before filters
+    # run, validating.go:238-241); nested defaulted fields share their
+    # top-level filter projection with sibling leaves, so the bypass is
+    # applied only where the granularity is exact (top-level fields)
+    if not ruleset.check_default:
+        for dfield, marker in defaulted_fields.items():
+            if "." not in dfield and dfield in filter_projections:
+                filter_projections[dfield] = F.when(
+                    F.col(marker), F.col(dfield)
+                ).otherwise(filter_projections[dfield])
 
     return Plan(
         rules=compiled,
