@@ -224,3 +224,93 @@ def test_schema_diff(spark):
     # DataFrames accepted directly
     df = spark.createDataFrame([], before)
     assert schema_diff(df, df) == []
+
+
+# --- AddCustomType extractor registry (register_type.go:30-68) ------------
+
+def test_custom_type_extractor_validates_underlying_value(spark):
+    from pyspark.sql import types as T
+    from validate_spark import register_custom_type, reset_custom_types
+
+    # the sql.NullString analogue: struct<val:string, valid:boolean>
+    null_string = T.StructType(
+        [T.StructField("val", T.StringType()), T.StructField("valid", T.BooleanType())]
+    )
+
+    def extract(col, dt):
+        # nil contract: invalid wrapper → NULL → treated as unset
+        return F.when(col.getField("valid"), col.getField("val")), T.StringType()
+
+    register_custom_type(null_string, extract)
+    try:
+        df = spark.createDataFrame(
+            [(1, ("hello", True)), (2, ("x", True)), (3, ("ignored", False))],
+            "id long, name struct<val:string,valid:boolean>",
+        )
+        res = validate(
+            df, RuleSet(rules={"name": "required|minLen:3"}), key_cols=["id"]
+        )
+        verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
+        # 1: extracted 'hello' passes; 2: 'x' fails minLen on the
+        # EXTRACTED value; 3: invalid wrapper → NULL → required fails
+        assert verd == {1: True, 2: False, 3: False}
+    finally:
+        reset_custom_types()
+
+
+def test_custom_type_registration_invalidates_plan_cache(spark):
+    from pyspark.sql import types as T
+    from validate_spark import register_custom_type, reset_custom_types
+
+    df = spark.createDataFrame(
+        [(1, ("ok", True))], "id long, name struct<val:string,valid:boolean>"
+    )
+    rs = RuleSet(rules={"name": "required"})
+    # without an extractor: struct is non-null → required passes
+    assert validate(df, rs, key_cols=["id"]).verdicts().collect()[0]["pass"]
+    wrapper = T.StructType(
+        [T.StructField("val", T.StringType()), T.StructField("valid", T.BooleanType())]
+    )
+    register_custom_type(
+        wrapper, lambda c, dt: (F.lit(None).cast("string"), T.StringType())
+    )
+    try:
+        # same RuleSet + schema: a stale cached plan would still pass
+        assert not validate(df, rs, key_cols=["id"]).verdicts().collect()[0]["pass"]
+    finally:
+        reset_custom_types()
+    assert validate(df, rs, key_cols=["id"]).verdicts().collect()[0]["pass"]
+
+
+# --- per-instance validator overlay (validation.go:387-411) ----------------
+
+def test_per_instance_validator_overlay(spark):
+    df = spark.createDataFrame([("abc",), ("xyz",)], "code string")
+    starts_a = RuleSet(
+        rules={"code": "required|isShiny"},
+        validators={"isShiny": lambda col, args, ctx: col.startswith("a")},
+    )
+    starts_x = RuleSet(
+        rules={"code": "required|isShiny"},
+        validators={"isShiny": lambda col, args, ctx: col.startswith("x")},
+    )
+    # two concurrent rule sets carry CONFLICTING validators of the same
+    # name without touching the global registry
+    va = {r["code"]: r["pass"] for r in validate(df, starts_a, key_cols=["code"]).verdicts().collect()}
+    vx = {r["code"]: r["pass"] for r in validate(df, starts_x, key_cols=["code"]).verdicts().collect()}
+    assert va == {"abc": True, "xyz": False}
+    assert vx == {"abc": False, "xyz": True}
+    from validate_spark import VALIDATORS
+
+    assert "isShiny" not in VALIDATORS
+
+
+def test_instance_overlay_shadows_global(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    rs = RuleSet(
+        rules={"s": "minLen:2"},
+        validators={"minLength": lambda col, args, ctx: F.lit(False)},
+    )
+    assert not validate(df, rs).verdicts().collect()[0]["pass"]
+    # global registry untouched
+    assert validate(df, RuleSet(rules={"s": "minLen:2"})).verdicts().collect()[0]["pass"]

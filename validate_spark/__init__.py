@@ -21,6 +21,8 @@ from validate_spark.plans.plan import RuleSet, compile_plan, Plan
 from validate_spark.operators.engine import validate, check_value, ValidationResult
 from validate_spark.functions.validators import (
     register_validator,
+    register_custom_type,
+    reset_custom_types,
     VALIDATORS,
     resolve_alias,
 )
@@ -36,6 +38,8 @@ __all__ = [
     "check_value",
     "ValidationResult",
     "register_validator",
+    "register_custom_type",
+    "reset_custom_types",
     "register_filter",
     "resolve_alias",
     "VALIDATORS",

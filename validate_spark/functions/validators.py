@@ -359,6 +359,59 @@ def registry_version() -> int:
     return REGISTRY_VERSION + _flt.FILTER_REGISTRY_VERSION
 
 
+# --- custom-type extractors (AddCustomType parity) -------------------------
+
+# key = exact Spark DataType (simpleString form); value = extractor
+# (col, dtype) -> (underlying_col, underlying_dtype)
+TypeExtractor = Callable[[Column, T.DataType], "tuple[Column, T.DataType | None]"]
+CUSTOM_TYPES: dict[str, TypeExtractor] = {}
+
+
+def register_custom_type(
+    dtype: T.DataType, extractor: TypeExtractor, *, replace: bool = True
+) -> None:
+    """``AddCustomType`` parity (register_type.go:30-68): register an
+    underlying-value extractor keyed by the EXACT Spark data type — the
+    reference keys by exact ``reflect.Type`` with no pointer auto-deref;
+    here the analogue is the full struct/array type signature.
+
+    The extractor is applied as a pre-predicate projection wherever a
+    ruled field (or wildcard leaf) has exactly this type: validators,
+    the skip-on-empty gate and the required family all see the
+    EXTRACTED value, so a NULL extraction means "treat as unset" and
+    fails ``required`` — the documented CustomTypeFunc nil contract.
+    Registration bumps the registry version, invalidating cached plans
+    like the reference's tagVer bump."""
+    global REGISTRY_VERSION
+    if not isinstance(dtype, T.DataType):
+        raise TypeError("register_custom_type expects a pyspark DataType instance")
+    key = dtype.simpleString()
+    if not replace and key in CUSTOM_TYPES:
+        raise ValueError(f"custom type {key} already registered")
+    CUSTOM_TYPES[key] = extractor
+    REGISTRY_VERSION += 1
+
+
+def reset_custom_types() -> None:
+    """``ResetCustomTypes`` parity (register_type.go:46-55)."""
+    global REGISTRY_VERSION
+    CUSTOM_TYPES.clear()
+    REGISTRY_VERSION += 1
+
+
+def resolve_custom_type(
+    col: Column, dt: T.DataType | None
+) -> "tuple[Column, T.DataType | None]":
+    """``resolveCustomType`` (register_type.go:57-68): zero-cost when
+    nothing is registered; on a type hit, swap in the extracted value."""
+    if not CUSTOM_TYPES or dt is None:
+        return col, dt
+    fn = CUSTOM_TYPES.get(dt.simpleString())
+    if fn is None:
+        return col, dt
+    return fn(col, dt)
+
+
 def register_validator(name: str, builder: Builder | None = None, *, replace: bool = True):
     """Custom-validator surface — reference ``AddValidator``
     (validators.go:158-178). Usable as a decorator or a direct call.

@@ -263,6 +263,9 @@ def _cached_plan(ruleset: RuleSet, schema, scene) -> Plan:
         ruleset.hash(),
         _json.dumps(ruleset.messages, sort_keys=True),
         _json.dumps(ruleset.labels, sort_keys=True),
+        # per-instance overlay: id-sensitive so swapping a builder under
+        # the same name recompiles (hash() carries names only)
+        tuple(sorted((k, id(v)) for k, v in ruleset.validators.items())),
         scene,
     )
     plan = _PLAN_CACHE.get(key)

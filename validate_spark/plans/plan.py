@@ -36,6 +36,7 @@ from validate_spark.functions.validators import (
     BuildCtx,
     is_empty_col,
     is_required_family,
+    resolve_custom_type,
 )
 from validate_spark.functions.filters import (
     parse_filter_chain,
@@ -78,6 +79,10 @@ class RuleSet:
     # validate.go:102-103; validating.go:238-241: "!CheckDefault →
     # commitValue, skip checks") — a substituted default passes its
     # field's rules and bypasses its filter chain unless this is True.
+    validators: dict = dc_field(default_factory=dict)  # per-INSTANCE
+    # validator overlay, name → builder(col, args, ctx) — shadows the
+    # global registry for this rule set only (instance AddValidator,
+    # validation.go:387-411). Names must be canonical (no aliases).
 
     def hash(self) -> str:
         payload = json.dumps(
@@ -91,6 +96,10 @@ class RuleSet:
                 "locale": self.locale,
                 "err_show_value": self.err_show_value,
                 "check_default": self.check_default,
+                # names only: hash() feeds cross-run manifest identity,
+                # so it must not depend on process-local callable ids —
+                # the in-process plan CACHE adds id-sensitivity itself
+                "instance_validators": sorted(self.validators),
             },
             sort_keys=True,
         )
@@ -490,12 +499,18 @@ def compile_plan(
 
         for spec in fr.rules:
             name = spec.name
-            if name not in VALIDATORS:
-                raise KeyError(
-                    f"unknown validator '{name}' for field '{field}' "
-                    f"(register with register_validator)"
-                )
-            builder = VALIDATORS[name]
+            # per-instance overlay first (validation.go:387-411
+            # AddValidator on an instance shadows the global registry;
+            # two concurrent rule sets may carry conflicting custom
+            # validators without touching global state)
+            builder = ruleset.validators.get(name)
+            if builder is None:
+                if name not in VALIDATORS:
+                    raise KeyError(
+                        f"unknown validator '{name}' for field '{field}' "
+                        f"(register with register_validator)"
+                    )
+                builder = VALIDATORS[name]
 
             if "*" in field:
                 parts = field.split(".")
@@ -505,6 +520,9 @@ def compile_plan(
                 root_dt = dtype_at(schema, root)
 
                 def make_leaf(c, dt, _b=builder, _spec=spec):
+                    # AddCustomType hook: wildcard LEAVES of a registered
+                    # type validate their extracted underlying value
+                    c, dt = resolve_custom_type(c, dt)
                     ctx = BuildCtx(
                         dtype=dt,
                         resolve=resolve,
@@ -536,14 +554,18 @@ def compile_plan(
                     )
             else:
                 target = col_at(field)
+                # AddCustomType hook (register_type.go:57-68 applied at
+                # value-get): predicates, the skip-empty gate and the
+                # required family all see the EXTRACTED value
+                target, eff_dt = resolve_custom_type(target, leaf_dt)
                 ctx = BuildCtx(
-                    dtype=leaf_dt,
+                    dtype=eff_dt,
                     resolve=resolve,
                     dtype_of=dtype_of,
                     zero_as_empty=ruleset.zero_as_empty,
                 )
                 raw = builder(target, spec.args, ctx)
-                pred = _leaf_with_skip(raw, target, leaf_dt, spec, ruleset)
+                pred = _leaf_with_skip(raw, target, eff_dt, spec, ruleset)
 
             if spec.optional and not spec.required_family:
                 # optional field: children skipped when value empty
