@@ -231,3 +231,27 @@ def test_scene_fields_survive_form_prefixing(spark):
     res = _v(parsed, rs.prefixed("_form."), key_cols=["qid"], scene="create")
     viols = {r["field"] for r in res.violations().collect()}
     assert viols == {"_form.name"}  # age is out of scene
+
+
+def test_ru_ru_and_zh_tw_locales(spark):
+    # locales/ruru/ruru.go + locales/zhtw/zhtw.go builtin maps
+    assert "ru-RU" in LOCALES and "zh-TW" in LOCALES
+    assert render_message("required", "name", (), locale="ru-RU") == (
+        "name не может быть пустым"
+    )
+    assert render_message("min", "age", ("3",), locale="ru-RU") == (
+        "Минимальное значение age равно 3"
+    )
+    assert render_message("required", "name", (), locale="zh-TW") == "name 是必填項"
+    # alias keys normalized on registration (date ↔ isDate)
+    assert LOCALES["ru-RU"]["isDate"] == LOCALES["ru-RU"]["date"]
+    # flows through a rule set end-to-end
+    from pyspark.sql import Row as _Row
+
+    df = spark.createDataFrame([_Row(doc_id="", n=1)])
+    res = validate(
+        df, RuleSet(rules={"doc_id": "required"}, locale="ru-RU"), key_cols=["n"]
+    )
+    assert [r["message"] for r in res.violations().collect()] == [
+        "doc_id не может быть пустым"
+    ]

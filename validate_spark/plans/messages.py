@@ -227,4 +227,194 @@ def render_message(
     return out
 
 
+# ru-RU builtin, transliterated from locales/ruru/ruru.go:19-129
+RU_RU = {
+    "_": "Поле {field} не прошло проверку",
+    "_validate": "Поле {field} не прошло проверку",
+    "_filter": "Значение {field} некорректно",
+    "min": "Минимальное значение {field} равно %v",
+    "max": "Максимальное значение {field} равно %v",
+    "isInt": "{field} должно быть числом",
+    "isInt1": "{field} должно быть числом и не менее %d",
+    "isInt2": "{field} должно быть числом и в диапазоне %d - %d",
+    "isInts": "{field} должно быть массивом чисел",
+    "isUint": "{field} должно быть положительным числом",
+    "isString": "{field} должно быть строкой",
+    "isString1": "{field} должно быть строкой с минимальной длиной %d",
+    "minLength": "Длина {field} должна быть не меньше %d",
+    "maxLength": "Длина {field} должна быть не более %d",
+    "stringLength": "Длина {field} должна быть в диапазоне %d - %d",
+    "stringLength1": "Минимальная длина {field} равна %d",
+    "stringLength2": "Длина {field} должна быть в диапазоне %d - %d",
+    "isURL": "{field} должно быть корректным URL адресом",
+    "isFullURL": "{field} должно быть корректным полным URL адресом",
+    "isFile": "{field} должно быть загруженным файлом",
+    "isImage": "{field} должно быть изображением",
+    "enum": "{field} должно иметь одно из указанных значений: %v",
+    "range": "{field} должно быть в диапазоне %v - %v",
+    "lt": "Значение {field} должно быть меньше %d",
+    "gt": "Значение {field} должно быть больше %d",
+    "required": "{field} не может быть пустым",
+    "requiredIf": "{field} не может быть пустым, когда {args0} равно {args1end}",
+    "requiredUnless": "{field} не может быть пустым, если {args0} не равно {args1end}",
+    "requiredWith": "{field} не может быть пустым при наличии {values}",
+    "requiredWithAll": "{field} не может быть пустым при наличии {values}",
+    "requiredWithout": "{field} не может быть пустым, если поле {values} пустое",
+    "requiredWithoutAll": "{field} не может быть пустым, если ни одной из {values} не присутствует",
+    "eqField": "{field} должно быть равно полю %s",
+    "neField": "{field} не может быть равно полю %s",
+    "ltField": "{field} должно быть меньше значения поля %s",
+    "lteField": "{field} должно быть меньше или равно значению поля %s",
+    "gtField": "{field} должно быть больше значения поля %s",
+    "gteField": "{field} должно быть больше или равно значению поля %s",
+    "bool": "{field} должно быть логическим",
+    "float": "{field} должно быть плавающим числом",
+    "slice": "{field} должно быть слайсом",
+    "map": "{field} должно быть картой",
+    "array": "{field} должно быть массивом",
+    "strings": "{field} должно быть массивом строк",
+    "notIn": "{field} не должно быть в данном списке %d",
+    "contains": "{field} должно содержать %s",
+    "notContains": "{field} не должно содержать %s",
+    "startsWith": "{field} должно начинаться с %s",
+    "endsWith": "{field} должно заканчиваться на %s",
+    "email": "{field} должно быть электронной почтой",
+    "regex": "{field} не прошло проверку регулярным выражением",
+    "file": "{field} должно быть файлом",
+    "image": "{field} должно быть изображением",
+    "date": "{field} должно быть строкой даты",
+    "gtDate": "{field} должно быть датой после %s",
+    "ltDate": "{field} должно быть датой до %s",
+    "gteDate": "{field} должно быть датой после %s включительно",
+    "lteDate": "{field} должно быть датой до %s включительно",
+    "hasWhitespace": "{field} должно содержать пробелы",
+    "ascii": "{field} должно быть ASCII строкой",
+    "alpha": "{field} содержит только буквы",
+    "alphaNum": "{field} содержит только буквы и числа",
+    "alphaDash": "{field} содержит только буквы, цифры, тире (-) и подчеркивания (_)",
+    "multiByte": "{field} должно быть многобайтовой строкой",
+    "base64": "{field} должно быть base64 строкой",
+    "dnsName": "{field} должно быть DNS строкой",
+    "dataURI": "{field} должно быть DataURL строкой",
+    "empty": "{field} должно быть пустым",
+    "hexColor": "{field} должно быть цветовой шестнадцатеричной (HEX) строкой",
+    "hexadecimal": "{field} должно быть шестнадцатеричной (HEX) строкой",
+    "json": "{field} должно быть json строкой",
+    "lat": "{field} должно быть координатами широты",
+    "lon": "{field} должно быть координатами долготы",
+    "num": "{field} должно быть цифровой строкой (>=0)",
+    "mac": "{field} должно быть MAC адресом",
+    "printableASCII": "{field} должно быть печатаемой ASCII строкой",
+    "rgbColor": "{field} должно быть строкой RGB цвета",
+    "fullURL": "{field} должно быть полной строкой URL-адреса",
+    "full": "{field} должно быть строкой URL-адреса",
+    "ip": "{field} должно быть строкой ip адреса (v4 или v6)",
+    "ipv4": "{field} должно быть ipv4 строкой",
+    "ipv6": "{field} должно быть ipv6 строкой",
+    "CIDR": "{field} должно быть CIDR строкой",
+    "CIDRv4": "{field} должно быть CIDRv4 строкой",
+    "CIDRv6": "{field} должно быть CIDRv6 строкой",
+    "uuid": "{field} должно быть UUID строкой",
+    "uuid3": "{field} должно быть UUID3 строкой",
+    "uuid4": "{field} должно быть UUID4 строкой",
+    "uuid5": "{field} должно быть UUID5 строкой",
+    "filePath": "{field} должно быть существующим путем к файлу",
+    "unixPath": "{field} должно быть строкой пути unix",
+    "winPath": "{field} должно быть строкой пути Windows",
+    "isbn10": "{field} должно быть isbn10 строкой",
+    "isbn13": "{field} должно быть isbn13 строкой",
+}
+
+# zh-TW builtin, transliterated from locales/zhtw/zhtw.go:19-118
+ZH_TW = {
+    "_": "{field} 沒有通過驗證",
+    "min": "{field} 的最小值是 %v",
+    "max": "{field} 的最大值是 %v",
+    "lt": "{field} value should be less than %v",
+    "gt": "{field} value should be greater than %v",
+    "minLength": "{field} 的最小長度是 %d",
+    "maxLength": "{field} 的最大長度是 %d",
+    "enum": "{field} 值必須在下列枚舉中 %v",
+    "range": "{field} 值必須在此範圍內 %v - %v",
+    "required": "{field} 是必填項",
+    "requiredIf": "當 %v 為 {args} 時 {field} 不能為空。",
+    "requiredUnless": "當 %v 不為 {args} 時 {field} 不能為空。",
+    "requiredWith": "當 {values} 存在時 {field} 不能為空。",
+    "requiredWithAll": "當 {values} 存在時 {field} 不能為空。",
+    "requiredWithout": "當 {values} 不存在時 {field} 不能為空。",
+    "requiredWithoutAll": "當 {values} 都不存在時 {field} 不能為空。",
+    "email": "{field}不是合法郵箱",
+    "eqField": "{field} 值必須等於該字段 %s",
+    "neField": "{field} 值不能等於該字段 %s",
+    "ltField": "{field} 值應小於該字段 %s",
+    "lteField": "{field} 值應小於等於該字段 %s",
+    "gtField": "{field} 值應大於該字段 %s",
+    "gteField": "{field} 值應大於等於該字段 %s",
+    "isString": "{field} 值必須是壹個字符串",
+    "isString1": "{field} 值必須是壹個字符串，最小長度為 %d",
+    "stringLength": "{field} 值長度必須在 %d - %d 範圍內",
+    "isURL": "{field} 值必須是壹個有效的URL地址",
+    "isFullURL": "{field} 值必須是壹個完整、有效的URL地址",
+    "isFile": "{field} 值必須是壹個可上傳的文件",
+    "isImage": "{field} 值必須是壹個可上傳的圖像文件",
+    "bool": "{field} 值必須是壹個bool類型",
+    "float": "{field} 值必須是壹個float類型",
+    "slice": "{field} 值必須是壹個slice類型",
+    "map": "{field} 值必須是壹個map類型",
+    "array": "{field} 值必須是壹個array類型",
+    "strings": "{field} 值必須是壹個[]string類型",
+    "notIn": "{field} 值不能出現在給定枚舉列表中 %d",
+    "contains": "{field} 值不能出現在枚舉列表中 %s",
+    "notContains": "{field} 值包含輸入指定值 %s",
+    "startsWith": "{field} 值的前綴必須是：%s ",
+    "endsWith": "{field} 值的後綴必須是：%s ",
+    "regex": "{field} 值沒有通過正則匹配",
+    "file": "{field} 值必須是壹個文件",
+    "image": "{field} 值必須是壹圖像",
+    "date": "{field} 值應該是壹個日期字符串",
+    "gtDate": "{field} 日期應該在 %s 之後",
+    "ltDate": "{field} 日期應該在 %s 之前",
+    "gteDate": "{field} 日期應該等於 %s 或者在其之後",
+    "lteDate": "{field} 日期應該等於 %s 或者在其之前",
+    "hasWhitespace": "{field} 值應該包含空格",
+    "ascii": "{field} 值應該是壹個 ASCII 字符串",
+    "alpha": "{field} 值僅包含字母字符",
+    "alphaNum": "{field} 值僅包含字母字符和數字",
+    "alphaDash": "{field} 值僅包含字母字符、數字、破折號（-）、下劃線（_）",
+    "multiByte": "{field} 值應該是壹個多字節字符串",
+    "base64": "{field} 值應該是壹個Base64字符串",
+    "dnsName": "{field} 值應該是壹個DNS名稱字符串",
+    "dataURI": "{field} 值應該是壹個DataURI字符串",
+    "empty": "{field} 值應該為空",
+    "hexColor": "{field} 值應該是十六進制的顏色字符串",
+    "hexadecimal": "{field} 值應該是十六進制字符串",
+    "json": "{field} 值應該是壹個json字符串",
+    "lat": "{field} 值應該是壹個緯度坐標",
+    "lon": "{field} 值應該是壹個經度坐標",
+    "mac": "{field} 值應該是壹個MAC字符串",
+    "num": "{field} 值應該是壹個數字字符串(>=0)",
+    "cnMobile": "{field} 值應該是中國11位手機號碼字符串",
+    "printableASCII": "{field} 值應該是可打印ASCII字符串",
+    "rgbColor": "{field} 值應該是RGP顏色字符串",
+    "fullUrl": "{field} 值應該是壹個完整的URL字符串",
+    "url": "{field} 值應該是壹個URL字符串",
+    "ip": "{field} 值應該是壹個IP（v4或v6）字符串",
+    "ipv4": "{field} 值應該是壹個IPv4字符串",
+    "ipv6": "{field} 值應該是壹個IPv6字符串",
+    "CIDR": "{field} 值應該是壹個CIDR字符串",
+    "CIDRv4": "{field} 值應該是壹個CIDRv4字符串",
+    "CIDRv6": "{field} 值應該是壹個CIDRv6字符串",
+    "uuid": "{field} 值應該是壹個UUID字符串",
+    "uuid3": "{field} 值應該是壹個UUID3字符串",
+    "uuid4": "{field} 值應該是壹個UUID4字符串",
+    "uuid5": "{field} 值應該是壹個UUID5字符串",
+    "filePath": "{field} 值應該是壹個存在的文件路徑",
+    "unixPath": "{field} 值應該是壹個Unix路徑字符串",
+    "winPath": "{field} 值應該是壹個Windows路徑字符串",
+    "isbn10": "{field} 值應該是壹個ISBN10字符串",
+    "isbn13": "{field} 值應該是壹個ISBN13字符串",
+}
+
 register_locale("zh-CN", ZH_CN)
+register_locale("ru-RU", RU_RU)
+register_locale("zh-TW", ZH_TW)
