@@ -217,17 +217,21 @@ def test_scenes_subset(spark):
 
 
 def test_scene_wildcard_entry(spark):
-    # wildcard scene keys (#283, validation.go:840-849)
+    # wildcard scene keys (#283, validation.go:906-943): the entry must
+    # name the slice rule exactly in normalized form — "extra.*" has no
+    # prefix semantics and selects neither leaf rule
     df = spark.createDataFrame(
         [([{"github": "", "status1": 1}],)],
         "extra array<struct<github:string,status1:int>>",
     )
     rs = RuleSet(
         rules={"extra.*.github": "required", "extra.*.status1": "required"},
-        scenes={"s": ["extra.*"]},
+        scenes={"s": ["extra.*.github"], "loose": ["extra.*"]},
     )
     res = validate(df, rs, scene="s")
-    assert ("extra.*.github", "required") in viol_set(res)
+    assert viol_set(res) == {("extra.*.github", "required")}
+    res = validate(df, rs, scene="loose")
+    assert viol_set(res) == set()
 
 
 # --- StopOnError / first error ------------------------------------------------------

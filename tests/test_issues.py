@@ -41,10 +41,10 @@ ISSUE283_RULES = {
     "Tags.*.Name": "required",
     "Tags.0.Date": "required",
 }
-ISSUE283_SCENES = {
-    "update": ["Tags.Id", "Test"],          # index-less: must NOT match
-    "updateStar": ["Tags.*"],                # wildcard: matches slice rules
-    "updateIdx": ["Tags.0.Date"],            # explicit index matches
+ISSUE283_SCENES = {  # mirrors TestIssue_283_v2 (issues_x2_test.go:362-401)
+    "update": ["Tags.Id", "Test"],       # index-less: must NOT match
+    "updateStar": ["Tags.*.Id"],         # wildcard: EXACT normalized match
+    "updateIdx": ["Tags.0.Date"],        # explicit index matches
 }
 
 
@@ -73,8 +73,44 @@ def test_issue_283_wildcard_scene_hits(spark):
         scene="updateStar",
     )
     fields = {r["field"] for r in res.violations().collect()}
-    assert "Tags.*.Id" in fields and "Tags.*.Name" in fields
-    assert "Name" not in fields  # short Name is out of scene
+    # wildcard entry 'Tags.*.Id' selects exactly that slice rule —
+    # sibling 'Tags.*.Name' and indexed 'Tags.0.Date' stay out of scene
+    assert fields == {"Tags.*.Id"}
+
+
+def test_scene_parent_entry_admits_descendants(spark):
+    # isNotNeedToCheck ancestor-prefix rule (validation.go:916-921): a
+    # plain scene entry equal to a PARENT name checks every dotted
+    # descendant, at any depth — but never partial segment prefixes
+    df = spark.createDataFrame(
+        [(1, ("", ""), "")],
+        "rid int, addr struct<city:string,zip:string>, addrX string",
+    )
+    rs = RuleSet(
+        rules={"addr.city": "required", "addr.zip": "required", "addrX": "required"},
+        scenes={"s": ["addr"]},
+    )
+    res = validate(df, rs, key_cols=["rid"], scene="s")
+    fields = {r["field"] for r in res.violations().collect()}
+    # 'addr' admits addr.city/addr.zip; 'addrX' only shares a CHARACTER
+    # prefix and must stay out of scene
+    assert fields == {"addr.city", "addr.zip"}
+
+
+def test_scene_wildcard_entry_has_no_prefix_semantics(spark):
+    # scene entry 'Tags.*' must NOT admit 'Tags.*.Id' (wildcard entries
+    # match only exact normalized forms; reference scope note in
+    # TestIssue_283_v2) but DOES admit an element rule 'Tags.*' itself
+    df = spark.createDataFrame(
+        [(1, [("", "x", "")])], ISSUE283_SCHEMA.replace("rid int, Name string, Code string, Test int, ", "rid int, ")
+    )
+    rs = RuleSet(
+        rules={"Tags.*.Id": "required", "Tags.*": "minLength:1"},
+        scenes={"s": ["Tags.*"]},
+    )
+    res = validate(df, rs, key_cols=["rid"], scene="s")
+    fields = {r["field"] for r in res.violations().collect()}
+    assert "Tags.*.Id" not in fields
 
 
 def test_issue_283_explicit_index_scene(spark):

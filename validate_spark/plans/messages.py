@@ -8,9 +8,11 @@ builtin default. Templates support ``{field}``, ``{args0}``,
 verbs (filled left-to-right from the rule args).
 
 Messages are rendered to STATIC strings at plan-compile time (all args
-are literals) — zero runtime cost. Value interpolation (``ErrShowValue``)
-is intentionally out of scope (off by default in the reference too,
-validate.go:126).
+are literals) — zero runtime cost. Value interpolation (``ErrShowValue``,
+issue #184) IS supported, but lives in the plan layer, not here: the
+compiled rule carries a ``value_col`` and the results array appends
+" (value: %v)" at evaluation time (plan.py CompiledRule/results_array),
+since the failing value is per-row and cannot be compile-time static.
 """
 
 from __future__ import annotations

@@ -272,15 +272,32 @@ def _scene_fields(ruleset: RuleSet, scene: str | None) -> set[str] | None:
 
 
 def _field_in_scene(field: str, scene_fields: set[str] | None) -> bool:
+    """Scene membership — ``isNotNeedToCheck`` parity
+    (validation.go:906-943).
+
+    PLAIN entries match exactly or as dotted ANCESTOR prefixes at any
+    depth ("addr" admits "addr.city" and "addr.city.zip"; a scene entry
+    equal to the parent name admits all descendants; partial segment
+    prefixes like "add" never match). Entries containing ``.*`` are
+    WILDCARD patterns (#283): they match only the field's
+    index-normalized form exactly (numeric segments → "*",
+    indexPathToWildcard util.go:163-181) or the identical wildcard rule
+    name — index-less entries never match slice-element rules, and
+    wildcard entries have NO prefix semantics. Empty entries are
+    ignored (#314)."""
     if scene_fields is None:
         return True
-    if field in scene_fields:
+    plain = {f for f in scene_fields if f and ".*" not in f}
+    wild = {f for f in scene_fields if ".*" in f}
+    if field in plain or field in wild:
         return True
-    # wildcard scene keys: scene entry "extra.*" admits "extra.*.github"
-    for sf in scene_fields:
-        if field.startswith(sf.rstrip("*")) and sf.endswith("*"):
+    parts = field.split(".")
+    for i in range(1, len(parts)):
+        if ".".join(parts[:i]) in plain:
             return True
-        if field.split(".")[0] == sf:
+    if wild:
+        norm = ".".join("*" if p.isdigit() else p for p in parts)
+        if norm != field and norm in wild:
             return True
     return False
 
