@@ -241,6 +241,17 @@ def q17_simhash_dedup(spark, sf_dir):
     )
 
 
+def q44_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard similarity join (prefix-filtered
+    AllPairs — no signatures): output pairs verified against the
+    exhaustive O(n²) exact-Jaccard oracle, proving full prefix-filter
+    recall at the threshold."""
+    pairs = dd.ngram_jaccard_pairs(
+        _doubled_docs(spark, sf_dir), n=3, threshold=0.9
+    )
+    return pairs.select("a", "b", "jaccard")
+
+
 def _doubled_emb(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.unionAll(
@@ -775,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_exact_dedup": q15_exact_dedup,
         "q16_minhash_lsh_dedup": q16_minhash_lsh_dedup,
         "q17_simhash_dedup": q17_simhash_dedup,
+        "q44_ngram_jaccard": q44_ngram_jaccard,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q19_ann_brute_force": q19_ann_brute_force,
         "q20_ann_ivf_full_probe": q20_ann_ivf_full_probe,
@@ -1173,6 +1185,29 @@ def oracle_sql() -> dict[str, str]:
             FROM s x JOIN s y ON x.k < y.k
             WHERE round(len(list_intersect(x.sh, y.sh))::double
                         / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+        """,
+        # q44: exhaustive exact token-3-gram Jaccard — the Spark side is
+        # the prefix-filtered AllPairs join; matching this oracle proves
+        # the prefix buckets have full recall at the threshold
+        "q44_ngram_jaccard": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t FROM ({_DOUBLED_DOCS})
+            ), tk AS (
+              SELECT k, regexp_split_to_array(t, ' ') AS w
+              FROM c WHERE length(t) > 0
+            ), g AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS grams
+              FROM tk
+            ), p AS (
+              SELECT x.k AS a, y.k AS b,
+                     round(len(list_intersect(x.grams, y.grams))::double
+                           / len(list_distinct(x.grams || y.grams))::double,
+                           6) AS jaccard
+              FROM g x JOIN g y ON x.k < y.k
+            )
+            SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9
         """,
         # q17: the SimHash is md5-token-vote math, so DuckDB recomputes
         # every 64-bit signature exactly (bit j = majority over tokens of

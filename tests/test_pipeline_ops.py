@@ -241,3 +241,48 @@ def test_exact_dedup_hot_fingerprint_capped(spark):
     assert row["dup_keys"] == [f"d{i:04d}" for i in range(1, 11)]
     assert row["n_truncated"] == 500 - 1 - 10
 
+
+
+def test_ngram_jaccard_exact_join(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        ("d1", base),
+        ("d2", base),                          # identical -> J = 1.0
+        ("d3", base.replace("lazy", "sleepy")),  # near-dup
+        ("d4", "completely different text about spark aggregation plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got[("d1", "d2")] == 1.0
+    assert ("d1", "d4") not in got and ("d2", "d4") not in got
+    assert 0.5 <= got[("d1", "d3")] < 1.0
+
+
+def test_ngram_jaccard_prefix_filter_full_recall(spark):
+    # property check vs in-test brute force: the prefix-filtered join
+    # must find EVERY pair >= threshold (the AllPairs recall guarantee)
+    docs = []
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(12):
+        # rotate + perturb so pair similarities spread across [0, 1]
+        toks = words[i % 4:] + words[: i % 4] + ([f"x{i}"] if i % 3 else [])
+        docs.append((f"d{i:02d}", " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    t = 0.6
+    got = {(r["a"], r["b"]) for r in dd.ngram_jaccard_pairs(df, n=3, threshold=t).collect()}
+
+    gsets = {
+        r["k"]: set(r["grams"])
+        for r in dd.word_ngram_frame(df, n=3).collect()
+    }
+    keys = sorted(gsets)
+    want = set()
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            j = len(gsets[a] & gsets[b]) / len(gsets[a] | gsets[b])
+            if round(j, 6) >= t:
+                want.add((a, b))
+    assert got == want and want  # non-trivial: at least one pair exists

@@ -488,7 +488,125 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
-# 2b. duplicate clusters (connected components over the pair graph)
+# 2b. token-n-gram Jaccard similarity join (exact, prefix-filtered)
+# ---------------------------------------------------------------------------
+
+def word_ngram_frame(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", *, n: int = 3
+) -> DataFrame:
+    """(k, grams: array<string>) — DISTINCT word n-grams of the
+    normalized text; docs shorter than n tokens contribute their whole
+    token sequence as the single gram (short exact dups still match).
+    Normalization staged in its own projection (shingle_frame PERF
+    note applies verbatim)."""
+    normed = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        normalize_text(F.col(text_col)).alias("_t"),
+    ).filter(F.length("_t") > 0)
+    toks = normed.select("k", F.split("_t", " ").alias("_w"))
+    w = F.col("_w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    return toks.select("k", grams.alias("grams"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """EXACT token-n-gram Jaccard join: every pair (a < b) with
+    J(grams_a, grams_b) ≥ threshold — no signatures, no approximation,
+    and still no O(n²): candidates come from PREFIX FILTERING (the
+    AllPairs/PPJoin family). Each doc's gram set is put in one GLOBAL
+    deterministic order (by xxhash64 — engine-internal, never crosses
+    to the oracle, which verifies output pairs by exhaustive exact
+    Jaccard instead) and only the first ``|G| - ceil(t·|G|) + 1`` grams
+    are indexed. Full recall: if J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|),
+    and the globally-smallest common gram g* must sit inside BOTH
+    prefixes — were g* past A's prefix, all |A∩B| common grams would
+    occupy A's last ceil(t·|A|) - 1 slots, a contradiction. So bucket-
+    joining prefix grams finds every qualifying pair.
+
+    The verify stage reuses jaccard_pairs' scale guards: in-bucket pair
+    expansion (no self-join) capped at ``max_bucket``, size-ratio
+    prefilter applied pre-explode (J ≤ min/max set sizes), explicit
+    repartition before the per-pair array intersection (AQE would
+    coalesce the tiny pair frame and serialize the expensive step), and
+    hashed-gram intersection (array<long>, not strings).
+    """
+    sets_ = word_ngram_frame(df, text_col, key_col, n=n)
+    hashed = sets_.select(
+        "k",
+        F.array_sort(
+            F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+        ).alias("gh"),
+    )
+    sz = F.size("gh")
+    plen = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + F.lit(1)
+    prefixed = hashed.select(
+        "k", sz.alias("n"), F.explode(F.slice(F.col("gh"), F.lit(1), plen)).alias("g")
+    )
+    buckets = (
+        prefixed.groupBy("g")
+        .agg(F.array_sort(F.collect_set(F.struct("k", "n"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    ratio_min = threshold - 1e-6
+
+    def pair_ok(x, y):
+        nx = x.getField("n").cast("double")
+        ny = y.getField("n").cast("double")
+        return F.least(nx, ny) / F.greatest(nx, ny) >= F.lit(ratio_min)
+
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                            lambda y: F.when(
+                                pair_ok(x, y),
+                                F.struct(
+                                    x.getField("k").alias("a"),
+                                    y.getField("k").alias("b"),
+                                ),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+    pre = pairs.repartition(n_parts, "a")
+    a = hashed.select(F.col("k").alias("a"), F.col("gh").alias("gh_a"))
+    b = hashed.select(F.col("k").alias("b"), F.col("gh").alias("gh_b"))
+    j = pre.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("gh_a", "gh_b")).cast("double")
+    union = F.size(F.array_union("gh_a", "gh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        j.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2c. duplicate clusters (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
 def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
