@@ -341,3 +341,58 @@ def test_formats_crossfield_dates_match_mini_oracle(spark):
     assert got == want, (
         f"engine-only: {sorted(got - want)[:8]}  oracle-only: {sorted(want - got)[:8]}"
     )
+
+
+# ---- corpus 4: default substitution × CheckDefault --------------------------
+
+def test_defaults_checkdefault_match_mini_oracle(spark):
+    """validating.go:225-247: empty value + default → substitute; then
+    either commit WITHOUT checks (!CheckDefault, the reference default)
+    or validate the substituted value (CheckDefault=true). Differential
+    over both flag values × passing and failing default values."""
+    import random as _random
+
+    rng = _random.Random(11)
+    values = [None, "", "5", "200", "abc", "42", "007", "-3"]
+    rows = [(str(i), rng.choice(values)) for i in range(200)]
+    schema = "id string, v string"
+    checks = [("required", ()), ("isIntString", ()), ("min", ("1",)), ("max", ("99",))]
+
+    def oracle(default, check_default):
+        viols, safe = set(), {}
+        for rid, v in rows:
+            val = v
+            substituted = False
+            if _empty(val):
+                val, substituted = default, True
+            row = {"id": rid, "v": val}
+            if substituted and not check_default:
+                safe[rid] = val
+                continue
+            bad = {
+                (rid, "v", name)
+                for name, args in checks
+                if not _check("v", name, args, row)
+            }
+            viols |= bad
+            if not bad:
+                safe[rid] = val
+        return viols, safe
+
+    df = spark.createDataFrame(rows, schema)
+    for default in ("42", "999"):
+        for check_default in (False, True):
+            rs = RuleSet(
+                rules={"v": f"default:{default}|required|intStr|min:1|max:99"},
+                check_default=check_default,
+            )
+            res = validate(df, rs, key_cols=["id"])
+            got_viols = {
+                (r["id"], r["field"], r["validator"])
+                for r in res.violations().collect()
+            }
+            want_viols, want_safe = oracle(default, check_default)
+            # engine reports isIntString under its canonical name
+            assert got_viols == want_viols, (default, check_default)
+            got_safe = {r["id"]: r["v"] for r in res.safe_rows().collect()}
+            assert got_safe == want_safe, (default, check_default)

@@ -131,3 +131,19 @@ def test_ann_topk_two_phase_no_window(spark):
         # vectors pruned before shuffle: the collected struct carries
         # only the (negated) score and the neighbor id
         assert "partial_collect_list(struct(nc" in plan
+
+
+def test_exact_dup_report_two_phase_capped(spark):
+    """exact_duplicates must never plan a single global collect of all
+    duplicate keys: stage 1 groups by (partition, fp) so every buffer is
+    task-local, stage 2 merges capped arrays. Both collects must show a
+    partial phase below their exchange."""
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(dd.exact_duplicates(docs, max_keys=10))
+    assert "Window" not in plan
+    assert plan.count("partial_collect_list") == 2
+    # stage-1 grouping is partition-scoped (spark_partition_id shows up
+    # as a _nondeterministic grouping key)
+    assert "_nondeterministic" in plan
