@@ -200,3 +200,73 @@ def test_issue_221_deep_wildcard_through_maps(spark):
     )
     verd = {r["id"]: r["pass"] for r in res.verdicts().collect()}
     assert verd == {"1": True, "2": False}
+
+
+# --- Issue #266: `in` on a whole slice fails, `S.*` per-element works -------
+
+def test_issue_266_enum_on_slice_fails_whole(spark):
+    # TestIssue_266_v2 (issues_x2_test.go): tag 'in' on []string checks
+    # the WHOLE slice and fails — must be a violation row, never an
+    # AnalysisException on a legal rule set
+    df = spark.createDataFrame([(1, ["a", "b"])], "rid int, S array<string>")
+    res = validate(df, RuleSet(rules={"S": "required|in:a,b"}), key_cols=["rid"])
+    got = {(r["field"], r["validator"]) for r in res.violations().collect()}
+    assert got == {("S", "enum")}
+    # workaround: programmatic 'S.*' validates each element
+    res2 = validate(df, RuleSet(rules={"S.*": "in:a,b"}), key_cols=["rid"])
+    assert res2.verdicts().collect()[0]["pass"]
+    # notIn = !enum: a container is never in a scalar list -> passes
+    res3 = validate(df, RuleSet(rules={"S": "notIn:a,b"}), key_cols=["rid"])
+    assert res3.verdicts().collect()[0]["pass"]
+
+
+# --- Issue #301: escaped pipes in rule strings ------------------------------
+
+def test_issue_301_escaped_pipes(spark):
+    df = spark.createDataFrame(
+        [("abc.json", "123", "a|b", "a\\|b")],
+        "field string, other string, escape string, escape2 string",
+    )
+    rs = RuleSet(rules={
+        "field": "required|regex:^[a-zA-Z0-9_.-]+\\.(yaml\\|yml\\|json)$|maxLen:50",
+        "other": "required|regex:^\\d{3}$",
+        "escape": "in: a\\|b",
+        "escape2": "in: a\\\\|b",
+    })
+    res = validate(df, rs, key_cols=["field"])
+    assert res.verdicts().collect()[0]["pass"]
+
+
+# --- Issue #302: required family with numeric zero --------------------------
+
+def test_issue_302_required_zero_int(spark):
+    # zero is NOT empty unless zero_as_empty is set — every required_*
+    # variant passes on 0 (issues_x2_test.go TestIssue_302)
+    df = spark.createDataFrame([(0, 0, 0, 0)], "a long, b long, c long, d long")
+    rs = RuleSet(rules={
+        "a": "required|isUint|in:0,1,2",
+        "b": "requiredIf:a,0",
+        "c": "requiredWith:a",
+        "d": "requiredUnless:a,1",
+    })
+    res = validate(df, rs, key_cols=["a"])
+    assert res.verdicts().collect()[0]["pass"]
+
+
+# --- Issue #162: requiredIf chained with a format validator ------------------
+
+def test_issue_162_requiredif_uuid4_chain(spark):
+    df = spark.createDataFrame(
+        [("B", "94e48bd3-e990-405e-bd10-304e767cd3fd"), ("B", ""),
+         ("C", ""), ("B", "notauuid")],
+        "Type string, ID string",
+    )
+    rs = RuleSet(rules={"Type": "in:B,C", "ID": "requiredIf:Type,B|uuid4"})
+    res = validate(df, rs, key_cols=["Type", "ID"])
+    verd = {(r["Type"], r["ID"]): r["pass"] for r in res.verdicts().collect()}
+    assert verd == {
+        ("B", "94e48bd3-e990-405e-bd10-304e767cd3fd"): True,
+        ("B", ""): False,      # required when Type=B
+        ("C", ""): True,       # skipEmpty: uuid4 skips empty, not required
+        ("B", "notauuid"): False,
+    }

@@ -586,7 +586,13 @@ def _int_equal(col, args, ctx):
 
 @_v("enum")
 def _enum(col, args, ctx):
-    # internal/validators/enum.go:15-39
+    # internal/validators/enum.go:15-39. A CONTAINER value is never a
+    # member of a scalar enum list — the reference fails the whole
+    # slice (#266: `in` on []string fails; the per-element form is
+    # `S.*`); raising an AnalysisException here would kill the job on a
+    # legal rule set instead of producing the violation row.
+    if is_container_type(ctx.dtype):
+        return F.lit(False)
     if is_numeric_type(ctx.dtype):
         vals = [float(a) if "." in a else int(a) for a in args]
         return col.isin(vals)
@@ -595,6 +601,10 @@ def _enum(col, args, ctx):
 
 @_v("notIn")
 def _not_in(col, args, ctx):
+    # reference NotIn = !Enum (validators.go): a container value is not
+    # in a scalar list, so notIn PASSES on non-empty containers (#266)
+    if is_container_type(ctx.dtype):
+        return F.lit(True)
     if is_numeric_type(ctx.dtype):
         vals = [float(a) if "." in a else int(a) for a in args]
         return col.isNotNull() & ~col.isin(vals)
