@@ -270,3 +270,36 @@ def test_issue_162_requiredif_uuid4_chain(spark):
         ("C", ""): True,       # skipEmpty: uuid4 skips empty, not required
         ("B", "notauuid"): False,
     }
+
+
+# --- Issue #152 / #111: labels inside cross-field messages -------------------
+
+def test_issue_152_labels_in_requiredif_messages(spark):
+    # the referenced field's LABEL renders in the message, and the value
+    # list is bracketed (messages.go:473-533 arg translation, #111)
+    df = spark.createDataFrame([(1, "")], "Type long, Data string")
+    rs = RuleSet(
+        rules={"Data": "requiredIf:Type,1"},
+        labels={"Type": "类型", "Data": "数据"},
+        locale="zh-CN",
+    )
+    res = validate(df, rs, key_cols=["Type"])
+    assert res.violations().collect()[0]["message"] == "当 类型 为 [1] 时 数据 不能为空。"
+
+    df2 = spark.createDataFrame([(0, "")], "Type long, Data string")
+    rs2 = RuleSet(
+        rules={"Data": "requiredUnless:Type,1"},
+        labels={"Type": "类型", "Data": "数据"},
+        locale="zh-CN",
+    )
+    res2 = validate(df2, rs2, key_cols=["Type"])
+    assert res2.violations().collect()[0]["message"] == "当 类型 不为 [1] 时 数据 不能为空。"
+
+
+def test_issue_140_requiredif_message_text(spark):
+    # exact builtin English text incl. bracketed list (TestIssue_140)
+    df = spark.createDataFrame([("value", "")], "Field1 string, Field2 string")
+    res = validate(df, {"Field2": "requiredIf:Field1,value"}, key_cols=["Field1"])
+    assert res.violations().collect()[0]["message"] == (
+        "Field2 is required when Field1 is in [value]"
+    )

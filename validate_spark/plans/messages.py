@@ -195,19 +195,28 @@ def render_message(
     custom: str | None = None,
     label: str | None = None,
     locale: str | None = None,
+    labels: "dict[str, str] | None" = None,
 ) -> str:
     """Resolve + render a message to a static string at compile time.
 
     Resolution order: rule-level custom → locale map (if a locale is
     set; reference merges locale data over builtins, AddMessages) →
-    builtin → default (messages.go:458-588)."""
+    builtin → default (messages.go:458-588).
+
+    Arg rendering parity (messages.go:473-533): any string ARG that is
+    a labelled field name renders as its LABEL (#111 — e.g.
+    ``requiredIf:Type,1`` with label 类型 says 当 类型 为 ...);
+    ``{values}`` and ``{args1end}`` render as bracketed comma lists
+    (arrutil.ToString — "[12,13,14]"); ``{args0}`` is the bare arg."""
     loc = LOCALES.get(locale, {}) if locale else {}
     tpl = custom or loc.get(name) or BUILTIN_MESSAGES.get(name) or DEFAULT_MSG
     shown = label or field
+    if labels:
+        args = tuple(labels.get(a, a) for a in args)
     out = tpl.replace("{field}", shown)
-    out = out.replace("{values}", ",".join(args))
+    out = out.replace("{values}", "[" + ",".join(args) + "]")
     out = out.replace("{args0}", args[0] if args else "")
-    out = out.replace("{args1end}", ",".join(args[1:]))
+    out = out.replace("{args1end}", "[" + ",".join(args[1:]) + "]")
     for i, a in enumerate(args):
         out = out.replace("{args%d}" % i, a)
     # positional Go verbs, left-to-right; the LAST verb consumes all

@@ -639,6 +639,7 @@ def compile_plan(
                         custom=spec.message,
                         label=ruleset.labels.get(field),
                         locale=ruleset.locale,
+                        labels=ruleset.labels,
                     ),
                 )
             )
