@@ -303,3 +303,52 @@ def test_issue_140_requiredif_message_text(spark):
     assert res.violations().collect()[0]["message"] == (
         "Field2 is required when Field1 is in [value]"
     )
+
+
+# --- Issue #60: custom message keyed by an ALIAS validator name --------------
+
+def test_issue_60_alias_message_key(spark):
+    # AddMessages({"in": ...}) must hit the enum validator (the rule was
+    # written as 'in'); same for field-scoped alias keys
+    df = spark.createDataFrame([("1",)], "title string")
+    res = validate(
+        df,
+        RuleSet(rules={"title": "in:2,3"}, messages={"in": "自定义错误"}),
+        key_cols=["title"],
+    )
+    assert [v["message"] for v in res.violations().collect()] == ["自定义错误"]
+    res2 = validate(
+        df,
+        RuleSet(rules={"title": "in:2,3"}, messages={"title.in": "field scoped"}),
+        key_cols=["title"],
+    )
+    assert [v["message"] for v in res2.violations().collect()] == ["field scoped"]
+
+
+def test_bare_field_message_key(spark):
+    # findMessage order (messages.go:541-578): a bare FIELD key overrides
+    # the builtin for ANY failing validator of that field
+    df = spark.createDataFrame([("",)], "title string")
+    res = validate(
+        df,
+        RuleSet(rules={"title": "required"}, messages={"title": "title is invalid"}),
+        key_cols=["title"],
+    )
+    assert [v["message"] for v in res.violations().collect()] == ["title is invalid"]
+
+
+def test_argcount_message_templates(spark):
+    # isInt with 2 args renders the isInt2 template (validator+lenStr
+    # selection, messages.go:547-563)
+    df = spark.createDataFrame([("abc",)], "age string")
+    res = validate(df, {"age": "int:1,99"}, key_cols=["age"])
+    assert [v["message"] for v in res.violations().collect()] == [
+        "age value must be an integer and in the range 1 - 99"
+    ]
+    # count-suffixed CUSTOM key in alias form ("int2")
+    res2 = validate(
+        df,
+        RuleSet(rules={"age": "int:1,99"}, messages={"int2": "bad ranged int"}),
+        key_cols=["age"],
+    )
+    assert [v["message"] for v in res2.violations().collect()] == ["bad ranged int"]

@@ -113,6 +113,47 @@ def parse_segment(seg: str) -> tuple[str, tuple[str, ...]]:
     return name, tuple(a.strip() for a in raw_args.split(","))
 
 
+def _canon_msg_key(key: str) -> str:
+    """Canonicalize the validator part of a message key so alias-form
+    keys match ("in" → "enum", "title.in" → "title.enum", "int2" →
+    "isInt2") — the reference accepts alias keys because its rules keep
+    raw validator names (Message() tries validatorAliases,
+    messages.go:458-470); this engine canonicalizes at parse time, so
+    keys canonicalize instead."""
+    head, dot, last = key.rpartition(".")
+    canon = resolve_alias(last)
+    if canon == last and last and last[-1].isdigit():
+        # arg-count-suffixed alias: "int2" → "isInt" + "2"
+        import re as _re
+
+        m = _re.fullmatch(r"(.*?)(\d+)", last)
+        base = resolve_alias(m.group(1))
+        if base != m.group(1):
+            canon = base + m.group(2)
+    return f"{head}.{canon}" if dot else canon
+
+
+def _find_custom_message(
+    messages: dict[str, str], field: str, name: str, n_args: int
+) -> str | None:
+    """Custom-message lookup, findMessage order (messages.go:541-578):
+    "field.validatorN" → "validatorN" → "field.validator" → bare
+    "field" (field-level message overrides any validator) → bare
+    "validator". Keys are accepted in alias form."""
+    cm: dict[str, str] = {}
+    for k, v in messages.items():
+        cm.setdefault(k, v)
+        cm.setdefault(_canon_msg_key(k), v)
+    keys = []
+    if n_args:
+        keys += [f"{field}.{name}{n_args}", f"{name}{n_args}"]
+    keys += [f"{field}.{name}", field, name]
+    for k in keys:
+        if k in cm:
+            return cm[k]
+    return None
+
+
 def parse_rules(
     field: str,
     rule_str: str,
@@ -138,7 +179,7 @@ def parse_rules(
             continue
         msg = None
         if messages:
-            msg = messages.get(f"{field}.{name}") or messages.get(name)
+            msg = _find_custom_message(messages, field, name, len(args))
         fr.rules.append(
             RuleSpec(
                 field=field,

@@ -140,6 +140,14 @@ BUILTIN_MESSAGES: dict[str, str] = {
     "min": "{field} min value is %v",
     "max": "{field} max value is %v",
     "isInt": "{field} value must be an integer",
+    # arg-count variants, selected when the rule carries that many args
+    # (findMessage "validator + lenStr", messages.go:547-563; the "mix"
+    # typo is the reference's own, kept verbatim for parity)
+    "isInt1": "{field} value must be an integer and mix value is %d",
+    "isInt2": "{field} value must be an integer and in the range %d - %d",
+    "isString1": "{field} value must be a string and min length is %d",
+    "stringLength1": "{field} min length is %d",
+    "stringLength2": "{field} length must be in the range %d - %d",
     "isInts": "{field} value must be an int slice",
     "isUint": "{field} value must be an unsigned integer(>= 0)",
     "isString": "{field} value must be a string",
@@ -209,7 +217,14 @@ def render_message(
     ``{values}`` and ``{args1end}`` render as bracketed comma lists
     (arrutil.ToString — "[12,13,14]"); ``{args0}`` is the bare arg."""
     loc = LOCALES.get(locale, {}) if locale else {}
-    tpl = custom or loc.get(name) or BUILTIN_MESSAGES.get(name) or DEFAULT_MSG
+    # arg-count template variant first: isInt with (min, max) args uses
+    # isInt2 (findMessage validator+lenStr, messages.go:547-563)
+    narg = f"{name}{len(args)}" if args else None
+    tpl = custom
+    if tpl is None and narg:
+        tpl = loc.get(narg) or BUILTIN_MESSAGES.get(narg)
+    if tpl is None:
+        tpl = loc.get(name) or BUILTIN_MESSAGES.get(name) or DEFAULT_MSG
     shown = label or field
     if labels:
         args = tuple(labels.get(a, a) for a in args)
