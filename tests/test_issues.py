@@ -352,3 +352,45 @@ def test_argcount_message_templates(spark):
         key_cols=["age"],
     )
     assert [v["message"] for v in res2.violations().collect()] == ["bad ranged int"]
+
+
+# --- Issue #172: element filter via trailing `.*` path ----------------------
+
+def test_issue_172_trailing_star_filter(spark):
+    # StringRule("Domains.*", "", "trimStrings"): scalar chain applied
+    # to each array element (issues_test.go TestIssues_172)
+    df = spark.createDataFrame(
+        [(1, ["   test.com   ", "oof.com", " foobar.com"])],
+        "rid int, domains array<string>",
+    )
+    rs = RuleSet(rules={"domains.*": "required"}, filters={"domains.*": "trim"})
+    res = validate(df, rs, key_cols=["rid"])
+    assert res.verdicts().collect()[0]["pass"]
+    assert res.safe_rows().collect()[0]["domains"] == [
+        "test.com", "oof.com", "foobar.com"
+    ]
+
+
+def test_trailing_star_filter_nested(spark):
+    df = spark.createDataFrame(
+        [(1, ([" a ", "b "],))], "rid int, o struct<tags:array<string>>"
+    )
+    rs = RuleSet(rules={"o.tags.*": "required"}, filters={"o.tags.*": "trim"})
+    res = validate(df, rs, key_cols=["rid"])
+    assert res.safe_rows().collect()[0]["o"]["tags"] == ["a", "b"]
+
+
+# --- Issue #159: gteField compares date strings lexicographically ------------
+
+def test_issue_159_gtefield_date_strings(spark):
+    df = spark.createDataFrame(
+        [("2021-12-17", "2020-12-16"), ("2021-01-01", "2021-06-30")],
+        "start string, end string",
+    )
+    res = validate(
+        df,
+        {"start": "date|minLen:10", "end": "date|minLen:10|gteField:start"},
+        key_cols=["start"],
+    )
+    verd = {r["start"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {"2021-12-17": False, "2021-01-01": True}

@@ -390,6 +390,30 @@ def compile_plan(
         if out_dt is not None:
             filter_dtypes[field] = out_dt
         if "." in field:
+            # trailing `.*` filter (issue #172: StringRule("Domains.*",
+            # "", "trimStrings")): the scalar chain applies to EACH
+            # element of the array field
+            if field.endswith(".*") and "*" not in field[:-2]:
+                parent_path = field[:-2]
+                elem_chain = chain
+                if "." not in parent_path:
+                    base = filter_projections.get(parent_path, F.col(parent_path))
+                    filter_projections[parent_path] = F.transform(
+                        base, lambda x: apply_filter_chain(x, elem_chain)
+                    )
+                else:
+                    top, _, rest = parent_path.partition(".")
+                    base = filter_projections.get(top, F.col(top))
+                    leaf = base
+                    for p in rest.split("."):
+                        leaf = leaf.getField(p)
+                    filter_projections[top] = base.withField(
+                        rest,
+                        F.transform(
+                            leaf, lambda x: apply_filter_chain(x, elem_chain)
+                        ),
+                    )
+                continue
             # interior `.*` filter (issue #262): transform each element
             parent, _, sub = field.partition(".*.")
             if parent and sub and "." not in sub:
