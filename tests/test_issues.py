@@ -394,3 +394,52 @@ def test_issue_159_gtefield_date_strings(spark):
     )
     verd = {r["start"]: r["pass"] for r in res.verdicts().collect()}
     assert verd == {"2021-12-17": False, "2021-01-01": True}
+
+
+# --- Issue #30: str_num on a numeric JSON member -----------------------------
+
+def test_issue_30_strnum_coerces_numbers(spark):
+    from validate_spark.sources.jsonsrc import validate_json
+
+    df = spark.createDataFrame([('{"cost_type": 10}',)], "j string")
+    res = validate_json(df, "j", "cost_type int", {"cost_type": "str_num"}, key_cols=["j"])
+    assert res.verdicts().collect()[0]["pass"]
+
+
+# --- Issue #242: mutually-dependent requiredWithoutAll chains ----------------
+
+def test_issue_242_requiredwithoutall_mutual(spark):
+    df = spark.createDataFrame([(None, None, None)], "ID string, NewID string, OldID string")
+    res = validate(
+        df,
+        {
+            "ID": "requiredWithoutAll:NewID|uuid4",
+            "NewID": "requiredWithoutAll:OldID|uuid4",
+            "OldID": "requiredWithoutAll:NewID|string",
+        },
+        key_cols=["ID"],
+    )
+    assert res.verdicts().collect()[0]["pass"] is False
+    got = {(v["field"], v["validator"]) for v in res.violations().collect()}
+    assert got == {
+        ("ID", "requiredWithoutAll"),
+        ("NewID", "requiredWithoutAll"),
+        ("OldID", "requiredWithoutAll"),
+    }
+
+
+def test_issue_22_custom_message_with_verb(spark):
+    df = spark.createDataFrame([("tom", "x" * 48)], "Nickname string, Avatar string")
+    rs = RuleSet(
+        rules={"Nickname": "minLen:6", "Avatar": "maxLen:6"},
+        messages={
+            "Nickname.minLength": "OO! nickname min len is 6",
+            "Avatar.maxLength": "OO! avatar max len is %d",
+        },
+    )
+    res = validate(df, rs, key_cols=["Nickname"])
+    msgs = {v["field"]: v["message"] for v in res.violations().collect()}
+    assert msgs == {
+        "Nickname": "OO! nickname min len is 6",
+        "Avatar": "OO! avatar max len is 6",
+    }

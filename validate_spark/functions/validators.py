@@ -751,9 +751,10 @@ def _is_numeric(col, args, ctx):
 
 @_v("isStringNumber")
 def _is_string_number(col, args, ctx):
-    if not is_string_type(ctx.dtype):
-        return F.lit(False)
-    return _rx(col, RX["number"])
+    # reference IsStringNumber(s string) — non-string values COERCE to
+    # string through the arg conversion (issue #30: JSON number 10
+    # passes str_num), so cast like isNumber rather than hard-failing
+    return _rx(col.cast("string"), RX["number"])
 
 
 def _schema_static(check):
