@@ -252,6 +252,23 @@ def q44_ngram_jaccard(spark, sf_dir):
     return pairs.select("a", "b", "jaccard")
 
 
+def q45_rule_suggestions(spark, sf_dir):
+    """Learned baseline rules from a trusted snapshot (suggest_rules):
+    one distributed profiling pass → (field, rule) rows. The oracle
+    recomputes the same profile thresholds in SQL. Float columns are
+    excluded by design here: Python's repr and SQL varchar casts of
+    doubles differ in edge formatting, and rule strings are compared
+    byte-exact."""
+    from validate_spark.operators.suggest import suggest_rules
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    rs = suggest_rules(cust)
+    rows = sorted(rs.rules.items())
+    return spark.createDataFrame(rows, "field string, rule string")
+
+
 def _doubled_emb(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.unionAll(
@@ -787,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_minhash_lsh_dedup": q16_minhash_lsh_dedup,
         "q17_simhash_dedup": q17_simhash_dedup,
         "q44_ngram_jaccard": q44_ngram_jaccard,
+        "q45_rule_suggestions": q45_rule_suggestions,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q19_ann_brute_force": q19_ann_brute_force,
         "q20_ann_ivf_full_probe": q20_ann_ivf_full_probe,
@@ -1185,6 +1203,43 @@ def oracle_sql() -> dict[str, str]:
             FROM s x JOIN s y ON x.k < y.k
             WHERE round(len(list_intersect(x.sh, y.sh))::double
                         / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+        """,
+        "q45_rule_suggestions": """
+            WITH p AS (
+              SELECT
+                sum((c_custkey IS NULL)::int) AS k_null,
+                min(c_custkey) AS k_min, max(c_custkey) AS k_max,
+                sum((c_nationkey IS NULL)::int) AS nk_null,
+                min(c_nationkey) AS nk_min, max(c_nationkey) AS nk_max,
+                sum((c_name IS NULL)::int + (c_name = '')::int) AS n_empty,
+                count(DISTINCT c_name) AS n_dist,
+                min(strlen(c_name)) AS n_minlen, max(strlen(c_name)) AS n_maxlen,
+                sum((c_mktsegment IS NULL)::int + (c_mktsegment = '')::int)
+                  AS m_empty,
+                count(DISTINCT c_mktsegment) AS m_dist
+              FROM customer
+            ), ev AS (
+              SELECT string_agg(v, ',' ORDER BY v) AS vals FROM (
+                SELECT DISTINCT c_mktsegment AS v FROM customer
+                WHERE c_mktsegment IS NOT NULL
+              )
+            )
+            SELECT 'c_custkey' AS field,
+                   (CASE WHEN k_null = 0 THEN 'required|' ELSE '' END)
+                   || 'min:' || k_min || '|max:' || k_max AS rule FROM p
+            UNION ALL
+            SELECT 'c_mktsegment',
+                   (CASE WHEN m_empty = 0 THEN 'required|' ELSE '' END)
+                   || 'enum:' || (SELECT vals FROM ev) FROM p
+            UNION ALL
+            SELECT 'c_name',
+                   (CASE WHEN n_empty = 0 THEN 'required|' ELSE '' END)
+                   || 'minLength:' || n_minlen || '|maxLength:' || n_maxlen
+            FROM p
+            UNION ALL
+            SELECT 'c_nationkey',
+                   (CASE WHEN nk_null = 0 THEN 'required|' ELSE '' END)
+                   || 'min:' || nk_min || '|max:' || nk_max FROM p
         """,
         # q44: exhaustive exact token-3-gram Jaccard — the Spark side is
         # the prefix-filtered AllPairs join; matching this oracle proves
