@@ -147,3 +147,18 @@ def test_exact_dup_report_two_phase_capped(spark):
     # stage-1 grouping is partition-scoped (spark_partition_id shows up
     # as a _nondeterministic grouping key)
     assert "_nondeterministic" in plan
+
+
+def test_form_parse_entries_staged_once(spark):
+    """parse_query_column must evaluate the entries-array transform ONCE
+    per row, in its own projection — if CollapseProject ever inlines it
+    into the per-field lookups, the split/decode work multiplies by the
+    number of ruled fields (the shingle_frame PERF trap)."""
+    from pyspark.sql import Row
+    from validate_spark.sources.formsrc import parse_query_column
+
+    df = spark.createDataFrame([Row(qid=1, q="a=1&b=2&c=3&d=4&e=5")])
+    parsed = parse_query_column(df, "q", ["a", "b", "c", "d", "e", "f.g"])
+    opt = optimized(parsed)
+    assert opt.count("transform(") == 1   # one staged entries array
+    assert opt.count("Project") == 2      # stage + lookups, not collapsed
