@@ -417,6 +417,24 @@ def q28_violation_messages(spark, sf_dir):
     )
 
 
+def q46_default_substitution(spark, sf_dir):
+    """default:v + CheckDefault=false (reference default): empty values
+    take the default WITHOUT re-validating it, non-empty values validate
+    normally — safe rows carry the substituted value. The oracle mirrors
+    the substitution + conditional-validation gate in SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 250, F.col("event_type")).alias("etype"),
+    )
+    rs = RuleSet(rules={"etype": "default:unk|required|stringLength:5,9"})
+    res = validate(ev, rs, key_cols=["event_id"])
+    return (
+        res.safe_rows()
+        .groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q29_required_family(spark, sf_dir):
     """Cross-field presence family (requiredIf / requiredWith) over
     derived nullable columns + default substitution."""
@@ -805,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_simhash_dedup": q17_simhash_dedup,
         "q44_ngram_jaccard": q44_ngram_jaccard,
         "q45_rule_suggestions": q45_rule_suggestions,
+        "q46_default_substitution": q46_default_substitution,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q19_ann_brute_force": q19_ann_brute_force,
         "q20_ann_ivf_full_probe": q20_ann_ivf_full_probe,
@@ -1203,6 +1222,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s x JOIN s y ON x.k < y.k
             WHERE round(len(list_intersect(x.sh, y.sh))::double
                         / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+        """,
+        "q46_default_substitution": """
+            WITH d AS (
+              SELECT CASE WHEN value > 250 THEN event_type END AS raw
+              FROM events
+            ), s AS (
+              SELECT (raw IS NULL OR raw = '') AS defaulted,
+                     CASE WHEN raw IS NULL OR raw = ''
+                          THEN 'unk' ELSE raw END AS etype
+              FROM d
+            )
+            SELECT etype, count(*)::bigint AS n FROM s
+            WHERE defaulted OR (length(etype) BETWEEN 5 AND 9)
+            GROUP BY etype
         """,
         "q45_rule_suggestions": """
             WITH p AS (
