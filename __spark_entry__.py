@@ -1194,7 +1194,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id::varchar AS k, {_FP} AS fp FROM ({_DOUBLED_DOCS})
             ), g AS (
               SELECT fp, count(*)::bigint AS dup_count,
-                     list_sort(list(k)) AS ks
+                     -- NULL keys never enter the sample (Spark's
+                     -- collect_list drops them; keep_key degrades NULL)
+                     list_sort(list(k) FILTER (WHERE k IS NOT NULL)) AS ks
               FROM c GROUP BY fp HAVING count(*) > 1
             )
             SELECT fp, dup_count, ks[1] AS keep_key,

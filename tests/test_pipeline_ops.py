@@ -286,3 +286,17 @@ def test_ngram_jaccard_prefix_filter_full_recall(spark):
             if round(j, 6) >= t:
                 want.add((a, b))
     assert got == want and want  # non-trivial: at least one pair exists
+
+
+def test_exact_dedup_all_null_keys_never_abort(spark):
+    # one duplicate group whose keys are ALL NULL must degrade to a
+    # NULL keep_key and empty sample — not an ANSI array-index abort
+    df = spark.createDataFrame(
+        [(None, "same text"), (None, "same text"), ("d1", "other")],
+        "doc_id string, text string",
+    )
+    rows = dd.exact_duplicates(df, max_keys=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["dup_count"] == 2 and r["keep_key"] is None
+    assert r["dup_keys"] == [] and r["n_truncated"] == 1

@@ -76,8 +76,16 @@ def exact_duplicates(
             F.array_sort(F.flatten(F.collect_list("ks"))), 1, cap
         ).alias("all_keys"),
     )
+    # NULL-safe access throughout: collect_list drops NULL keys, so a
+    # duplicate group whose keys are ALL NULL leaves all_keys empty —
+    # element_at(1)/array_remove(NULL) would abort the whole job under
+    # ANSI for one such group in 10^12 rows. keep_key degrades to NULL,
+    # the sample to [], and n_truncated still accounts for every loser.
+    keep = F.get(F.col("all_keys"), 0)
     dup_keys = F.slice(
-        F.array_remove(F.col("all_keys"), F.element_at(F.col("all_keys"), 1)),
+        F.when(keep.isNull(), F.col("all_keys")).otherwise(
+            F.array_remove(F.col("all_keys"), keep)
+        ),
         1,
         max_keys,
     )
@@ -86,7 +94,7 @@ def exact_duplicates(
         .select(
             "fp",
             "dup_count",
-            F.element_at(F.col("all_keys"), 1).alias("keep_key"),
+            keep.alias("keep_key"),
             dup_keys.alias("dup_keys"),
         )
         .withColumn(
