@@ -59,6 +59,10 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     Ordering: ascending array_sort on struct(-cos, neighbor_id) ≡
     cos desc, id asc — fully deterministic, oracle-comparable ranks.
     """
+    # rows whose cosine is NULL (NULL/malformed embedding) are not
+    # rankable — drop them here rather than letting NULL sort ahead of
+    # or behind real scores
+    scored = scored.filter(F.col("cos").isNotNull())
     item = F.struct((-F.col("cos")).alias("nc"), F.col("neighbor_id").alias("neighbor_id"))
     local = scored.groupBy(
         F.spark_partition_id().alias("_p"), F.col("query_id")
