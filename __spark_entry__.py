@@ -599,6 +599,49 @@ def q33_form_staging(spark, sf_dir):
     )
 
 
+def q47_request_log(spark, sf_dir):
+    """FromRequest parity (validate.go:410-465) over a request log:
+    rows round-robin between GET/query, POST+JSON body, and
+    POST+urlencoded body carrying the SAME underlying values; the
+    oracle reads the original columns, so a dispatch break in ANY
+    branch surfaces as spurious required-violations."""
+    from validate_spark.sources.requestsrc import validate_request_log
+
+    c = _t(spark, sf_dir, "customer")
+    enc_q = F.concat(
+        F.lit("name="), F.url_encode(F.col("c_name")),
+        F.lit("&seg="), F.url_encode(F.col("c_mktsegment")),
+    )
+    body_json = F.to_json(
+        F.struct(F.col("c_name").alias("name"), F.col("c_mktsegment").alias("seg"))
+    )
+    branch = F.pmod(F.col("c_custkey"), F.lit(3))
+    log = c.select(
+        "c_custkey",
+        F.when(branch == 0, F.lit("GET")).otherwise(F.lit("POST")).alias("method"),
+        F.when(branch == 1, F.lit("application/json"))
+        .when(branch == 2, F.lit("application/x-www-form-urlencoded"))
+        .alias("content_type"),
+        F.when(branch == 0, enc_q).otherwise(F.lit("")).alias("query"),
+        F.when(branch == 1, body_json)
+        .when(branch == 2, enc_q)
+        .alias("body"),
+    )
+    res = validate_request_log(
+        log,
+        {
+            "name": "required|startsWith:Customer",
+            "seg": "required|enum:BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD",
+        },
+        key_cols=["c_custkey"],
+    )
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -824,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_ngram_jaccard": q44_ngram_jaccard,
         "q45_rule_suggestions": q45_rule_suggestions,
         "q46_default_substitution": q46_default_substitution,
+        "q47_request_log": q47_request_log,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q19_ann_brute_force": q19_ann_brute_force,
         "q20_ann_ivf_full_probe": q20_ann_ivf_full_probe,
@@ -1224,6 +1268,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s x JOIN s y ON x.k < y.k
             WHERE round(len(list_intersect(x.sh, y.sh))::double
                         / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+        """,
+        "q47_request_log": """
+            SELECT '_req.seg' AS field, 'enum' AS validator,
+                   count(*)::bigint AS n
+            FROM customer
+            WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+              AND c_mktsegment NOT IN
+                  ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD')
         """,
         "q46_default_substitution": """
             WITH d AS (

@@ -255,3 +255,47 @@ def test_ru_ru_and_zh_tw_locales(spark):
     assert [r["message"] for r in res.violations().collect()] == [
         "doc_id не может быть пустым"
     ]
+
+
+# --- FromRequest parity: request-log dispatch (validate.go:410-465) ---------
+
+def test_request_log_dispatch(spark):
+    from validate_spark.sources.requestsrc import validate_request_log
+
+    df = spark.createDataFrame(
+        [
+            (1, "GET", None, "name=John&age=31", None),
+            (2, "POST", "application/json", "", '{"name": "Jane", "age": 25}'),
+            (3, "POST", "application/x-www-form-urlencoded", "", "name=Joe&age=nope"),
+            (4, "POST", "application/json", "", "{not json"),
+            (5, "GET", None, "age=44", None),  # name missing
+        ],
+        "rid int, method string, content_type string, query string, body string",
+    )
+    res = validate_request_log(
+        df, {"name": "required", "age": "required|intStr"}, key_cols=["rid"]
+    )
+    verd = {r["rid"]: r["pass"] for r in res.verdicts().collect()}
+    assert verd == {1: True, 2: True, 3: False, 4: False, 5: False}
+    viols = {(r["rid"], r["field"], r["validator"]) for r in res.violations().collect()}
+    assert (3, "_req.age", "isIntString") in viols
+    assert (4, "_req.name", "required") in viols   # malformed JSON ≡ empty
+    assert (5, "_req.name", "required") in viols
+    # plan stays Python-free
+    plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_request_log_json_nested_and_form_brackets(spark):
+    from validate_spark.sources.requestsrc import validate_request_log
+
+    df = spark.createDataFrame(
+        [
+            (1, "POST", "application/json", "", '{"addr": {"city": "NY"}}'),
+            (2, "POST", "application/x-www-form-urlencoded", "", "addr%5Bcity%5D=LA"),
+            (3, "GET", None, "addr.city=SF", None),
+        ],
+        "rid int, method string, content_type string, query string, body string",
+    )
+    res = validate_request_log(df, {"addr.city": "required|enum:NY,LA,SF"}, key_cols=["rid"])
+    assert all(r["pass"] for r in res.verdicts().collect())

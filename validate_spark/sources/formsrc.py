@@ -133,9 +133,22 @@ def parse_query_column(
     FIRST occurrence (``FormData.Get`` returns ``vs[0]``,
     data_source.go:657-705).
     """
-    # try_url_decode, not url_decode: a single malformed %-escape in one
-    # of 10^12 rows must yield NULL ≡ empty (a `required` violation),
-    # not kill the job with an ANSI error
+    ecol = f"{out_col}_entries"
+    # stage the entries array in its OWN projection: the per-field
+    # lookups below reference it multiple times, and a non-cheap,
+    # multiply-referenced alias is exactly what CollapseProject keeps
+    # staged (same PERF boundary as shingle_frame)
+    staged = df.withColumn(ecol, query_entries(F.col(query_col)))
+    lookup = _entries_lookup(F.col(ecol))
+    return staged.withColumn(out_col, _struct_from_keys(lookup, fields)).drop(ecol)
+
+
+def query_entries(qs: Column) -> Column:
+    """Raw query string → ``array<struct<k,v>>``, decoded + bracket-
+    normalized. try_url_decode, not url_decode: a single malformed
+    %-escape in one of 10^12 rows must yield NULL ≡ empty (a `required`
+    violation), not kill the job with an ANSI error."""
+
     def _dec_key(k: Column) -> Column:
         # malformed %-escape in a KEY: fall back to the raw key
         d = F.coalesce(F.try_url_decode(k), k)
@@ -152,22 +165,19 @@ def parse_query_column(
         )
         return F.struct(_dec_key(raw_k).alias("k"), F.try_url_decode(raw_v).alias("v"))
 
-    entries = F.transform(F.split(F.col(query_col), "&"), _entry)
-    # stage the entries array in its OWN projection: the per-field
-    # lookups below reference it multiple times, and a non-cheap,
-    # multiply-referenced alias is exactly what CollapseProject keeps
-    # staged (same PERF boundary as shingle_frame)
-    ecol = f"{out_col}_entries"
-    staged = df.withColumn(ecol, entries)
+    return F.transform(F.split(qs, "&"), _entry)
 
-    def _lookup(key: str) -> Column:
-        # first occurrence wins; F.get (0-based) is NULL-on-missing even
-        # under ANSI, unlike element_at which throws on empty arrays
+
+def _entries_lookup(ecol: Column):
+    def lookup(key: str) -> Column:
+        # first occurrence wins (FormData.Get parity); F.get (0-based)
+        # is NULL-on-missing even under ANSI, unlike element_at which
+        # throws on empty arrays
         return F.get(
-            F.filter(F.col(ecol), lambda e: e.getField("k") == F.lit(key)), 0
+            F.filter(ecol, lambda e: e.getField("k") == F.lit(key)), 0
         ).getField("v")
 
-    return staged.withColumn(out_col, _struct_from_keys(_lookup, fields)).drop(ecol)
+    return lookup
 
 
 def validate_form(
