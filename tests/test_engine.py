@@ -531,3 +531,15 @@ def test_rule_report_empty_input_reports_zero(spark):
     res = validate(df, {"n": "required"}, key_cols=["id"])
     rep = res.rule_report().collect()
     assert [(r["n_fail"], r["n_pass"]) for r in rep] == [(0, 0)]
+
+
+def test_updated_rows_update_source_analogue(spark):
+    # UpdateSource parity: EVERY row carries its filtered value, even
+    # failing rows (the reference writes back during Filtering(), before
+    # validation decides); safe_rows stays the passing subset
+    df = spark.createDataFrame([("  ok  ",), ("  x  ",)], "name string")
+    rs = RuleSet(rules={"name": "required|minLen:2"}, filters={"name": "trim"})
+    res = validate(df, rs, key_cols=["name"])
+    upd = {r["name"]: r["pass"] for r in res.updated_rows().collect()}
+    assert upd == {"ok": True, "x": False}   # both rows trimmed
+    assert [r["name"] for r in res.safe_rows().collect()] == ["ok"]

@@ -98,6 +98,23 @@ class ValidationResult:
         ]
         return self.annotated.filter(F.col(PASS_COL)).select(*data_cols)
 
+    def updated_rows(self) -> DataFrame:
+        """``UpdateSource`` analogue (GlobalOption.UpdateSource,
+        validate.go:96-100; filtering.go:142-237 writes filtered values
+        back onto the source): EVERY row — passing or not — with its
+        filter-chain / default-substituted values applied, plus the
+        ``pass`` flag. DataFrames are immutable, so the "write-back" is
+        a new frame; ``safe_rows()`` is the passing subset without the
+        flag."""
+        data_cols = [
+            c for c in self.annotated.columns
+            if c not in (RESULTS_COL, FAILED_COL, PASS_COL)
+            and not c.startswith(DEFAULT_MARKER_PREFIX)
+        ]
+        return self.annotated.select(
+            *data_cols, F.col(PASS_COL).alias("pass")
+        )
+
     def errors_map(self) -> dict:
         """Collect violations into the reference's ``Errors`` shape
         (messages.go:43-57): {key → {field → {validator → message}}}.
