@@ -182,7 +182,10 @@ def kmeans_fit(
             assigned.groupBy("bucket")
             .agg(
                 *[
-                    F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
+                    # F.get (0-based, NULL on out-of-bounds): one ragged
+                    # short vector in a dirty corpus must not abort the
+                    # fit under ANSI — sum skips the NULLs
+                    F.sum(F.get(F.col(vec_col), d)).alias(f"s{d}")
                     for d in range(dim)
                 ],
                 F.count(F.lit(1)).alias("n"),
