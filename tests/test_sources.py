@@ -299,3 +299,13 @@ def test_request_log_json_nested_and_form_brackets(spark):
     )
     res = validate_request_log(df, {"addr.city": "required|enum:NY,LA,SF"}, key_cols=["rid"])
     assert all(r["pass"] for r in res.verdicts().collect())
+
+
+def test_scene_param_on_source_helpers(spark):
+    df = spark.createDataFrame([Row(qid=1, q="name=&age=")])
+    rs = RuleSet(
+        rules={"name": "required", "age": "required"},
+        scenes={"create": ["name"]},
+    )
+    res = validate_form(df, "q", rs, key_cols=["qid"], scene="create")
+    assert {r["field"] for r in res.violations().collect()} == {"_form.name"}

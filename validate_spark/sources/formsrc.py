@@ -17,8 +17,9 @@ Two entry shapes:
   reference constructor (handy for parity tests).
 * ``parse_query_column(df, col)`` / ``validate_form`` — the table-scale
   form: a DataFrame COLUMN of raw query strings (what a log of HTTP
-  requests looks like at 10^12 scale) parsed vectorized with
-  ``str_to_map`` + ``url_decode`` — JVM-side, zero Python.
+  requests looks like at 10^12 scale) parsed vectorized into a staged
+  key/value entries array with ``try_url_decode`` — JVM-side, zero
+  Python, and no map construction from untrusted keys.
 """
 
 from __future__ import annotations
@@ -186,6 +187,7 @@ def validate_form(
     rules: "dict[str, str] | RuleSet",
     *,
     key_cols: list[str] | None = None,
+    scene: str | None = None,
 ) -> ValidationResult:
     """Validate fields of a query-string column — the engine analogue of
     ``validate.FromQuery(...).Create().Validate()`` over a whole table
@@ -193,4 +195,4 @@ def validate_form(
     rs = rules if isinstance(rules, RuleSet) else RuleSet(rules=dict(rules))
     field_paths = {f.split(".*")[0].split(".0")[0] for f in rs.field_names()}
     parsed = parse_query_column(df, query_col, sorted(field_paths))
-    return validate(parsed, rs.prefixed("_form."), key_cols=key_cols)
+    return validate(parsed, rs.prefixed("_form."), key_cols=key_cols, scene=scene)

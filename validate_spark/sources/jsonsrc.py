@@ -31,10 +31,11 @@ def validate_json(
     rules: dict[str, str] | RuleSet,
     *,
     key_cols: list[str] | None = None,
+    scene: str | None = None,
 ) -> ValidationResult:
     """Validate fields INSIDE a JSON column: rule paths are relative to
     the parsed document (``"k": "required|min:0"`` addresses ``$.k``) —
     the engine analogue of ``validate.FromJSONBytes(...).Validate()``."""
     parsed = parse_json_column(df, json_col, ddl_schema, out_col="_doc")
     rs = rules if isinstance(rules, RuleSet) else RuleSet(rules=dict(rules))
-    return validate(parsed, rs.prefixed("_doc."), key_cols=key_cols)
+    return validate(parsed, rs.prefixed("_doc."), key_cols=key_cols, scene=scene)

@@ -88,6 +88,7 @@ def validate_request_log(
     query_col: str = "query",
     body_col: str = "body",
     key_cols: list[str] | None = None,
+    scene: str | None = None,
 ) -> ValidationResult:
     """Validate a whole HTTP request log at once — the engine analogue
     of ``validate.FromRequest(r).Create().Validate()`` per row."""
@@ -101,4 +102,4 @@ def validate_request_log(
         query_col=query_col,
         body_col=body_col,
     )
-    return validate(parsed, rs.prefixed("_req."), key_cols=key_cols)
+    return validate(parsed, rs.prefixed("_req."), key_cols=key_cols, scene=scene)
