@@ -396,3 +396,55 @@ def test_defaults_checkdefault_match_mini_oracle(spark):
             assert got_viols == want_viols, (default, check_default)
             got_safe = {r["id"]: r["v"] for r in res.safe_rows().collect()}
             assert got_safe == want_safe, (default, check_default)
+
+
+# ---- corpus 5: query-string parser vs urllib --------------------------------
+
+def test_query_parser_matches_urllib(spark):
+    """parse_query_column vs Python's urllib.parse on a seeded corpus of
+    WELL-FORMED query strings: first occurrence per bracket-normalized
+    key must win (FormData.Get parity). Malformed %-escapes are
+    excluded — there the engine's documented try_-semantics (NULL ≡
+    empty) intentionally diverge from urllib's pass-through."""
+    import random as _random
+    from urllib.parse import quote_plus, unquote_plus
+
+    rng = _random.Random(23)
+    keys = ["a", "b", "tag", "addr[street]", "addr.city", "x[y][z]", "k[]"]
+    vals = ["", "1", "hello world", "a=b", "percent%", "ümlaut", "c,d", "+plus+"]
+
+    def norm_key(k):
+        if "[]" in k:
+            return k
+        return k.replace("[", ".").replace("]", "")
+
+    rows = []
+    expected = []
+    fields = ["a", "b", "tag", "addr.street", "addr.city", "x.y.z"]
+    for i in range(120):
+        n = rng.randint(1, 6)
+        pairs = [
+            (rng.choice(keys), rng.choice(vals)) for _ in range(n)
+        ]
+        qs = "&".join(f"{quote_plus(k, safe='[].')}={quote_plus(v)}" for k, v in pairs)
+        first: dict = {}
+        for k, v in pairs:
+            first.setdefault(norm_key(k), v)
+        rows.append((str(i), qs))
+        expected.append({f: first.get(f) for f in fields})
+
+    df = spark.createDataFrame(rows, "rid string, q string")
+    from validate_spark.sources.formsrc import parse_query_column
+
+    parsed = {r["rid"]: r["_form"] for r in parse_query_column(df, "q", fields).collect()}
+
+    def leaf(form, path):
+        cur = form
+        for p in path.split("."):
+            cur = cur[p] if cur is not None else None
+        return cur
+
+    for i, exp in enumerate(expected):
+        form = parsed[str(i)]
+        for f in fields:
+            assert leaf(form, f) == exp[f], (i, f, rows[i][1], leaf(form, f), exp[f])
