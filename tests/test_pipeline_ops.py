@@ -300,3 +300,14 @@ def test_exact_dedup_all_null_keys_never_abort(spark):
     r = rows[0]
     assert r["dup_count"] == 2 and r["keep_key"] is None
     assert r["dup_keys"] == [] and r["n_truncated"] == 1
+
+
+def test_ngram_jaccard_edge_inputs(spark):
+    # empty and NULL texts are excluded; single-token docs still match
+    # exactly (whole-token-sequence gram)
+    df = spark.createDataFrame(
+        [("a", ""), ("b", None), ("c", "one"), ("d", "one"), ("e", "x y")],
+        "doc_id string, text string",
+    )
+    got = sorted((r["a"], r["b"]) for r in dd.ngram_jaccard_pairs(df, threshold=0.5).collect())
+    assert got == [("c", "d")]

@@ -309,3 +309,16 @@ def test_scene_param_on_source_helpers(spark):
     )
     res = validate_form(df, "q", rs, key_cols=["qid"], scene="create")
     assert {r["field"] for r in res.violations().collect()} == {"_form.name"}
+
+
+def test_request_log_all_null_columns(spark):
+    # a fully NULL request row (no method/ct/query/body) must validate
+    # as missing fields, never abort
+    from validate_spark.sources.requestsrc import validate_request_log
+
+    df = spark.createDataFrame(
+        [(1, None, None, None, None)],
+        "rid int, method string, content_type string, query string, body string",
+    )
+    res = validate_request_log(df, {"name": "required"}, key_cols=["rid"])
+    assert res.verdicts().collect()[0]["pass"] is False
