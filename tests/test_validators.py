@@ -228,3 +228,30 @@ def test_rule_one_of(spark):
     assert eval_rule(spark, "rule_one_of:email,uuid", [
         "some@e.com", "f47ac10b-58cc-0372-8567-0e02b2c3d479", "neither",
     ]) == [True, True, False]
+
+
+def test_length_family_fails_on_numeric_values(spark):
+    # calcLen of a number is -1 (internal/validators/length.go:13-37;
+    # TestLength: RuneLength(23, 2) is false): every length check FAILS
+    # on numeric columns — only strings and containers have length
+    from validate_spark import RuleSet, validate
+
+    df = spark.createDataFrame([(12345, "12345", [1, 2, 3])], "n long, s string, a array<int>")
+    cases = {
+        "n": ("minLen:3", False),
+        "s": ("minLen:3", True),
+        "a": ("minLen:3", True),
+    }
+    for field, (rule, want) in cases.items():
+        res = validate(df, RuleSet(rules={field: rule}), key_cols=["s"])
+        assert res.verdicts().collect()[0]["pass"] is want, field
+    # stringLength mirrors RuneLength: ints fail
+    res = validate(df, RuleSet(rules={"n": "stringLength:2,9"}), key_cols=["s"])
+    assert res.verdicts().collect()[0]["pass"] is False
+    # a cast FILTER makes the value length-able again (post-filter dtype)
+    res = validate(
+        df,
+        RuleSet(rules={"n": "minLen:3"}, filters={"n": "str"}),
+        key_cols=["s"],
+    )
+    assert res.verdicts().collect()[0]["pass"] is True

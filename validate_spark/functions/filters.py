@@ -27,6 +27,7 @@ _FILTER_ALIASES = {
     "toInt64": "int64", "to_int64": "int64",
     "toFloat": "float", "to_float": "float",
     "toBool": "bool", "to_bool": "bool",
+    "str": "string", "toString": "string", "to_string": "string",
     "lowerCase": "lower", "lowercase": "lower",
     "upperCase": "upper", "uppercase": "upper",
     "lowerFirst": "lcFirst", "lcfirst": "lcFirst",
@@ -84,6 +85,13 @@ def _to_int64(col, args):
 @_f("float")
 def _to_float(col, args):
     return col.try_cast("double")
+
+
+@_f("string")
+def _to_string(col, args):
+    # gookit/filter ToString ("str"/"string"): stringify any scalar —
+    # also makes a numeric column length-able again (post-filter dtype)
+    return col.cast("string")
 
 
 @_f("bool")
@@ -224,6 +232,7 @@ def _cast_outputs():
         "int64": T.LongType(),
         "float": T.DoubleType(),
         "bool": T.BooleanType(),
+        "string": T.StringType(),
         "strToTime": T.TimestampType(),
         "str2arr": T.ArrayType(T.StringType()),
         "str2ints": T.ArrayType(T.IntegerType()),

@@ -304,6 +304,15 @@ def _rx(col: Column, pattern: str) -> Column:
     return _nonempty_str(col) & col.rlike(pattern)
 
 
+def _is_lengthable(dt: T.DataType | None) -> bool:
+    """reflects.Len kinds: string / slice / array / map — NUMERIC values
+    have no length and every length check FAILS on them (calcLen = -1,
+    internal/validators/length.go:13-37; TestLength: RuneLength(23,2)
+    is false). Unknown dtype (schemaless paths) keeps the string
+    assumption."""
+    return dt is None or is_container_type(dt) or is_string_type(dt)
+
+
 def _byte_len(col: Column, dt: T.DataType | None) -> Column:
     """Go len(): bytes for strings, element count for containers
     (internal/validators/length.go:13-37)."""
@@ -646,6 +655,8 @@ def _ends_with(col, args, ctx):
 
 @_v("length")
 def _length(col, args, ctx):
+    if not _is_lengthable(ctx.dtype):
+        return F.lit(False)
     n = _byte_len(col, ctx.dtype)
     if len(args) == 1:
         return n == int(args[0])
@@ -654,17 +665,24 @@ def _length(col, args, ctx):
 
 @_v("minLength")
 def _min_length(col, args, ctx):
+    if not _is_lengthable(ctx.dtype):
+        return F.lit(False)
     return _byte_len(col, ctx.dtype) >= int(args[0])
 
 
 @_v("maxLength")
 def _max_length(col, args, ctx):
+    if not _is_lengthable(ctx.dtype):
+        return F.lit(False)
     return _byte_len(col, ctx.dtype) <= int(args[0])
 
 
 @_v("stringLength")
 def _string_length(col, args, ctx):
-    # RUNE count (validators_compare.go:176-197) → char_length
+    # RUNE count (validators_compare.go:176-197) → char_length;
+    # non-strings fail like RuneLength(23, 2) does
+    if ctx.dtype is not None and not is_string_type(ctx.dtype):
+        return F.lit(False)
     n = F.char_length(col.cast("string"))
     if len(args) == 1:
         return n >= int(args[0])
@@ -673,6 +691,8 @@ def _string_length(col, args, ctx):
 
 @_v("byteLength")
 def _byte_length(col, args, ctx):
+    # ByteLength(str string, ...) — a non-string COERCES through the
+    # string-param arg conversion (same contract as isStringNumber)
     n = F.octet_length(col.cast("string"))
     if len(args) == 1:
         return n >= int(args[0])
