@@ -543,3 +543,16 @@ def test_updated_rows_update_source_analogue(spark):
     upd = {r["name"]: r["pass"] for r in res.updated_rows().collect()}
     assert upd == {"ok": True, "x": False}   # both rows trimmed
     assert [r["name"] for r in res.safe_rows().collect()] == ["ok"]
+
+
+def test_crossfield_reference_to_missing_field(spark):
+    # TryGet exist=false (data_source.go): a referenced field that does
+    # not exist is simply absent — requiredIf on it never triggers,
+    # eqField against it fails only when the value is non-empty; the
+    # rule set must never abort with UNRESOLVED_COLUMN
+    df = spark.createDataFrame([(None,), ("x",)], "s string")
+    res = validate(df, {"s": "requiredIf:ghost,1"}, key_cols=["s"])
+    assert all(r["pass"] for r in res.verdicts().collect())
+    res2 = validate(df, {"s": "eqField:ghost"}, key_cols=["s"])
+    verd = {r["s"]: r["pass"] for r in res2.verdicts().collect()}
+    assert verd == {None: True, "x": False}  # empty skips; "x" != absent

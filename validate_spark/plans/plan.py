@@ -448,7 +448,16 @@ def compile_plan(
     default_projections: dict[str, Column] = {}
     idx = 0
 
+    schema_roots = {sf.name for sf in schema.fields}
+
     def resolve(f: str) -> Column:
+        # a cross-field reference to a NON-EXISTENT field is simply
+        # absent in the reference (TryGet exist=false ≡ empty) — e.g.
+        # requiredIf:ghost,1 never triggers. Resolving it as a real
+        # column would abort the job with UNRESOLVED_COLUMN for a rule
+        # set the reference accepts.
+        if f.split(".")[0] not in schema_roots:
+            return F.lit(None).cast("string")
         return col_at(f)
 
     def dtype_of(f: str) -> T.DataType | None:
