@@ -314,3 +314,49 @@ def test_instance_overlay_shadows_global(spark):
     assert not validate(df, rs).verdicts().collect()[0]["pass"]
     # global registry untouched
     assert validate(df, RuleSet(rules={"s": "minLen:2"})).verdicts().collect()[0]["pass"]
+
+
+# --- snapshot-catalog probe validators (pathExists family, isActiveURL) ----
+
+def test_snapshot_path_validators(spark):
+    from validate_spark import RuleSet, validate
+    from validate_spark.functions.catalogs import register_snapshot_validators
+    from validate_spark.functions.validators import VALIDATORS
+
+    register_snapshot_validators(
+        files=["/data/a.txt", "/data/b.txt"],
+        dirs=["/data/imgs"],
+        urls=["https://ok.example.com"],
+    )
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, "/data/a.txt", "https://ok.example.com"),
+                (2, "/data/imgs/x.png", "https://dead.example.com"),  # dir containment
+                (3, "/nope", "https://ok.example.com"),
+                (4, None, None),  # empty skips (non-required)
+            ],
+            "rid int, path string, url string",
+        )
+        res = validate(df, RuleSet(rules={"url": "isActiveURL"}), key_cols=["rid"])
+        verd = {r["rid"]: r["pass"] for r in res.verdicts().collect()}
+        assert verd == {1: True, 2: False, 3: True, 4: True}
+        # isFilePath is strict membership: the dir-contained file fails it
+        res2 = validate(df, RuleSet(rules={"path": "isFilePath"}), key_cols=["rid"])
+        verd2 = {r["rid"]: r["pass"] for r in res2.verdicts().collect()}
+        assert verd2 == {1: True, 2: False, 3: False, 4: True}
+        # pathExists admits files, dirs AND dir-contained descendants
+        res3 = validate(df, RuleSet(rules={"path": "pathExists"}), key_cols=["rid"])
+        verd3 = {r["rid"]: r["pass"] for r in res3.verdicts().collect()}
+        assert verd3 == {1: True, 2: True, 3: False, 4: True}
+    finally:
+        for name in ("pathExists", "isFilePath", "isDirPath", "isActiveURL"):
+            VALIDATORS.pop(name, None)
+
+
+def test_snapshot_catalog_size_guard():
+    import pytest as _pytest
+    from validate_spark.functions.catalogs import membership_validator
+
+    with _pytest.raises(ValueError, match="anti-join"):
+        membership_validator(str(i) for i in range(100_001))
