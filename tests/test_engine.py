@@ -556,3 +556,66 @@ def test_crossfield_reference_to_missing_field(spark):
     res2 = validate(df, {"s": "eqField:ghost"}, key_cols=["s"])
     verd = {r["s"]: r["pass"] for r in res2.verdicts().collect()}
     assert verd == {None: True, "x": False}  # empty skips; "x" != absent
+
+
+def test_wildcard_fast_path_equals_forall(spark):
+    # the native-array fast path (enum/min/max on arr.*.leaf) must agree
+    # with the forall path on every row of a corpus seeding each skip /
+    # violation class: NULL parents, empty arrays, NULL and '' leaves,
+    # bad enum values, negative and NULL offsets
+    import random as _random
+
+    from validate_spark.plans import plan as planmod
+
+    rng = _random.Random(31)
+    kinds_pool = ["text", "image", "audio", "video", "hologram", "", None]
+    rows = []
+    for i in range(400):
+        choice = rng.random()
+        if choice < 0.1:
+            spans = None
+        elif choice < 0.2:
+            spans = []
+        else:
+            spans = [
+                (rng.choice(kinds_pool), rng.choice([None, -3, -1, 0, 1, 7]))
+                for _ in range(rng.randint(1, 4))
+            ]
+        rows.append((str(i), spans))
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,offset:int>>"
+    )
+    rules = RuleSet(
+        rules={
+            "spans.*.kind": "enum:text,image,audio,video|notIn:hologram",
+            "spans.*.offset": "min:0|max:5",
+        }
+    )
+    fast = {r["doc_id"]: r["pass"] for r in validate(df, rules, key_cols=["doc_id"]).verdicts().collect()}
+    planmod._DISABLE_WILDCARD_FAST_PATH = True
+    try:
+        from validate_spark.operators.engine import clear_plan_cache
+
+        clear_plan_cache()
+        slow = {r["doc_id"]: r["pass"] for r in validate(df, rules, key_cols=["doc_id"]).verdicts().collect()}
+    finally:
+        planmod._DISABLE_WILDCARD_FAST_PATH = False
+        clear_plan_cache()
+    assert fast == slow
+    # sanity: the corpus actually exercises both outcomes
+    assert True in fast.values() and False in fast.values()
+
+
+def test_wildcard_fast_path_requires_exact_shape(spark):
+    # required-family, multi-level paths and custom overlays must stay
+    # on the forall path — semantics first
+    df = spark.createDataFrame(
+        [("1", [("text", 1)])],
+        "doc_id string, spans array<struct<kind:string,offset:int>>",
+    )
+    # required leaf: still validated correctly (falls back)
+    res = validate(df, {"spans.*.kind": "required|enum:text"}, key_cols=["doc_id"])
+    assert res.verdicts().collect()[0]["pass"]
+    df2 = spark.createDataFrame([("1", [])], "doc_id string, spans array<struct<kind:string>>")
+    res2 = validate(df2, {"spans.*.kind": "required"}, key_cols=["doc_id"])
+    assert res2.verdicts().collect()[0]["pass"] is False  # required over empty slice fails
