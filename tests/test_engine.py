@@ -588,7 +588,7 @@ def test_wildcard_fast_path_equals_forall(spark):
     rules = RuleSet(
         rules={
             "spans.*.kind": "enum:text,image,audio,video|notIn:hologram",
-            "spans.*.offset": "min:0|max:5",
+            "spans.*.offset": "min:0|max:5|gt:-2|lt:6|between:-1,5",
         }
     )
     fast = {r["doc_id"]: r["pass"] for r in validate(df, rules, key_cols=["doc_id"]).verdicts().collect()}

@@ -456,16 +456,33 @@ def _wildcard_fast_path(field: str, spec, ruleset: RuleSet, schema: T.StructType
             F.lit(False),
         )
     elif (
-        name in ("min", "max")
-        and len(args) == 1
+        name in ("min", "max", "gt", "lt", "between")
+        and args
         and is_numeric_type(leaf_dt)
         and not ruleset.zero_as_empty
     ):
+        def _num(s: str):
+            return F.lit(float(s)) if "." in s else F.lit(int(s))
+
         try:
-            a = F.lit(float(args[0])) if "." in args[0] else F.lit(int(args[0]))
+            if name == "between":
+                if len(args) != 2:
+                    return None
+                cmp = (F.array_min(arr) >= _num(args[0])) & (
+                    F.array_max(arr) <= _num(args[1])
+                )
+            elif len(args) != 1:
+                return None
+            elif name == "min":
+                cmp = F.array_min(arr) >= _num(args[0])
+            elif name == "gt":
+                cmp = F.array_min(arr) > _num(args[0])
+            elif name == "max":
+                cmp = F.array_max(arr) <= _num(args[0])
+            else:  # lt
+                cmp = F.array_max(arr) < _num(args[0])
         except ValueError:
             return None
-        cmp = (F.array_min(arr) >= a) if name == "min" else (F.array_max(arr) <= a)
         inner = F.coalesce(cmp, F.lit(True))
     if inner is None:
         return None
