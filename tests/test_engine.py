@@ -587,8 +587,8 @@ def test_wildcard_fast_path_equals_forall(spark):
     )
     rules = RuleSet(
         rules={
-            "spans.*.kind": "enum:text,image,audio,video|notIn:hologram",
-            "spans.*.offset": "min:0|max:5|gt:-2|lt:6|between:-1,5",
+            "spans.*.kind": "required|enum:text,image,audio,video|notIn:hologram",
+            "spans.*.offset": "required|min:0|max:5|gt:-2|lt:6|between:-1,5",
         }
     )
     fast = {r["doc_id"]: r["pass"] for r in validate(df, rules, key_cols=["doc_id"]).verdicts().collect()}
