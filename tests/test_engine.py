@@ -619,3 +619,32 @@ def test_wildcard_fast_path_requires_exact_shape(spark):
     df2 = spark.createDataFrame([("1", [])], "doc_id string, spans array<struct<kind:string>>")
     res2 = validate(df2, {"spans.*.kind": "required"}, key_cols=["doc_id"])
     assert res2.verdicts().collect()[0]["pass"] is False  # required over empty slice fails
+
+
+def test_wildcard_fast_path_element_and_map_forms(spark):
+    # `arr.*` over atomic elements and `m.*` over map values take the
+    # native path with identical semantics to the forall path
+    import random as _random
+
+    from validate_spark.operators.engine import clear_plan_cache
+    from validate_spark.plans import plan as planmod
+
+    rng = _random.Random(41)
+    pool = ["a", "b", "c", "zz", "", None]
+    rows = []
+    for i in range(200):
+        arr = None if rng.random() < 0.1 else [rng.choice(pool) for _ in range(rng.randint(0, 3))]
+        m = None if rng.random() < 0.1 else {f"k{j}": rng.choice(pool) for j in range(rng.randint(0, 3))}
+        rows.append((str(i), arr, m))
+    df = spark.createDataFrame(rows, "id string, tags array<string>, m map<string,string>")
+    rules = RuleSet(rules={"tags.*": "in:a,b,c", "m.*": "in:a,b,c"})
+    fast = {r["id"]: r["pass"] for r in validate(df, rules, key_cols=["id"]).verdicts().collect()}
+    planmod._DISABLE_WILDCARD_FAST_PATH = True
+    try:
+        clear_plan_cache()
+        slow = {r["id"]: r["pass"] for r in validate(df, rules, key_cols=["id"]).verdicts().collect()}
+    finally:
+        planmod._DISABLE_WILDCARD_FAST_PATH = False
+        clear_plan_cache()
+    assert fast == slow
+    assert True in fast.values() and False in fast.values()

@@ -395,7 +395,7 @@ def _wildcard_fast_path(field: str, spec, ruleset: RuleSet, schema: T.StructType
     if _DISABLE_WILDCARD_FAST_PATH:
         return None
     parts = field.split(".")
-    if len(parts) != 3 or parts[1] != "*":
+    if len(parts) not in (2, 3) or parts[1] != "*":
         return None
     # required stays on the forall path BY MEASUREMENT: its lambda is a
     # trivial null/'' test (0.51s on 2M docs) while the lambda-free
@@ -409,20 +409,35 @@ def _wildcard_fast_path(field: str, spec, ruleset: RuleSet, schema: T.StructType
         return None  # the rewrites bake in the default skip gates
     if spec.name in ruleset.validators:
         return None
-    root, leaf = parts[0], parts[2]
+    root = parts[0]
     root_dt = dtype_at(schema, root)
-    if not (
-        isinstance(root_dt, T.ArrayType)
-        and isinstance(root_dt.elementType, T.StructType)
-    ):
+    if len(parts) == 2:
+        # `arr.*` (elements themselves) / `m.*` (map VALUES — reference
+        # map wildcards validate values, struct_rules.go:456-491)
+        if isinstance(root_dt, T.ArrayType):
+            leaf_dt, arr = root_dt.elementType, F.col(root)
+        elif isinstance(root_dt, T.MapType):
+            leaf_dt, arr = root_dt.valueType, F.map_values(F.col(root))
+        else:
+            return None
+        if isinstance(leaf_dt, (T.ArrayType, T.MapType, T.StructType)):
+            return None
+    else:
+        leaf = parts[2]
+        if not (
+            isinstance(root_dt, T.ArrayType)
+            and isinstance(root_dt.elementType, T.StructType)
+        ):
+            return None
+        leaf_dt = next(
+            (f.dataType for f in root_dt.elementType.fields if f.name == leaf),
+            None,
+        )
+        if leaf_dt is None:
+            return None
+        arr = F.col(root).getField(leaf)
+    if CUSTOM_TYPES and leaf_dt is not None and leaf_dt.simpleString() in CUSTOM_TYPES:
         return None
-    leaf_dt = next(
-        (f.dataType for f in root_dt.elementType.fields if f.name == leaf), None
-    )
-    if leaf_dt is None or (CUSTOM_TYPES and leaf_dt.simpleString() in CUSTOM_TYPES):
-        return None
-
-    arr = F.col(root).getField(leaf)
     parent_empty = F.col(root).isNull() | (F.size(root) == 0)
     name, args = spec.name, spec.args
 
