@@ -443,3 +443,41 @@ def test_issue_22_custom_message_with_verb(spark):
         "Nickname": "OO! nickname min len is 6",
         "Avatar": "OO! avatar max len is 6",
     }
+
+
+# --- Issue #189: tag-style per-validator message specs ----------------------
+
+def test_issue_189_per_validator_message_spec(spark):
+    # StringMessage("name", "required:...|minLen:...") — one field-keyed
+    # string carrying per-validator messages (rule.go:265-293)
+    df = spark.createDataFrame([("",), ("ab",)], "name string")
+    rs = RuleSet(
+        rules={"name": "required|minLen:5"},
+        messages={"name": "required:name is required|minLen:name is too short"},
+    )
+    res = validate(df, rs, key_cols=["name"])
+    msgs = {(r["name"], r["validator"]): r["message"] for r in res.violations().collect()}
+    assert msgs[("", "required")] == "name is required"
+    assert msgs[("ab", "minLength")] == "name is too short"
+
+
+def test_issue_189_field_fallback_and_trimming(spark):
+    df = spark.createDataFrame([("ab",)], "name string")
+    # plain value: field-level fallback for any failing validator
+    rs = RuleSet(rules={"name": "minLen:5"}, messages={"name": "name is invalid"})
+    res = validate(df, rs, key_cols=["name"])
+    assert [r["message"] for r in res.violations().collect()] == ["name is invalid"]
+    # whitespace around segments and parts is trimmed
+    rs2 = RuleSet(
+        rules={"name": "required"},
+        messages={"name": "  required : name is required  "},
+    )
+    df2 = spark.createDataFrame([("",)], "name string")
+    res2 = validate(df2, rs2, key_cols=["name"])
+    assert [r["message"] for r in res2.violations().collect()] == ["name is required"]
+    # fallback text containing ':' with a NON-validator prefix is kept
+    # whole (safer than the reference's blind split)
+    rs3 = RuleSet(rules={"name": "minLen:5"}, messages={"name": "error: too short"})
+    df3 = spark.createDataFrame([("ab",)], "name string")
+    res3 = validate(df3, rs3, key_cols=["name"])
+    assert [r["message"] for r in res3.violations().collect()] == ["error: too short"]

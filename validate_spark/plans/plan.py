@@ -621,6 +621,42 @@ def compile_plan(
             return filter_dtypes[f]
         return dtype_at(schema, f)
 
+    # tag-style per-validator message specs (issue #189 StringMessage,
+    # rule.go:265-293): a FIELD-keyed message like
+    # "required:name is required|minLen:name is too short" expands into
+    # field.validator entries; a plain value stays the field-level
+    # fallback. Safer than the reference's blind split: a segment only
+    # expands when its prefix resolves to a KNOWN validator, so fallback
+    # text containing ':' is kept instead of silently lost.
+    ruled_fields = {f for f, _ in _expand_fields(ruleset.rules)}
+    messages = dict(ruleset.messages)
+    for k, v in list(ruleset.messages.items()):
+        if "." in k or k not in ruled_fields or not isinstance(v, str):
+            continue
+        if "|" not in v and ":" not in v:
+            continue
+        from validate_spark.functions.validators import resolve_alias
+
+        entries = []
+        for seg in v.split("|"):
+            seg = seg.strip()
+            if not seg or ":" not in seg:
+                continue
+            vname, _, msg = seg.partition(":")
+            vname, msg = vname.strip(), msg.strip()
+            if vname and msg and (
+                resolve_alias(vname) in VALIDATORS
+                or vname in ruleset.validators
+            ):
+                entries.append((f"{k}.{vname}", msg))
+        if entries and len(entries) == len(
+            [s for s in v.split("|") if s.strip()]
+        ):
+            # every segment is a recognized validator:msg pair — expand
+            del messages[k]
+            for mk, mv in entries:
+                messages.setdefault(mk, mv)
+
     # pre-parse all fields so optional PARENTS are known before compiling
     # descendants' rules (v.optionals, rule.go:335-340; gate
     # isInOptional, validation.go:880-904)
@@ -633,7 +669,7 @@ def compile_plan(
             field,
             rule_str,
             skip_empty=ruleset.skip_on_empty,
-            messages=ruleset.messages,
+            messages=messages,
         )
         parsed.append((field, fr))
         if fr.optional:
