@@ -34,6 +34,22 @@ from pyspark.sql import types as T
 from validate_spark.operators.textstats import fingerprint, normalize_text
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure an expensive per-row stage (Arrow pandas UDF signatures)
+    runs at cluster parallelism, not input-file parallelism: a small or
+    badly-packed parquet source can scan as 1-2 partitions, starving
+    every core downstream (measured: minhash signatures at 2/32 cores).
+    Conditional — when the input already has >= defaultParallelism
+    partitions (any real table at scale) this is a no-op, so the full
+    shuffle is only ever paid on under-partitioned inputs where it is
+    trivially cheap."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------
@@ -296,7 +312,7 @@ def hashed_shingle_frame(
 ) -> DataFrame:
     """(k, sh: array<long>) distinct shingle hashes — the verify-join
     input (same staging rationale as shingle_frame)."""
-    normed = df.select(
+    normed = _fan_out(df).select(
         F.col(key_col).cast("string").alias("k"),
         normalize_text(F.col(text_col)).alias("_t"),
     ).filter(F.length("_t") > 0)
@@ -361,7 +377,7 @@ def minhash_candidates(
     similarity-dense corpora it cuts the exploded pair count ~25×.
     """
     rows_per_band = n_hashes // n_bands
-    normed = df.select(
+    normed = _fan_out(df).select(
         F.col(key_col).cast("string").alias("k"),
         normalize_text(F.col(text_col)).alias("_t"),
     ).filter(F.length("_t") > 0)
@@ -723,7 +739,7 @@ def simhash_candidates(
     within Hamming distance 3 must agree exactly on ≥1 chunk
     (pigeonhole over 4 chunks), so per-chunk buckets have full recall.
     """
-    sigs = df.select(
+    sigs = _fan_out(df).select(
         F.col(key_col).cast("string").alias("k"), simhash_column(text_col).alias("sig")
     )
     chunks = sigs.select(
