@@ -34,20 +34,7 @@ from pyspark.sql import types as T
 from validate_spark.operators.textstats import fingerprint, normalize_text
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Ensure an expensive per-row stage (Arrow pandas UDF signatures)
-    runs at cluster parallelism, not input-file parallelism: a small or
-    badly-packed parquet source can scan as 1-2 partitions, starving
-    every core downstream (measured: minhash signatures at 2/32 cores).
-    Conditional — when the input already has >= defaultParallelism
-    partitions (any real table at scale) this is a no-op, so the full
-    shuffle is only ever paid on under-partitioned inputs where it is
-    trivially cheap."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from validate_spark.session import fan_out as _fan_out
 
 
 # ---------------------------------------------------------------------------

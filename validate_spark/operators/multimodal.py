@@ -164,7 +164,11 @@ def extract_media_features(
                 }
             )
 
-    return df.select(F.col(key_col), F.col(data_col)).mapInPandas(gen, FEATURES_SCHEMA)
+    from validate_spark.session import fan_out
+
+    return fan_out(df.select(F.col(key_col), F.col(data_col))).mapInPandas(
+        gen, FEATURES_SCHEMA
+    )
 
 
 def sample_frames(

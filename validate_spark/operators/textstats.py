@@ -159,7 +159,11 @@ def fingerprint(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One narrow projection adding all text-analysis columns."""
+    """One narrow projection adding all text-analysis columns.
+    Regex-heavy per row → fan out under-partitioned inputs first."""
+    from validate_spark.session import fan_out
+
+    df = fan_out(df)
     t = F.col(text_col)
     sig = quality_signals(t)
     return df.select(

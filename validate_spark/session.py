@@ -13,6 +13,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def fan_out(df):
+    """Ensure an expensive per-row stage (Arrow pandas UDF, regex-heavy
+    projection) runs at cluster parallelism, not input-file parallelism:
+    a small or badly-packed parquet source can scan as 1-2 partitions,
+    starving every core downstream (measured: minhash signatures at
+    2/32 cores). Conditional — when the input already has >=
+    defaultParallelism partitions (any real table at scale) this is a
+    no-op, so the shuffle is only ever paid on under-partitioned inputs
+    where it is trivially cheap."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app: str = "validate_spark",
     cores: int | str | None = None,
