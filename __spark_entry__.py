@@ -59,11 +59,74 @@ SPANS_RULES = RuleSet(
 )
 
 
-def _flagship(spark: SparkSession, n_docs: int) -> DataFrame:
+def _interleaved_from_documents(docs: DataFrame) -> DataFrame:
+    """Build the input_hint interleaved table (doc_id string, spans
+    array<struct<kind,text,media_ref,offset>>) DETERMINISTICALLY from
+    the driver-registered ``documents`` view, with modulus-class
+    violation cohorts mirroring FIXTURES.md §1 — every SPANS_RULES rule
+    has failing rows, and every expression is scalar-reproducible in
+    DuckDB so the flagship is value-oracled (q23).
+
+    Cohorts (d = coalesce(doc_id, 9); 9 hits no cohort):
+      d%19==0 → NULL doc_id        (required fails)
+      d%19==1 → short doc_id 'dx'  (minLength:5 fails)
+      d%13==0 → NULL spans         (spans + spans.*.kind required fail)
+      d%13==1 → empty spans        (same)
+      d%23==3 → span0 kind ''      (spans.*.kind required fails)
+      d%5 ==2 → span1 kind bad     (enum fails)
+      d%11==4 → span2 offset -1    (min:0 fails)
+      d%7 ==0 → 6-digit media_refs (regexp fails)
+    """
+    d = F.coalesce(F.col("doc_id"), F.lit(9))
+    kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
+
+    def span(i: int):
+        base_kind = F.element_at(kinds, ((d + i) % 3 + 1).cast("int"))
+        text = F.substring(F.coalesce(F.col("text"), F.lit("")), 1 + i * 10, 10)
+        width = F.when(d % 7 == 0, F.lit(6)).otherwise(F.lit(8))
+        # media_ref derives from the BASE kind (pre-override), so kind
+        # cohorts don't perturb the regexp cohort
+        mref = F.when(
+            base_kind != "text",
+            F.concat(
+                F.lit("m-"),
+                F.lpad(((d * 3 + i) % 100000000).cast("string"), width, "0"),
+            ),
+        )
+        kind = base_kind
+        if i == 0:
+            kind = F.when(d % 23 == 3, F.lit("")).otherwise(kind)
+        elif i == 1:
+            kind = F.when(d % 5 == 2, F.lit("hologram")).otherwise(kind)
+        off = F.lit(i)
+        if i == 2:
+            off = F.when(d % 11 == 4, F.lit(-1)).otherwise(F.lit(i))
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            mref.alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    spans = F.array(span(0), span(1), span(2))
+    spans = (
+        F.when(d % 13 == 0, F.lit(None))
+        .when(d % 13 == 1, F.slice(spans, 1, 0))
+        .otherwise(spans)
+    )
+    doc_id_str = (
+        F.when(d % 19 == 0, F.lit(None).cast("string"))
+        .when(d % 19 == 1, F.lit("dx"))
+        .otherwise(F.concat(F.lit("doc-"), F.lpad(d.cast("string"), 8, "0")))
+    )
+    return docs.select(doc_id_str.alias("doc_id"), spans.alias("spans"))
+
+
+def _flagship(docs: DataFrame) -> DataFrame:
     """Validate the interleaved documents table (input_hint schema):
     rule-DSL verdicts + violations summary, one pass."""
-    docs = synth_documents(spark, n_docs)
-    res = validate(docs, SPANS_RULES, key_cols=["doc_id"])
+    built = _interleaved_from_documents(docs)
+    res = validate(built, SPANS_RULES, key_cols=["doc_id"])
     return (
         res.violations()
         .groupBy("field", "validator")
@@ -74,7 +137,8 @@ def _flagship(spark: SparkSession, n_docs: int) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full interleaved-table validation at sf0.001 scale."""
-    return _flagship(spark, 6000)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return _flagship(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -377,10 +441,10 @@ def q25_filter_chain_safe(spark, sf_dir):
 
 
 def q23_spans_validation(spark, sf_dir):
-    # no SQL oracle: input is the synthesized interleaved table (not one
-    # of the driver's pre-registered views); deterministic at fixed size
-    n = _t(spark, sf_dir, "documents").count() * 12
-    return _flagship(spark, n)
+    """Flagship on an interleaved table built deterministically from the
+    registered ``documents`` view — DuckDB recomputes the violation
+    counts per cohort, so the flagship is value-oracled."""
+    return _flagship(_t(spark, sf_dir, "documents"))
 
 
 def q26_dedup_clusters(spark, sf_dir):
@@ -1483,8 +1547,45 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, len(bytes) // 16)::int AS n_frames
             FROM e
         """,
-        # q23 spans validation: rows-only (input is the synthesized
-        #     interleaved table, not a pre-registered view)
+        # flagship: the interleaved table is built from the documents
+        # view by pure modulus cohorts (_interleaved_from_documents), so
+        # each rule's violation count is a direct cohort count. Engine
+        # semantics mirrored: NULL/empty spans fail `required` on both
+        # `spans` and the wildcard `spans.*.kind` (empty parent fails a
+        # required wildcard, validating.go:497-516); non-required
+        # wildcard rules PASS on an empty parent; '' kinds skip enum;
+        # `spans` minLength:1 never fires (empty arrays skip via
+        # SkipOnEmpty) so it has no row; NULL doc_id skips minLength.
+        "q23_spans_validation": """
+            WITH f AS (
+              SELECT coalesce(doc_id, 9) AS d FROM documents
+            ), c AS (
+              SELECT (d % 19 = 0) AS did_null,
+                     (d % 19 = 1) AS did_short,
+                     (d % 13 = 0 OR d % 13 = 1) AS sp_empty,
+                     (d % 23 = 3) AS kind_empty,
+                     (d % 5 = 2)  AS kind_bad,
+                     (d % 11 = 4) AS off_neg,
+                     (d % 7 = 0)  AS ref_bad
+              FROM f
+            )
+            SELECT * FROM (
+              SELECT 'doc_id' AS field, 'required' AS validator,
+                     count_if(did_null)::bigint AS n FROM c
+              UNION ALL SELECT 'doc_id', 'minLength',
+                     count_if(did_short)::bigint FROM c
+              UNION ALL SELECT 'spans', 'required',
+                     count_if(sp_empty)::bigint FROM c
+              UNION ALL SELECT 'spans.*.kind', 'required',
+                     count_if(sp_empty OR kind_empty)::bigint FROM c
+              UNION ALL SELECT 'spans.*.kind', 'enum',
+                     count_if(kind_bad AND NOT sp_empty)::bigint FROM c
+              UNION ALL SELECT 'spans.*.offset', 'min',
+                     count_if(off_neg AND NOT sp_empty)::bigint FROM c
+              UNION ALL SELECT 'spans.*.media_ref', 'regexp',
+                     count_if(ref_bad AND NOT sp_empty)::bigint FROM c
+            ) WHERE n > 0 ORDER BY field, validator
+        """,
         # connected components of the exact near-dup graph via recursive
         # transitive closure; cluster = min reachable member (string min,
         # same collation both engines)
