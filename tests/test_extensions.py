@@ -360,3 +360,37 @@ def test_snapshot_catalog_size_guard():
 
     with _pytest.raises(ValueError, match="anti-join"):
         membership_validator(str(i) for i in range(100_001))
+
+
+def test_prefix_membership_scales_by_depth_not_entries(spark):
+    """10k-dir containment must compile to O(max_depth) InSet probes,
+    not a 10k-term startswith Or-chain (analyzer/codegen blowup). Checks
+    both the expression size and the membership semantics."""
+    import time
+
+    from validate_spark.functions.catalogs import prefix_membership_validator
+
+    dirs = [f"/data/shard{i:02d}/bucket{j:03d}" for i in range(10) for j in range(1000)]
+    t0 = time.monotonic()
+    builder = prefix_membership_validator(dirs)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "/data/shard03/bucket777/img.png"),   # contained
+            (2, "/data/shard03/bucket777"),           # exact member
+            (3, "/data/shard03/bucketXYZ/img.png"),   # miss
+            (4, "/data/shard03"),                     # ancestor, not member
+        ],
+        "rid int, path string",
+    )
+    out = df.select("rid", builder(F.col("path"), [], None).alias("ok"))
+    got = {r["rid"]: r["ok"] for r in out.collect()}
+    elapsed = time.monotonic() - t0
+    assert got == {1: True, 2: True, 3: False, 4: False}
+    # compile+run stays interactive (the Or-chain version stack-dives or
+    # takes minutes); depth grouping keeps the tree tiny
+    assert elapsed < 30
+    # expression tree is depth-bounded: one isin per distinct depth + 1
+    expr = out.schema[1].name and str(out._jdf.queryExecution().analyzed())
+    assert expr.count("substring_index") <= 4

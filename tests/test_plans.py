@@ -191,3 +191,22 @@ def test_wildcard_fast_path_no_lambda_in_plan(spark):
     results_line = next(l for l in plan.splitlines() if "_vs_results" in l and "array(struct" in l)
     assert "lambdafunction" not in results_line
     assert "array_except" in plan and "array_min" in plan
+
+
+def test_suggest_profile_single_scan_no_expand(spark):
+    """suggest_rules must profile in exactly two scans regardless of
+    column count: (1) the one-row stats agg — HLL distinct sketches, so
+    no Expand (exact multi-countDistinct plans input-rows × N-aggs);
+    (2) ONE melted distinct pass for ALL enum domains — never a
+    per-column distinct().collect() loop (N+1 scans at 100 TB)."""
+    from validate_spark.operators import suggest as sg
+
+    docs = spark.read.parquet(DOCS)
+    prof = physical(sg._profile_frame(docs, docs.columns))
+    assert "Expand" not in prof
+    assert prof.count("FileScan parquet") == 1
+
+    dom = physical(sg._enum_domain_frame(docs, ["lang", "source"]))
+    assert dom.count("FileScan parquet") == 1
+    # distinct dedups map-side: a HashAggregate below the exchange
+    assert "HashAggregate" in dom.split("Exchange", 1)[1]

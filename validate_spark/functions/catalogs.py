@@ -51,16 +51,31 @@ def membership_validator(values: Iterable[str]):
 
 def prefix_membership_validator(values: Iterable[str]):
     """Builder: value ∈ snapshot OR is a descendant path of a snapshot
-    DIRECTORY entry (``isDirPath``-style containment)."""
+    DIRECTORY entry (``isDirPath``-style containment).
+
+    Containment compiles to one ``substring_index(c, '/', k).isin(dirs
+    with k segments)`` term per DISTINCT PATH DEPTH in the snapshot —
+    the expression tree is O(max_depth) regardless of catalog size, and
+    each term is an InSet hash probe (set built once, codegen'd). Never
+    an OR-chain with one ``startswith`` per entry: 100k chained Ors are
+    an analyzer/codegen blowup long before the isin limit trips.
+    (``c`` is a descendant of some k-segment dir ⟺ its first k
+    segments, as a path, are in the k-segment dir set.)"""
     vals = sorted({str(v).rstrip("/") for v in values})
     if len(vals) > MAX_LITERAL_CATALOG:
         raise ValueError("snapshot too large — use refcheck anti-joins")
+    by_depth: dict[int, list[str]] = {}
+    for v in vals:
+        by_depth.setdefault(v.count("/") + 1, []).append(v)
 
     def builder(col: Column, args, ctx) -> Column:
         c = col.cast("string")
+        # exact members: substring_index(c,'/',k) == c when c has exactly
+        # k segments, so the depth terms also cover c == v; keep the
+        # explicit isin for clarity (one extra InSet probe)
         pred = c.isin(vals)
-        for v in vals:
-            pred = pred | c.startswith(v + "/")
+        for k, vs in sorted(by_depth.items()):
+            pred = pred | F.substring_index(c, "/", k).isin(vs)
         return pred
 
     return builder

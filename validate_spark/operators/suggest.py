@@ -14,6 +14,20 @@ Suggested per column:
 
 The output is a plain RuleSet — inspect/edit it, then ``validate`` as
 usual; by construction the snapshot itself passes 100%.
+
+Scale notes (exactly TWO scans total, independent of column count):
+- The profile agg uses ``approx_count_distinct`` (HyperLogLog partial
+  agg) instead of exact ``countDistinct`` — mixing several exact
+  distinct aggs in one agg makes Catalyst plan an Expand (input rows ×
+  N distinct aggs); HLL sketches merge map-side with no Expand.
+- All enum domains come from ONE melted pass: explode each candidate
+  column into (col, val) pairs and take distinct pairs — map-side
+  partial dedup, one scan for every candidate at once, never a
+  per-column ``distinct().collect()`` loop. The HLL gate is loose
+  (rsd=0.01, threshold padded) so a true enum column is never missed;
+  a column the loose gate lets through whose EXACT domain turns out
+  > max_enum falls back to min/maxLength driver-side. Collected rows
+  are bounded by n_candidates × O(max_enum).
 """
 
 from __future__ import annotations
@@ -24,17 +38,31 @@ from pyspark.sql import types as T
 from validate_spark.plans.plan import RuleSet
 
 
-def suggest_rules(
-    df: DataFrame,
-    cols: list[str] | None = None,
-    *,
-    max_enum: int = 20,
-) -> RuleSet:
-    """One profiling pass → RuleSet (see module doc)."""
-    if cols is None:
-        cols = df.columns
-    schema = {f.name: f.dataType for f in df.schema.fields}
+def _enum_domain_frame(df: DataFrame, candidates: list[str]) -> DataFrame:
+    """Melted distinct-(column, value) pairs for ALL candidate columns in
+    ONE scan: explode an inline (col, val) struct array, then distinct —
+    partial aggregation dedups map-side, so the shuffle carries at most
+    n_candidates × domain-size rows per task. Exposed for the plan-shape
+    test (one scan, no Expand)."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("_c"), F.col(c).cast("string").alias("_v"))
+            for c in candidates
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("_p"))
+        .select("_p._c", "_p._v")
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
 
+
+def _profile_frame(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The one-row profile aggregate (single scan, pure partial aggs —
+    HLL for distinct counts, so NO Expand in the plan). Exposed for the
+    plan-shape test."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in cols:
         dt = schema.get(c)
@@ -42,15 +70,38 @@ def suggest_rules(
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nnull"))
         if isinstance(dt, T.StringType):
             aggs.append(F.sum((col == "").cast("long")).alias(f"{c}__nempty"))
-            aggs.append(F.countDistinct(col).alias(f"{c}__ndist"))
+            # HLL, not exact countDistinct: the gate only needs to be
+            # loose-correct and HLL avoids the multi-distinct Expand
+            aggs.append(
+                F.approx_count_distinct(col, rsd=0.01).alias(f"{c}__ndist")
+            )
             aggs.append(F.min(F.octet_length(col)).alias(f"{c}__minlen"))
             aggs.append(F.max(F.octet_length(col)).alias(f"{c}__maxlen"))
         elif isinstance(dt, T.NumericType):
             aggs.append(F.min(col).alias(f"{c}__min"))
             aggs.append(F.max(col).alias(f"{c}__max"))
-    prof = df.agg(*aggs).collect()[0]
+    return df.agg(*aggs)
 
-    rules: dict[str, str] = {}
+
+def suggest_rules(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    max_enum: int = 20,
+) -> RuleSet:
+    """Two scans total → RuleSet (see module doc / Scale notes)."""
+    if cols is None:
+        cols = df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    prof = _profile_frame(df, cols).collect()[0]
+
+    # loose gate: rsd=0.01 → pad the threshold so a true ≤max_enum
+    # domain is never rejected by sketch error; exactness is restored
+    # by the melted pass below
+    gate = max_enum * 1.1 + 5
+
+    rules: dict[str, list] = {}
     enum_candidates = []
     for c in cols:
         dt = schema.get(c)
@@ -61,7 +112,7 @@ def suggest_rules(
         if empties == 0:
             parts.append("required")
         if isinstance(dt, T.StringType):
-            if prof[f"{c}__ndist"] <= max_enum:
+            if prof[f"{c}__ndist"] <= gate:
                 enum_candidates.append(c)
                 parts.append(None)  # placeholder, filled below
             else:
@@ -75,17 +126,18 @@ def suggest_rules(
         rules[c] = parts
 
     if enum_candidates:
-        # one pass for all enum domains (grouping sets would also work;
-        # per-column distinct on ≤max_enum values is tiny either way)
+        domains: dict[str, list] = {c: [] for c in enum_candidates}
+        for r in _enum_domain_frame(df, enum_candidates).collect():
+            domains[r["_c"]].append(r["_v"])
         for c in enum_candidates:
-            vals = sorted(
-                r[0]
-                for r in df.select(c).filter(F.col(c).isNotNull()).distinct().collect()
-            )
-            rules[c] = [
-                p if p is not None else "enum:" + ",".join(str(v) for v in vals)
-                for p in rules[c]
-            ]
+            vals = sorted(domains[c])
+            if len(vals) <= max_enum:
+                repl = "enum:" + ",".join(str(v) for v in vals)
+            else:
+                # loose-gated through but exactly over the limit: fall
+                # back to the length-range rules (stats already profiled)
+                repl = f"minLength:{prof[f'{c}__minlen']}|maxLength:{prof[f'{c}__maxlen']}"
+            rules[c] = [p if p is not None else repl for p in rules[c]]
 
     return RuleSet(
         rules={c: "|".join(p for p in parts if p) for c, parts in rules.items() if parts}
