@@ -648,3 +648,59 @@ def test_wildcard_fast_path_element_and_map_forms(spark):
         clear_plan_cache()
     assert fast == slow
     assert True in fast.values() and False in fast.values()
+
+
+def test_wildcard_element_filter_changes_leaf_dtype(spark):
+    """A type-changing ELEMENT filter chain (filters={'tags.*':'float'})
+    must flow into the wildcard rule's leaf dtype on BOTH compile paths
+    (chain_output_dtype rule): with the raw schema dtype the skip gate
+    compares the now-double element to '' — the documented ANSI abort —
+    and min/max dispatch on the stale string type."""
+    from validate_spark.plans import plan as planmod
+
+    df = spark.createDataFrame(
+        [
+            ("a", ["1.5", "2.0"]),     # all >= 1 → pass
+            ("b", ["1.5", "0.2"]),     # 0.2 < 1 → fail
+            ("c", ["", None, "3.0"]),  # ''/None → NULL post-cast → skip
+            ("d", None),               # empty parent skips (non-required)
+        ],
+        "k string, tags array<string>",
+    )
+    rs = RuleSet(rules={"tags.*": "min:1"}, filters={"tags.*": "float"})
+    expected = {"a": True, "b": False, "c": True, "d": True}
+
+    res = validate(df, rs, key_cols=["k"])
+    got = {r["k"]: r["pass"] for r in res.verdicts().collect()}
+    assert got == expected
+
+    # forall path must agree (fast path disabled)
+    planmod._DISABLE_WILDCARD_FAST_PATH = True
+    try:
+        from validate_spark.operators.engine import clear_plan_cache
+
+        clear_plan_cache()
+        res2 = validate(df, rs, key_cols=["k"])
+        got2 = {r["k"]: r["pass"] for r in res2.verdicts().collect()}
+        assert got2 == expected
+    finally:
+        planmod._DISABLE_WILDCARD_FAST_PATH = False
+        clear_plan_cache()
+
+
+def test_cross_field_ref_to_missing_nested_field(spark):
+    """requiredIf:a.ghost,1 where root `a` exists but `ghost` doesn't:
+    the reference's TryGet resolves it as absent (≡ empty, never
+    triggers) — the engine must not abort analysis with
+    UNRESOLVED_FIELD (the nested analogue of the missing-root rule)."""
+    df = spark.createDataFrame(
+        [("x", (1, "u"))],
+        "k string, a struct<id:int, name:string>",
+    )
+    res = validate(
+        df,
+        RuleSet(rules={"k": "requiredIf:a.ghost,1"}),
+        key_cols=["k"],
+    )
+    got = {r["k"]: r["pass"] for r in res.verdicts().collect()}
+    assert got == {"x": True}

@@ -210,3 +210,46 @@ def test_suggest_profile_single_scan_no_expand(spark):
     assert dom.count("FileScan parquet") == 1
     # distinct dedups map-side: a HashAggregate below the exchange
     assert "HashAggregate" in dom.split("Exchange", 1)[1]
+
+
+def test_ngram_jaccard_prefix_filtered_no_full_self_join(spark):
+    """q44's candidate generation must stay prefix-bucketed: no
+    cartesian/nested-loop join anywhere, no self-join of the full gram
+    frame — the only equi-joins are the gram-frequency attach and the
+    two capped-pair verify lookups, and the bucket build shows a
+    map-side partial collect below its exchange."""
+    import re
+
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(dd.ngram_jaccard_pairs(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan
+    )
+    assert len(joins) <= 3  # freq attach + verify a + verify b
+    # prefix buckets aggregate map-side before shuffling
+    assert "partial_collect_set" in plan
+
+
+def test_dedup_clusters_plan_stays_bounded(spark):
+    """Label propagation must localCheckpoint each round: the returned
+    frame's logical plan is a flat scan of the checkpointed labels, not
+    a join-per-iteration nest (25 rounds over a long chain would
+    otherwise stack 25 joins into the analyzer)."""
+    from validate_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(12)], "a string, b string"
+    )
+    out = dd.dedup_clusters(pairs, max_iter=25)
+    opt = optimized(out)
+    assert "Join" not in opt
+    assert "LogicalRDD" in opt
+    assert len(opt.splitlines()) <= 4
+    # and the answer is still right: one chain → one cluster, min label
+    got = {r["cluster"] for r in out.collect()}
+    assert got == {"0"}

@@ -534,18 +534,36 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """EXACT token-n-gram Jaccard join: every pair (a < b) with
-    J(grams_a, grams_b) ≥ threshold — no signatures, no approximation,
-    and still no O(n²): candidates come from PREFIX FILTERING (the
+    """Token-n-gram Jaccard join: every pair (a < b) with
+    J(grams_a, grams_b) ≥ threshold — no signatures, exact scores, and
+    still no O(n²): candidates come from PREFIX FILTERING (the
     AllPairs/PPJoin family). Each doc's gram set is put in one GLOBAL
-    deterministic order (by xxhash64 — engine-internal, never crosses
-    to the oracle, which verifies output pairs by exhaustive exact
-    Jaccard instead) and only the first ``|G| - ceil(t·|G|) + 1`` grams
-    are indexed. Full recall: if J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|),
-    and the globally-smallest common gram g* must sit inside BOTH
-    prefixes — were g* past A's prefix, all |A∩B| common grams would
-    occupy A's last ceil(t·|A|) - 1 slots, a contradiction. So bucket-
-    joining prefix grams finds every qualifying pair.
+    total order and only the first ``|G| - ceil(t·|G|) + 1`` grams are
+    indexed. The prefix lemma (order-agnostic): if J(A,B) ≥ t then
+    |A∩B| ≥ t·max(|A|,|B|), and the globally-smallest common gram g*
+    must sit inside BOTH prefixes — were g* past A's prefix, all |A∩B|
+    common grams would occupy A's last ceil(t·|A|) - 1 slots, a
+    contradiction. So bucket-joining prefix grams finds every
+    qualifying pair.
+
+    The global order is (document frequency ASC, hash) — the canonical
+    AllPairs ordering: prefixes then hold each doc's RAREST grams, so
+    boilerplate trigrams shared by thousands of docs land at the end of
+    every gram list and never form buckets. Costs one extra
+    gram-frequency aggregation + join over the exploded gram frame
+    (both partial-agg/shuffle-bounded); hashes are xxhash64 —
+    engine-internal, never crossing to the oracle, which verifies
+    output pairs by exhaustive exact Jaccard instead.
+
+    RECALL CONTRACT (honest): buckets larger than ``max_bucket`` are
+    dropped, so a qualifying pair is missed only when one of its
+    members' RAREST prefix grams is shared by > max_bucket other docs'
+    prefixes. Under rarest-first ordering that requires a cohort of
+    max_bucket+ documents agreeing on a globally-rare gram — i.e. a
+    mass near-duplicate cluster, whose members exact/minhash dedup
+    already surfaces; scattered boilerplate no longer costs recall
+    (pre-ordering, ANY popular trigram in a short doc's prefix did).
+    Raise ``max_bucket`` for a strict-recall run.
 
     The verify stage reuses jaccard_pairs' scale guards: in-bucket pair
     expansion (no self-join) capped at ``max_bucket``, size-ratio
@@ -561,10 +579,24 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
         ).alias("gh"),
     )
-    sz = F.size("gh")
-    plen = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + F.lit(1)
-    prefixed = hashed.select(
-        "k", sz.alias("n"), F.explode(F.slice(F.col("gh"), F.lit(1), plen)).alias("g")
+    # rarest-first global order: explode grams, count document
+    # frequency per gram (partial agg), join it back, and keep each
+    # doc's plen smallest (df, g) pairs as the prefix
+    grams_doc = hashed.select(
+        "k", F.size("gh").alias("n"), F.explode("gh").alias("g")
+    )
+    freq = grams_doc.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams_doc.join(freq, "g")
+    plen = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int")
+        + F.lit(1)
+    )
+    prefixed = (
+        ranked.groupBy("k", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg"))
+        .select("k", "n", F.explode(F.slice(F.col("sg"), F.lit(1), plen)).alias("pg"))
+        .select("k", "n", F.col("pg.g").alias("g"))
     )
     buckets = (
         prefixed.groupBy("g")
@@ -627,8 +659,12 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     (one shuffle join + one hash-aggregate per round), converging in
     O(component diameter) rounds. Near-dup clusters have tiny diameter
     (every member pairs with the canonical doc through 1-2 hops), so
-    2-4 rounds in practice; checkpointed labels keep the plan from
-    growing with iterations. Cluster id = min member key.
+    2-4 rounds in practice. Each round's labels are localCheckpoint-ed:
+    the logical plan is TRUNCATED to the materialized result, so the
+    analyzer/optimizer never sees a join-per-round nest and a
+    slow-converging graph cannot walk into plan-size blowup (cache()
+    alone would NOT do this — it truncates execution, not the plan).
+    Cluster id = min member key.
 
     Fixed point is detected with a changed-label count — deterministic,
     independent of partitioning. For adversarially long chains switch
@@ -648,7 +684,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         adj.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -657,11 +693,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
             labels.select(F.col("node").alias("v"), F.col("label").alias("nlabel")),
             "v",
         ).select(F.col("u").alias("node"), F.col("nlabel").alias("label"))
+        # eager localCheckpoint: materializes THIS round and replaces
+        # the lineage with the stored blocks — every round starts from
+        # a flat LogicalRDD scan (tests/test_dataset.py asserts the
+        # returned plan is join-free)
         new_labels = (
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -669,7 +709,6 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -280,9 +280,13 @@ def _cached_plan(ruleset: RuleSet, schema, scene) -> Plan:
         ruleset.hash(),
         _json.dumps(ruleset.messages, sort_keys=True),
         _json.dumps(ruleset.labels, sort_keys=True),
-        # per-instance overlay: id-sensitive so swapping a builder under
-        # the same name recompiles (hash() carries names only)
-        tuple(sorted((k, id(v)) for k, v in ruleset.validators.items())),
+        # per-instance overlay: the key holds the BUILDER OBJECTS
+        # themselves (functions hash by identity), so swapping a builder
+        # under the same name recompiles AND the cache entry pins a
+        # strong reference — id() alone can be recycled by CPython after
+        # GC, silently serving a stale plan for a new builder allocated
+        # at the same address
+        tuple(sorted(ruleset.validators.items(), key=lambda t: t[0])),
         scene,
     )
     plan = _PLAN_CACHE.get(key)

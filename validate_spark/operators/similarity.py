@@ -3,9 +3,11 @@
 Two paths, one contract (``(query_id, neighbor_id, rank)`` top-k):
 
 - **Brute force** — broadcast the (small) query set against the corpus,
-  exact cosine via higher-order functions (JVM-side, no Python), per-
-  query top-k with a window. Cost: one corpus scan per query batch.
-  This is both the baseline and the correctness oracle.
+  exact cosine via higher-order functions (JVM-side, no Python), then
+  ``_two_phase_topk``: map-side local top-k per (partition, query) and
+  a k-bounded merge — never a per-query window. Cost: one corpus scan
+  per query batch. This is both the baseline and the correctness
+  oracle.
 - **IVF (inverted-file) buckets** — corpus is pre-assigned to the
   nearest of C centroids (one scan); a query probes only its ``nprobe``
   nearest centroids' buckets, cutting the scan to ~nprobe/C of the

@@ -361,7 +361,13 @@ def _compile_path_pred(
 _DISABLE_WILDCARD_FAST_PATH = False
 
 
-def _wildcard_fast_path(field: str, spec, ruleset: RuleSet, schema: T.StructType):
+def _wildcard_fast_path(
+    field: str,
+    spec,
+    ruleset: RuleSet,
+    schema: T.StructType,
+    leaf_dt_override: T.DataType | None = None,
+):
     """Native-array rewrite for hot single-level wildcard leaf rules.
 
     HigherOrderFunction expressions (forall/transform lambdas) are
@@ -436,6 +442,13 @@ def _wildcard_fast_path(field: str, spec, ruleset: RuleSet, schema: T.StructType
         if leaf_dt is None:
             return None
         arr = F.col(root).getField(leaf)
+    if leaf_dt_override is not None:
+        # a type-changing element filter chain (filters={'tags.*':
+        # 'float'}) means the RUNTIME elements are the chain's output
+        # type, not the schema's — dispatching on the raw schema dtype
+        # here would mis-classify the rewrite (the chain_output_dtype
+        # rule, CLAUDE.md)
+        leaf_dt = leaf_dt_override
     if CUSTOM_TYPES and leaf_dt is not None and leaf_dt.simpleString() in CUSTOM_TYPES:
         return None
     parent_empty = F.col(root).isNull() | (F.size(root) == 0)
@@ -610,9 +623,11 @@ def compile_plan(
         # a cross-field reference to a NON-EXISTENT field is simply
         # absent in the reference (TryGet exist=false ≡ empty) — e.g.
         # requiredIf:ghost,1 never triggers. Resolving it as a real
-        # column would abort the job with UNRESOLVED_COLUMN for a rule
-        # set the reference accepts.
-        if f.split(".")[0] not in schema_roots:
+        # column would abort the job with UNRESOLVED_COLUMN /
+        # UNRESOLVED_FIELD for a rule set the reference accepts. The
+        # check walks the FULL dotted path (requiredIf:a.ghost,1 with a
+        # real root `a` but no `ghost` member is just as absent).
+        if f.split(".")[0] not in schema_roots or dtype_at(schema, f) is None:
             return F.lit(None).cast("string")
         return col_at(f)
 
@@ -754,9 +769,19 @@ def compile_plan(
                     )
                 builder = VALIDATORS[name]
 
+            # post-filter element dtype: a type-changing element chain
+            # (filters={'tags.*': 'float'}) makes the runtime leaf type
+            # differ from the schema — BOTH wildcard compile paths must
+            # see the chain's output type (scalar rules get this via
+            # dtype_of; this is the wildcard analogue)
+            wild_leaf_override = filter_dtypes.get(field) if "*" in field else None
+
             fast = None
             if "*" in field:
-                fast = _wildcard_fast_path(field, spec, ruleset, schema)
+                fast = _wildcard_fast_path(
+                    field, spec, ruleset, schema,
+                    leaf_dt_override=wild_leaf_override,
+                )
             if fast is not None:
                 # shared tail below still applies the optional-parent
                 # and CheckDefault gates exactly like the forall path
@@ -768,7 +793,11 @@ def compile_plan(
                 root_col = F.col(root)
                 root_dt = dtype_at(schema, root)
 
-                def make_leaf(c, dt, _b=builder, _spec=spec):
+                def make_leaf(
+                    c, dt, _b=builder, _spec=spec, _odt=wild_leaf_override
+                ):
+                    if _odt is not None:
+                        dt = _odt  # element filter chain changed the type
                     # AddCustomType hook: wildcard LEAVES of a registered
                     # type validate their extracted underlying value
                     c, dt = resolve_custom_type(c, dt)
