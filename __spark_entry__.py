@@ -706,6 +706,65 @@ def q47_request_log(spark, sf_dir):
     )
 
 
+def q48_streaming_manifest(spark, sf_dir):
+    """Structured Streaming surface, value-oracled end-to-end: the
+    documents table is split into 4 deterministic chunk files
+    (doc_id%4), streamed back with maxFilesPerTrigger=1 under an
+    availableNow trigger (4 micro-batches), validated per batch by
+    ``foreach_batch_validator`` (one pre-compiled plan, per-batch
+    lineage manifest rows), and the manifest is rolled up to totals —
+    which DuckDB recomputes directly from the table. The rollup is
+    batch-boundary-independent, so the oracle holds at any chunking;
+    n_batches pins the 4-file split."""
+    import shutil
+    import tempfile
+
+    from validate_spark.streaming.validate_stream import foreach_batch_validator
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q48_")
+    try:
+        src = f"{tmp}/src"
+        for i in range(4):
+            (
+                docs.filter(
+                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        man_path = f"{tmp}/manifest"
+        cb = foreach_batch_validator(
+            DOC_RULES, docs.schema, key_cols=["doc_id"], manifest_path=man_path
+        )
+        q = (
+            stream.writeStream.foreachBatch(cb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(man_path).agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_pass").alias("n_pass"),
+            F.sum("n_fail").alias("n_fail"),
+            F.sum("n_violations").alias("n_violations"),
+            F.min(F.col("verdict").cast("int")).cast("boolean").alias("all_pass"),
+        )
+        # materialize before the temp dirs go away — one row
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -958,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_span_sequence_invariant": q43_span_sequence_invariant,
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
+        "q48_streaming_manifest": q48_streaming_manifest,
     }
 
 
@@ -1610,6 +1670,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
             )
             SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
+        """,
+        # streaming manifest rollup: totals are micro-batch-boundary-
+        # independent, so DuckDB recomputes them straight off the table;
+        # n_batches pins the deterministic 4-file split
+        "q48_streaming_manifest": f"""
+            SELECT 4::bigint AS n_batches,
+                   count(*)::bigint AS n_rows,
+                   sum(({_PASS})::int)::bigint AS n_pass,
+                   sum((NOT ({_PASS}))::int)::bigint AS n_fail,
+                   sum({_NVIOL})::bigint AS n_violations,
+                   (sum((NOT ({_PASS}))::int) = 0) AS all_pass
+            FROM documents
         """,
         "q27_partition_manifest": f"""
             WITH v AS (
