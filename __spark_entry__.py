@@ -765,6 +765,59 @@ def q48_streaming_manifest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q49_decontamination(spark, sf_dir):
+    """Benchmark-contamination screen (operators/decontam.py): the
+    'benchmark' is the deterministic doc_id%37==0 subset of documents,
+    its distinct word-3-grams broadcast against the exploded corpus
+    gram stream; DuckDB replays the gram build and union-membership
+    per doc, so every (n_grams, n_hit, overlap, contaminated) value is
+    hash-checked."""
+    from validate_spark.operators.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    return contamination_report(docs, bench, n=3, threshold=0.5)
+
+
+def q50_pii_scrub(spark, sf_dir):
+    """PII scrubbing through the filter-chain surface: a deterministic
+    PII-laced note per customer is cleaned by scrubEmail|scrubUrl|
+    scrubPhone and returned via updated_rows(); the patterns live in
+    the Java∩RE2 common dialect, so DuckDB applies the identical
+    regexes and the scrubbed strings match byte-for-byte."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    note = F.concat(
+        F.lit("contact "),
+        F.coalesce(F.col("c_name"), F.lit("")),
+        F.lit(" at user"), key,
+        F.lit("@example.com or https://ex.com/u/"), key,
+        F.lit(" tel +1 (555) 010-"),
+        F.lpad(F.pmod(F.col("c_custkey"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    raw = cust.select("c_custkey", note.alias("note"))
+    rs = RuleSet(
+        rules={"note": "required"},
+        filters={"note": "scrubEmail|scrubUrl|scrubPhone"},
+    )
+    res = validate(raw, rs, key_cols=["c_custkey"])
+    return res.updated_rows().select("c_custkey", "note", "pass")
+
+
+def q51_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (operators/sampling.py):
+    md5-gated, so the DuckDB oracle recomputes the exact selection —
+    the same rows on every run/replay/engine. The fractions dict
+    doubles as an allowlist (es/fr absent → dropped)."""
+    from validate_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 0.5, "zh": 1.0}, "doc_id", seed=7
+    )
+    return samp.select("doc_id", "lang")
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1018,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_json_validation": q30_json_validation,
         "q31_format_gauntlet": q31_format_gauntlet,
         "q48_streaming_manifest": q48_streaming_manifest,
+        "q49_decontamination": q49_decontamination,
+        "q50_pii_scrub": q50_pii_scrub,
+        "q51_stratified_sample": q51_stratified_sample,
     }
 
 
@@ -1670,6 +1726,66 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
             )
             SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
+        """,
+        # contamination screen: rebuild the word-3-gram machinery (same
+        # as q44), take the union of the doc_id%37==0 subset's grams,
+        # and recompute per-doc hit counts/overlap
+        "q49_decontamination": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, doc_id AS d, {_NORM} AS t
+              FROM documents
+            ), tk AS (
+              SELECT k, d, regexp_split_to_array(t, ' ') AS w
+              FROM c WHERE length(t) > 0
+            ), g AS (
+              SELECT k, d, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS grams
+              FROM tk
+            ), bg AS (
+              SELECT DISTINCT unnest(grams) AS bgram FROM g WHERE d % 37 = 0
+            ), x AS (
+              SELECT k, len(grams) AS n_grams, unnest(grams) AS gg FROM g
+            ), hit AS (
+              SELECT k, n_grams,
+                     sum(CASE WHEN gg IN (SELECT bgram FROM bg)
+                              THEN 1 ELSE 0 END) AS n_hit
+              FROM x GROUP BY k, n_grams
+            )
+            SELECT k, n_grams::int AS n_grams, n_hit::bigint AS n_hit,
+                   round(n_hit::double / n_grams::double, 6) AS overlap,
+                   (round(n_hit::double / n_grams::double, 6) >= 0.5)
+                     AS contaminated
+            FROM hit
+        """,
+        "q50_pii_scrub": """
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     'contact ' || coalesce(c_name, '') || ' at user'
+                       || c_custkey::varchar
+                       || '@example.com or https://ex.com/u/'
+                       || c_custkey::varchar
+                       || ' tel +1 (555) 010-'
+                       || lpad((c_custkey % 10000)::varchar, 4, '0'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     'https?://[^\\s]+', '[URL]', 'g'),
+                     '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g')
+                     AS note,
+                   TRUE AS pass
+            FROM customer
+        """,
+        # md5 sampling gate — the hash-portability rule makes the exact
+        # selection reproducible outside Spark
+        "q51_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(coalesce(doc_id::varchar, '')
+                                          || chr(31) || '7'), 1, 8)
+                       AS BIGINT) % 1000000
+                  < CASE lang WHEN 'en' THEN 250000
+                              WHEN 'de' THEN 500000
+                              WHEN 'zh' THEN 1000000
+                              ELSE 0 END
         """,
         # streaming manifest rollup: totals are micro-batch-boundary-
         # independent, so DuckDB recomputes them straight off the table;

@@ -389,8 +389,10 @@ def test_prefix_membership_scales_by_depth_not_entries(spark):
     elapsed = time.monotonic() - t0
     assert got == {1: True, 2: True, 3: False, 4: False}
     # compile+run stays interactive (the Or-chain version stack-dives or
-    # takes minutes); depth grouping keeps the tree tiny
-    assert elapsed < 30
+    # takes many minutes); generous bound — this VM's throughput swings
+    # ±2-4x under co-tenant load (CLAUDE.md), and the expression-size
+    # assertion below is the structural guard
+    assert elapsed < 120
     # expression tree is depth-bounded: one isin per distinct depth + 1
     expr = out.schema[1].name and str(out._jdf.queryExecution().analyzed())
     assert expr.count("substring_index") <= 4

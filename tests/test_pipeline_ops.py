@@ -311,3 +311,99 @@ def test_ngram_jaccard_edge_inputs(spark):
     )
     got = sorted((r["a"], r["b"]) for r in dd.ngram_jaccard_pairs(df, threshold=0.5).collect())
     assert got == [("c", "d")]
+
+
+# --- decontamination / sampling / PII scrub (round 3) ----------------------
+
+def test_contamination_report_semantics(spark):
+    from validate_spark.operators import decontam as dc
+
+    corpus = spark.createDataFrame(
+        [
+            ("1", "alpha beta gamma delta epsilon"),   # fully in bench
+            ("2", "alpha beta gamma zeta eta theta"),  # partial overlap
+            ("3", "one two three four five six"),      # disjoint
+            ("4", ""),                                  # no grams → no row
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon")], "doc_id string, text string"
+    )
+    rep = {
+        r["k"]: r
+        for r in dc.contamination_report(corpus, bench, n=3, threshold=0.5).collect()
+    }
+    assert set(rep) == {"1", "2", "3"}
+    assert rep["1"]["overlap"] == 1.0 and rep["1"]["contaminated"]
+    # doc 2: grams {ab g, b g z, g z e, z e t} → 1 of 4 hits
+    assert rep["2"]["n_hit"] == 1 and not rep["2"]["contaminated"]
+    assert rep["3"]["n_hit"] == 0 and rep["3"]["overlap"] == 0.0
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram probe must be a broadcast join — a shuffle of
+    the 10^12-doc exploded gram stream to co-locate with a tiny eval
+    set would be THE scale bug here."""
+    from validate_spark.operators import decontam as dc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    rep = dc.contamination_report(docs, bench)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_deterministic_and_stratified_sampling(spark):
+    from validate_spark.operators import sampling as sp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in sp.deterministic_sample(docs, 0.3, "doc_id", seed=1).collect()}
+    b = {r["doc_id"] for r in sp.deterministic_sample(docs, 0.3, "doc_id", seed=1).collect()}
+    assert a == b and 0 < len(a)  # replay-identical
+    c = {r["doc_id"] for r in sp.deterministic_sample(docs, 0.3, "doc_id", seed=2).collect()}
+    assert a != c  # seed-sensitive
+    # nested fractions: monotone — a 0.1 sample is a subset of the 0.3
+    d = {r["doc_id"] for r in sp.deterministic_sample(docs, 0.1, "doc_id", seed=1).collect()}
+    assert d <= a
+
+    strat = sp.stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert langs == {"en"}  # dict doubles as allowlist
+    # map-side only: no exchange in the sampling filter
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.deterministic_sample(docs, 1.5, "doc_id")
+
+
+def test_pii_scrub_filters(spark):
+    from validate_spark import RuleSet, validate
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-site.org now"),
+            (2, "see https://x.io/p?q=1 and http://y.z/a"),
+            (3, "call +44 (0)20 7946-0958 ok"),
+            (4, "ip 10.0.255.1 here"),
+            (5, "clean text"),
+        ],
+        "rid int, t string",
+    )
+    rs = RuleSet(
+        rules={"t": "required"},
+        filters={"t": "scrubEmail|scrubUrl|scrubPhone|scrubIp"},
+    )
+    got = {
+        r["rid"]: r["t"]
+        for r in validate(df, rs, key_cols=["rid"]).updated_rows().collect()
+    }
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "see [URL] and [URL]"
+    assert got[3] == "call [PHONE] ok"
+    assert got[4] == "ip [IP] here"
+    assert got[5] == "clean text"

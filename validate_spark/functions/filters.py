@@ -181,6 +181,38 @@ def _escape_html(col, args):
     return c
 
 
+# --- PII scrubbing (beyond-reference: training-data sanitization) ----------
+# The reference's filters sanitize FORMAT (trim/case/escape); a corpus
+# pipeline also needs CONTENT scrubbing before text reaches a training
+# set. Same filter-chain surface ("text": "trim|scrubEmail|scrubUrl"),
+# same one-projection compilation. Patterns are deliberately kept in
+# the Java∩RE2 common dialect (no lookaround, ASCII \b only) so the
+# DuckDB oracle replays them verbatim; an optional first chain arg
+# overrides the replacement token.
+
+_PII_PATTERNS = {
+    "scrubEmail": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "scrubUrl": (r"https?://[^\s]+", "[URL]"),
+    "scrubPhone": (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+    "scrubIp": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+}
+
+
+def _make_scrub(pattern: str, token: str) -> FilterFn:
+    def scrub(col, args):
+        return F.regexp_replace(col, pattern, args[0] if args else token)
+    return scrub
+
+
+for _name, (_pat, _tok) in _PII_PATTERNS.items():
+    register_filter(_name, _make_scrub(_pat, _tok))
+_FILTER_ALIASES.update(
+    {"scrubURL": "scrubUrl", "scrubIP": "scrubIp",
+     "scrub_email": "scrubEmail", "scrub_url": "scrubUrl",
+     "scrub_phone": "scrubPhone", "scrub_ip": "scrubIp"}
+)
+
+
 @_f("str2ints")
 def _str2ints(col, args):
     sep = re.escape(args[0]) if args and args[0] else ","

@@ -1,0 +1,74 @@
+"""Benchmark decontamination — n-gram collision screening.
+
+A training-data pipeline must guarantee the corpus does not contain
+eval-benchmark text (train/test contamination). The standard screen
+(GPT-3 appendix C / PaLM-style) flags a document when a high fraction
+of its word n-grams collide with the UNION of the benchmark's n-grams.
+This is membership-against-a-catalog — the same dataset-level lift as
+the referential family (operators/refcheck.py), applied to gram sets
+instead of keys; there is no single-row analogue in the reference
+(gookit/validate), which never sees more than one record at a time.
+
+Scale shape (corpus = 10^12 docs, benchmark = eval sets, i.e. SMALL):
+
+- benchmark grams → distinct → **broadcast** hash join against the
+  exploded corpus gram stream: zero shuffle on the corpus side for the
+  membership probe;
+- per-doc rollup → one groupBy(doc) with partial-agg counts (the only
+  shuffle, count-state only);
+- gram normalization/tokenization reuses ``word_ngram_frame``
+  (operators/dedup.py) — staged projections, no per-row Python.
+
+A benchmark too large to broadcast does not belong in this operator:
+pass ``broadcast_bench=False`` to fall back to a shuffle join
+(refcheck's large-catalog rule), same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from validate_spark.operators.dedup import word_ngram_frame
+
+
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-corpus-doc contamination report:
+    ``(k, n_grams, n_hit, overlap, contaminated)`` where ``overlap`` =
+    fraction of the doc's DISTINCT word n-grams present in ANY benchmark
+    doc, and ``contaminated`` = overlap ≥ threshold. Docs whose
+    normalized text is empty produce no grams and no row (nothing to
+    collide)."""
+    corpus_g = word_ngram_frame(corpus, text_col, key_col, n=n)
+    bench_g = (
+        word_ngram_frame(bench, text_col, key_col, n=n)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bench_g = F.broadcast(bench_g)
+    exploded = corpus_g.select(
+        "k", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    )
+    rep = (
+        exploded.join(bench_g, "g", "left")
+        .groupBy("k", "n_grams")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"))
+    )
+    overlap = F.round(F.col("n_hit") / F.col("n_grams"), 6)
+    return rep.select(
+        "k",
+        "n_grams",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        overlap.alias("overlap"),
+        (overlap >= F.lit(float(threshold))).alias("contaminated"),
+    )

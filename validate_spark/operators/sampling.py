@@ -1,0 +1,74 @@
+"""Deterministic (re-runnable) sampling for training-data pipelines.
+
+``df.sample()`` draws from a per-task RNG: re-runs, resumed jobs and
+recomputed partitions select DIFFERENT rows — poison for lineage and
+for any pipeline that must be replayable. These samplers gate on a
+content hash of the row key instead: the same row is always in or out,
+on any cluster layout, any retry, any engine. The gate hash is md5
+(first 8 hex chars → int) because sampled outputs are lineage artifacts
+an external auditor (or the DuckDB oracle) must recompute — the repo's
+hash-portability rule; xxhash64 stays engine-internal.
+
+Both samplers are pure map-side filters: zero shuffle, predicate
+fused into the scan, trivially parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_M = 1_000_000
+
+
+def _gate(key_col: str, seed: int) -> Column:
+    """Uniform [0, 1e6) content-defined draw, portable:
+    ``conv(substr(md5(key || '\\x1f' || seed), 1, 8), 16, 10) % 1e6`` ≡
+    DuckDB ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % 1000000``.
+    NULL keys coalesce to '' pre-hash (md5(NULL) is NULL)."""
+    k = F.concat_ws(
+        "\x1f", F.coalesce(F.col(key_col).cast("string"), F.lit("")), F.lit(str(seed))
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("long"), F.lit(_M)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str, *, seed: int = 0
+) -> DataFrame:
+    """Content-hash-gated Bernoulli sample: row kept iff
+    hash(key, seed) < fraction — same selection on every run/replay."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_gate(key_col, seed) < int(fraction * _M))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: float | dict,
+    key_col: str,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sample — e.g. downsample boilerplate
+    languages while keeping low-resource ones whole. ``fractions`` is a
+    single float (every stratum) or {stratum_value: fraction}; strata
+    absent from the dict keep fraction 0 (dropped), which makes the
+    dict double as an allowlist. The per-stratum threshold compiles to
+    one small CASE expression — still a map-side filter, no join, no
+    shuffle, and skew-immune (no stratum ever funnels to one task)."""
+    gate = _gate(key_col, seed)
+    if isinstance(fractions, dict):
+        thr = F.lit(0)
+        for stratum, frac in sorted(fractions.items()):
+            if not 0.0 <= frac <= 1.0:
+                raise ValueError(f"fraction for {stratum!r} must be in [0, 1]")
+            thr = F.when(
+                F.col(strata_col) == F.lit(stratum), F.lit(int(frac * _M))
+            ).otherwise(thr)
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError("fraction must be in [0, 1]")
+        thr = F.lit(int(fractions * _M))
+    return df.filter(gate < thr)
