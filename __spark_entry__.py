@@ -818,6 +818,41 @@ def q51_stratified_sample(spark, sf_dir):
     return samp.select("doc_id", "lang")
 
 
+def q52_embedding_quality(spark, sf_dir):
+    """Vector validator family (arrayDim / allFinite / l2NormBetween)
+    over the embeddings table, with deterministic per-cohort damage so
+    every rule fires: NULL vectors (required), truncated dims, an
+    injected NaN, and a 2x-scaled (norm-2) cohort. DuckDB rebuilds the
+    same damaged vectors with list ops and re-evaluates every predicate
+    — including the left-fold double-cast L2 norm — value-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.col("vec_id")
+    e = F.col("embedding")
+    damaged = (
+        F.when(d % 17 == 0, F.lit(None))
+        .when(d % 13 == 0, F.slice(e, 1, 32))
+        .when(
+            d % 11 == 0,
+            F.concat(
+                F.slice(e, 1, 63),
+                F.array(F.lit(float("nan")).cast("float")),
+            ),
+        )
+        .when(d % 9 == 0, F.transform(e, lambda x: (x * 2).cast("float")))
+        .otherwise(e)
+    )
+    df = emb.select("vec_id", damaged.alias("embedding"))
+    rs = RuleSet(
+        rules={"embedding": "required|arrayDim:64|allFinite|l2NormBetween:0.9,1.1"}
+    )
+    res = validate(df, rs, key_cols=["vec_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1074,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_decontamination": q49_decontamination,
         "q50_pii_scrub": q50_pii_scrub,
         "q51_stratified_sample": q51_stratified_sample,
+        "q52_embedding_quality": q52_embedding_quality,
     }
 
 
@@ -1786,6 +1822,43 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'de' THEN 500000
                               WHEN 'zh' THEN 1000000
                               ELSE 0 END
+        """,
+        # embedding quality: rebuild the damaged vectors with list ops,
+        # then evaluate each vector rule generically (skip-on-empty:
+        # non-required rules see only non-NULL vectors). The L2 norm is
+        # a left fold over double-cast elements in BOTH engines, and NaN
+        # sorts above every number in both, so the range check agrees
+        "q52_embedding_quality": """
+            WITH e2 AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 17 = 0 THEN NULL
+                          WHEN vec_id % 13 = 0 THEN embedding[1:32]
+                          WHEN vec_id % 11 = 0 THEN embedding[1:63] || ['nan'::FLOAT]
+                          WHEN vec_id % 9 = 0 THEN list_transform(embedding, x -> (x * 2)::FLOAT)
+                          ELSE embedding END AS v
+              FROM embeddings
+            ), p AS (
+              SELECT vec_id, v,
+                     (v IS NULL) AS v_null,
+                     (v IS NOT NULL AND len(v) <> 64) AS bad_dim,
+                     (v IS NOT NULL AND len(list_filter(v,
+                        x -> x IS NULL OR isnan(x) OR isinf(x))) > 0) AS bad_finite,
+                     (v IS NOT NULL AND NOT (
+                        round(sqrt(list_aggregate(list_transform(v,
+                          x -> (x::DOUBLE) * (x::DOUBLE)), 'sum')), 6)
+                          BETWEEN 0.9 AND 1.1)) AS bad_norm
+              FROM e2
+            )
+            SELECT * FROM (
+              SELECT 'embedding' AS field, 'required' AS validator,
+                     count_if(v_null)::bigint AS n FROM p
+              UNION ALL SELECT 'embedding', 'arrayDim',
+                     count_if(bad_dim)::bigint FROM p
+              UNION ALL SELECT 'embedding', 'allFinite',
+                     count_if(bad_finite)::bigint FROM p
+              UNION ALL SELECT 'embedding', 'l2NormBetween',
+                     count_if(bad_norm)::bigint FROM p
+            ) WHERE n > 0
         """,
         # streaming manifest rollup: totals are micro-batch-boundary-
         # independent, so DuckDB recomputes them straight off the table;

@@ -255,3 +255,32 @@ def test_length_family_fails_on_numeric_values(spark):
         key_cols=["s"],
     )
     assert res.verdicts().collect()[0]["pass"] is True
+
+
+def test_vector_validators(spark):
+    """arrayDim / allFinite / l2NormBetween on array<float> columns —
+    shape + numeric-sanity gates for embedding pipelines."""
+    from validate_spark import RuleSet, validate
+
+    rows = [
+        (1, [0.6, 0.8]),                 # norm 1.0, finite, dim 2 → pass
+        (2, [0.6, 0.8, 0.0]),            # dim 3 → arrayDim fails
+        (3, [float("nan"), 1.0]),        # NaN → allFinite + norm fail
+        (4, [3.0, 4.0]),                 # norm 5 → range fails
+        (5, None),                        # required fails, others skip
+        (6, [None, 1.0]),                 # NULL element → allFinite + norm fail
+    ]
+    df = spark.createDataFrame(rows, "rid int, v array<float>")
+    rs = RuleSet(rules={"v": "required|dim:2|finite|normBetween:0.9,1.1"})
+    res = validate(df, rs, key_cols=["rid"])
+    viol = {}
+    for r in res.violations().collect():
+        viol.setdefault(r["rid"], set()).add(r["validator"])
+    assert viol.get(1) is None
+    assert viol[2] == {"arrayDim"}
+    assert viol[3] == {"allFinite", "l2NormBetween"}
+    assert viol[4] == {"l2NormBetween"}
+    assert viol[5] == {"required"}
+    # NULL elements propagate through the norm fold (norm undefined →
+    # range fails) — stricter than sum-skips-NULL engines; documented
+    assert viol[6] == {"allFinite", "l2NormBetween"}

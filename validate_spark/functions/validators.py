@@ -53,6 +53,8 @@ ALIASES: dict[str, str] = {
     "arr": "isArray", "list": "isArray", "array": "isArray", "slice": "isSlice",
     # val
     "regex": "regexp", "eq": "isEqual", "equal": "isEqual", "equals": "isEqual",
+    # vector family (beyond-reference)
+    "dim": "arrayDim", "finite": "allFinite", "normBetween": "l2NormBetween",
     "intEq": "intEqual", "int_eq": "intEqual",
     "ne": "notEqual", "notEq": "notEqual", "not_eq": "notEqual",
     # int compare
@@ -954,3 +956,50 @@ def _rule_one_of(col, args, ctx):
         sub = VALIDATORS[resolve_alias(name)](col, (), ctx)
         pred = sub if pred is None else (pred | F.coalesce(sub, F.lit(False)))
     return pred
+
+
+# --- vector / embedding validators (beyond-reference) -----------------------
+# The input_hint corpus carries embedding columns (array<float>); a
+# training pipeline must gate them on shape and numeric sanity before
+# ANN/dedup consume them. No single-row analogue exists in the
+# reference — this is the rule-DSL lift of "is this vector usable".
+# All three are Column expressions; l2NormBetween folds left-to-right
+# over double-cast elements so external engines (the DuckDB oracle)
+# reproduce the exact IEEE sum.
+
+@_v("arrayDim")
+def _array_dim(col, args, ctx):
+    """Exact element count — catches truncated / ragged vectors."""
+    if ctx is not None and ctx.dtype is not None and not is_container_type(ctx.dtype):
+        return F.lit(False)
+    return F.size(col) == int(args[0])
+
+
+@_v("allFinite")
+def _all_finite(col, args, ctx):
+    """Every element non-NULL, non-NaN, finite. NaN/inf embeddings
+    poison cosine scores silently — fail them at validation time."""
+    return F.forall(
+        col,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    )
+
+
+@_v("l2NormBetween")
+def _l2_norm_between(col, args, ctx):
+    """round(||v||2, 6) in [lo, hi] — unit-norm (or bounded-norm)
+    contract. A NaN element makes the norm NaN, which fails the range
+    under both Spark's and DuckDB's NaN-is-largest comparison order; a
+    NULL element propagates through the fold (norm NULL → fails) — ON
+    PURPOSE stricter than aggregate engines whose sum skips NULLs (an
+    oracle must use a NULL-propagating fold, not plain list sum)."""
+    lo, hi = float(args[0]), float(args[1])
+    sq = F.aggregate(
+        col,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    n = F.round(F.sqrt(sq), 6)
+    return (n >= F.lit(lo)) & (n <= F.lit(hi))
