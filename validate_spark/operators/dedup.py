@@ -510,7 +510,7 @@ def word_ngram_frame(
     token sequence as the single gram (short exact dups still match).
     Normalization staged in its own projection (shingle_frame PERF
     note applies verbatim)."""
-    normed = df.select(
+    normed = _fan_out(df).select(
         F.col(key_col).cast("string").alias("k"),
         normalize_text(F.col(text_col)).alias("_t"),
     ).filter(F.length("_t") > 0)
@@ -581,10 +581,18 @@ def ngram_jaccard_pairs(
     )
     # rarest-first global order: explode grams, count document
     # frequency per gram (partial agg), join it back, and keep each
-    # doc's plen smallest (df, g) pairs as the prefix
+    # doc's plen smallest (df, g) pairs as the prefix. Partition counts
+    # are EXPLICIT throughout: the gram frame is byte-small but its
+    # downstream work (join probe, per-doc collect+sort) is expensive
+    # per row, so AQE's size-based coalescing would serialize it onto
+    # 1-2 tasks (the q16 candidate-pair lesson, BENCH.md §5) — an
+    # explicit repartition(n, "g") also makes the freq aggregate AND
+    # the join reuse one exchange (co-partitioned, zero extra shuffle).
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
     grams_doc = hashed.select(
         "k", F.size("gh").alias("n"), F.explode("gh").alias("g")
-    )
+    ).repartition(n_parts, "g")
     freq = grams_doc.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ranked = grams_doc.join(freq, "g")
     plen = (
@@ -593,7 +601,8 @@ def ngram_jaccard_pairs(
         + F.lit(1)
     )
     prefixed = (
-        ranked.groupBy("k", "n")
+        ranked.repartition(n_parts, "k", "n")
+        .groupBy("k", "n")
         .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("sg"))
         .select("k", "n", F.explode(F.slice(F.col("sg"), F.lit(1), plen)).alias("pg"))
         .select("k", "n", F.col("pg.g").alias("g"))
@@ -633,8 +642,6 @@ def ngram_jaccard_pairs(
         ).alias("p")
     ).select("p.a", "p.b").distinct()
 
-    spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
     pre = pairs.repartition(n_parts, "a")
     a = hashed.select(F.col("k").alias("a"), F.col("gh").alias("gh_a"))
     b = hashed.select(F.col("k").alias("b"), F.col("gh").alias("gh_b"))
