@@ -853,6 +853,27 @@ def q52_embedding_quality(spark, sf_dir):
     )
 
 
+def q53_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/quality heuristics per doc
+    (operators/textstats.repetition_signals) — type-token ratio,
+    duplicate bi/trigram fractions, mean word length, and a
+    ``repetitive`` flag; every value recomputed in DuckDB with list
+    ops, rounded to 6 in both engines."""
+    from validate_spark.operators.textstats import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["n_tokens"].alias("n_tokens"),
+        sig["type_token_ratio"].alias("type_token_ratio"),
+        sig["dup_bigram_frac"].alias("dup_bigram_frac"),
+        sig["dup_trigram_frac"].alias("dup_trigram_frac"),
+        sig["mean_word_len"].alias("mean_word_len"),
+        (sig["dup_trigram_frac"] >= F.lit(0.1)).alias("repetitive"),
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1110,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_pii_scrub": q50_pii_scrub,
         "q51_stratified_sample": q51_stratified_sample,
         "q52_embedding_quality": q52_embedding_quality,
+        "q53_repetition_signals": q53_repetition_signals,
     }
 
 
@@ -1762,6 +1784,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
             )
             SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
+        """,
+        # repetition signals: whitespace tokens, list-distinct gram
+        # fractions, left-fold mean word length — round(6) both engines
+        "q53_repetition_signals": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w,
+                     (trim(coalesce(text, '')) = '') AS is_empty
+              FROM documents
+            ), n AS (
+              SELECT doc_id, w,
+                     CASE WHEN is_empty THEN 0 ELSE len(w) END AS n
+              FROM t
+            ), g AS (
+              SELECT doc_id, w, n,
+                     CASE WHEN n >= 3 THEN list_transform(
+                       generate_series(1, n - 1),
+                       i -> array_to_string(w[i:i+1], ' ')) END AS bg,
+                     CASE WHEN n >= 4 THEN list_transform(
+                       generate_series(1, n - 2),
+                       i -> array_to_string(w[i:i+2], ' ')) END AS tg
+              FROM n
+            )
+            SELECT doc_id,
+                   n::int AS n_tokens,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     round(len(list_distinct(w))::double / n, 6) END
+                     AS type_token_ratio,
+                   CASE WHEN n < 3 THEN 0.0 ELSE
+                     round(1.0 - len(list_distinct(bg))::double / len(bg), 6)
+                     END AS dup_bigram_frac,
+                   CASE WHEN n < 4 THEN 0.0 ELSE
+                     round(1.0 - len(list_distinct(tg))::double / len(tg), 6)
+                     END AS dup_trigram_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     round(list_aggregate(list_transform(w,
+                       x -> length(x)::double), 'sum') / n, 6) END
+                     AS mean_word_len,
+                   (CASE WHEN n < 4 THEN 0.0 ELSE
+                     round(1.0 - len(list_distinct(tg))::double / len(tg), 6)
+                     END >= 0.1) AS repetitive
+            FROM g
         """,
         # contamination screen: rebuild the word-3-gram machinery (same
         # as q44), take the union of the doc_id%37==0 subset's grams,

@@ -396,3 +396,34 @@ def test_prefix_membership_scales_by_depth_not_entries(spark):
     # expression tree is depth-bounded: one isin per distinct depth + 1
     expr = out.schema[1].name and str(out._jdf.queryExecution().analyzed())
     assert expr.count("substring_index") <= 4
+
+
+def test_struct_method_validator_discovery(spark):
+    """discover_validators: public methods of a model object become
+    per-instance validators named with a lower-cased first letter —
+    the reference's CustomValidator-method lookup re-expressed over the
+    RuleSet.validators overlay."""
+    from validate_spark import RuleSet, validate
+    from validate_spark.functions.validators import discover_validators
+
+    class Checks:
+        def CustomValidator(self, col, args, ctx):
+            return col.startswith("u-")
+
+        def MinWords(self, col, args, ctx):
+            from pyspark.sql import functions as F
+
+            return F.size(F.split(col, " ")) >= int(args[0])
+
+    df = spark.createDataFrame(
+        [(1, "u-1", "a b c"), (2, "x-2", "a")], "rid int, uid string, bio string"
+    )
+    rs = RuleSet(
+        rules={"uid": "required|customValidator", "bio": "minWords:2"},
+        validators=discover_validators(Checks()),
+    )
+    res = validate(df, rs, key_cols=["rid"])
+    got = {
+        (r["rid"], r["validator"]) for r in res.violations().collect()
+    }
+    assert got == {(2, "customValidator"), (2, "minWords")}

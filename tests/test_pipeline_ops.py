@@ -407,3 +407,28 @@ def test_pii_scrub_filters(spark):
     assert got[3] == "call [PHONE] ok"
     assert got[4] == "ip [IP] here"
     assert got[5] == "clean text"
+
+
+def test_repetition_signals(spark):
+    from validate_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 6 toks, 2 distinct, bigrams all dup
+            (2, "one two three four"), # no repetition
+            (3, ""),                   # empty → zeros
+            (4, None),                 # NULL → zeros
+            (5, "xx yy"),              # n=2 < 3 → gram fracs 0
+        ],
+        "rid int, text string",
+    )
+    sig = repetition_signals(F.col("text"))
+    out = {r["rid"]: r for r in df.select("rid", *[v.alias(k) for k, v in sig.items()]).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["type_token_ratio"] == round(2 / 6, 6)
+    # bigrams: [a b, b a, a b, b a, a b] → 2 distinct of 5 → dup 0.6
+    assert out[1]["dup_bigram_frac"] == 0.6
+    assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["type_token_ratio"] == 1.0
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_word_len"] == 0.0
+    assert out[4]["n_tokens"] == 0
+    assert out[5]["dup_bigram_frac"] == 0.0 and out[5]["mean_word_len"] == 2.0

@@ -1003,3 +1003,35 @@ def _l2_norm_between(col, args, ctx):
     )
     n = F.round(F.sqrt(sq), 6)
     return (n >= F.lit(lo)) & (n <= F.lit(hi))
+
+
+# --- struct-method validator auto-discovery ---------------------------------
+
+def discover_validators(model) -> dict:
+    """Struct-method validator auto-discovery — the reference finds a
+    custom validator as an EXPORTED METHOD of the struct under
+    validation, looked up by the rule's validator name with the first
+    letter upper-cased (``CustomValidator`` for rule "customValidator";
+    FuncValue lookup, validation.go:437-449). The table-scale analogue:
+    pass a model object (or class) whose public methods are Column
+    builders ``fn(col, args, ctx) -> Column``; every method becomes a
+    per-instance validator named with its first letter lower-cased.
+    Feed the result to ``RuleSet(validators=...)`` — same precedence as
+    the reference (instance methods shadow the global registry), same
+    isolation (nothing global is touched).
+
+        class UserFormChecks:
+            def CustomValidator(self, col, args, ctx):
+                return col.startswith("u-")
+        RuleSet(rules={"uid": "required|customValidator"},
+                validators=discover_validators(UserFormChecks()))
+    """
+    out = {}
+    for name in dir(model):
+        if name.startswith("_"):
+            continue
+        fn = getattr(model, name)
+        if not callable(fn):
+            continue
+        out[name[0].lower() + name[1:]] = fn
+    return out

@@ -119,6 +119,66 @@ def quality_signals(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
+    heuristics, re-expressed over whitespace tokens — this corpus has
+    no line structure, so the line-level variants degenerate):
+
+    - ``type_token_ratio``   distinct/total tokens (low → repetitive)
+    - ``dup_bigram_frac``    1 − distinct/total word bigrams
+    - ``dup_trigram_frac``   1 − distinct/total word trigrams
+    - ``mean_word_len``      chars per token
+
+    All pure Column expressions, O(n log n) per doc (array_distinct
+    hashing) — deliberately NO top-gram-coverage signal, whose natural
+    expression is O(distinct × tokens) per doc and belongs in an
+    aggregation, not a row projection. Values rounded to 6 so external
+    engines reproduce them exactly."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    toks = F.split(t, r"\s+")
+    n = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+
+    def grams(k: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+
+    def dup_frac(k: int) -> Column:
+        g = grams(k)
+        return F.when(
+            n < k + 1, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double")
+                / F.size(g).cast("double"),
+                6,
+            )
+        )
+
+    ttr = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.size(F.array_distinct(toks)).cast("double") / safe_n, 6)
+    )
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+            )
+            / safe_n,
+            6,
+        )
+    )
+    return {
+        "n_tokens": n.cast("int"),
+        "type_token_ratio": ttr,
+        "dup_bigram_frac": dup_frac(2),
+        "dup_trigram_frac": dup_frac(3),
+        "mean_word_len": mwl,
+    }
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score — monotone in length (to a cap),
     rewarded for stopword presence, penalized for punct/digit excess.
