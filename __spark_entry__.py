@@ -859,18 +859,65 @@ def q53_repetition_signals(spark, sf_dir):
     duplicate bi/trigram fractions, mean word length, and a
     ``repetitive`` flag; every value recomputed in DuckDB with list
     ops, rounded to 6 in both engines."""
-    from validate_spark.operators.textstats import repetition_signals
+    from validate_spark.operators.textstats import annotate_repetition
 
     docs = _t(spark, sf_dir, "documents")
-    sig = repetition_signals(F.col("text"))
-    return docs.select(
+    ann = annotate_repetition(docs)
+    return ann.select(
         "doc_id",
-        sig["n_tokens"].alias("n_tokens"),
-        sig["type_token_ratio"].alias("type_token_ratio"),
-        sig["dup_bigram_frac"].alias("dup_bigram_frac"),
-        sig["dup_trigram_frac"].alias("dup_trigram_frac"),
-        sig["mean_word_len"].alias("mean_word_len"),
-        (sig["dup_trigram_frac"] >= F.lit(0.1)).alias("repetitive"),
+        "n_tokens",
+        "type_token_ratio",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "mean_word_len",
+        (F.col("dup_trigram_frac") >= F.lit(0.1)).alias("repetitive"),
+    )
+
+
+def q54_dedup_retained(spark, sf_dir):
+    """End of the dedup pipeline: near-dup pairs → connected components
+    → retain one canonical doc per cluster (dedup_retain anti-join) +
+    all singletons. The oracle replays the q26 recursive transitive
+    closure and subtracts the non-canonical members."""
+    corpus = _doubled_docs(spark, sf_dir)
+    pairs = dd.minhash_dedup_pairs(corpus, threshold=0.99)
+    kept = dd.dedup_retain(corpus, dd.dedup_clusters(pairs))
+    return kept.select(F.col("doc_id").cast("string").alias("doc_id"))
+
+
+def q55_drift_psi(spark, sf_dir):
+    """Population Stability Index between two event cohorts on shared
+    value buckets — per-bucket smoothed contributions plus the rolled-up
+    PSI and the >0.2 drift flag, every number recomputed in DuckDB
+    (same smoothing, same ln)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.select(
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+        F.least(F.lit(19), F.floor(F.col("value") / 25)).cast("int").alias("bucket"),
+    )
+    h = d.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = h.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = h.crossJoin(F.broadcast(tot))
+    s = F.lit(0.5)
+    p = (F.col("n_ref") + s) / (F.col("t_ref") + s * F.col("k"))
+    q = (F.col("n_cur") + s) / (F.col("t_cur") + s * F.col("k"))
+    contrib = (p - q) * F.log(p / q)
+    per_bucket = j.select(
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(contrib, 6).alias("psi_contrib"),
+    )
+    total = per_bucket.agg(F.round(F.sum("psi_contrib"), 6).alias("c")).collect()[0]["c"]
+    return per_bucket.withColumn("psi_total", F.lit(float(total))).withColumn(
+        "drifted", F.lit(bool(total > 0.2))
     )
 
 
@@ -1132,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_stratified_sample": q51_stratified_sample,
         "q52_embedding_quality": q52_embedding_quality,
         "q53_repetition_signals": q53_repetition_signals,
+        "q54_dedup_retained": q54_dedup_retained,
+        "q55_drift_psi": q55_drift_psi,
     }
 
 
@@ -1935,6 +1984,65 @@ def oracle_sql() -> dict[str, str]:
                    sum({_NVIOL})::bigint AS n_violations,
                    (sum((NOT ({_PASS}))::int) = 0) AS all_pass
             FROM documents
+        """,
+        # retained corpus = everything minus non-canonical members of
+        # the q26 transitive closure
+        "q54_dedup_retained": f"""
+            WITH RECURSIVE c AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t FROM ({_DOUBLED_DOCS})
+            ), s AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM c WHERE length(t) > 0
+            ), e AS (
+              SELECT x.k AS u, y.k AS v
+              FROM s x JOIN s y ON x.k < y.k
+              WHERE round(len(list_intersect(x.sh, y.sh))::double
+                          / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.99
+            ), adj AS (
+              SELECT u, v FROM e UNION SELECT v, u FROM e
+            ), reach(node, r) AS (
+              SELECT u, u FROM adj
+              UNION
+              SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
+            ), cl AS (
+              SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
+            )
+            SELECT doc_id::varchar AS doc_id FROM ({_DOUBLED_DOCS})
+            WHERE doc_id::varchar NOT IN
+                  (SELECT member FROM cl WHERE member <> cluster)
+        """,
+        # PSI with add-0.5 smoothing over shared fixed-width buckets;
+        # contributions and the rollup rounded to 6 in both engines
+        "q55_drift_psi": """
+            WITH b AS (
+              SELECT (event_id % 2 = 0) AS is_ref,
+                     least(19, floor(value / 25))::int AS bucket
+              FROM events WHERE value IS NOT NULL
+            ), h AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::bigint AS n_ref,
+                     sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::bigint AS n_cur
+              FROM b GROUP BY bucket
+            ), t AS (
+              SELECT sum(n_ref)::bigint AS t_ref, sum(n_cur)::bigint AS t_cur,
+                     count(*)::bigint AS k
+              FROM h
+            ), cte AS (
+              SELECT bucket, n_ref, n_cur,
+                     round(((n_ref + 0.5) / (t_ref + 0.5 * k)
+                            - (n_cur + 0.5) / (t_cur + 0.5 * k))
+                           * ln(((n_ref + 0.5) / (t_ref + 0.5 * k))
+                                / ((n_cur + 0.5) / (t_cur + 0.5 * k))),
+                           6) AS psi_contrib
+              FROM h, t
+            )
+            SELECT bucket, n_ref, n_cur, psi_contrib,
+                   (SELECT round(sum(psi_contrib), 6) FROM cte) AS psi_total,
+                   ((SELECT round(sum(psi_contrib), 6) FROM cte) > 0.2)
+                     AS drifted
+            FROM cte
         """,
         "q27_partition_manifest": f"""
             WITH v AS (

@@ -56,6 +56,13 @@ BENCH_QUERIES = [
     "q32_date_gauntlet",
     "q33_form_staging",
     "q36_drift_chi2",
+    # round-3 surfaces
+    "q44_ngram_jaccard",
+    "q49_decontamination",
+    "q51_stratified_sample",
+    "q52_embedding_quality",
+    "q53_repetition_signals",
+    "q55_drift_psi",
 ]
 
 

@@ -432,3 +432,51 @@ def test_repetition_signals(spark):
     assert out[3]["n_tokens"] == 0 and out[3]["mean_word_len"] == 0.0
     assert out[4]["n_tokens"] == 0
     assert out[5]["dup_bigram_frac"] == 0.0 and out[5]["mean_word_len"] == 2.0
+
+
+def test_dedup_retain(spark):
+    from validate_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (9, "z")],
+        "doc_id int, text string",
+    )
+    clusters = spark.createDataFrame(
+        [("1", "1"), ("2", "1"), ("3", "1")], "member string, cluster string"
+    )
+    kept = {r["doc_id"] for r in dd.dedup_retain(corpus, clusters).collect()}
+    # canonical of the cluster (1) + unclustered docs (4, 9)
+    assert kept == {1, 4, 9}
+
+
+def test_psi_drift(spark):
+    from validate_spark.operators import drift as dr
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    same = dr.numeric_drift(
+        ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1"),
+        "value", lo=0.0, hi=500.0, method="psi",
+    )
+    assert same.method == "psi" and not same.drifted
+    shifted = dr.numeric_drift(
+        ev, ev.withColumn("value", F.col("value") * 3 + 200),
+        "value", lo=0.0, hi=500.0, method="psi",
+    )
+    assert shifted.drifted and shifted.statistic > 0.2
+    # closed-form sanity: identical histograms → psi 0
+    assert dr.psi_from_histograms([5, 5], [5, 5]) == 0.0
+
+
+def test_annotate_repetition_matches_expression_form(spark):
+    """The staged DataFrame path must agree value-for-value with the
+    expression-level repetition_signals API."""
+    from validate_spark.operators.textstats import (
+        annotate_repetition,
+        repetition_signals,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    sig = repetition_signals(F.col("text"))
+    a = docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
+    b = annotate_repetition(docs).select("doc_id", *sig.keys())
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

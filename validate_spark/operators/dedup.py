@@ -918,3 +918,23 @@ def embedding_neardup_lsh(
         .select("a", "b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 2d. retention — apply a cluster assignment back to the corpus
+# ---------------------------------------------------------------------------
+
+def dedup_retain(corpus: DataFrame, clusters: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """The step a dedup pipeline actually ends with: given the
+    (member, cluster) assignment from :func:`dedup_clusters`, keep each
+    cluster's CANONICAL doc (cluster id = min member key, so the
+    canonical is the row where member == cluster) plus every
+    unclustered doc, dropping the rest. One anti-join against the drop
+    set (non-canonical members): corpus-side map-only, drop-set side
+    broadcast when small — AQE picks the strategy; no corpus shuffle
+    either way. Corpus keys are cast to string to match cluster member
+    keys (cluster keys are always strings)."""
+    drop = clusters.filter(F.col("member") != F.col("cluster")).select("member")
+    return corpus.join(
+        drop, corpus[key_col].cast("string") == drop["member"], "left_anti"
+    )

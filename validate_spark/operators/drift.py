@@ -32,6 +32,9 @@ class DriftReport:
 
     @property
     def drifted(self) -> bool:
+        if self.method == "psi":
+            # industry convention: <0.1 stable, 0.1-0.2 moderate, >0.2 drifted
+            return self.statistic > 0.2
         # conventional alpha
         return self.p_value is not None and self.p_value < 0.05
 
@@ -258,9 +261,31 @@ def count_outliers(df: DataFrame, col: str, *, k: float = 1.5) -> int:
     return df.filter(c.isNotNull() & ((c < lo) | (c > hi))).count()
 
 
+def psi_from_histograms(
+    left: list[int], right: list[int], *, smoothing: float = 0.5
+) -> float:
+    """Population Stability Index on binned data:
+    Σ (p_i − q_i)·ln(p_i/q_i), with add-``smoothing`` on counts so an
+    empty bucket on one side contributes a large-but-finite term
+    instead of ±inf (the standard production-monitoring guard).
+    Convention: <0.1 stable, 0.1-0.2 moderate shift, >0.2 drifted."""
+    k = len(left)
+    tl, tr = sum(left), sum(right)
+    if tl == 0 or tr == 0 or k == 0:
+        return 0.0
+    psi = 0.0
+    for a, b in zip(left, right):
+        p = (a + smoothing) / (tl + smoothing * k)
+        q = (b + smoothing) / (tr + smoothing * k)
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
 def _report(left: list[int], right: list[int], method: str) -> DriftReport:
     if method == "ks":
         stat, p = ks_from_histograms(left, right)
+    elif method == "psi":
+        stat, p = psi_from_histograms(left, right), None
     else:
         stat, p = chi_square_from_histograms(left, right)
     return DriftReport(

