@@ -480,3 +480,43 @@ def test_annotate_repetition_matches_expression_form(spark):
     a = docs.select("doc_id", *[v.alias(k) for k, v in sig.items()])
     b = annotate_repetition(docs).select("doc_id", *sig.keys())
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_round3_operator_edge_inputs(spark):
+    """Degenerate inputs must degrade, not abort (the one-bad-row-in-
+    10^12 rule): empty benchmark, empty corpus, empty cluster frame,
+    all-NULL text, empty events for PSI."""
+    from validate_spark.operators import decontam as dc
+    from validate_spark.operators import dedup as dd
+    from validate_spark.operators import drift as dr
+    from validate_spark.operators import sampling as sp
+    from validate_spark.operators.textstats import annotate_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id int, text string"
+    )
+    empty_docs = docs.filter("doc_id < 0")
+
+    # empty benchmark → no gram ever collides, zero contaminated
+    rep = dc.contamination_report(docs, empty_docs)
+    assert rep.filter("contaminated").count() == 0
+    # empty corpus → empty report
+    assert dc.contamination_report(empty_docs, docs).count() == 0
+
+    # empty cluster frame → everything retained
+    empty_clusters = spark.createDataFrame([], "member string, cluster string")
+    assert dd.dedup_retain(docs, empty_clusters).count() == 2
+
+    # all-NULL text repetition → zeros, no abort
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id int, text string")
+    assert annotate_repetition(nulls).filter("n_tokens != 0").count() == 0
+
+    # PSI with an empty side → 0.0, not NaN/abort
+    assert dr.psi_from_histograms([0, 0], [1, 2]) == 0.0
+    assert dr.psi_from_histograms([], []) == 0.0
+
+    # sampling at the extremes
+    assert sp.deterministic_sample(docs, 0.0, "doc_id").count() == 0
+    assert sp.deterministic_sample(docs, 1.0, "doc_id").count() == 2
+    # stratified with empty dict → allowlist admits nothing
+    assert sp.stratified_sample(docs, "text", {}, "doc_id").count() == 0

@@ -1,6 +1,7 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, each a different cost/recall point, all shuffle-bounded:
+Five tiers, each a different cost/recall point, all shuffle-bounded,
+plus the pipeline-closing steps (connected components → retention):
 
 1. **Exact** — md5 fingerprint of normalized text → one hash-aggregate.
    md5 keys are uniform, so the shuffle never skews; 10^12 rows is one
@@ -14,9 +15,16 @@ Four tiers, each a different cost/recall point, all shuffle-bounded:
    Arrow-batched — the one place Python earns its transfer cost), then
    Hamming-ball candidate pairs via 4×16-bit chunk buckets (any pair
    within Hamming distance 3 shares ≥1 exact chunk — pigeonhole).
-4. **Embedding near-dup** — cosine ≥ τ pairs; exact O(n²) only inside
+4. **n-gram Jaccard** — exact-score similarity join via prefix
+   filtering (AllPairs/PPJoin family, rarest-first global gram order);
+   no signatures, recall contract documented on the function.
+5. **Embedding near-dup** — cosine ≥ τ pairs; exact O(n²) only inside
    LSH sign-buckets (deterministic hyperplanes), brute-force variant for
    oracle-exact small-scale verification.
+
+Downstream: ``dedup_clusters`` (min-label propagation with
+localCheckpoint-ed rounds) assigns (member, cluster); ``dedup_retain``
+applies the assignment back to the corpus (canonical + singletons).
 
 Portability note: the exact-dedup fingerprint is md5-hex, so a DuckDB
 oracle reproduces it byte-identically. MinHash signatures use seeded
