@@ -253,3 +253,14 @@ def test_dedup_clusters_plan_stays_bounded(spark):
     # and the answer is still right: one chain → one cluster, min label
     got = {r["cluster"] for r in out.collect()}
     assert got == {"0"}
+
+
+def test_annotate_repetition_staged_split(spark):
+    """annotate_repetition must evaluate the token split ONCE per row in
+    its own projection — inlined, every signal column re-splits (the
+    shingle_frame/parse_query trap, third occurrence)."""
+    from validate_spark.operators.textstats import annotate_repetition
+
+    docs = spark.read.parquet(DOCS)
+    opt = optimized(annotate_repetition(docs))
+    assert opt.count("split(") == 1
