@@ -921,6 +921,55 @@ def q55_drift_psi(spark, sf_dir):
     )
 
 
+def q56_streaming_stateful_dedup(spark, sf_dir):
+    """The custom STATEFUL streaming operator, value-oracled: the
+    doubled corpus (every fingerprint appears ≥2×) is streamed as 4
+    chunk files; ``stateful_drop_duplicates`` (applyInPandasWithState,
+    state keyed by content fingerprint) emits each fingerprint exactly
+    once across batches. The emitted fingerprint SET is micro-batch-
+    order independent, so DuckDB recomputes it as the distinct md5
+    fingerprints of the corpus."""
+    import shutil
+    import tempfile
+
+    from validate_spark.streaming.stateful_dedup import stateful_drop_duplicates
+
+    corpus = _doubled_docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q56_")
+    try:
+        src = f"{tmp}/src"
+        for i in range(4):
+            (
+                corpus.filter(
+                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = f"{tmp}/out"
+        q = (
+            stateful_drop_duplicates(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(sink).select("fp")
+        rows = res.collect()  # materialize before the temp dir goes away
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1181,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_repetition_signals": q53_repetition_signals,
         "q54_dedup_retained": q54_dedup_retained,
         "q55_drift_psi": q55_drift_psi,
+        "q56_streaming_stateful_dedup": q56_streaming_stateful_dedup,
     }
 
 
@@ -1984,6 +2034,12 @@ def oracle_sql() -> dict[str, str]:
                    sum({_NVIOL})::bigint AS n_violations,
                    (sum((NOT ({_PASS}))::int) = 0) AS all_pass
             FROM documents
+        """,
+        # stateful streaming dedup: the emitted fingerprint set equals
+        # the corpus's distinct content fingerprints, whatever the
+        # micro-batch boundaries
+        "q56_streaming_stateful_dedup": f"""
+            SELECT DISTINCT {_FP} AS fp FROM ({_DOUBLED_DOCS})
         """,
         # retained corpus = everything minus non-canonical members of
         # the q26 transitive closure
