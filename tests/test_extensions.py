@@ -427,3 +427,47 @@ def test_struct_method_validator_discovery(spark):
         (r["rid"], r["validator"]) for r in res.violations().collect()
     }
     assert got == {(2, "customValidator"), (2, "minWords")}
+
+
+def test_prefix_membership_property_vs_reference_semantics(spark):
+    """Property check: the depth-grouped substring_index compile must
+    agree with the definitional semantics (value ∈ dirs OR value starts
+    with some dir + '/') on a randomized corpus of dirs and probes —
+    including multi-slash, root, equal-prefix and near-miss shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from validate_spark.functions.catalogs import prefix_membership_validator
+
+    rng = random.Random(7)
+    segs = ["a", "b", "cc", "d1", "x"]
+
+    def rand_path(depth):
+        return "/".join(rng.choice(segs) for _ in range(depth))
+
+    dirs = list({rand_path(rng.randint(1, 4)) for _ in range(60)})
+    probes = list(
+        {
+            p
+            for _ in range(250)
+            for p in [
+                rand_path(rng.randint(1, 6)),
+                rng.choice(dirs),
+                rng.choice(dirs) + "/" + rand_path(rng.randint(1, 2)),
+                rng.choice(dirs) + rng.choice(segs),  # prefix WITHOUT slash
+            ]
+        }
+    )
+
+    def ref_semantics(v):
+        return v in set(dirs) or any(v.startswith(d + "/") for d in dirs)
+
+    builder = prefix_membership_validator(dirs)
+    df = spark.createDataFrame([(p,) for p in probes], "p string")
+    got = {
+        r["p"]: r["ok"]
+        for r in df.select("p", builder(F.col("p"), [], None).alias("ok")).collect()
+    }
+    for p in probes:
+        assert got[p] == ref_semantics(p), f"divergence at {p!r}"

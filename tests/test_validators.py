@@ -284,3 +284,54 @@ def test_vector_validators(spark):
     # NULL elements propagate through the norm fold (norm undefined →
     # range fails) — stricter than sum-skips-NULL engines; documented
     assert viol[6] == {"allFinite", "l2NormBetween"}
+
+
+def test_vector_validators_property_vs_numpy(spark):
+    """Randomized differential check: l2NormBetween / arrayDim /
+    allFinite against numpy-computed truth over 120 random float
+    vectors (incl. NaN/inf/NULL injections)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from validate_spark import RuleSet, validate
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 8)
+        v = [rng.uniform(-2, 2) for _ in range(n)]
+        roll = rng.random()
+        if roll < 0.1:
+            v[rng.randrange(n)] = float("nan")
+        elif roll < 0.2:
+            v[rng.randrange(n)] = float("inf")
+        elif roll < 0.3:
+            v[rng.randrange(n)] = None
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "rid int, v array<float>")
+    rs = RuleSet(rules={"v": "dim:4|finite|normBetween:0.5,2.5"})
+    res = validate(df, rs, key_cols=["rid"])
+    viol = {}
+    for r in res.violations().collect():
+        viol.setdefault(r["rid"], set()).add(r["validator"])
+
+    for rid, v in rows:
+        # float32 storage: round-trip through np.float32 like Spark does
+        v32 = [None if x is None else float(np.float32(x)) for x in v]
+        expect = set()
+        if len(v32) != 4:
+            expect.add("arrayDim")
+        if any(x is None or math.isnan(x) or math.isinf(x) for x in v32):
+            expect.add("allFinite")
+        if any(x is None for x in v32):
+            norm = None  # NULL propagates through the fold
+        else:
+            norm = round(math.sqrt(sum(x * x for x in v32)), 6)
+        ok = norm is not None and not math.isnan(norm) and 0.5 <= norm <= 2.5
+        if math.isinf(sum(0 if x is None else abs(x) for x in v32)):
+            ok = False  # inf norm fails the range
+        if not ok:
+            expect.add("l2NormBetween")
+        assert viol.get(rid, set()) == expect, (rid, v32, viol.get(rid), expect)
