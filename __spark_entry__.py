@@ -970,6 +970,41 @@ def q56_streaming_stateful_dedup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q57_map_wildcard_validation(spark, sf_dir):
+    """MapType rule paths under the oracle gate (previously pytest-only):
+    ``attrs.*`` validates every map VALUE (reference map-wildcard
+    semantics, struct_rules.go:456-491), ``attrs.key`` is a plain key
+    path into the map. The map is built from literal distinct keys
+    (never from untrusted data — the mapKeyDedupPolicy rule), with
+    deterministic damage cohorts; DuckDB re-evaluates each value's
+    predicate explicitly."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = (
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+    )
+    seg = (
+        F.when(k % 5 == 0, F.substring(F.col("c_mktsegment"), 1, 1))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    m = F.create_map(
+        F.lit("name"), name,
+        F.lit("seg"), seg,
+        F.lit("key"), k.cast("string"),
+    )
+    df = cust.select("c_custkey", m.alias("attrs"))
+    rs = RuleSet(
+        rules={"attrs.*": "required|minLength:2", "attrs.key": "isIntString"}
+    )
+    res = validate(df, rs, key_cols=["c_custkey"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1231,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_dedup_retained": q54_dedup_retained,
         "q55_drift_psi": q55_drift_psi,
         "q56_streaming_stateful_dedup": q56_streaming_stateful_dedup,
+        "q57_map_wildcard_validation": q57_map_wildcard_validation,
     }
 
 
@@ -2034,6 +2070,35 @@ def oracle_sql() -> dict[str, str]:
                    sum({_NVIOL})::bigint AS n_violations,
                    (sum((NOT ({_PASS}))::int) = 0) AS all_pass
             FROM documents
+        """,
+        # map-wildcard: per-value predicates evaluated explicitly; the
+        # engine's skip-on-empty gates mirrored per value (required →
+        # any NULL/'' value; minLength → any NON-empty value < 2 bytes;
+        # attrs.key isIntString never fails and the n>0 filter drops it
+        # in both engines)
+        "q57_map_wildcard_validation": """
+            WITH c AS (
+              SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                          ELSE c_name END AS vname,
+                     CASE WHEN c_custkey % 5 = 0
+                          THEN substr(c_mktsegment, 1, 1)
+                          ELSE c_mktsegment END AS vseg,
+                     c_custkey::varchar AS vkey
+              FROM customer
+            )
+            SELECT * FROM (
+              SELECT 'attrs.*' AS field, 'required' AS validator,
+                     count_if(vname IS NULL OR vname = ''
+                           OR vseg IS NULL OR vseg = ''
+                           OR vkey IS NULL OR vkey = '')::bigint AS n
+              FROM c
+              UNION ALL SELECT 'attrs.*', 'minLength',
+                     count_if(
+                       (vname IS NOT NULL AND vname <> '' AND strlen(vname) < 2)
+                       OR (vseg IS NOT NULL AND vseg <> '' AND strlen(vseg) < 2)
+                       OR (vkey IS NOT NULL AND vkey <> '' AND strlen(vkey) < 2)
+                     )::bigint FROM c
+            ) WHERE n > 0
         """,
         # stateful streaming dedup: the emitted fingerprint set equals
         # the corpus's distinct content fingerprints, whatever the
