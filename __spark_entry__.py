@@ -1005,6 +1005,28 @@ def q57_map_wildcard_validation(spark, sf_dir):
     )
 
 
+def q58_instance_overlay_validation(spark, sf_dir):
+    """Per-instance validator overlay under the oracle gate (instance
+    AddValidator, validation.go:387-411; previously pytest-only): a
+    rule set carries its own ``divBy`` builder without touching the
+    global registry, and DuckDB re-evaluates the custom predicate."""
+    ev = _t(spark, sf_dir, "events")
+
+    def div_by(col, args, ctx):
+        return col % int(args[0]) == 0
+
+    rs = RuleSet(
+        rules={"user_id": "required|divBy:3"},
+        validators={"divBy": div_by},
+    )
+    res = validate(ev, rs, key_cols=["event_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1267,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_drift_psi": q55_drift_psi,
         "q56_streaming_stateful_dedup": q56_streaming_stateful_dedup,
         "q57_map_wildcard_validation": q57_map_wildcard_validation,
+        "q58_instance_overlay_validation": q58_instance_overlay_validation,
     }
 
 
@@ -2070,6 +2093,18 @@ def oracle_sql() -> dict[str, str]:
                    sum({_NVIOL})::bigint AS n_violations,
                    (sum((NOT ({_PASS}))::int) = 0) AS all_pass
             FROM documents
+        """,
+        # instance-overlay custom validator: required fails on NULL;
+        # the overlay divBy:3 skips NULL (non-required skip gate) and
+        # fails non-multiples
+        "q58_instance_overlay_validation": """
+            SELECT * FROM (
+              SELECT 'user_id' AS field, 'required' AS validator,
+                     count_if(user_id IS NULL)::bigint AS n FROM events
+              UNION ALL SELECT 'user_id', 'divBy',
+                     count_if(user_id IS NOT NULL AND user_id % 3 <> 0)::bigint
+              FROM events
+            ) WHERE n > 0
         """,
         # map-wildcard: per-value predicates evaluated explicitly; the
         # engine's skip-on-empty gates mirrored per value (required →
