@@ -81,7 +81,9 @@ def _interleaved_from_documents(docs: DataFrame) -> DataFrame:
     kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
 
     def span(i: int):
-        base_kind = F.element_at(kinds, ((d + i) % 3 + 1).cast("int"))
+        # F.get + pmod: NULL-safe, negative-key-safe (Spark % keeps the
+        # dividend sign; element_at would abort under ANSI on index<=0)
+        base_kind = F.get(kinds, F.pmod(d + i, F.lit(3)).cast("int"))
         text = F.substring(F.coalesce(F.col("text"), F.lit("")), 1 + i * 10, 10)
         width = F.when(d % 7 == 0, F.lit(6)).otherwise(F.lit(8))
         # media_ref derives from the BASE kind (pre-override), so kind
@@ -1027,6 +1029,233 @@ def q58_instance_overlay_validation(spark, sf_dir):
     )
 
 
+# (field, rule-as-written, canonical validator, bad-seed modulo) for the
+# second format gauntlet — every §2.6 validator q31 left pytest-only.
+# All are pure-regex validators except isURL (parse_url-based; the
+# seeds below keep every value decidable by its regex-free disjuncts —
+# good values contain '.', bad values have whitespace or neither dot
+# nor slash — so the DuckDB mirror is exact ON THIS DATA) and
+# hasWhitespace (a contains-' ' test).
+_G2 = [
+    ("furl", "fullUrl", "isFullURL", 7),
+    ("cidr4", "cidrv4", "isCIDRv4", 5),
+    ("cidr6", "cidrv6", "isCIDRv6", 11),
+    ("isbn10c", "isbn10", "isISBN10", 13),
+    ("isbn13c", "isbn13", "isISBN13", 17),
+    ("latc", "lat", "isLatitude", 19),
+    ("lonc", "lon", "isLongitude", 23),
+    ("dns", "dnsName", "isDNSName", 29),
+    ("hexc", "hexColor", "isHexColor", 31),
+    ("winp", "winPath", "isWinPath", 37),
+    ("unixp", "unixPath", "isUnixPath", 41),
+    ("rgb", "rgbColor", "isRGBColor", 43),
+    ("cn", "cnMobile", "isCnMobile", 47),
+    ("pascii", "printableASCII", "isPrintableASCII", 53),
+    ("mbyte", "multiByte", "isMultiByte", 59),
+    ("durl", "dataURI", "isDataURI", 61),
+    ("urlc", "url", "isURL", 67),
+    ("haslo", "hasLowerCase", "hasLowerCase", 73),
+    ("hasup", "hasUpperCase", "hasUpperCase", 79),
+    ("hasws", "hasWhitespace", "hasWhitespace", 83),
+    ("hexd", "hexadecimal", "isHexadecimal", 89),
+    ("asciic", "ascii", "isASCII", 97),
+]
+
+
+_CJK = {
+    "zh": "机器学习模型需要大量高质量的训练数据",
+    "ja": "機械学習のモデルはたくさんのデータが必要です",
+    "ko": "기계 학습 모델은 많은 데이터가 필요합니다",
+    "ru": "модели машинного обучения требуют больших данных",
+}
+
+
+def _format_gauntlet2(spark, sf_dir):
+    """Deterministic derived columns for the q59 gauntlet: good value
+    everywhere except the field's bad-seed modulo cohort."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = F.md5(i.cast("string"))
+    s = i.cast("string")
+
+    good = {
+        "furl": F.concat(F.lit("https://sub"), (i % 50).cast("string"),
+                         F.lit(".example.org/p/"), s),
+        "cidr4": F.concat((i % 256).cast("string"), F.lit(".10.20.0/"),
+                          (i % 33).cast("string")),
+        "cidr6": F.concat(F.lit("2001:db8::/"), (i % 129).cast("string")),
+        "isbn10c": F.lpad(((i * 7919) % 10000000000).cast("string"), 10, "0"),
+        "isbn13c": F.lpad(((i * 104729) % 10000000000000).cast("string"), 13, "0"),
+        "latc": F.concat(((i % 179) - 89).cast("string"), F.lit(".25")),
+        "lonc": F.concat(((i % 359) - 179).cast("string"), F.lit(".5")),
+        "dns": F.concat(F.lit("host"), s, F.lit(".example.com")),
+        "hexc": F.concat(F.lit("#"), F.substring(h, 1, 6)),
+        "winp": F.concat(F.lit("C:\\docs\\f"), s),
+        "unixp": F.concat(F.lit("/var/data/"), s),
+        "rgb": F.concat(F.lit("rgb("), (i % 256).cast("string"), F.lit(",10,20)")),
+        "cn": F.concat(F.lit("1"), F.lpad(((i * 31) % 10000000000).cast("string"), 10, "0")),
+        "pascii": F.concat(F.lit("plain text "), s),
+        "mbyte": F.concat(F.lit("txt \u00e9 "), s),
+        "durl": F.lit("data:image/png;base64,QUJD"),
+        "urlc": F.concat(F.lit("https://e"), s, F.lit(".net/x")),
+        "haslo": F.lit("Mixed Case"),
+        "hasup": F.lit("Mixed Case"),
+        "hasws": F.concat(F.lit("has space "), s),
+        "hexd": F.substring(h, 1, 10),
+        "asciic": F.concat(F.lit("ok_"), s),
+    }
+    bad = {
+        "furl": F.lit("notaurl"),
+        "cidr4": F.lit("300.1.2.3/24"),
+        "cidr6": F.lit("2001:zz8::/64"),
+        "isbn10c": F.lit("12345"),
+        "isbn13c": F.lit("nope"),
+        "latc": F.lit("95.5"),
+        "lonc": F.lit("181.0"),
+        "dns": F.lit("-bad.example.com"),
+        "hexc": F.lit("#12"),
+        "winp": F.lit("C:/fwd/slash"),
+        "unixp": F.lit("rel/path"),
+        "rgb": F.lit("rgb(300,0,0)"),
+        "cn": F.lit("21234567890"),
+        "pascii": F.lit("h\u00e9llo"),
+        "mbyte": F.lit("ascii only"),
+        "durl": F.lit("data:text/plain,hello"),
+        "urlc": F.lit("no url"),
+        "haslo": F.lit("ALL UPPER 9"),
+        "hasup": F.lit("all lower 9"),
+        "hasws": F.concat(F.lit("nospace"), s),
+        "hexd": F.lit("xyz"),
+        "asciic": F.lit("a\u00f1ejo"),
+    }
+    cols = [
+        F.when(i % mod == 0, bad[f]).otherwise(good[f]).alias(f)
+        for f, _, _, mod in _G2
+    ]
+    return d.select("doc_id", *cols)
+
+
+def q59_format_gauntlet2(spark, sf_dir):
+    """§2.6 completion gauntlet: the 22 regex/format validators q31 did
+    not hash-check (full URL, CIDR, ISBN, lat/lon, DNS, colors, paths,
+    ASCII/multibyte, data-URI, loose URL, has* — validators.go RX table
+    + validators_string.go), each with a seeded bad cohort."""
+    rs = RuleSet(rules={f: rule for f, rule, _, _ in _G2})
+    res = validate(_format_gauntlet2(spark, sf_dir), rs, key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q60_crossfield_equality(spark, sf_dir):
+    """Cross-field compare + presence + equality family under the
+    oracle gate (previously pytest-only: requiredUnless/WithAll/
+    Without/WithoutAll, eqField/neField/gtField/gteField/lteField,
+    isEqual/notEqual/intEqual, rule_one_of — validators.go:240-475).
+    Derived columns are built so every rule has a deterministic
+    violating cohort."""
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    v1 = F.coalesce(F.col("value"), F.lit(0.0))
+    derived = ev.select(
+        "event_id",
+        "event_type",
+        v1.alias("v1"),
+        (v1 + F.when(i % 3 == 0, F.lit(0.0)).otherwise(F.lit(1.0))).alias("v2"),
+        (v1 + F.when(i % 4 == 0, F.lit(0.0)).otherwise(F.lit(1.0))).alias("v3"),
+        (v1 + F.when(i % 5 == 0, F.lit(-2.0)).otherwise(F.lit(0.0))).alias("hi"),
+        (v1 - F.when(i % 6 == 0, F.lit(-3.0)).otherwise(F.lit(0.0))).alias("lo2"),
+        (v1 + F.when(i % 7 == 0, F.lit(0.0)).otherwise(F.lit(1.0))).alias("hi2"),
+        F.when(i % 7 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type")).alias("s1"),
+        F.when(i % 11 == 0, F.lit(None).cast("string")).otherwise(F.lit("x")).alias("s2"),
+        F.when(i % 9 == 0, F.lit(None).cast("string")).otherwise(F.lit("w")).alias("w"),
+        F.when(i % 14 == 0, F.lit(None).cast("string")).otherwise(F.lit("z")).alias("wo"),
+        F.when(i % 2 == 0, F.lit(None).cast("string")).otherwise(F.lit("q")).alias("woa"),
+        F.col("event_type").alias("etype2"),
+        (i % 100).cast("long").alias("ic"),
+        F.when(i % 23 == 0, F.lit("abc123"))
+        .otherwise(F.when(i % 2 == 0, F.lit("12345")).otherwise(F.lit("alphaonly")))
+        .alias("oneof"),
+    )
+    rs = RuleSet(
+        rules={
+            "v2": "eqField:v1",
+            "v3": "neField:v1",
+            "hi": "gteField:v1",
+            "lo2": "lteField:v1",
+            "hi2": "gtField:v1",
+            "s2": "requiredUnless:s1,purchase",
+            "w": "requiredWithAll:s1,s2",
+            "wo": "requiredWithout:s1",
+            "woa": "requiredWithoutAll:s1,s2",
+            "event_type": "notEqual:click",
+            "etype2": "isEqual:purchase",
+            "ic": "intEqual:42",
+            "oneof": "rule_one_of:alpha,number",
+        }
+    )
+    res = validate(derived, rs, key_cols=["event_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q61_custom_filter_chain(spark, sf_dir):
+    """Custom FILTER (global AddFilter, filter.go:60-78) composed with
+    builtins in one chain, value-checked end-to-end: digitsOnly strips
+    non-digits from c_phone, then number + stringLength validate the
+    cleaned value, and updated_rows() returns the filtered strings the
+    oracle recomputes with the same regex."""
+    from validate_spark.functions.filters import register_filter
+
+    register_filter(
+        "digitsOnly", lambda col, args: F.regexp_replace(col, "[^0-9]", "")
+    )
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat(
+        F.lit("  +"), (k % 90 + 10).cast("string"), F.lit("-"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((k * 13) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        # bad cohort: a trailing stray digit -> 13 digits -> fails
+        F.when(k % 9 == 0, F.lit("x9")).otherwise(F.lit("")),
+        F.lit("  "),
+    )
+    raw = c.select("c_custkey", phone.alias("phone"))
+    rs = RuleSet(
+        rules={"phone": "required|number|stringLength:12,12"},
+        filters={"phone": "trim|digitsOnly"},
+    )
+    res = validate(raw, rs, key_cols=["c_custkey"])
+    return res.updated_rows().select("c_custkey", "phone", "pass")
+
+
+def q62_langid_cjk(spark, sf_dir):
+    """CJK/cyrillic-capable language-ID (textstats.SCRIPT_RANGES): the
+    script tier decides zh/ja/ko/ru via codepoint-range ratios written
+    in the Java∩RE2 \\x{...} dialect, so DuckDB recomputes the exact
+    same counts; Latin rows still flow to the stopword argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = (
+        F.when(i % 5 == 0, F.lit(_CJK["zh"]))
+        .when(i % 5 == 1, F.lit(_CJK["ja"]))
+        .when(i % 5 == 2, F.lit(_CJK["ko"]))
+        .when(i % 5 == 3, F.lit(_CJK["ru"]))
+        .otherwise(F.col("text"))
+    )
+    return (
+        docs.select(ts.lang_id(text2).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1179,7 +1408,7 @@ def q43_span_sequence_invariant(spark, sf_dir):
     kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
 
     def span(i: int):
-        kind = F.element_at(kinds, ((F.col("doc_id") + i) % 3 + 1).cast("int"))
+        kind = F.get(kinds, F.pmod(F.col("doc_id") + i, F.lit(3)).cast("int"))
         text = F.substring(F.coalesce(F.col("text"), F.lit("")), 1 + i * 10, 10)
         # every 7th doc gets malformed (6-digit) refs → fails the regexp
         width = F.when(F.col("doc_id") % 7 == 0, F.lit(6)).otherwise(F.lit(8))
@@ -1290,6 +1519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_streaming_stateful_dedup": q56_streaming_stateful_dedup,
         "q57_map_wildcard_validation": q57_map_wildcard_validation,
         "q58_instance_overlay_validation": q58_instance_overlay_validation,
+        "q59_format_gauntlet2": q59_format_gauntlet2,
+        "q60_crossfield_equality": q60_crossfield_equality,
+        "q61_custom_filter_chain": q61_custom_filter_chain,
+        "q62_langid_cjk": q62_langid_cjk,
     }
 
 
@@ -1345,9 +1578,23 @@ _SW = {
 _SCORES = ", ".join(
     f"len(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS s_{lang}"
     for lang, pat in _SW.items()
+) + (
+    ", length(coalesce(text,'')) AS n_len"
+    ", len(regexp_extract_all(coalesce(text,''), '[\\x{3040}-\\x{30ff}]')) AS c_kana"
+    ", len(regexp_extract_all(coalesce(text,''), '[\\x{4e00}-\\x{9fff}]')) AS c_han"
+    ", len(regexp_extract_all(coalesce(text,''), '[\\x{ac00}-\\x{d7af}]')) AS c_hangul"
+    ", len(regexp_extract_all(coalesce(text,''), '[\\x{0400}-\\x{04ff}]')) AS c_cyr"
+    ", len(regexp_extract_all(coalesce(text,''), '[\\x{0600}-\\x{06ff}]')) AS c_arab"
 )
 _LANG_PRED = (
-    "CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+    # script tier mirrors textstats.lang_id exactly (integer
+    # cross-multiplied ratios; count>0 guards the empty string)
+    "CASE WHEN c_kana > 0 AND c_kana * 20 >= n_len THEN 'ja' "
+    "WHEN c_han > 0 AND c_han * 20 >= n_len * 3 THEN 'zh' "
+    "WHEN c_hangul > 0 AND c_hangul * 20 >= n_len * 3 THEN 'ko' "
+    "WHEN c_cyr > 0 AND c_cyr * 20 >= n_len * 3 THEN 'ru' "
+    "WHEN c_arab > 0 AND c_arab * 20 >= n_len * 3 THEN 'ar' "
+    "WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
     "WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de' "
     "WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr' "
     "WHEN s_es > 0 THEN 'es' ELSE 'und' END"
@@ -1491,6 +1738,149 @@ def _q31_sql() -> str:
     )
 
 
+def _q59_sql() -> str:
+    """Second format-family oracle: same discipline as _q31_sql — the
+    engine's own RX literals (Java∩RE2 common dialect) replayed by
+    DuckDB over identically-derived columns. isURL and hasWhitespace
+    are not regex validators; their mirrors are exact ON THIS DATA
+    (see _G2's docstring)."""
+    from validate_spark.functions.validators import RX
+
+    good = {
+        "furl": "'https://sub' || (doc_id % 50)::varchar || '.example.org/p/' || doc_id::varchar",
+        "cidr4": "(doc_id % 256)::varchar || '.10.20.0/' || (doc_id % 33)::varchar",
+        "cidr6": "'2001:db8::/' || (doc_id % 129)::varchar",
+        "isbn10c": "lpad(((doc_id * 7919) % 10000000000)::varchar, 10, '0')",
+        "isbn13c": "lpad(((doc_id * 104729) % 10000000000000)::varchar, 13, '0')",
+        "latc": "((doc_id % 179) - 89)::varchar || '.25'",
+        "lonc": "((doc_id % 359) - 179)::varchar || '.5'",
+        "dns": "'host' || doc_id::varchar || '.example.com'",
+        "hexc": "'#' || substr(md5(doc_id::varchar), 1, 6)",
+        "winp": "'C:\\docs\\f' || doc_id::varchar",
+        "unixp": "'/var/data/' || doc_id::varchar",
+        "rgb": "'rgb(' || (doc_id % 256)::varchar || ',10,20)'",
+        "cn": "'1' || lpad(((doc_id * 31) % 10000000000)::varchar, 10, '0')",
+        "pascii": "'plain text ' || doc_id::varchar",
+        "mbyte": "'txt é ' || doc_id::varchar",
+        "durl": "'data:image/png;base64,QUJD'",
+        "urlc": "'https://e' || doc_id::varchar || '.net/x'",
+        "haslo": "'Mixed Case'",
+        "hasup": "'Mixed Case'",
+        "hasws": "'has space ' || doc_id::varchar",
+        "hexd": "substr(md5(doc_id::varchar), 1, 10)",
+        "asciic": "'ok_' || doc_id::varchar",
+    }
+    bad = {
+        "furl": "'notaurl'", "cidr4": "'300.1.2.3/24'",
+        "cidr6": "'2001:zz8::/64'", "isbn10c": "'12345'",
+        "isbn13c": "'nope'", "latc": "'95.5'", "lonc": "'181.0'",
+        "dns": "'-bad.example.com'", "hexc": "'#12'",
+        "winp": "'C:/fwd/slash'", "unixp": "'rel/path'",
+        "rgb": "'rgb(300,0,0)'", "cn": "'21234567890'",
+        "pascii": "'héllo'", "mbyte": "'ascii only'",
+        "durl": "'data:text/plain,hello'", "urlc": "'no url'",
+        "haslo": "'ALL UPPER 9'", "hasup": "'all lower 9'",
+        "hasws": "'nospace' || doc_id::varchar", "hexd": "'xyz'",
+        "asciic": "'añejo'",
+    }
+    rx_key = {
+        "isFullURL": "full_url", "isCIDRv4": "cidr_v4",
+        "isCIDRv6": "cidr_v6", "isISBN10": "isbn10",
+        "isISBN13": "isbn13", "isLatitude": "latitude",
+        "isLongitude": "longitude", "isDNSName": "dns_name",
+        "isHexColor": "hex_color", "isWinPath": "win_path",
+        "isUnixPath": "unix_path", "isRGBColor": "rgb_color",
+        "isCnMobile": "cn_mobile", "isPrintableASCII": "printable_ascii",
+        "isMultiByte": "multi_byte", "isDataURI": "data_uri",
+        "hasLowerCase": "has_lower", "hasUpperCase": "has_upper",
+        "isHexadecimal": "hexadecimal", "isASCII": "ascii",
+    }
+    derived = ",\n        ".join(
+        f"CASE WHEN doc_id % {mod} = 0 THEN {bad[f]} ELSE {good[f]} END AS {f}"
+        for f, _, _, mod in _G2
+    )
+    parts = []
+    for f, _, val, _ in _G2:
+        if val == "isURL":
+            pred = (
+                f"(regexp_matches({f}, '\\s') "
+                f"OR NOT ({f} LIKE '/%' OR position('.' IN {f}) > 0))"
+            )
+        elif val == "hasWhitespace":
+            pred = f"position(' ' IN {f}) = 0"
+        else:
+            pred = f"NOT regexp_matches({f}, '{RX[rx_key[val]]}')"
+        parts.append(
+            f"SELECT '{f}' AS field, '{val}' AS validator, count(*)::bigint AS n "
+            f"FROM d WHERE {f} IS NOT NULL AND {f} <> '' AND {pred}"
+        )
+    return (
+        "WITH d AS (SELECT doc_id,\n        " + derived + "\n  FROM documents) "
+        "SELECT * FROM (" + " UNION ALL ".join(parts) + ") WHERE n > 0"
+    )
+
+
+_Q60_DERIVED = """
+  SELECT event_id, event_type,
+         coalesce(value, 0.0) AS v1,
+         coalesce(value, 0.0) + CASE WHEN event_id % 3 = 0 THEN 0.0 ELSE 1.0 END AS v2,
+         coalesce(value, 0.0) + CASE WHEN event_id % 4 = 0 THEN 0.0 ELSE 1.0 END AS v3,
+         coalesce(value, 0.0) + CASE WHEN event_id % 5 = 0 THEN -2.0 ELSE 0.0 END AS hi,
+         coalesce(value, 0.0) - CASE WHEN event_id % 6 = 0 THEN -3.0 ELSE 0.0 END AS lo2,
+         coalesce(value, 0.0) + CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE 1.0 END AS hi2,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS s1,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE 'x' END AS s2,
+         CASE WHEN event_id % 9 = 0 THEN NULL ELSE 'w' END AS w,
+         CASE WHEN event_id % 14 = 0 THEN NULL ELSE 'z' END AS wo,
+         CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'q' END AS woa,
+         event_type AS etype2,
+         (event_id % 100) AS ic,
+         CASE WHEN event_id % 23 = 0 THEN 'abc123'
+              WHEN event_id % 2 = 0 THEN '12345' ELSE 'alphaonly' END AS oneof
+  FROM events
+"""
+
+# (field, validator, violation predicate) — engine semantics: required
+# family always evaluates; everything else skips empty values
+_Q60_CHECKS = [
+    ("v2", "eqField", "NOT (v2 = v1)"),
+    ("v3", "neField", "NOT (v3 <> v1)"),
+    ("hi", "gteField", "NOT (hi >= v1)"),
+    ("lo2", "lteField", "NOT (lo2 <= v1)"),
+    ("hi2", "gtField", "NOT (hi2 > v1)"),
+    ("s2", "requiredUnless",
+     "(s1 IS DISTINCT FROM 'purchase') AND (s2 IS NULL OR s2 = '')"),
+    ("w", "requiredWithAll",
+     "s1 IS NOT NULL AND s1 <> '' AND s2 IS NOT NULL AND s2 <> '' "
+     "AND (w IS NULL OR w = '')"),
+    ("wo", "requiredWithout",
+     "(s1 IS NULL OR s1 = '') AND (wo IS NULL OR wo = '')"),
+    ("woa", "requiredWithoutAll",
+     "(s1 IS NULL OR s1 = '') AND (s2 IS NULL OR s2 = '') "
+     "AND (woa IS NULL OR woa = '')"),
+    ("event_type", "notEqual",
+     "event_type IS NOT NULL AND event_type <> '' AND event_type = 'click'"),
+    ("etype2", "isEqual",
+     "etype2 IS NOT NULL AND etype2 <> '' AND etype2 <> 'purchase'"),
+    ("ic", "intEqual", "ic IS NOT NULL AND ic <> 42"),
+    ("oneof", "rule_one_of",
+     "oneof IS NOT NULL AND oneof <> '' AND NOT ("
+     "regexp_matches(oneof, '^[a-zA-Z]+$') OR regexp_matches(oneof, '^[0-9]+$'))"),
+]
+
+
+def _q60_sql() -> str:
+    parts = [
+        f"SELECT '{f}' AS field, '{v}' AS validator, count(*)::bigint AS n "
+        f"FROM d WHERE {pred}"
+        for f, v, pred in _Q60_CHECKS
+    ]
+    return (
+        "WITH d AS (" + _Q60_DERIVED + ") SELECT * FROM ("
+        + " UNION ALL ".join(parts) + ") WHERE n > 0"
+    )
+
+
 def _q28_sql() -> str:
     """Violation counts per (field, validator, message) — the message
     literals are rendered by the SAME compile-time renderer the engine
@@ -1617,6 +2007,18 @@ def oracle_sql() -> dict[str, str]:
                    {_QUALITY} AS quality,
                    {_FP} AS fp
             FROM s
+        """,
+        "q62_langid_cjk": f"""
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 5 = 0 THEN '{_CJK["zh"]}'
+                          WHEN doc_id % 5 = 1 THEN '{_CJK["ja"]}'
+                          WHEN doc_id % 5 = 2 THEN '{_CJK["ko"]}'
+                          WHEN doc_id % 5 = 3 THEN '{_CJK["ru"]}'
+                          ELSE text END AS text
+              FROM documents
+            ), s AS (SELECT {_SCORES} FROM d)
+            SELECT {_LANG_PRED} AS lang_pred, count(*)::bigint AS n
+            FROM s GROUP BY 1
         """,
         "q13_lang_distribution": f"""
             WITH s AS (SELECT text, {_SCORES} FROM documents)
@@ -2028,7 +2430,7 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                      '[EMAIL]', 'g'),
                      'https?://[^\\s]+', '[URL]', 'g'),
-                     '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g')
+                     '\\+?[0-9]([()\\- ]{0,2}[0-9]){6,14}', '[PHONE]', 'g')
                      AS note,
                    TRUE AS pass
             FROM customer
@@ -2105,6 +2507,32 @@ def oracle_sql() -> dict[str, str]:
                      count_if(user_id IS NOT NULL AND user_id % 3 <> 0)::bigint
               FROM events
             ) WHERE n > 0
+        """,
+        "q59_format_gauntlet2": _q59_sql(),
+        "q60_crossfield_equality": _q60_sql(),
+        # custom filter digitsOnly composed with trim: the oracle
+        # recomputes the cleaned value with the same regex and
+        # re-derives pass = required & number & stringLength 12..12
+        "q61_custom_filter_chain": """
+            WITH r AS (
+              SELECT c_custkey,
+                     '  +' || (c_custkey % 90 + 10)::varchar || '-'
+                       || lpad(((c_custkey * 7) % 1000)::varchar, 3, '0') || '-'
+                       || lpad(((c_custkey * 13) % 1000)::varchar, 3, '0') || '-'
+                       || lpad((c_custkey % 10000)::varchar, 4, '0')
+                       || CASE WHEN c_custkey % 9 = 0 THEN 'x9' ELSE '' END
+                       || '  ' AS phone
+              FROM customer
+            ), d AS (
+              SELECT c_custkey,
+                     regexp_replace(trim(phone), '[^0-9]', '', 'g') AS ph
+              FROM r
+            )
+            SELECT c_custkey, ph AS phone,
+                   (ph IS NOT NULL AND ph <> ''
+                    AND regexp_matches(ph, '^[0-9]+$')
+                    AND length(ph) >= 12 AND length(ph) <= 12) AS pass
+            FROM d
         """,
         # map-wildcard: per-value predicates evaluated explicitly; the
         # engine's skip-on-empty gates mirrored per value (required →

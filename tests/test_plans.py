@@ -235,6 +235,27 @@ def test_ngram_jaccard_prefix_filtered_no_full_self_join(spark):
     assert "partial_collect_set" in plan
 
 
+def test_minhash_pipeline_single_scan(spark):
+    """q16's near-dup pipeline must normalize + shingle-hash the corpus
+    exactly ONCE: the staged (k, sh) frame is persisted and BOTH the
+    signature/banding branch and the exact-Jaccard verify join read it
+    as InMemoryTableScan. Structurally, only the cached relation's
+    definition may contain the shingle UDF (_shh) — the live (non-cache)
+    part of the plan carries only the sig-from-hashes UDF."""
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.9)
+    plan = physical(pairs)
+    # every consumer reads the persisted staging frame, not a re-scan
+    assert "InMemoryTableScan" in plan
+    # the cache-definition section is printed per reference; outside it
+    # there must be NO second corpus scan: every "Scan parquet" print
+    # belongs to an InMemoryRelation definition (count parity holds
+    # because the live plan reads only InMemoryTableScan)
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
+
+
 def test_dedup_clusters_plan_stays_bounded(spark):
     """Label propagation must localCheckpoint each round: the returned
     frame's logical plan is a flat scan of the checkpointed labels, not

@@ -172,6 +172,46 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     assert got2 == {"1", "2", "5"}  # 4 suppressed by checkpointed state
 
 
+def test_stateful_dedup_hot_fingerprint_chunked(spark, tmp_path):
+    """A mega-duplicate fingerprint (one text repeated >> Arrow batch
+    size inside one micro-batch) must fold chunk-by-chunk, not
+    pd.concat the whole group: with maxRecordsPerBatch=50 the group
+    arrives as ~10 separate pandas chunks and the operator still emits
+    exactly one row — the min-(string)-key copy — plus correct state."""
+    from validate_spark.streaming.stateful_dedup import stateful_drop_duplicates
+
+    src = str(tmp_path / "hsrc")
+    chk = str(tmp_path / "hchk")
+    out = str(tmp_path / "hout")
+    schema = "doc_id long, text string"
+
+    rows = [(i, "the same boilerplate page") for i in range(100, 600)]
+    rows.append((9, "a unique page"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_drop_duplicates(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r["key"] for r in spark.read.parquet(out).collect()}
+    # min STRING key of the hot group is "100" (lexicographic — same
+    # ordering the single-chunk path used via sort_values on the key)
+    assert got == {"100", "9"}
+
+
 def test_windowed_drift_detects_shifted_window(spark, tmp_path):
     from validate_spark.streaming import snapshot_histogram, windowed_drift
 

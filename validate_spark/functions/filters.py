@@ -193,8 +193,17 @@ def _escape_html(col, args):
 _PII_PATTERNS = {
     "scrubEmail": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     "scrubUrl": (r"https?://[^\s]+", "[URL]"),
-    "scrubPhone": (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
-    "scrubIp": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    # phone: 7-15 DIGITS (not a char-run length) with at most 2
+    # separator chars between consecutive digits — a bare 2-digit
+    # "1- - - -2" soup no longer matches, and >15-digit serials are
+    # not swallowed whole
+    "scrubPhone": (r"\+?[0-9]([()\- ]{0,2}[0-9]){6,14}", "[PHONE]"),
+    # ip: octets bounded to 0-255 ("999.999.999.999" is not an IP)
+    "scrubIp": (
+        r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b",
+        "[IP]",
+    ),
 }
 
 

@@ -978,12 +978,15 @@ def _array_dim(col, args, ctx):
 @_v("allFinite")
 def _all_finite(col, args, ctx):
     """Every element non-NULL, non-NaN, finite. NaN/inf embeddings
-    poison cosine scores silently — fail them at validation time."""
+    poison cosine scores silently — fail them at validation time.
+    try_cast (not cast): under Spark 4 ANSI mode a non-numeric element
+    (rule applied to array<string>) must fail the ROW, not abort the
+    job — try_cast yields NULL, forall yields non-TRUE, rule fails."""
     return F.forall(
         col,
         lambda x: x.isNotNull()
-        & ~F.isnan(x.cast("double"))
-        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        & ~F.isnan(x.try_cast("double"))
+        & (F.abs(x.try_cast("double")) != F.lit(float("inf"))),
     )
 
 
@@ -996,10 +999,12 @@ def _l2_norm_between(col, args, ctx):
     PURPOSE stricter than aggregate engines whose sum skips NULLs (an
     oracle must use a NULL-propagating fold, not plain list sum)."""
     lo, hi = float(args[0]), float(args[1])
+    # try_cast: a non-numeric element → NULL → NULL norm → row fails
+    # (ANSI-safe; plain cast would abort the whole job on one bad row)
     sq = F.aggregate(
         col,
         F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        lambda acc, x: acc + x.try_cast("double") * x.try_cast("double"),
     )
     n = F.round(F.sqrt(sq), 6)
     return (n >= F.lit(lo)) & (n <= F.lit(hi))
@@ -1026,6 +1031,10 @@ def discover_validators(model) -> dict:
         RuleSet(rules={"uid": "required|customValidator"},
                 validators=discover_validators(UserFormChecks()))
     """
+    # a CLASS would hand back unbound functions whose self-slot would
+    # swallow the engine's `col` argument — instantiate so methods bind
+    if isinstance(model, type):
+        model = model()
     out = {}
     for name in dir(model):
         if name.startswith("_"):

@@ -191,7 +191,7 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
     REFERENCE implementation only: higher-order-function lambdas are
     interpreted (~4µs/eval), so 12 families × hundreds of shingles costs
     ~20ms/doc — measured 20s per 1k docs. The production path is
-    ``minhash_signature_udf`` (vectorized numpy over Arrow batches,
+    ``minhash_sig_from_hashes_udf`` (vectorized numpy over Arrow batches,
     ~100× faster); this expression form remains for tiny inputs and as
     executable documentation of the semantics."""
     return F.array(
@@ -211,58 +211,38 @@ _MH_A = [0x9E3779B97F4A7C15 | 1, 0xBF58476D1CE4E5B9 | 1, 0x94D049BB133111EB | 1,
 _MH_C = list(range(1, 13))
 
 
-def minhash_signature_udf(k: int = 5, n_hashes: int = 12):
-    """Vectorized MinHash sketch: normalized text →
-    struct<sig: array<long>, n: long> (signature + DISTINCT shingle
-    count — n feeds the exact size-ratio prefilter).
+def minhash_sig_from_hashes_udf(n_hashes: int = 12):
+    """Vectorized MinHash sketch FROM distinct shingle hashes:
+    array<long> (hashed_shingle_frame output) → array<long> signature.
 
-    Per Arrow batch, per doc: byte-window view → rolling polynomial
-    base hash (uint64 wraparound, deterministic) → unique → n_hashes
-    affine families (a_i·h + c_i mod 2⁶⁴) → column minima. All numpy;
-    the only per-doc Python is the loop over rows in the batch. This is
-    the sanctioned pandas-UDF escape hatch: the built-in HOF expression
-    form evaluates lambdas interpreted per (element × family) and is
-    ~100× slower (see minhash_signature)."""
+    n_hashes affine families (a_i·h + c_i mod 2⁶⁴) → column minima, all
+    numpy over Arrow batches. Taking hashed shingles as INPUT (instead
+    of re-normalizing + re-shingling the text) lets the whole near-dup
+    pipeline run off ONE staged (k, sh) frame — the signature/banding
+    branch and the exact-Jaccard verify branch share a single corpus
+    scan + normalization + shingling pass (at 100 TB the second full
+    scan this replaces was the dominant cost of minhash_dedup_pairs).
+    Signatures are bit-identical to the former text→sig UDF: the int64
+    round-trip through the array<long> column preserves the uint64 bit
+    pattern, min is order-independent."""
     import numpy as np
 
     A = np.array(_MH_A[:n_hashes], dtype=np.uint64)
     C = np.array(_MH_C[:n_hashes], dtype=np.uint64)
-    POW = np.power(
-        np.uint64(_MH_BASE), np.arange(k, dtype=np.uint64), dtype=np.uint64
-    )
 
-    sketch_type = T.StructType(
-        [
-            T.StructField("sig", T.ArrayType(T.LongType())),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-
-    @F.pandas_udf(sketch_type)
-    def _sig(t: pd.Series) -> pd.DataFrame:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(sh: pd.Series) -> pd.Series:
         with np.errstate(over="ignore"):
-            sigs, ns = [], []
-            for s in t:
-                if not s:
-                    sigs.append(None)
-                    ns.append(0)
+            out = []
+            for arr in sh:
+                if arr is None or len(arr) == 0:
+                    out.append(None)
                     continue
-                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-                if len(b) < k:
-                    h = np.array(
-                        [(b.astype(np.uint64) * POW[: len(b)]).sum(dtype=np.uint64)],
-                        dtype=np.uint64,
-                    )
-                else:
-                    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-                    h = (w * POW).sum(axis=1, dtype=np.uint64)
-                # n = DISTINCT shingle count — the exact Jaccard upper-bound
-                # input (length-based counts are unsound for repetitive text)
-                hu = np.unique(h)
-                hs = (hu[:, None] * A[None, :] + C).min(axis=0)
-                sigs.append(hs.astype(np.int64))
-                ns.append(int(len(hu)))
-            return pd.DataFrame({"sig": sigs, "n": ns})
+                hu = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                out.append(
+                    ((hu[:, None] * A[None, :] + C).min(axis=0)).astype(np.int64)
+                )
+            return pd.Series(out)
 
     return _sig
 
@@ -317,7 +297,7 @@ def hashed_shingle_frame(
 def shingle_set_udf(k: int = 5):
     """Vectorized distinct k-shingles: normalized text → array<string>.
     Used by the exact-Jaccard verify join; same escape-hatch rationale
-    as minhash_signature_udf."""
+    as minhash_sig_from_hashes_udf."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _sh(t: pd.Series) -> pd.Series:
@@ -358,7 +338,28 @@ def minhash_candidates(
     max_bucket: int = 1000,
     size_ratio_min: float | None = None,
 ) -> DataFrame:
-    """Candidate pairs (a, b) sharing ≥1 LSH band bucket, a < b.
+    """Candidate pairs (a, b) sharing ≥1 LSH band bucket, a < b —
+    convenience wrapper that stages the hashed-shingle frame itself.
+    ``minhash_dedup_pairs`` stages the frame ONCE and calls
+    ``minhash_candidates_from_sets`` directly so the verify join shares
+    the same scan."""
+    sets_ = hashed_shingle_frame(df, text_col, key_col, k=k)
+    return minhash_candidates_from_sets(
+        sets_, n_hashes=n_hashes, n_bands=n_bands,
+        max_bucket=max_bucket, size_ratio_min=size_ratio_min,
+    )
+
+
+def minhash_candidates_from_sets(
+    sets_: DataFrame,
+    *,
+    n_hashes: int = 12,
+    n_bands: int = 6,
+    max_bucket: int = 1000,
+    size_ratio_min: float | None = None,
+) -> DataFrame:
+    """Candidate pairs (a, b) sharing ≥1 LSH band bucket, a < b, from a
+    staged ``(k, sh: array<long>)`` hashed-shingle frame.
 
     Pairs are generated WITHIN buckets via collect_list + array pair
     expansion — no self-join, no O(n²). ``max_bucket`` guards degenerate
@@ -372,14 +373,11 @@ def minhash_candidates(
     similarity-dense corpora it cuts the exploded pair count ~25×.
     """
     rows_per_band = n_hashes // n_bands
-    normed = _fan_out(df).select(
-        F.col(key_col).cast("string").alias("k"),
-        normalize_text(F.col(text_col)).alias("_t"),
-    ).filter(F.length("_t") > 0)
-    sk = normed.select(
-        "k", minhash_signature_udf(k, n_hashes)(F.col("_t")).alias("sk")
+    sig = sets_.filter(F.size("sh") > 0).select(
+        "k",
+        F.size("sh").cast("long").alias("n"),
+        minhash_sig_from_hashes_udf(n_hashes)(F.col("sh")).alias("sig"),
     )
-    sig = sk.select("k", F.col("sk.n").alias("n"), F.col("sk.sig").alias("sig"))
     banded = sig.select(
         "k", "n", band_signatures(F.col("sig"), n_bands, rows_per_band).alias("bands")
     )
@@ -433,6 +431,7 @@ def jaccard_pairs(
     threshold: float = 0.7,
     prefilter: bool = True,
     hashed: bool = True,
+    sets_: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs → (a, b, jaccard).
 
@@ -452,13 +451,17 @@ def jaccard_pairs(
     pair expansion). ``hashed=True`` intersects distinct shingle HASHES
     (array<long>) instead of shingle strings — same Jaccard up to
     negligible 64-bit collisions, far cheaper to move and compare.
+    ``sets_``: a pre-staged (k, sh) frame — pass the SAME (persisted)
+    frame the candidate generator consumed to avoid a second corpus
+    scan + normalization pass.
     """
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
-    if hashed:
-        sets_ = hashed_shingle_frame(df, text_col, key_col, k=k)
-    else:
-        sets_ = shingle_frame(df, text_col, key_col, k=k)
+    if sets_ is None:
+        if hashed:
+            sets_ = hashed_shingle_frame(df, text_col, key_col, k=k)
+        else:
+            sets_ = shingle_frame(df, text_col, key_col, k=k)
     pre = candidates.repartition(n_parts, "a")
     if prefilter:
         sizes = sets_.select("k", F.size("sh").alias("n"))
@@ -496,13 +499,28 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact-Jaccard ≥ threshold."""
-    cands = minhash_candidates(
-        df, text_col, key_col, k=k, n_hashes=n_hashes, n_bands=n_bands,
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard ≥ threshold.
+
+    SINGLE-SCAN: the corpus is normalized + shingle-hashed exactly once
+    into a persisted ``(k, sh)`` frame (MEMORY_AND_DISK — spills, never
+    OOMs) that feeds BOTH the signature/banding branch and the
+    exact-Jaccard verify join. Without the persist each branch would
+    re-run the scan + regex normalization + Arrow UDF over the full
+    corpus — at 100 TB that second pass dominated the pipeline. Blocks
+    are freed on unpersist/driver GC of the returned plan's relation.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sets_ = hashed_shingle_frame(df, text_col, key_col, k=k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = minhash_candidates_from_sets(
+        sets_, n_hashes=n_hashes, n_bands=n_bands,
         max_bucket=max_bucket, size_ratio_min=threshold - 1e-6,
     )
     return jaccard_pairs(
-        df, cands, text_col, key_col, k=k, threshold=threshold, prefilter=False
+        df, cands, text_col, key_col, k=k, threshold=threshold,
+        prefilter=False, sets_=sets_,
     )
 
 
@@ -667,7 +685,22 @@ def ngram_jaccard_pairs(
 # 2c. duplicate clusters (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+def _free_local_blocks(df: DataFrame) -> None:
+    """Best-effort explicit release of a localCheckpoint-ed round's
+    storage blocks (the LogicalRDD's persisted RDD). Without this,
+    blocks linger until the driver GCs the old DataFrame — fine for
+    small label frames, wasteful over many rounds at scale. Internal
+    API (py4j into LogicalRDD.rdd), so failures are swallowed: cleanup
+    then simply falls back to the ContextCleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def dedup_clusters(
+    pairs: DataFrame, *, max_iter: int = 25, reliable: bool = False
+) -> DataFrame:
     """(member, cluster) assignment from near-dup pairs — connected
     components via iterative min-label propagation: each round joins the
     edge list with the current labels and takes the per-node min
@@ -685,7 +718,22 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     independent of partitioning. For adversarially long chains switch
     to large-star/small-star; for dedup workloads label propagation is
     the cheaper loop.
+
+    ``reliable=True`` uses ``checkpoint()`` (requires
+    ``sc.setCheckpointDir``) instead of ``localCheckpoint()``: blocks
+    live in the checkpoint dir, so losing an executor mid-loop does NOT
+    kill the job — the right setting for real cluster runs (local
+    checkpoints truncate lineage, so they are unrecoverable by design).
+    Either way the superseded round's storage is released explicitly
+    each iteration, not left to driver GC.
     """
+    if reliable:
+        ckpt = lambda d: d.checkpoint()  # noqa: E731
+        free = lambda d: None  # noqa: E731 — files cleaned by
+        # spark.cleaner.referenceTracking.cleanCheckpoints / dir TTL
+    else:
+        ckpt = lambda d: d.localCheckpoint()  # noqa: E731
+        free = _free_local_blocks
     edges = (
         pairs.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -695,11 +743,10 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
-    labels = (
+    labels = ckpt(
         adj.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -712,11 +759,10 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         # the lineage with the stored blocks — every round starts from
         # a flat LogicalRDD scan (tests/test_dataset.py asserts the
         # returned plan is join-free)
-        new_labels = (
+        new_labels = ckpt(
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -724,6 +770,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
+        free(labels)  # superseded round's blocks — release now
         labels = new_labels
         if changed == 0:
             break
@@ -872,12 +919,19 @@ def embedding_neardup_lsh(
     n_planes: int = 8,
     seed: int = 7,
     max_bucket: int = 2000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane sign buckets (deterministic planes
     derived from (seed, plane, dim) hashes), exact cosine only within a
     bucket. Recall < 1 by construction (sign-LSH); raise n_planes ↓
-    bucket sizes, lower it ↑ recall."""
-    dim = len(df.select(vec_col).first()[0])
+    bucket sizes, lower it ↑ recall.
+
+    Pass ``dim`` (the embedding width — always known to the pipeline
+    that produced the vectors) to keep this a fully lazy operator; when
+    omitted, a one-row limit-scan infers it — a deliberate, documented
+    small driver action, not a hidden full scan."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     import numpy as np
 
     rng = np.random.default_rng(seed)

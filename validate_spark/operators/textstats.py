@@ -36,6 +36,28 @@ STOPWORDS: dict[str, list[str]] = {
 
 LANGS = list(STOPWORDS)  # deterministic tie-break order
 
+# Unicode-script codepoint ranges for non-Latin scripts, written as
+# \x{...} class ranges — the ONE script syntax both Java regex and RE2
+# (the DuckDB oracle) accept verbatim (\p{Han} is RE2-only,
+# \p{IsHan} is Java-only). Stopword lists can't see CJK at all
+# (no word boundaries), so script presence is the primary signal.
+SCRIPT_RANGES: dict[str, str] = {
+    "kana": r"[\x{3040}-\x{30ff}]",   # hiragana + katakana → ja
+    "han": r"[\x{4e00}-\x{9fff}]",    # CJK unified ideographs → zh (unless kana)
+    "hangul": r"[\x{ac00}-\x{d7af}]", # hangul syllables → ko
+    "cyr": r"[\x{0400}-\x{04ff}]",    # cyrillic → ru
+    "arab": r"[\x{0600}-\x{06ff}]",   # arabic → ar
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script codepoint hit counts (pure regexp_count columns)."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        k: F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+        for k, pat in SCRIPT_RANGES.items()
+    }
+
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword hit counts (word-boundary regex, case-folded)."""
@@ -48,11 +70,23 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """Best-guess language code, or 'und' when no marker word hits.
+    """Best-guess language code, or 'und' when no signal hits.
 
-    Argmax with deterministic first-wins tie-break in LANGS order —
-    a chain of comparisons, no UDF.
+    Two tiers, all integer arithmetic (engine-portable, no floats):
+
+    1. **Script ranges** (CJK + cyrillic + arabic): kana ≥ 5% of chars
+       → 'ja' (Japanese mixes kanji with kana; any meaningful kana is
+       decisive); else han ≥ 15% → 'zh'; hangul/cyrillic/arabic ≥ 15%
+       → 'ko'/'ru'/'ar'. Ratios as integer cross-multiplications
+       (count*20 >= n, count*20 >= n*3) so the DuckDB oracle compares
+       bit-identically. Counts must be > 0 (guards the empty string).
+    2. **Stopword argmax** for Latin-script languages, deterministic
+       first-wins tie-break in LANGS order — a chain of comparisons,
+       no UDF.
     """
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    sc = script_counts(text)
     scores = lang_scores(text)
     best = F.lit("und")
     best_score = F.lit(0)
@@ -62,7 +96,14 @@ def lang_id(text: Column) -> Column:
         take = (s > F.lit(0)) & (s >= best_score)
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_score = F.when(take, s).otherwise(best_score)
-    return best
+    return (
+        F.when((sc["kana"] > 0) & (sc["kana"] * 20 >= n), F.lit("ja"))
+        .when((sc["han"] > 0) & (sc["han"] * 20 >= n * 3), F.lit("zh"))
+        .when((sc["hangul"] > 0) & (sc["hangul"] * 20 >= n * 3), F.lit("ko"))
+        .when((sc["cyr"] > 0) & (sc["cyr"] * 20 >= n * 3), F.lit("ru"))
+        .when((sc["arab"] > 0) & (sc["arab"] * 20 >= n * 3), F.lit("ar"))
+        .otherwise(best)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,14 +47,30 @@ def stateful_drop_duplicates(
     )
 
     def dedup_fn(key, pdf_iter, state: GroupState):
-        batch = pd.concat(list(pdf_iter), ignore_index=True)
-        n_batch = len(batch)
-        if state.exists:
+        # Fold the Arrow-chunk iterator to (count, min-key row) — O(1)
+        # memory per group. A pd.concat of the whole group here would
+        # materialize EVERY copy of a mega-duplicate fingerprint (one
+        # boilerplate page repeated 10^7x inside a micro-batch) in a
+        # single pandas frame; the fold keeps one candidate row per
+        # chunk regardless of group size.
+        seen_before = state.exists
+        n_batch = 0
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n_batch += len(pdf)
+            if not seen_before:
+                cand = pdf[pdf["key"] == pdf["key"].min()].iloc[[0]]
+                if first is None or cand["key"].iloc[0] < first["key"].iloc[0]:
+                    first = cand.copy()
+        if seen_before:
             (n,) = state.get
             state.update((n + n_batch,))
             return iter(())  # fingerprint already emitted in an earlier batch
         state.update((n_batch,))
-        first = batch.sort_values("key").iloc[[0]].copy()
+        if first is None:
+            return iter(())
         first["n_seen_before"] = 0
         return iter([first[["key", "text", "fp", "n_seen_before"]]])
 
