@@ -1256,6 +1256,81 @@ def q62_langid_cjk(spark, sf_dir):
     )
 
 
+def q63_global_custom_validator(spark, sf_dir):
+    """GLOBAL AddValidator (register.go:36-129) + the zero_as_empty
+    IsEmpty parity flag under the oracle gate (both previously
+    pytest-only): a globally registered endsWithDigit validator and
+    required with RuleSet(zero_as_empty=True), so a 0.0 value fails
+    required exactly like the reference's IsZero check."""
+    from validate_spark.functions.validators import register_validator
+
+    register_validator(
+        "endsWithDigit",
+        lambda col, args, ctx: col.cast("string").rlike(r"[0-9]$"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    derived = ev.select(
+        "event_id",
+        F.when(i % 13 == 0, F.lit(0.0)).otherwise(F.col("value")).alias("v"),
+        F.when(i % 5 == 0, F.lit("sessX"))
+        .otherwise(F.concat(F.lit("sess"), (i % 7).cast("string")))
+        .alias("sid"),
+    )
+    rs = RuleSet(
+        rules={"v": "required", "sid": "required|endsWithDigit"},
+        zero_as_empty=True,
+    )
+    res = validate(derived, rs, key_cols=["event_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q64_custom_type_extractor(spark, sf_dir):
+    """AddCustomType extractor (register_type.go:30-68) under the
+    oracle gate: a struct<amount,cur> "money" type whose extractor
+    yields the amount — or NULL when cur is empty (the documented
+    CustomTypeFunc nil contract) — so required AND min both evaluate
+    the EXTRACTED value; DuckDB re-derives the same extraction."""
+    import pyspark.sql.types as T
+
+    from validate_spark.functions import validators as V
+
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    money = F.struct(
+        F.col("value").alias("amount"),
+        F.when(i % 11 == 0, F.lit("")).otherwise(F.lit("USD")).alias("cur"),
+    )
+    d = ev.select("event_id", money.alias("price"))
+    dt = d.schema["price"].dataType
+
+    def extract(col, dtype):
+        return (
+            F.when(col.getField("cur") == "", F.lit(None).cast("double"))
+            .otherwise(col.getField("amount")),
+            T.DoubleType(),
+        )
+
+    V.register_custom_type(dt, extract)
+    try:
+        rs = RuleSet(rules={"price": "required|min:10"})
+        res = validate(d, rs, key_cols=["event_id"])
+        out = (
+            res.violations()
+            .groupBy("field", "validator")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    finally:
+        # plan is already compiled (Column exprs built eagerly); the
+        # registry can be restored before the lazy frame executes
+        V.reset_custom_types()
+    return out
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1523,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_crossfield_equality": q60_crossfield_equality,
         "q61_custom_filter_chain": q61_custom_filter_chain,
         "q62_langid_cjk": q62_langid_cjk,
+        "q63_global_custom_validator": q63_global_custom_validator,
+        "q64_custom_type_extractor": q64_custom_type_extractor,
     }
 
 
@@ -2506,6 +2583,39 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'user_id', 'divBy',
                      count_if(user_id IS NOT NULL AND user_id % 3 <> 0)::bigint
               FROM events
+            ) WHERE n > 0
+        """,
+        "q63_global_custom_validator": """
+            WITH d AS (
+              SELECT CASE WHEN event_id % 13 = 0 THEN 0.0 ELSE value END AS v,
+                     CASE WHEN event_id % 5 = 0 THEN 'sessX'
+                          ELSE 'sess' || (event_id % 7)::varchar END AS sid
+              FROM events
+            )
+            SELECT * FROM (
+              SELECT 'v' AS field, 'required' AS validator,
+                     count_if(v IS NULL OR v = 0)::bigint AS n FROM d
+              UNION ALL
+              SELECT 'sid', 'endsWithDigit',
+                     count_if(sid IS NOT NULL AND sid <> ''
+                              AND NOT regexp_matches(sid, '[0-9]$'))::bigint
+              FROM d
+            ) WHERE n > 0
+        """,
+        "q64_custom_type_extractor": """
+            WITH d AS (
+              SELECT value AS amount,
+                     CASE WHEN event_id % 11 = 0 THEN '' ELSE 'USD' END AS cur
+              FROM events
+            ), e AS (
+              SELECT CASE WHEN cur = '' THEN NULL ELSE amount END AS ev FROM d
+            )
+            SELECT * FROM (
+              SELECT 'price' AS field, 'required' AS validator,
+                     count_if(ev IS NULL)::bigint AS n FROM e
+              UNION ALL
+              SELECT 'price', 'min', count_if(ev IS NOT NULL AND ev < 10)::bigint
+              FROM e
             ) WHERE n > 0
         """,
         "q59_format_gauntlet2": _q59_sql(),

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q59_format_gauntlet2",
     "q60_crossfield_equality",
     "q62_langid_cjk",
+    "q63_global_custom_validator",
+    "q64_custom_type_extractor",
 ]
 
 
