@@ -1331,6 +1331,47 @@ def q64_custom_type_extractor(spark, sf_dir):
     return out
 
 
+def q65_weighted_mix(spark, sf_dir):
+    """Training-mix construction (sampling.weighted_mix): per-stratum
+    weights may EXCEED 1 — floor(w) full copies + an md5-gated
+    fractional copy, expected copies == w, replay-deterministic. The
+    oracle regenerates the exact copy list with generate_series."""
+    from validate_spark.operators.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    mix = weighted_mix(
+        docs, "lang", {"en": 0.4, "de": 2.5, "zh": 1.0}, "doc_id", seed=7
+    )
+    return mix.select(
+        "doc_id", "lang", F.col("mix_copy").cast("long").alias("mix_copy")
+    )
+
+
+def q66_url_blocklist(spark, sf_dir):
+    """URL/domain blocklist screen (decontam.blocked_url_docs): domains
+    extracted + normalized (lowercase, :port stripped) map-side, probed
+    against a broadcast blocklist; injected spam/tracker links per
+    modulus cohort, value-exact vs DuckDB's regexp pipeline."""
+    from validate_spark.operators.decontam import blocked_url_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 7 == 0, F.lit(" see https://spam.example.com/x?y=1"))
+        .when(i % 11 == 0, F.lit(" via http://Tracker.example.org:8080/p"))
+        .when(i % 13 == 0, F.lit(" ok https://fine.example.net/z"))
+        .otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", t2.alias("text"))
+    bl = spark.createDataFrame(
+        [("spam.example.com",), ("tracker.example.org",), ("unused.example.io",)],
+        "domain string",
+    )
+    out = blocked_url_docs(corpus, bl)
+    return out.select(F.col("k").alias("doc_id"), "hits", "n_hits")
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1600,6 +1641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_langid_cjk": q62_langid_cjk,
         "q63_global_custom_validator": q63_global_custom_validator,
         "q64_custom_type_extractor": q64_custom_type_extractor,
+        "q65_weighted_mix": q65_weighted_mix,
+        "q66_url_blocklist": q66_url_blocklist,
     }
 
 
@@ -2617,6 +2660,58 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'price', 'min', count_if(ev IS NOT NULL AND ev < 10)::bigint
               FROM e
             ) WHERE n > 0
+        """,
+        "q65_weighted_mix": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(coalesce(doc_id::varchar, '')
+                                             || chr(31) || '7'), 1, 8)
+                          AS BIGINT) % 1000000 AS g
+              FROM documents
+            ), n AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+                               WHEN 'zh' THEN 1 ELSE 0 END
+                     + CASE WHEN g < CASE lang WHEN 'en' THEN 400000
+                                               WHEN 'de' THEN 500000
+                                               ELSE 0 END
+                            THEN 1 ELSE 0 END AS n
+              FROM d
+            )
+            SELECT doc_id, lang,
+                   unnest(generate_series(1, n))::bigint AS mix_copy
+            FROM n WHERE n >= 1
+        """,
+        "q66_url_blocklist": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text,'') ||
+                     CASE WHEN doc_id % 7 = 0
+                            THEN ' see https://spam.example.com/x?y=1'
+                          WHEN doc_id % 11 = 0
+                            THEN ' via http://Tracker.example.org:8080/p'
+                          WHEN doc_id % 13 = 0
+                            THEN ' ok https://fine.example.net/z'
+                          ELSE '' END AS text
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''),
+                                               'https?://[^/\s]+')) AS url
+              FROM d
+            ), doms AS (
+              SELECT DISTINCT doc_id,
+                     regexp_replace(lower(regexp_replace(url, '^https?://', '')),
+                                    ':[0-9]+$', '') AS dom
+              FROM u
+            ), hits AS (
+              SELECT doc_id, dom FROM doms
+              WHERE dom IN ('spam.example.com', 'tracker.example.org',
+                            'unused.example.io')
+            )
+            SELECT doc_id::varchar AS doc_id, list_sort(list(dom)) AS hits,
+                   count(DISTINCT dom)::bigint AS n_hits
+            FROM hits GROUP BY doc_id
         """,
         "q59_format_gauntlet2": _q59_sql(),
         "q60_crossfield_equality": _q60_sql(),

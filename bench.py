@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q62_langid_cjk",
     "q63_global_custom_validator",
     "q64_custom_type_extractor",
+    "q65_weighted_mix",
+    "q66_url_blocklist",
 ]
 
 

@@ -520,3 +520,58 @@ def test_round3_operator_edge_inputs(spark):
     assert sp.deterministic_sample(docs, 1.0, "doc_id").count() == 2
     # stratified with empty dict → allowlist admits nothing
     assert sp.stratified_sample(docs, "text", {}, "doc_id").count() == 0
+
+
+def test_weighted_mix_oversampling(spark):
+    from validate_spark.operators.sampling import weighted_mix
+
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 == 0 else "lo") for i in range(200)],
+        "doc_id long, src string",
+    )
+    mix = weighted_mix(df, "src", {"hi": 2.5, "lo": 0.5}, "doc_id", seed=3)
+    rows = mix.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["doc_id"], r["mix_copy"]))
+    # every hi row appears 2 or 3 times; every lo row 0 or 1 times
+    from collections import Counter
+
+    hi_counts = Counter(k for k, _ in by_src["hi"])
+    assert set(hi_counts.values()) <= {2, 3}
+    lo_counts = Counter(k for k, _ in by_src.get("lo", []))
+    assert set(lo_counts.values()) <= {1}
+    # expected copies ~ w: hi ≈ 250, lo ≈ 50 (md5-gated, deterministic)
+    assert 200 <= len(by_src["hi"]) <= 300
+    assert 20 <= len(by_src.get("lo", [])) <= 80
+    # (key, copy) is a primary key
+    assert len(rows) == len({(r["doc_id"], r["mix_copy"]) for r in rows})
+    # replay-deterministic: second run identical
+    again = weighted_mix(df, "src", {"hi": 2.5, "lo": 0.5}, "doc_id", seed=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # absent stratum dropped (allowlist semantics)
+    only_hi = weighted_mix(df, "src", {"hi": 1.0}, "doc_id", seed=3)
+    assert only_hi.filter("src = 'lo'").count() == 0
+
+
+def test_blocked_url_docs_normalization(spark):
+    from validate_spark.operators.decontam import blocked_url_docs
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://Spam.Example.com:443/buy and http://spam.example.com/x"),
+            (2, "clean text with https://fine.example.net/ok"),
+            (3, "tracker http://tracker.example.org:8080/p?q=1 twice tracker https://tracker.example.org/r"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame(
+        [("spam.example.com",), ("TRACKER.example.org",)], "domain string"
+    )
+    got = {r["k"]: (list(r["hits"]), r["n_hits"]) for r in blocked_url_docs(df, bl).collect()}
+    # case-folded + port-stripped + deduped: doc 1 hits spam once
+    assert got == {
+        "1": (["spam.example.com"], 1),
+        "3": (["tracker.example.org"], 1),
+    }

@@ -72,3 +72,65 @@ def contamination_report(
         overlap.alias("overlap"),
         (overlap >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist screening
+# ---------------------------------------------------------------------------
+
+# scheme+host of every http(s) link; Java∩RE2 common dialect so the
+# DuckDB oracle replays it byte-identically
+URL_HOST_RX = r"https?://[^/\s]+"
+
+
+def extract_domains(text_col: str = "text"):
+    """Distinct lowercased domains linked from a document: scheme and
+    :port stripped, order-free (array_distinct). Pure Column pipeline —
+    regexp_extract_all + transform, fused into the scan."""
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(URL_HOST_RX), 0
+    )
+    return F.array_distinct(
+        F.transform(
+            urls,
+            lambda u: F.regexp_replace(
+                F.lower(F.regexp_replace(u, r"^https?://", "")), r":[0-9]+$", ""
+            ),
+        )
+    )
+
+
+def blocked_url_docs(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    domain_col: str = "domain",
+    *,
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """Docs that link to a blocklisted domain →
+    ``(k, hits: array<string>, n_hits)`` — the URL-hygiene screen every
+    web-scale corpus pass runs (spam/ad/tracker domain lists).
+
+    Scale shape mirrors ``contamination_report``: domain extraction is
+    a map-only projection over the corpus; the blocklist (small by
+    nature) is **broadcast**, so the corpus never shuffles for the
+    membership probe; only MATCHED (doc, domain) pairs — bounded by
+    |blocklist| per doc — shuffle into the per-doc rollup. A blocklist
+    too big to broadcast: ``broadcast_blocklist=False`` → shuffle join
+    (refcheck's large-catalog rule), same semantics."""
+    doms = corpus.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(extract_domains(text_col)).alias("dom"),
+    )
+    bl = blocklist.select(
+        F.lower(F.col(domain_col).cast("string")).alias("dom")
+    ).distinct()
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    hits = doms.join(bl, "dom", "inner")
+    return hits.groupBy("k").agg(
+        F.array_sort(F.collect_set("dom")).alias("hits"),
+        F.count_distinct("dom").cast("long").alias("n_hits"),
+    )

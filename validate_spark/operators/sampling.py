@@ -72,3 +72,48 @@ def stratified_sample(
             raise ValueError("fraction must be in [0, 1]")
         thr = F.lit(int(fractions * _M))
     return df.filter(gate < thr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    key_col: str,
+    *,
+    seed: int = 0,
+    copy_col: str = "mix_copy",
+) -> DataFrame:
+    """Training-data MIX construction: per-stratum resampling with
+    weights that may exceed 1 (oversampling high-quality sources is
+    standard when assembling a pretraining mix). A weight w yields
+    ``floor(w)`` full copies of every row plus one more copy for the
+    md5-gated ``w - floor(w)`` fraction — so expected copies == w,
+    per-row deterministic (same copies on every run/replay/engine).
+    Strata absent from ``weights`` get 0 (dropped) — the dict is also
+    the allowlist, like ``stratified_sample``.
+
+    Output rows carry ``copy_col`` (1..n per source row) so downstream
+    keys stay unique: (key, copy) is a primary key of the mix.
+
+    Scale shape: a map-side projection + filter + explode — no shuffle,
+    no join; the explode fan-out is bounded by max(weights). The
+    sequence upper bound is guarded to ≥1 BEFORE explode (F.sequence
+    with a smaller end generates a DESCENDING range — the repo's
+    round-3 gotcha), with n ≤ 0 rows filtered first.
+    """
+    gate = _gate(key_col, seed)
+    base = F.lit(0)
+    frac_thr = F.lit(0)
+    for stratum, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight for {stratum!r} must be >= 0")
+        whole, frac = int(w), w - int(w)
+        cond = F.col(strata_col) == F.lit(stratum)
+        base = F.when(cond, F.lit(whole)).otherwise(base)
+        frac_thr = F.when(cond, F.lit(int(round(frac * _M)))).otherwise(frac_thr)
+    n = (base + (gate < frac_thr).cast("int")).alias("_n")
+    out = df.withColumn("_n", n).filter(F.col("_n") >= 1)
+    return out.withColumn(
+        copy_col,
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)))),
+    ).drop("_n")
