@@ -575,3 +575,17 @@ def test_blocked_url_docs_normalization(spark):
         "1": (["spam.example.com"], 1),
         "3": (["tracker.example.org"], 1),
     }
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    from validate_spark.operators import dedup as dd
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "a string, b string"
+    )
+    got = {
+        (r["member"], r["cluster"])
+        for r in dd.dedup_clusters(pairs, reliable=True).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}

@@ -285,3 +285,36 @@ def test_annotate_repetition_staged_split(spark):
     docs = spark.read.parquet(DOCS)
     opt = optimized(annotate_repetition(docs))
     assert opt.count("split(") == 1
+
+
+def test_weighted_mix_is_map_only(spark):
+    """The mix builder must stay a pure map-side projection: gate +
+    CASE + explode fused into the scan — no Exchange anywhere."""
+    from validate_spark.operators.sampling import weighted_mix
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(weighted_mix(docs, "lang", {"en": 2.5, "de": 0.5}, "doc_id"))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_blocked_url_docs_broadcast_probe(spark):
+    """The blocklist probe must broadcast (corpus never shuffles for
+    membership); the only exchange is the per-doc rollup of MATCHED
+    pairs."""
+    import re
+
+    from validate_spark.operators.decontam import blocked_url_docs
+
+    docs = spark.read.parquet(DOCS)
+    bl = spark.createDataFrame([("spam.example.com",)], "domain string")
+    plan = physical(blocked_url_docs(docs, bl))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # allowed exchanges: ONE corpus-side rollup on k (matched pairs
+    # only) and the blocklist-side dedup on dom (small side, pre-
+    # broadcast). A second k-exchange would mean the distinct-agg
+    # Expand crept back in.
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert sum(e.startswith("k") for e in exchanges) == 1, exchanges
+    assert all(e.startswith(("k", "dom")) for e in exchanges), exchanges

@@ -130,7 +130,11 @@ def blocked_url_docs(
     if broadcast_blocklist:
         bl = F.broadcast(bl)
     hits = doms.join(bl, "dom", "inner")
-    return hits.groupBy("k").agg(
-        F.array_sort(F.collect_set("dom")).alias("hits"),
-        F.count_distinct("dom").cast("long").alias("n_hits"),
+    # n_hits from the collected set, NOT count_distinct: a distinct
+    # aggregate beside collect_set re-plans as a two-phase Expand
+    # (second k-shuffle); size(hits) reads the same buffer for free
+    return (
+        hits.groupBy("k")
+        .agg(F.array_sort(F.collect_set("dom")).alias("hits"))
+        .select("k", "hits", F.size("hits").cast("long").alias("n_hits"))
     )
