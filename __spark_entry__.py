@@ -1372,6 +1372,23 @@ def q66_url_blocklist(spark, sf_dir):
     return out.select(F.col("k").alias("doc_id"), "hits", "n_hits")
 
 
+def q67_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing (operators/packing.py): docs
+    assigned to (stream, chunk) by md5-ordered running token sums —
+    DuckDB reproduces the identical packing via the same md5 draw and
+    an explicit ROWS-frame window sum."""
+    from validate_spark.operators.packing import pack_sequences
+    from validate_spark.operators.textstats import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(docs, "n_tok", "doc_id", budget=512, n_streams=16, seed=7)
+    return packed.select(
+        F.col("key").alias("doc_id"), "n_tokens", "stream", "chunk_id"
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1643,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_custom_type_extractor": q64_custom_type_extractor,
         "q65_weighted_mix": q65_weighted_mix,
         "q66_url_blocklist": q66_url_blocklist,
+        "q67_sequence_packing": q67_sequence_packing,
     }
 
 
@@ -2712,6 +2730,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::varchar AS doc_id, list_sort(list(dom)) AS hits,
                    count(DISTINCT dom)::bigint AS n_hits
             FROM hits GROUP BY doc_id
+        """,
+        "q67_sequence_packing": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     ({_NTOK})::bigint AS n_tokens,
+                     md5(coalesce(doc_id::varchar, '') || chr(31) || '7') AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16 AS stream, h
+              FROM d
+            )
+            SELECT doc_id, n_tokens, stream,
+                   CAST(floor((sum(n_tokens) OVER (
+                          PARTITION BY stream ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 512) AS BIGINT) AS chunk_id
+            FROM s
         """,
         "q59_format_gauntlet2": _q59_sql(),
         "q60_crossfield_equality": _q60_sql(),

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q64_custom_type_extractor",
     "q65_weighted_mix",
     "q66_url_blocklist",
+    "q67_sequence_packing",
 ]
 
 

@@ -589,3 +589,36 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
         for r in dd.dedup_clusters(pairs, reliable=True).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_pack_sequences_semantics(spark):
+    from validate_spark.operators.packing import pack_sequences, packing_report
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i % 7) * 50) for i in range(300)] + [(999, None)],
+        "doc_id long, n_tok int",
+    )
+    packed = pack_sequences(df, "n_tok", "doc_id", budget=500, n_streams=4, seed=1)
+    rows = packed.collect()
+    assert len(rows) == 301  # every doc assigned, NULL tokens included
+    assert {r["key"] for r in rows} == {r["doc_id"] for r in df.collect()}
+    # per (stream, chunk): start offsets < (chunk+1)*budget and the
+    # overflow is bounded by one document's tokens
+    rep = {
+        (r["stream"], r["chunk_id"]): (r["n_docs"], r["n_tokens"])
+        for r in packing_report(packed, budget=500).collect()
+    }
+    max_tok = 100 + 6 * 50
+    for (s, c), (n_docs, n_tokens) in rep.items():
+        assert n_tokens < 500 + max_tok
+    # chunks are contiguous per stream (0..max, no gaps)
+    from collections import defaultdict
+
+    by_stream = defaultdict(set)
+    for (s, c) in rep:
+        by_stream[s].add(c)
+    for s, cs in by_stream.items():
+        assert cs == set(range(max(cs) + 1))
+    # deterministic: identical assignment on re-run
+    again = pack_sequences(df, "n_tok", "doc_id", budget=500, n_streams=4, seed=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))

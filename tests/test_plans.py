@@ -318,3 +318,19 @@ def test_blocked_url_docs_broadcast_probe(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
     assert sum(e.startswith("k") for e in exchanges) == 1, exchanges
     assert all(e.startswith(("k", "dom")) for e in exchanges), exchanges
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing must window per hash-stream, never globally: exactly one
+    Exchange (hashpartitioning on stream) and no range-partitioned
+    global Sort — a global pack would funnel the corpus through one
+    reducer."""
+    from validate_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(DOCS).select(
+        "doc_id", F.length("text").alias("n_tok")
+    )
+    plan = physical(pack_sequences(docs, "n_tok", "doc_id", budget=512))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(stream" in plan
