@@ -1389,6 +1389,27 @@ def q67_sequence_packing(spark, sf_dir):
     )
 
 
+def q68_unigram_quality(spark, sf_dir):
+    """CCNet-style unigram-logprob quality scoring (textstats.
+    build_background_vocab + unigram_logprob_scores): background vocab
+    from the even-doc snapshot, every doc scored for OOV rate + mean
+    token log-prob; DuckDB rebuilds the identical vocab and replays
+    the smoothed ln() per token."""
+    from validate_spark.operators.textstats import (
+        build_background_vocab,
+        unigram_logprob_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_background_vocab(
+        docs.filter(F.col("doc_id") % 2 == 0), min_count=3
+    )
+    out = unigram_logprob_scores(docs, vocab)
+    return out.select(
+        F.col("k").alias("doc_id"), "n_tok", "oov_rate", "mean_logp"
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1661,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_weighted_mix": q65_weighted_mix,
         "q66_url_blocklist": q66_url_blocklist,
         "q67_sequence_packing": q67_sequence_packing,
+        "q68_unigram_quality": q68_unigram_quality,
     }
 
 
@@ -2748,6 +2770,35 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - n_tokens) / 512) AS BIGINT) AS chunk_id
             FROM s
+        """,
+        "q68_unigram_quality": f"""
+            WITH bg AS (
+              SELECT {_NORM} AS t FROM documents WHERE doc_id % 2 = 0
+            ), btok AS (
+              SELECT unnest(regexp_split_to_array(t, ' ')) AS token
+              FROM bg WHERE length(t) > 0
+            ), vocab AS (
+              SELECT token, count(*)::bigint AS cnt FROM btok
+              GROUP BY token HAVING count(*) >= 3
+              ORDER BY cnt DESC, token LIMIT 250000
+            ), vs AS (
+              SELECT sum(cnt)::double AS total, count(*)::double AS v
+              FROM vocab
+            ), ctok AS (
+              SELECT doc_id, unnest(regexp_split_to_array({_NORM}, ' ')) AS token
+              FROM documents WHERE length({_NORM}) > 0
+            ), probed AS (
+              SELECT c.doc_id,
+                     (vocab.cnt IS NULL)::int AS oov,
+                     ln((coalesce(vocab.cnt, 0)::double + 0.5)
+                        / (vs.total + 0.5 * vs.v)) AS logp
+              FROM ctok c LEFT JOIN vocab ON c.token = vocab.token
+              CROSS JOIN vs
+            )
+            SELECT doc_id::varchar AS doc_id, count(*)::bigint AS n_tok,
+                   round(avg(oov), 6) AS oov_rate,
+                   round(avg(logp), 6) AS mean_logp
+            FROM probed GROUP BY doc_id
         """,
         "q59_format_gauntlet2": _q59_sql(),
         "q60_crossfield_equality": _q60_sql(),

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q65_weighted_mix",
     "q66_url_blocklist",
     "q67_sequence_packing",
+    "q68_unigram_quality",
 ]
 
 

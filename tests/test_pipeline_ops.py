@@ -622,3 +622,35 @@ def test_pack_sequences_semantics(spark):
     # deterministic: identical assignment on re-run
     again = pack_sequences(df, "n_tok", "doc_id", budget=500, n_streams=4, seed=1)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_unigram_logprob_scores(spark):
+    from validate_spark.operators.textstats import (
+        build_background_vocab,
+        unigram_logprob_scores,
+    )
+
+    bg = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),        # fully in-vocab
+            (2, "zxqv wvut qqqq"),             # fully OOV gibberish
+            (3, "the lazy zxqv"),              # mixed
+            (4, ""),                           # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_background_vocab(bg, min_count=2)
+    got = {
+        r["k"]: r for r in unigram_logprob_scores(corpus, vocab).collect()
+    }
+    assert set(got) == {"1", "2", "3"}
+    assert got["1"]["oov_rate"] == 0.0
+    assert got["2"]["oov_rate"] == 1.0
+    assert abs(got["3"]["oov_rate"] - 1 / 3) < 1e-6
+    # natural text scores strictly higher than gibberish
+    assert got["1"]["mean_logp"] > got["3"]["mean_logp"] > got["2"]["mean_logp"]
+    assert got["1"]["n_tok"] == 4

@@ -338,3 +338,100 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# background-vocabulary quality (CCNet-style unigram log-prob)
+# ---------------------------------------------------------------------------
+
+def build_background_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    max_vocab: int = 250_000,
+) -> DataFrame:
+    """(token, cnt) frequency table from a TRUSTED snapshot — the
+    background model for ``unigram_logprob_scores``. Tokens are the
+    normalized whitespace words (same normalization as the dedup
+    stack). min_count prunes the hapax tail; max_vocab caps the table
+    deterministically (cnt DESC, token ASC) so it stays broadcastable.
+    One explode + one count aggregate — vocab-sized output."""
+    from validate_spark.session import fan_out
+
+    toks = (
+        fan_out(df)
+        .select(normalize_text(F.col(text_col)).alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.explode(F.split("_t", " ")).alias("token"))
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return vocab.orderBy(F.col("cnt").desc(), F.col("token")).limit(max_vocab)
+
+
+def unigram_logprob_scores(
+    corpus: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """CCNet-style cheap quality proxy (Wenzek et al. 2020 use a KenLM
+    5-gram; the unigram version is the distributed 80/20): per doc,
+    the mean log-probability of its tokens under the background vocab,
+    plus the OOV rate → ``(k, n_tok, oov_rate, mean_logp)``.
+    Boilerplate/natural text scores high; gibberish, wrong-language
+    and template soup score low. Filter on a mean_logp threshold
+    calibrated per corpus.
+
+    p(tok) = (cnt + s) / (total + s·V); an OOV token has cnt 0 — one
+    unified formula, so the per-token expression is a single ln().
+    ``total``/``V`` ride in via a broadcast 1-row cross join (fully
+    lazy — no driver action).
+
+    Scale shape: corpus explode is map-side; the vocab probe is a
+    broadcast join (vocab is capped-broadcastable by construction);
+    the per-doc rollup is the only shuffle, count/sum state only.
+    Docs with no tokens produce no row (nothing to score).
+    fp note: mean over ≤10^4 per-doc tokens rounds at 1e-6 — addition
+    order differences (~1e-13 relative) cannot reach the rounding
+    tick, so the DuckDB oracle reproduces the values exactly (same
+    contract as the q14 corpus averages)."""
+    from validate_spark.session import fan_out
+
+    s = float(smoothing)
+    stats = vocab.agg(
+        F.sum("cnt").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    toks = (
+        fan_out(corpus)
+        .select(
+            F.col(key_col).cast("string").alias("k"),
+            normalize_text(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.length("_t") > 0)
+        .select("k", F.explode(F.split("_t", " ")).alias("token"))
+    )
+    probed = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            F.col("cnt").isNull().cast("int").alias("oov"),
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(s))
+                / (F.col("_total") + F.lit(s) * F.col("_v"))
+            ).alias("logp"),
+        )
+    )
+    return probed.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.round(F.avg("oov"), 6).alias("oov_rate"),
+        F.round(F.avg("logp"), 6).alias("mean_logp"),
+    )
