@@ -1410,6 +1410,30 @@ def q68_unigram_quality(spark, sf_dir):
     )
 
 
+def q69_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style line-level boilerplate removal
+    (dedup.line_dedup): docs are sentence-split into lines and three
+    boilerplate footers are injected per modulus cohort (250/167/72
+    docs each at sf0.01 — all >= the min_docs=10 doc-frequency
+    threshold); the operator must drop exactly the boilerplate lines
+    from every doc and rejoin the rest in position order. DuckDB
+    replays the split/freq/filter/string_agg pipeline value-exact."""
+    from validate_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\. ", ".\n")
+    i = F.col("doc_id")
+    t2 = F.concat_ws(
+        "\n",
+        body,
+        F.when(i % 2 == 0, F.lit("All rights reserved. Copyright Example Corp.")),
+        F.when(i % 3 == 0, F.lit("Subscribe to our newsletter for updates!")),
+        F.when(i % 7 == 0, F.lit("Cookie policy: we use cookies on this site.")),
+    )
+    corpus = docs.select("doc_id", t2.alias("text"))
+    return line_dedup(corpus, min_docs=10, min_chars=10)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1683,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_url_blocklist": q66_url_blocklist,
         "q67_sequence_packing": q67_sequence_packing,
         "q68_unigram_quality": q68_unigram_quality,
+        "q69_line_dedup": q69_line_dedup,
     }
 
 
@@ -2799,6 +2824,47 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(oov), 6) AS oov_rate,
                    round(avg(logp), 6) AS mean_logp
             FROM probed GROUP BY doc_id
+        """,
+        # line-level boilerplate dedup: split → doc-frequency on the
+        # md5(trim(line)) key → drop lines in >=10 distinct docs →
+        # positional string_agg rejoin (Spark side: array_sort +
+        # concat_ws over the kept-struct collect)
+        "q69_line_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                concat_ws(chr(10),
+                  regexp_replace(coalesce(text, ''), '\\. ',
+                                 '.' || chr(10), 'g'),
+                  CASE WHEN doc_id % 2 = 0
+                       THEN 'All rights reserved. Copyright Example Corp.' END,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'Subscribe to our newsletter for updates!' END,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN 'Cookie policy: we use cookies on this site.' END
+                ) AS t2
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t2, chr(10))) AS line,
+                     generate_subscripts(string_split(t2, chr(10)), 1) AS pos
+              FROM base
+            ), boiler AS (
+              SELECT md5(trim(line)) AS lk
+              FROM lines WHERE length(trim(line)) >= 10
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+            ), marked AS (
+              SELECT l.doc_id, l.line, l.pos,
+                CASE WHEN length(trim(l.line)) >= 10 AND b.lk IS NOT NULL
+                     THEN 1 ELSE 0 END AS rm
+              FROM lines l
+              LEFT JOIN boiler b ON md5(trim(l.line)) = b.lk
+            )
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rm = 0 THEN line END,
+                                  chr(10) ORDER BY pos), '') AS text_clean,
+              count(*)::bigint AS n_lines,
+              sum(rm)::bigint AS n_removed
+            FROM marked GROUP BY doc_id
         """,
         "q59_format_gauntlet2": _q59_sql(),
         "q60_crossfield_equality": _q60_sql(),

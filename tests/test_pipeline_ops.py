@@ -654,3 +654,28 @@ def test_unigram_logprob_scores(spark):
     # natural text scores strictly higher than gibberish
     assert got["1"]["mean_logp"] > got["3"]["mean_logp"] > got["2"]["mean_logp"]
     assert got["1"]["n_tok"] == 4
+
+
+def test_line_dedup_boilerplate(spark):
+    """Lines in >= min_docs distinct docs are dropped from EVERY doc;
+    short lines are never dropped; position order is preserved in the
+    rejoined text; empty docs survive."""
+    footer = "All rights reserved by Example Corp"
+    rows = [Row(doc_id=i, text=f"unique body {i}\n{footer}\nok") for i in range(5)]
+    rows.append(Row(doc_id=99, text=""))
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: r
+        for r in dd.line_dedup(df, min_docs=3, min_chars=10).collect()
+    }
+    for i in range(5):
+        # footer (35 chars, 5 docs >= 3) removed; "ok" is short -> kept
+        assert out[i]["text_clean"] == f"unique body {i}\nok"
+        assert out[i]["n_lines"] == 3 and out[i]["n_removed"] == 1
+    assert out[99]["text_clean"] == "" and out[99]["n_removed"] == 0
+
+    # below threshold: nothing removed, text round-trips byte-identical
+    out2 = dd.line_dedup(df, min_docs=6, min_chars=10).collect()
+    assert all(r["n_removed"] == 0 for r in out2)
+    kept = {r["doc_id"]: r["text_clean"] for r in out2}
+    assert kept[2] == f"unique body 2\n{footer}\nok"

@@ -1007,3 +1007,101 @@ def dedup_retain(corpus: DataFrame, clusters: DataFrame, key_col: str = "doc_id"
     return corpus.join(
         drop, corpus[key_col].cast("string") == drop["member"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. line-level boilerplate dedup (C4 / RefinedWeb-style corpus cleanup)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    min_chars: int = 10,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Remove boilerplate LINES that recur across many documents
+    (nav bars, cookie banners, copyright footers) — the standard
+    web-corpus cleanup step between exact-dedup and near-dedup
+    (C4 drops repeated spans; RefinedWeb/CCNet drop high-doc-frequency
+    lines). Reference scope note: gookit/validate has no corpus
+    operators at all — this extends the engine's dataset tier the same
+    way exact_duplicates (dedup.py:52) does.
+
+    Semantics (oracle-exact, engine-portable):
+      * lines = text split on ``\\n``; a line is a REMOVAL CANDIDATE
+        when ``len(trim(line)) >= min_chars`` (short/empty lines are
+        never counted or removed — they would trivially cross any
+        document-frequency threshold).
+      * a candidate line is boilerplate when it occurs in
+        ``>= min_docs`` DISTINCT documents (keyed by ``md5(trim(line))``
+        — md5 so a DuckDB oracle reproduces the key byte-identically).
+      * boilerplate lines are dropped from EVERY document (deterministic
+        pure filter — no keep-first ordering dependence); surviving
+        lines are rejoined with ``\\n`` in original position order.
+
+    Output: (key, text_clean, n_lines, n_removed).
+
+    Scale design (10^12 docs):
+      * the line frame is built once per consuming branch with column
+        pruning doing the narrowing — the FREQUENCY branch carries only
+        (line_key, doc_key), never line text, so its shuffle is
+        O(total lines) of fixed-width hashes, map-side-combined into
+        O(distinct lines) by the partial aggregate.
+      * the boilerplate set (doc_freq >= min_docs) is the aggregate's
+        OUTPUT — typically orders of magnitude smaller than the corpus;
+        the mark join is left-join on the md5 key with both sides
+        explicitly repartitioned on that key (AQE will broadcast the
+        boilerplate side when it is small enough; co-partitioned
+        shuffle join otherwise — both correct, neither O(n²)).
+      * reconstruction is one groupBy(doc key) whose per-group state is
+        bounded by a single document's line count — the same bound
+        every per-doc collect in this module relies on.
+      * md5 keys are uniform → no skew; the one skewed *value* (a
+        boilerplate line repeated 10^9×) lives on the LINES side of the
+        join where it is already spread across that key's partitions.
+    """
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    k, t = F.col(key_col), F.coalesce(F.col(text_col), F.lit(""))
+
+    lines = (
+        _fan_out(df)
+        .select(k.alias("k"), F.posexplode(F.split(t, "\n")).alias("pos", "line"))
+        .withColumn("_t", F.trim(F.col("line")))
+        .withColumn("cand", F.length("_t") >= min_chars)
+        .withColumn("lk", F.md5(F.col("_t")))
+    )
+
+    boiler = (
+        lines.where(F.col("cand"))
+        .select("lk", "k")
+        .repartition(n, "lk")
+        .groupBy("lk")
+        .agg(F.count_distinct("k").alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+        .select("lk", F.lit(True).alias("_boiler"))
+    )
+
+    marked = (
+        lines.repartition(n, "lk")
+        .join(boiler, "lk", "left")
+        .withColumn("rm", F.col("cand") & F.coalesce(F.col("_boiler"), F.lit(False)))
+    )
+
+    kept_struct = F.when(~F.col("rm"), F.struct("pos", "line"))
+    return (
+        marked.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("rm").cast("long")).alias("n_removed"),
+        )
+    )
