@@ -1135,6 +1135,148 @@ def _format_gauntlet2(spark, sf_dir):
     return d.select("doc_id", *cols)
 
 
+# q70 type-check gauntlet: (field, rule, canonical validator, bad-seed
+# modulus). All fields are STRING columns so the stringly coercion
+# paths (validators_type.go / issue #30) are the ones exercised; the
+# two array fields cover the schema-static kind checks.
+_G3 = [
+    ("intc", "int", "isInt", 5),
+    ("intr", "int:0,1000", "isInt", 7),
+    ("uintc", "uint", "isUint", 11),
+    ("boolc", "bool", "isBool", 13),
+    ("floatc", "float", "isFloat", 17),
+    ("strc", "string:5,20", "isString", 19),
+    ("intstr", "intStr", "isIntString", 23),
+    ("numc", "num", "isNumber", 29),
+    ("numeric2", "numeric", "isNumeric", 31),
+    ("strnum", "strNum", "isStringNumber", 37),
+    ("emptyc", "empty", "isEmpty", 41),
+]
+
+
+def _type_gauntlet(spark, sf_dir):
+    """Deterministic derived columns for the q70 gauntlet (same
+    good-except-bad-cohort discipline as _format_gauntlet2)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+
+    good = {
+        "intc": (i * 3 - 500).cast("string"),
+        "intr": (i % 1000).cast("string"),
+        "uintc": s,
+        "boolc": F.when(i % 4 == 0, F.lit("TRUE"))
+        .when(i % 4 == 1, F.lit(" Off "))
+        .when(i % 4 == 2, F.lit("yes"))
+        .otherwise(F.lit("0")),
+        "floatc": F.when(i % 3 == 0, F.concat(F.lit("1e"), (i % 10).cast("string")))
+        .otherwise(F.concat(s, F.lit(".25"))),
+        "strc": F.concat(F.lit("str_"), s),
+        "intstr": F.concat(F.lit("-"), (i + 1).cast("string")),
+        "numc": s,
+        "numeric2": (i * 7).cast("string"),
+        "strnum": s,
+        "emptyc": F.lit(""),
+    }
+    bad = {
+        "intc": F.lit("12.5"),
+        "intr": F.lit("5000"),
+        "uintc": F.lit("-4"),
+        "boolc": F.lit("maybe"),
+        "floatc": F.lit("1.2.3"),
+        "strc": F.lit("way too long a string for 20"),
+        "intstr": F.lit("007"),
+        "numc": F.lit("-3"),
+        "numeric2": F.lit("12 "),
+        "strnum": F.lit("x12"),
+        "emptyc": F.concat(F.lit("x"), s),
+    }
+    cols = [
+        F.when(i % mod == 0, bad[f]).otherwise(good[f]).alias(f)
+        for f, _, _, mod in _G3
+    ]
+    arr = F.split(F.concat(F.lit("a,b,"), s), ",")
+    return d.select("doc_id", *cols, arr.alias("arrok"), arr.alias("arrbad"))
+
+
+def _q70_sql() -> str:
+    """§2.5 oracle: each stringly type check replayed by DuckDB with the
+    engine's own RX literals (int/float/number) or the exact strutil
+    coercion set (bool); isString length via strlen (bytes, ASCII
+    data); the schema-static isInts on array<string> fails every row
+    and isStrings passes every row by construction."""
+    from validate_spark.functions.validators import RX
+
+    good = {
+        "intc": "(doc_id * 3 - 500)::varchar",
+        "intr": "(doc_id % 1000)::varchar",
+        "uintc": "doc_id::varchar",
+        "boolc": ("CASE WHEN doc_id % 4 = 0 THEN 'TRUE' "
+                  "WHEN doc_id % 4 = 1 THEN ' Off ' "
+                  "WHEN doc_id % 4 = 2 THEN 'yes' ELSE '0' END"),
+        "floatc": ("CASE WHEN doc_id % 3 = 0 THEN '1e' || (doc_id % 10)::varchar "
+                   "ELSE doc_id::varchar || '.25' END"),
+        "strc": "'str_' || doc_id::varchar",
+        "intstr": "'-' || (doc_id + 1)::varchar",
+        "numc": "doc_id::varchar",
+        "numeric2": "(doc_id * 7)::varchar",
+        "strnum": "doc_id::varchar",
+        "emptyc": "''",
+    }
+    bad = {
+        "intc": "'12.5'", "intr": "'5000'", "uintc": "'-4'",
+        "boolc": "'maybe'", "floatc": "'1.2.3'",
+        "strc": "'way too long a string for 20'", "intstr": "'007'",
+        "numc": "'-3'", "numeric2": "'12 '", "strnum": "'x12'",
+        "emptyc": "'x' || doc_id::varchar",
+    }
+    rx_int, rx_float, rx_num = RX["int"], RX["float"], RX["number"]
+    fail = {
+        "intc": "NOT regexp_matches({V}, '" + rx_int + "')",
+        "intr": ("NOT (regexp_matches({V}, '" + rx_int + "') "
+                 "AND try_cast({V} AS BIGINT) >= 0 "
+                 "AND try_cast({V} AS BIGINT) <= 1000)"),
+        "uintc": r"NOT regexp_matches({V}, '^\d+$')",
+        "boolc": ("lower(trim({V})) NOT IN "
+                  "('1','on','yes','true','0','off','no','false')"),
+        "floatc": "NOT regexp_matches({V}, '" + rx_float + "')",
+        "strc": "NOT (strlen({V}) >= 5 AND strlen({V}) <= 20)",
+        "intstr": "NOT regexp_matches({V}, '" + rx_int + "')",
+        "numc": "NOT regexp_matches({V}, '" + rx_num + "')",
+        "numeric2": "NOT regexp_matches({V}, '" + rx_num + "')",
+        "strnum": "NOT regexp_matches({V}, '" + rx_num + "')",
+        "emptyc": "{V} <> ''",
+    }
+    derived = ",\n        ".join(
+        f"CASE WHEN doc_id % {mod} = 0 THEN {bad[f]} ELSE {good[f]} END AS {f}"
+        for f, _, _, mod in _G3
+    )
+    # skip-on-empty: an empty value skips its (non-required) rule, so a
+    # field only violates when non-empty AND failing — emptyc's good
+    # cohort is empty ('' passes isEmpty anyway), every other field's
+    # values are non-empty by construction.
+    arms = "\n          UNION ALL\n".join(
+        f"""          SELECT '{f}' AS field, '{val}' AS validator,
+                 count(*)::bigint AS n
+          FROM g WHERE {f} <> '' AND ({fail[f].replace('{V}', f)})"""
+        for f, _, val, _m in _G3
+    )
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+        {derived}
+          FROM documents
+        ), viols AS (
+{arms}
+          UNION ALL
+          SELECT 'arrbad' AS field, 'isInts' AS validator,
+                 count(*)::bigint AS n
+          FROM documents
+        )
+        SELECT field, validator, n FROM viols WHERE n > 0
+    """
+
+
 def q59_format_gauntlet2(spark, sf_dir):
     """§2.6 completion gauntlet: the 22 regex/format validators q31 did
     not hash-check (full URL, CIDR, ISBN, lat/lon, DNS, colors, paths,
@@ -1434,6 +1576,83 @@ def q69_line_dedup(spark, sf_dir):
     return line_dedup(corpus, min_docs=10, min_chars=10)
 
 
+def q70_type_gauntlet(spark, sf_dir):
+    """§2.5 completion gauntlet: the stringly type checks (isInt ranges,
+    isUint, isBool strutil.ToBool set, isFloat, isString byte-length
+    args, isIntString, isNumber/isNumeric/isStringNumber, isEmpty —
+    validators_type.go:25-120, issue #30 coercion) plus the
+    schema-static array kind checks (isInts fails on array<string>,
+    isStrings passes), each with a seeded bad cohort."""
+    rules = {f: rule for f, rule, _, _ in _G3}
+    rules["arrok"] = "strings"
+    rules["arrbad"] = "ints"
+    res = validate(_type_gauntlet(spark, sf_dir), RuleSet(rules=rules),
+                   key_cols=["doc_id"])
+    return (
+        res.violations()
+        .groupBy("field", "validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q71_filter_gauntlet(spark, sf_dir):
+    """§2.10 completion gauntlet: the filters q04/q25 left pytest-only
+    (bool coercion, camel/snake, escapeJs/escapeHtml, str2ints/str2arr
+    incl. custom separator, strToTime layout fallback, unique,
+    trimStrings — filtering.go + filter/ package), value-checked
+    end-to-end on updated_rows(). Array outputs are canonicalized to
+    joined strings (sorted for `unique`, since DuckDB's list_distinct
+    does not pin first-occurrence order); the timestamp to a formatted
+    string — so the hash compare is byte-exact cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    raw = docs.select(
+        "doc_id",
+        F.get(
+            F.array(F.lit(" YES "), F.lit("off"), F.lit("1"),
+                    F.lit("False"), F.lit("no")),
+            F.pmod(i, F.lit(5)).cast("int"),
+        ).alias("boolf"),
+        F.concat(F.lit("user_name_f"), (i % 100).cast("string")).alias("camelf"),
+        F.concat(F.lit("myVar"), (i % 10).cast("string"), F.lit("Name")).alias("snakef"),
+        F.concat(F.lit("a<q>\"x\"'y\\z"), s).alias("jsf"),
+        F.concat(F.lit("<b>&\"t's\"</b>"), s).alias("htmlf"),
+        F.concat(F.lit("7, 8,x9,"), s).alias("intsf"),
+        F.concat(F.lit("p;q;r"), s).alias("arrf"),
+        F.when(i % 2 == 0, F.lit("2024-03-05 12:30:45"))
+        .otherwise(F.concat(F.lit("2024-0"), (i % 9 + 1).cast("string"),
+                            F.lit("-06"))).alias("timef"),
+        F.concat(F.lit("a,b,a,"), (i % 3).cast("string")).alias("uniqf"),
+        F.concat(F.lit(" a , b ,c"), s, F.lit(" ")).alias("trimsf"),
+    )
+    fields = ["boolf", "camelf", "snakef", "jsf", "htmlf", "intsf",
+              "arrf", "timef", "uniqf", "trimsf"]
+    rs = RuleSet(
+        rules={f: "required" for f in fields},
+        filters={
+            "boolf": "bool", "camelf": "camel", "snakef": "snake",
+            "jsf": "escapeJs", "htmlf": "escapeHtml",
+            "intsf": "str2ints", "arrf": "str2arr:;",
+            "timef": "strToTime", "uniqf": "str2arr|unique",
+            "trimsf": "str2arr|trimStrings",
+        },
+    )
+    out = validate(raw, rs, key_cols=["doc_id"]).updated_rows()
+    return out.select(
+        "doc_id", "boolf", "camelf", "snakef", "jsf", "htmlf",
+        F.array_join(
+            F.transform(F.col("intsf"),
+                        lambda x: F.coalesce(x.cast("string"), F.lit("N"))),
+            "|",
+        ).alias("ints_repr"),
+        F.array_join(F.col("arrf"), "|").alias("arr_repr"),
+        F.date_format(F.col("timef"), "yyyy-MM-dd HH:mm:ss").alias("time_repr"),
+        F.array_join(F.array_sort(F.col("uniqf")), "|").alias("uniq_repr"),
+        F.array_join(F.col("trimsf"), "|").alias("trims_repr"),
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1708,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_sequence_packing": q67_sequence_packing,
         "q68_unigram_quality": q68_unigram_quality,
         "q69_line_dedup": q69_line_dedup,
+        "q70_type_gauntlet": q70_type_gauntlet,
+        "q71_filter_gauntlet": q71_filter_gauntlet,
     }
 
 
@@ -2866,6 +3087,59 @@ def oracle_sql() -> dict[str, str]:
               sum(rm)::bigint AS n_removed
             FROM marked GROUP BY doc_id
         """,
+        # filter gauntlet: every filter replayed literally by DuckDB —
+        # bool via the strutil set, camel via split/ucfirst-lower
+        # rebuild, snake via the same regex (\1 backrefs), escapes via
+        # literal replace chains in the engine's application order,
+        # str2ints via list_transform + try_cast, strToTime via
+        # try_strptime layout fallback
+        "q71_filter_gauntlet": r"""
+            WITH g AS (
+              SELECT doc_id,
+                CASE doc_id % 5 WHEN 0 THEN ' YES ' WHEN 1 THEN 'off'
+                     WHEN 2 THEN '1' WHEN 3 THEN 'False' ELSE 'no' END AS boolf,
+                'user_name_f' || (doc_id % 100)::varchar AS camelf,
+                'myVar' || (doc_id % 10)::varchar || 'Name' AS snakef,
+                'a<q>"x"''y\z' || doc_id::varchar AS jsf,
+                '<b>&"t''s"</b>' || doc_id::varchar AS htmlf,
+                '7, 8,x9,' || doc_id::varchar AS intsf,
+                'p;q;r' || doc_id::varchar AS arrf,
+                CASE WHEN doc_id % 2 = 0 THEN '2024-03-05 12:30:45'
+                     ELSE '2024-0' || (doc_id % 9 + 1)::varchar || '-06'
+                END AS timef,
+                'a,b,a,' || (doc_id % 3)::varchar AS uniqf,
+                ' a , b ,c' || doc_id::varchar || ' ' AS trimsf
+              FROM documents
+            )
+            SELECT doc_id,
+              lower(trim(boolf)) IN ('1','on','yes','true') AS boolf,
+              string_split(camelf, '_')[1] || array_to_string(
+                list_transform(string_split(camelf, '_')[2:],
+                  w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ''
+              ) AS camelf,
+              lower(regexp_replace(snakef, '([a-z0-9])([A-Z])',
+                                   '\1_\2', 'g')) AS snakef,
+              replace(replace(replace(replace(replace(jsf,
+                '\', '\\'), '''', '\'''), '"', '\"'),
+                '<', '\u003C'), '>', '\u003E') AS jsf,
+              replace(replace(replace(replace(replace(htmlf,
+                '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                '"', '&#34;'), '''', '&#39;') AS htmlf,
+              array_to_string(list_transform(string_split(intsf, ','),
+                x -> coalesce(try_cast(trim(x) AS INT)::varchar, 'N')),
+                '|') AS ints_repr,
+              array_to_string(string_split(arrf, ';'), '|') AS arr_repr,
+              strftime(coalesce(
+                try_strptime(timef, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(timef, '%Y-%m-%d')),
+                '%Y-%m-%d %H:%M:%S') AS time_repr,
+              array_to_string(list_sort(list_distinct(
+                string_split(uniqf, ','))), '|') AS uniq_repr,
+              array_to_string(list_transform(string_split(trimsf, ','),
+                x -> trim(x)), '|') AS trims_repr
+            FROM g
+        """,
+        "q70_type_gauntlet": _q70_sql(),
         "q59_format_gauntlet2": _q59_sql(),
         "q60_crossfield_equality": _q60_sql(),
         # custom filter digitsOnly composed with trim: the oracle
