@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "q66_url_blocklist",
     "q67_sequence_packing",
     "q68_unigram_quality",
+    "q69_line_dedup",
+    "q70_type_gauntlet",
+    "q71_filter_gauntlet",
 ]
 
 
