@@ -1653,6 +1653,73 @@ def q71_filter_gauntlet(spark, sf_dir):
     )
 
 
+def q72_semantic_decontam(spark, sf_dir):
+    """Embedding-level decontamination (decontam.semantic_contamination):
+    per corpus vector, max cosine vs a broadcast benchmark set (every
+    50th vector) + hit count at threshold 0.99 — the benchmark members
+    themselves must come back contaminated (cos 1.0) and nothing else
+    (random 64-dim cosines stay ≪ 0.99). DuckDB replays the identical
+    double-precision fold (list_zip → transform → list_aggregate) and
+    the round-6 max/threshold compare."""
+    from validate_spark.operators.decontam import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    rep = semantic_contamination(
+        emb, bench, threshold=0.99, bench_vec_col="bv", bench_key_col="bid"
+    )
+    return rep.select(
+        F.col("k").alias("vec_id"), "max_cos", "n_hits", "contaminated"
+    )
+
+
+def q73_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup of a new batch against the ingested
+    corpus' fingerprint index (dedup.incremental_exact_dedup): index =
+    fingerprints of the even docs; batch = all docs with a boilerplate
+    cohort (doc_id%10==9 collapses to 3 shared texts) injected so all
+    three statuses occur — even docs → dup_index, boilerplate min-key →
+    novel, other boilerplate copies → dup_batch, remaining odd docs →
+    novel. DuckDB maintains the same md5 index and replays the
+    classification."""
+    from validate_spark.operators.dedup import incremental_exact_dedup
+    from validate_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    batch = docs.select(
+        "doc_id",
+        F.when(
+            i % 10 == 9,
+            F.concat(F.lit("shared boilerplate page "), (i % 3).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    index = docs.filter(i % 2 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    return incremental_exact_dedup(batch, index).select(
+        F.col("k").cast("long").alias("doc_id"), "fp", "status"
+    )
+
+
+def q74_deterministic_shuffle(spark, sf_dir):
+    """Content-defined pretraining shuffle (sampling.
+    deterministic_shuffle): md5-bucketed shard + within-shard md5-order
+    rank — replay-identical on any layout/engine; DuckDB reproduces
+    every (shard, pos) via the same md5 draw and a partitioned
+    row_number."""
+    from validate_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", n_shards=8, seed=3).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1929,6 +1996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_line_dedup": q69_line_dedup,
         "q70_type_gauntlet": q70_type_gauntlet,
         "q71_filter_gauntlet": q71_filter_gauntlet,
+        "q72_semantic_decontam": q72_semantic_decontam,
+        "q73_incremental_dedup": q73_incremental_dedup,
+        "q74_deterministic_shuffle": q74_deterministic_shuffle,
     }
 
 
@@ -3138,6 +3208,78 @@ def oracle_sql() -> dict[str, str]:
               array_to_string(list_transform(string_split(trimsf, ','),
                 x -> trim(x)), '|') AS trims_repr
             FROM g
+        """,
+        # semantic decontam: the cosine is the SAME sequential double
+        # fold in both engines (list_zip→transform→sum ≡ zip_with→
+        # aggregate — bit-identical per the round-3 gotcha), rounded to
+        # 6 BEFORE the max/threshold compare so selection agrees
+        "q72_semantic_decontam": """
+            WITH b AS (
+              SELECT vec_id AS bid, embedding AS bv
+              FROM embeddings WHERE vec_id % 50 = 7
+            ), d AS (
+              SELECT e.vec_id,
+                     list_aggregate(list_transform(list_zip(e.embedding, b.bv),
+                       s -> (s[1]::DOUBLE) * (s[2]::DOUBLE)), 'sum') AS dot,
+                     sqrt(list_aggregate(list_transform(e.embedding,
+                       x -> (x::DOUBLE) * (x::DOUBLE)), 'sum')) AS na,
+                     sqrt(list_aggregate(list_transform(b.bv,
+                       x -> (x::DOUBLE) * (x::DOUBLE)), 'sum')) AS nb
+              FROM embeddings e CROSS JOIN b
+            ), s AS (
+              SELECT vec_id,
+                     round(CASE WHEN na > 0 AND nb > 0
+                                THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+              FROM d
+            )
+            SELECT vec_id, max(cos) AS max_cos,
+                   count_if(cos >= 0.99)::bigint AS n_hits,
+                   coalesce(max(cos) >= 0.99, false) AS contaminated
+            FROM s GROUP BY vec_id
+        """,
+        # incremental dedup: DuckDB maintains the same md5 fingerprint
+        # index (even docs) and replays the three-way classification;
+        # min(k) over VARCHAR keys is lexicographic in both engines
+        "q73_incremental_dedup": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 9
+                          THEN 'shared boilerplate page '
+                               || (doc_id % 3)::varchar
+                          ELSE text END AS text
+              FROM documents
+            ), b AS (
+              SELECT doc_id::varchar AS k, {_FP} AS fp FROM raw
+            ), idx AS (
+              SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 2 = 0
+            ), canon AS (
+              SELECT fp, min(k) AS c FROM b GROUP BY fp
+            )
+            SELECT b.k::bigint AS doc_id, b.fp AS fp,
+                   CASE WHEN idx.fp IS NOT NULL THEN 'dup_index'
+                        WHEN b.k <> canon.c THEN 'dup_batch'
+                        ELSE 'novel' END AS status
+            FROM b JOIN canon USING (fp) LEFT JOIN idx USING (fp)
+        """,
+        # deterministic shuffle: same md5 draw (sampler gate
+        # construction), same (h, key-string) order, partitioned
+        # row_number — every (shard, pos) must agree
+        "q74_deterministic_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(coalesce(doc_id::varchar, '')
+                         || chr(31) || '3') AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, h,
+                     CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id::varchar)::bigint
+                     AS pos
+            FROM s
         """,
         "q70_type_gauntlet": _q70_sql(),
         "q59_format_gauntlet2": _q59_sql(),

@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "q69_line_dedup",
     "q70_type_gauntlet",
     "q71_filter_gauntlet",
+    "q72_semantic_decontam",
+    "q73_incremental_dedup",
+    "q74_deterministic_shuffle",
 ]
 
 

@@ -679,3 +679,105 @@ def test_line_dedup_boilerplate(spark):
     assert all(r["n_removed"] == 0 for r in out2)
     kept = {r["doc_id"]: r["text_clean"] for r in out2}
     assert kept[2] == f"unique body 2\n{footer}\nok"
+
+
+def test_semantic_contamination(spark):
+    """Identical vector -> cos 1.0 contaminated; orthogonal -> not; a
+    NULL corpus vector degrades to cos 0.0 (never aborts); an empty
+    benchmark yields max_cos NULL / contaminated false."""
+    from validate_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["k"]: r
+        for r in semantic_contamination(corpus, bench, threshold=0.99).collect()
+    }
+    assert got[1]["max_cos"] == 1.0 and got[1]["contaminated"]
+    assert got[1]["n_hits"] == 1
+    assert got[2]["max_cos"] == 0.0 and not got[2]["contaminated"]
+    assert got[3]["max_cos"] == 0.0 and not got[3]["contaminated"]
+
+    empty_bench = bench.filter("vec_id < 0")
+    got0 = {
+        r["k"]: r
+        for r in semantic_contamination(corpus, empty_bench).collect()
+    }
+    assert got0[1]["max_cos"] is None
+    assert got0[1]["n_hits"] == 0 and not got0[1]["contaminated"]
+
+
+def test_incremental_exact_dedup(spark):
+    """Three-way classification vs an index: fingerprints already in
+    the index are dup_index (every copy); new fingerprints keep the
+    min-key copy as novel and the rest as dup_batch. Broadcast and
+    shuffle probes agree."""
+    from validate_spark.operators.textstats import fingerprint
+
+    batch = spark.createDataFrame(
+        [(1, "alpha text"), (2, "alpha text"), (3, "known text"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    index = (
+        spark.createDataFrame([("known text",)], "text string")
+        .select(fingerprint(F.col("text")).alias("fp"))
+    )
+    for bc in (False, True):
+        got = {
+            r["k"]: r["status"]
+            for r in dd.incremental_exact_dedup(
+                batch, index, broadcast_index=bc
+            ).collect()
+        }
+        assert got == {
+            "1": "novel",
+            "2": "dup_batch",
+            "3": "dup_index",
+            "4": "novel",
+        }
+    # novel rows are exactly what joins back into the corpus + index
+    novel = dd.incremental_exact_dedup(batch, index).filter(
+        "status = 'novel'"
+    )
+    assert novel.count() == 2
+
+
+def test_deterministic_shuffle(spark):
+    """(shard, pos) is a dense 1..n_s ranking per shard, stable across
+    input partitionings, and n_shards=1 is a total order."""
+    from validate_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    out = deterministic_shuffle(df, "doc_id", n_shards=4, seed=3)
+    rows = out.collect()
+    assert len(rows) == 100
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # layout-independence: a different input partitioning produces the
+    # identical (doc_id, shard, pos) assignment
+    out2 = deterministic_shuffle(
+        df.repartition(7), "doc_id", n_shards=4, seed=3
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in out2.collect()}
+
+    total = deterministic_shuffle(df, "doc_id", n_shards=1, seed=3)
+    assert sorted(r["pos"] for r in total.collect()) == list(range(1, 101))
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle(df, "doc_id", n_shards=0)

@@ -334,3 +334,59 @@ def test_pack_sequences_no_global_sort(spark):
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(stream" in plan
+
+
+def test_semantic_contamination_map_side_only(spark):
+    """The embedding decontam screen is a pure map-side projection:
+    benchmark packed into one broadcast row (BroadcastNestedLoopJoin),
+    NO aggregation shuffle on the corpus — the only hash exchange in
+    the whole plan would be a regression."""
+    from validate_spark.operators.decontam import semantic_contamination
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    plan = physical(
+        semantic_contamination(
+            emb, bench, bench_vec_col="bv", bench_key_col="bid"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning" not in plan  # zero corpus-side shuffle
+
+
+def test_incremental_dedup_all_exchanges_on_fp(spark):
+    """Both probes (within-batch canonical + index membership) key on
+    the fingerprint: every hash exchange in the plan is on fp, and
+    there is no cartesian/nested-loop fallback — the co-partitioning
+    claim in the docstring, asserted."""
+    from validate_spark.operators.dedup import incremental_exact_dedup
+    from validate_spark.operators.textstats import fingerprint
+
+    docs = spark.read.parquet(DOCS)
+    idx = docs.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    plan = physical(incremental_exact_dedup(docs, idx))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert hash_ex, "expected fp-keyed exchanges"
+    assert all("fp#" in l for l in hash_ex)
+
+
+def test_deterministic_shuffle_no_global_sort(spark):
+    """One hash exchange on shard + a PER-PARTITION sort under the
+    window — no rangepartitioning (global sort) anywhere; the plan that
+    survives 10^12 rows."""
+    from validate_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(DOCS).select("doc_id")
+    plan = physical(deterministic_shuffle(docs, "doc_id", n_shards=8, seed=3))
+    assert "rangepartitioning" not in plan
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "shard#" in hash_ex[0]
+    # Sort [..], false, 0 -> local (per-partition) sort, never global
+    sort_lines = [l for l in plan.splitlines() if l.strip().startswith("+- Sort") or l.strip().startswith(":- Sort")]
+    assert all(", false, 0" in l for l in sort_lines)

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from validate_spark.operators.dedup import word_ngram_frame
+from validate_spark.operators.dedup import cosine_sim, word_ngram_frame
+from validate_spark.session import fan_out
 
 
 def contamination_report(
@@ -137,4 +138,75 @@ def blocked_url_docs(
         hits.groupBy("k")
         .agg(F.array_sort(F.collect_set("dom")).alias("hits"))
         .select("k", "hits", F.size("hits").cast("long").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    *,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    bench_key_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level train/test contamination screen: per corpus
+    vector, the max cosine similarity against ANY benchmark vector plus
+    the count of benchmark vectors at or above ``threshold`` →
+    ``(k, max_cos, n_hits, contaminated)``. Catches paraphrased /
+    reformatted eval leakage that the n-gram screen
+    (``contamination_report``) misses — the two run side by side in a
+    real pipeline.
+
+    Scale shape: the benchmark set (eval suites — small by nature) is
+    packed into ONE broadcast row of (id, vec) structs and cross-joined
+    in, so scoring is a pure map-side projection over the corpus —
+    **zero shuffle, zero aggregation**: each corpus row folds over the
+    broadcast array with JVM higher-order functions (``cosine_sim``:
+    zip_with + aggregate in double precision) and emits exactly one
+    output row. Cost is O(|corpus| x |bench| x dim) multiply-adds —
+    the exact semantics of the screen; a benchmark too large for that
+    product belongs in ``embedding_neardup_lsh``-style bucketing, not
+    here. Per-row work is HOF-heavy → ``fan_out`` guards
+    under-partitioned inputs (the repo's 1-partition-parquet gotcha).
+
+    Cross-engine determinism: cosines are rounded to 6 before the max /
+    threshold compare, and the fold is the NULL-propagating sequential
+    double sum both engines replay bit-identically (round-3 gotcha);
+    ``contaminated`` therefore compares identically in DuckDB. An empty
+    benchmark yields max_cos NULL, n_hits 0, contaminated false.
+    """
+    bench_vec_col = bench_vec_col or vec_col
+    bench_key_col = bench_key_col or key_col
+    bench_arr = F.broadcast(
+        bench_emb.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(bench_key_col).alias("bid"),
+                    F.col(bench_vec_col).alias("bv"),
+                )
+            ).alias("_bvs")
+        )
+    )
+    c = fan_out(
+        corpus_emb.select(F.col(key_col).alias("k"), F.col(vec_col).alias("cv"))
+    )
+    scores = F.transform(
+        F.col("_bvs"), lambda s: F.round(cosine_sim(F.col("cv"), s["bv"]), 6)
+    )
+    thr = F.lit(float(threshold))
+    return (
+        c.crossJoin(bench_arr)
+        .select("k", scores.alias("_s"))
+        .select(
+            "k",
+            F.array_max("_s").alias("max_cos"),
+            F.size(F.filter("_s", lambda x: x >= thr)).cast("long").alias("n_hits"),
+            F.coalesce(F.array_max("_s") >= thr, F.lit(False)).alias("contaminated"),
+        )
     )

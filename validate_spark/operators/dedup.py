@@ -1105,3 +1105,71 @@ def line_dedup(
             F.sum(F.col("rm").cast("long")).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. incremental dedup against an existing fingerprint index
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    fp_col: str = "fp",
+    broadcast_index: bool = False,
+) -> DataFrame:
+    """Classify a NEW batch of documents against the fingerprint index
+    of the corpus already ingested → ``(k, fp, status)`` with status
+
+    - ``dup_index`` — the batch doc's fingerprint already exists in the
+      index (every batch copy is a duplicate of prior data);
+    - ``dup_batch`` — new fingerprint, but an earlier (smaller-key)
+      batch doc has it (only the min-key copy survives);
+    - ``novel``    — first sighting anywhere: the min-key copy of a
+      fingerprint the index has never seen.
+
+    ``filter(status == 'novel')`` is exactly the rows to append to the
+    corpus AND to the index — the incremental form of
+    ``drop_exact_duplicates`` that a daily-crawl pipeline runs instead
+    of re-deduplicating 10^12 accumulated rows per day.
+
+    Scale shape: the index holds one md5 fingerprint per corpus doc —
+    at 10^12 docs it is far too large to broadcast, so BOTH probes are
+    fp-keyed shuffles: the within-batch canonical (groupBy fp → min
+    key), the canonical rejoin, and the left probe against the index
+    all hash-partition on the SAME key, so Catalyst reuses one exchange
+    per side and the batch never shuffles on anything but fp (md5 keys
+    are uniform → no skew; the index side ships fingerprints only,
+    ~32 B/row). ``broadcast_index=True`` opts a small index (early
+    corpus life) into a map-side probe. Fingerprint = md5(normalized
+    text) — identical to ``exact_duplicates``, portable by the repo's
+    hash rule, so an external engine (or the DuckDB oracle) can
+    maintain the same index.
+
+    Reference: gookit/validate has no dataset memory at all — this is
+    the dataset-level lift of its unique-style checks (see
+    operators/uniq.py) applied across pipeline RUNS rather than within
+    one table.
+    """
+    b = batch.select(
+        F.col(key_col).cast("string").alias("k"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    idx = index.select(F.col(fp_col).alias("fp")).distinct().withColumn(
+        "_seen", F.lit(True)
+    )
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    canon = b.groupBy("fp").agg(F.min("k").alias("_canon"))
+    status = (
+        F.when(F.col("_seen").isNotNull(), F.lit("dup_index"))
+        .when(F.col("k") != F.col("_canon"), F.lit("dup_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        b.join(canon, "fp")
+        .join(idx, "fp", "left")
+        .select("k", "fp", status.alias("status"))
+    )

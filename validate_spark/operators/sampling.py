@@ -15,7 +15,7 @@ fused into the scan, trivially parallel at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _M = 1_000_000
 
@@ -117,3 +117,56 @@ def weighted_mix(
         copy_col,
         F.explode(F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)))),
     ).drop("_n")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Stable global document-order shuffle for pretraining: every row
+    gets a ``shard`` (uniform md5 bucket) and a ``pos`` (its rank
+    within the shard under the md5 draw) — the training order is then
+    "read shards 0..n-1, each in pos order". Identical on every
+    run/retry/cluster layout/engine (the draw is content-defined), so a
+    resumed training job sees the same data order — which
+    ``df.orderBy(rand())`` can never guarantee.
+
+    Scale shape: ONE hash-partitioned exchange on ``shard`` + a
+    per-shard sort (the window is partitioned, never global). Shard
+    sizes are |corpus| / n_shards with md5-uniform keys — pick
+    n_shards ≫ cores (a few thousand at 100 TB) and no single sort
+    exceeds executor memory; there is no global ordering step and no
+    driver involvement. The (h, k) sort key makes ranks fully
+    deterministic even under (astronomically unlikely) md5-prefix
+    ties.
+
+    The draw reuses the sampler's portable gate construction: md5 so
+    the shuffle order is auditable/replayable outside Spark (the repo's
+    hash-portability rule).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.lit(str(seed)),
+        )
+    )
+    out = df.withColumn("_h", h).withColumn(
+        shard_col,
+        F.pmod(
+            F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col("_h"), F.col(key_col).cast("string"))
+    )
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop("_h")
