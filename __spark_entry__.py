@@ -1720,6 +1720,58 @@ def q74_deterministic_shuffle(spark, sf_dir):
     )
 
 
+def q75_duplicated_spans(spark, sf_dir):
+    """Cross-doc exact-substring signal (dedup.duplicated_spans): two
+    pangram sentences injected per modulus cohort create 8-token
+    windows shared across >= 2 docs; the operator reports per-doc dup
+    window counts and the exact union token coverage. DuckDB replays
+    tokenize → rolling md5 windows → doc-frequency → coverage
+    value-exact."""
+    from validate_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.lit(" the quick brown fox jumps over the lazy sleeping dog"),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 0,
+            F.lit(" pack my box with five dozen brown liquor jugs now"),
+        ).otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", t2.alias("text"))
+    out = duplicated_spans(corpus, w=8, min_docs=2)
+    return out.select(
+        F.col("k").cast("long").alias("doc_id"),
+        "n_tok",
+        "n_windows",
+        "n_dup_windows",
+        "covered_tokens",
+        "dup_frac",
+    )
+
+
+def q76_token_share_report(spark, sf_dir):
+    """Data-mix governance rollup (textstats.token_share_report):
+    per-source token totals, share, ROWS-frame cumulative share in
+    descending-token order, over-cap flag — integer token sums keep the
+    cross-engine selection exact; shares compare at round-6."""
+    from validate_spark.operators.textstats import token_share_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_share_report(docs, "source", cap=0.055).select(
+        F.col("stratum").alias("source"),
+        "n_docs",
+        "n_tokens",
+        "share",
+        "cum_share",
+        "over_cap",
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -1999,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_semantic_decontam": q72_semantic_decontam,
         "q73_incremental_dedup": q73_incremental_dedup,
         "q74_deterministic_shuffle": q74_deterministic_shuffle,
+        "q75_duplicated_spans": q75_duplicated_spans,
+        "q76_token_share_report": q76_token_share_report,
     }
 
 
@@ -3280,6 +3334,73 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY h, doc_id::varchar)::bigint
                      AS pos
             FROM s
+        """,
+        # duplicated spans: DuckDB replays the rolling 8-token md5
+        # windows, the distinct-doc frequency, and the exact position-
+        # union coverage; integer counts keep selection exact, and
+        # BIGINT/BIGINT division is float in both engines
+        "q75_duplicated_spans": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' the quick brown fox jumps over the lazy sleeping dog'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' pack my box with five dozen brown liquor jugs now'
+                          ELSE '' END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id::varchar AS k,
+                     string_split({_NORM}, ' ') AS wl
+              FROM d WHERE length({_NORM}) > 0
+            ), b AS (
+              SELECT k, len(wl)::int AS n_tok,
+                     greatest(len(wl) - 7, 0)::int AS n_windows, wl
+              FROM t
+            ), wn AS (
+              SELECT k, unnest(range(1, n_windows + 1)) AS pos, wl
+              FROM b WHERE n_windows > 0
+            ), wh AS (
+              SELECT k, pos,
+                     md5(array_to_string(wl[pos:pos+7], ' ')) AS wh
+              FROM wn
+            ), freq AS (
+              SELECT wh, count(DISTINCT k) AS docs FROM wh GROUP BY wh
+            ), marked AS (
+              SELECT w.k, w.pos, (f.docs >= 2) AS dup
+              FROM wh w JOIN freq f USING (wh)
+            ), counts AS (
+              SELECT k, sum(dup::int)::bigint AS n_dup_windows
+              FROM marked GROUP BY k
+            ), cov AS (
+              SELECT k, count(*)::bigint AS covered_tokens FROM (
+                SELECT DISTINCT k, unnest(range(pos, pos + 8)) AS cp
+                FROM marked WHERE dup
+              ) GROUP BY k
+            )
+            SELECT b.k::bigint AS doc_id, b.n_tok, b.n_windows::bigint AS n_windows,
+                   coalesce(counts.n_dup_windows, 0)::bigint AS n_dup_windows,
+                   coalesce(cov.covered_tokens, 0)::bigint AS covered_tokens,
+                   round(coalesce(cov.covered_tokens, 0) / b.n_tok, 6) AS dup_frac
+            FROM b LEFT JOIN counts USING (k) LEFT JOIN cov USING (k)
+        """,
+        # token-share governance: integer token sums (exact cross-
+        # engine), round-6 shares, explicit ROWS-frame running sum
+        "q76_token_share_report": f"""
+            WITH a AS (
+              SELECT source, count(*)::bigint AS n_docs,
+                     sum(({_NTOK})::bigint)::bigint AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens / sum(n_tokens) OVER (), 6) AS share,
+                   round(sum(n_tokens) OVER (
+                           ORDER BY n_tokens DESC, source ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) / sum(n_tokens) OVER (), 6) AS cum_share,
+                   round(n_tokens / sum(n_tokens) OVER (), 6) > 0.055 AS over_cap
+            FROM a
         """,
         "q70_type_gauntlet": _q70_sql(),
         "q59_format_gauntlet2": _q59_sql(),

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "q72_semantic_decontam",
     "q73_incremental_dedup",
     "q74_deterministic_shuffle",
+    "q75_duplicated_spans",
+    "q76_token_share_report",
 ]
 
 

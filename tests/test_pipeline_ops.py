@@ -781,3 +781,70 @@ def test_deterministic_shuffle(spark):
 
     with pytest.raises(ValueError):
         deterministic_shuffle(df, "doc_id", n_shards=0)
+
+
+def test_duplicated_spans(spark):
+    """A shared 8-token run is one dup window covering 8 positions;
+    overlap never double-counts; short docs report zeros; empty docs
+    produce no row; w guard raises."""
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h i j"),
+        Row(doc_id=2, text="x y a b c d e f g h z"),
+        Row(doc_id=3, text="p q r s t u v w"),
+        Row(doc_id=4, text="short text"),
+        Row(doc_id=5, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: r for r in dd.duplicated_spans(df, w=8, min_docs=2).collect()
+    }
+    assert set(got) == {"1", "2", "3", "4"}  # empty doc -> no row
+    assert got["1"]["n_windows"] == 3 and got["1"]["n_dup_windows"] == 1
+    assert got["1"]["covered_tokens"] == 8 and got["1"]["dup_frac"] == 0.8
+    assert got["2"]["covered_tokens"] == 8
+    assert got["3"]["n_dup_windows"] == 0 and got["3"]["dup_frac"] == 0.0
+    assert got["4"]["n_windows"] == 0 and got["4"]["covered_tokens"] == 0
+
+    # overlapping dup windows: doc 6/7 share a 9-token run -> 2 windows
+    # whose union is 9 positions, not 16
+    over = spark.createDataFrame(
+        [
+            Row(doc_id=6, text="a b c d e f g h i"),
+            Row(doc_id=7, text="a b c d e f g h i zz"),
+        ]
+    )
+    g2 = {
+        r["k"]: r for r in dd.duplicated_spans(over, w=8, min_docs=2).collect()
+    }
+    assert g2["6"]["n_dup_windows"] == 2 and g2["6"]["covered_tokens"] == 9
+    assert g2["7"]["n_dup_windows"] == 2 and g2["7"]["covered_tokens"] == 9
+
+    with pytest.raises(ValueError):
+        dd.duplicated_spans(df, w=0)
+
+
+def test_token_share_report(spark):
+    """Shares sum to 1, cumulative share is the ROWS-frame running sum
+    in (tokens desc, stratum asc) order, over_cap flags the dominant
+    stratum."""
+    from validate_spark.operators.textstats import token_share_report
+
+    df = spark.createDataFrame(
+        [
+            ("big", "one two three four five six"),
+            ("big", "one two three four"),
+            ("mid", "a b c"),
+            ("tiny", "x"),
+        ],
+        "source string, text string",
+    )
+    rows = token_share_report(df, "source", cap=0.5).collect()
+    by = {r["stratum"]: r for r in rows}
+    assert by["big"]["n_docs"] == 2 and by["big"]["n_tokens"] == 10
+    assert by["big"]["share"] == round(10 / 14, 6) and by["big"]["over_cap"]
+    assert not by["mid"]["over_cap"] and not by["tiny"]["over_cap"]
+    ordered = sorted(rows, key=lambda r: (-r["n_tokens"], r["stratum"]))
+    assert [r["cum_share"] for r in ordered] == sorted(
+        r["cum_share"] for r in ordered
+    )
+    assert ordered[-1]["cum_share"] == 1.0

@@ -390,3 +390,41 @@ def test_deterministic_shuffle_no_global_sort(spark):
     # Sort [..], false, 0 -> local (per-partition) sort, never global
     sort_lines = [l for l in plan.splitlines() if l.strip().startswith("+- Sort") or l.strip().startswith(":- Sort")]
     assert all(", false, 0" in l for l in sort_lines)
+
+
+def test_duplicated_spans_single_tokenize_pass(spark):
+    """duplicated_spans persists the exploded-window frame: the
+    frequency rollup, the per-doc dup counts, and the coverage branch
+    all read the SAME persisted relation (window building — regex +
+    per-window md5 — happens once); the live plan never re-scans the
+    corpus for a second tokenize."""
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    out = dd.duplicated_spans(docs, w=8, min_docs=2)
+    plan = physical(out)
+    assert "InMemoryTableScan" in plan
+    # the base (k, n_tok, n_windows) projection legitimately scans the
+    # corpus once; the window frame's tokenize lives only inside the
+    # cached relation's definition — so at most base + cache-definition
+    # scans appear, never a third
+    n_cache_defs = plan.count("InMemoryRelation")
+    assert plan.count("Scan parquet") <= 1 + n_cache_defs
+
+
+def test_token_share_report_single_aggregation(spark):
+    """One full-corpus aggregation with map-side partials; the window
+    runs over the aggregated (stratum-cardinality) frame only — below
+    the window there is exactly one corpus-wide exchange (the groupBy),
+    plus the bounded SinglePartition exchange for the window itself."""
+    from validate_spark.operators.textstats import token_share_report
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(token_share_report(docs, "source"))
+    assert plan.count("Scan parquet") == 1  # ONE corpus scan, period
+    assert "partial_sum" in plan or "partial_count" in plan
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "source" in hash_ex[0]
+    # the scan is pruned to the two columns the report needs
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan_line and "source" in scan_line and "doc_id" not in scan_line

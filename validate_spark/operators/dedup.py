@@ -1173,3 +1173,122 @@ def incremental_exact_dedup(
         .join(idx, "fp", "left")
         .select("k", "fp", status.alias("status"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. cross-document duplicated spans (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc report of EXACT w-token spans shared with other
+    documents → ``(k, n_tok, n_windows, n_dup_windows, covered_tokens,
+    dup_frac)`` — the "exact substring duplication" signal (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better")
+    at token-window granularity: a rolling window of ``w`` normalized
+    tokens, hashed; a window is duplicated when it occurs in >=
+    ``min_docs`` DISTINCT documents; ``covered_tokens`` is the exact
+    size of the UNION of duplicated windows' token positions (overlaps
+    never double-count) and ``dup_frac`` = covered / n_tok. Docs with
+    fewer than ``w`` tokens have no windows and report zeros — they are
+    exact-dedup's (not this operator's) job.
+
+    Scale shape (corpus = 10^12 docs):
+
+    - window building is a map-side projection (split + transform +
+      md5 over slices — regex/hash heavy → ``fan_out`` guard); the
+      marked frame is **persisted** (MEMORY_AND_DISK) because two
+      rollups consume it — without the persist each branch would
+      re-tokenize and re-hash the full corpus (the round-4
+      persisted-frame-sharing rule);
+    - doc frequency is a distinct (wh, k) + count — both shuffles key
+      on the uniform md5 window hash, explicitly ``repartition(wh)``
+      co-partitioned with the mark join so frequency agg + join share
+      one exchange (the line_dedup pattern); the one skewed VALUE (a
+      boilerplate window in 10^8 docs) is a single counter row, never
+      a collected list;
+    - coverage explodes ONLY duplicated windows ×w positions, then
+      distinct + count per doc — the expansion is bounded by w × dup
+      windows, and per-doc state is counters only.
+
+    Fingerprints are md5 (portable) so a DuckDB oracle replays every
+    value; engine-internal hashing stays xxhash64 per the repo rule —
+    window hashes cross the oracle boundary, so md5 is required here.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    n = df.sparkSession.sparkContext.defaultParallelism
+    toks = _fan_out(
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+        ).filter(F.length(F.concat_ws("", "_w")) > 0)
+    )
+    tw = F.col("_w")
+    base = toks.select(
+        "k",
+        F.size(tw).alias("n_tok"),
+        F.greatest(F.size(tw) - (w - 1), F.lit(0)).alias("n_windows"),
+        tw.alias("_w"),
+    )
+    # windows exploded: (k, pos 1-based, wh); guard n_tok < w BEFORE
+    # sequence (descending-range gotcha)
+    wins = (
+        base.filter(F.col("n_windows") > 0)
+        .select(
+            "k",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_windows")),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, w))),
+                )
+            ).alias("_p0", "wh"),
+        )
+        .select("k", (F.col("_p0") + 1).alias("pos"), "wh")
+        .repartition(n, "wh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = (
+        wins.select("wh", "k").distinct()
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("wh", F.lit(True).alias("_dup"))
+    )
+    marked = wins.join(freq, "wh", "left").withColumn(
+        "dup", F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    counts = marked.groupBy("k").agg(
+        F.sum(F.col("dup").cast("long")).alias("n_dup_windows")
+    )
+    covered = (
+        marked.filter("dup")
+        .select("k", F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("cp"))
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    out = (
+        base.select("k", "n_tok", "n_windows")
+        .join(counts, "k", "left")
+        .join(covered, "k", "left")
+        .select(
+            "k",
+            "n_tok",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tok"), 6
+            ).alias("dup_frac"),
+        )
+    )
+    return out

@@ -435,3 +435,56 @@ def unigram_logprob_scores(
         F.round(F.avg("oov"), 6).alias("oov_rate"),
         F.round(F.avg("logp"), 6).alias("mean_logp"),
     )
+
+
+def token_share_report(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str = "text",
+    *,
+    cap: float = 0.5,
+) -> DataFrame:
+    """Data-mix governance rollup: per stratum (source / domain /
+    language), document and token totals, the stratum's share of all
+    tokens, the cumulative share in descending-token order, and an
+    ``over_cap`` flag — the report a pretraining-mix owner reads before
+    re-weighting (no single crawl/source should dominate the mix).
+    Output: ``(stratum, n_docs, n_tokens, share, cum_share, over_cap)``.
+
+    Scale shape: ONE full-corpus aggregation with map-side partials
+    (counters per stratum — the shuffle carries |strata| rows per
+    task); the share/cumulative window then runs over the AGGREGATED
+    frame, whose size is the stratum cardinality (sources/domains — at
+    most thousands), so the unpartitioned window is bounded-small by
+    construction, never corpus-sized. Descending-token order ties break
+    on stratum name → fully deterministic, oracle-comparable.
+
+    Shares are round-6 doubles; the cumulative sum is an explicit
+    ROWS-frame running sum (RANGE would merge ties — the round-4
+    window gotcha).
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(whitespace_token_count(F.col(text_col)).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # the grand total is a full-frame window over the SAME sorted
+    # aggregate — NOT a separate agg().crossJoin, which would re-scan
+    # and re-aggregate the whole corpus a second time (caught by
+    # test_token_share_report_single_aggregation)
+    wo = Window.orderBy(F.col("n_tokens").desc(), F.col("stratum").asc())
+    w_run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n_tokens").over(w_all)
+    share = F.round(F.col("n_tokens") / total, 6)
+    return agg.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        share.alias("share"),
+        F.round(F.sum("n_tokens").over(w_run) / total, 6).alias("cum_share"),
+        (share > F.lit(float(cap))).alias("over_cap"),
+    )
