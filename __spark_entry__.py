@@ -1772,6 +1772,46 @@ def q76_token_share_report(spark, sf_dir):
     )
 
 
+def q77_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup probe vs a stored LSH index
+    (dedup.minhash_index_bands + incremental_minhash_neardup): index =
+    all documents; batch = exact copies (doc_id%25==0), appended-tail
+    decoys (%25==1, J ≈ 0.8 ≪ 0.99) and novel texts (%25==2) under
+    offset keys. At threshold 0.99 with 6 bands × 2 rows the band-miss
+    probability is ~6e-11, so the oracle's exhaustive batch×index
+    exact-Jaccard set coincides (the q16 argument, incremental form).
+    Pairs only — the jaccard VALUE stays engine-side (hashed vs string
+    shingles agree on the set, not bit-for-bit on every value)."""
+    from validate_spark.operators.dedup import (
+        hashed_shingle_frame,
+        incremental_minhash_neardup,
+        minhash_index_bands,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ib = minhash_index_bands(docs)
+    iss = hashed_shingle_frame(docs)
+    i = F.col("doc_id")
+    batch = docs.filter(i % 25 < 3).select(
+        (i + 100000).alias("doc_id"),
+        F.when(i % 25 == 0, F.col("text"))
+        .when(
+            i % 25 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" completely different appended tail words here"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("novel batch content "), i.cast("string")))
+        .alias("text"),
+    )
+    out = incremental_minhash_neardup(batch, ib, iss, threshold=0.99)
+    return out.select(
+        F.col("k").cast("long").alias("doc_id"),
+        F.col("index_key").cast("long").alias("index_key"),
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2053,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_deterministic_shuffle": q74_deterministic_shuffle,
         "q75_duplicated_spans": q75_duplicated_spans,
         "q76_token_share_report": q76_token_share_report,
+        "q77_incremental_minhash": q77_incremental_minhash,
     }
 
 
@@ -3334,6 +3375,38 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY h, doc_id::varchar)::bigint
                      AS pos
             FROM s
+        """,
+        # incremental LSH probe: exhaustive batch x index exact-Jaccard
+        # (the q16 oracle argument in incremental form; at j >= 0.99
+        # the deterministic band family misses nothing)
+        "q77_incremental_minhash": f"""
+            WITH bsrc AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     CASE WHEN doc_id % 25 = 0 THEN text
+                          WHEN doc_id % 25 = 1
+                            THEN text || ' completely different appended tail words here'
+                          ELSE 'novel batch content ' || doc_id::varchar
+                     END AS text
+              FROM documents WHERE doc_id % 25 < 3
+            ), bs AS (
+              SELECT doc_id, {_NORM} AS t FROM bsrc
+            ), ix AS (
+              SELECT doc_id, {_NORM} AS t FROM documents
+            ), bsh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM bs WHERE length(t) > 0
+            ), ish AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM ix WHERE length(t) > 0
+            )
+            SELECT b.doc_id AS doc_id, i.doc_id AS index_key
+            FROM bsh b JOIN ish i
+              ON round(len(list_intersect(b.sh, i.sh))::double
+                       / len(list_distinct(b.sh || i.sh))::double, 6) >= 0.99
         """,
         # duplicated spans: DuckDB replays the rolling 8-token md5
         # windows, the distinct-doc frequency, and the exact position-

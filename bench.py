@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q74_deterministic_shuffle",
     "q75_duplicated_spans",
     "q76_token_share_report",
+    "q77_incremental_minhash",
 ]
 
 

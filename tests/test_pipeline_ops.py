@@ -848,3 +848,51 @@ def test_token_share_report(spark):
         r["cum_share"] for r in ordered
     )
     assert ordered[-1]["cum_share"] == 1.0
+
+
+def test_incremental_minhash_neardup(spark):
+    """Exact copies of indexed docs match at 0.99; appended-tail decoys
+    and novel texts do not; broadcast and shuffle probes agree; hot
+    buckets beyond max_bucket are dropped (degenerate duplicates are
+    exact-dedup's job)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ib = dd.minhash_index_bands(docs)
+    iss = dd.hashed_shingle_frame(docs)
+    i = F.col("doc_id")
+    batch = docs.filter(i % 25 < 3).select(
+        (i + 100000).alias("doc_id"),
+        F.when(i % 25 == 0, F.col("text"))
+        .when(i % 25 == 1, F.concat(F.col("text"), F.lit(" totally new trailing words appended")))
+        .otherwise(F.concat(F.lit("novel content "), i.cast("string")))
+        .alias("text"),
+    )
+    got = {
+        (r["k"], r["index_key"])
+        for r in dd.incremental_minhash_neardup(
+            batch, ib, iss, threshold=0.99
+        ).collect()
+    }
+    copies = {
+        (str(r["doc_id"] + 100000), str(r["doc_id"]))
+        for r in docs.filter(i % 25 == 0).select("doc_id").collect()
+    }
+    assert copies <= got  # every exact copy found
+    # no decoy/novel batch doc matches anything
+    bad = {k for k, _ in got} - {a for a, _ in copies}
+    assert not bad
+
+    got2 = {
+        (r["k"], r["index_key"])
+        for r in dd.incremental_minhash_neardup(
+            batch, ib, iss, threshold=0.99, broadcast_batch=False
+        ).collect()
+    }
+    assert got2 == got
+
+    # max_bucket=0 drops every bucket -> nothing can match
+    assert (
+        dd.incremental_minhash_neardup(
+            batch, ib, iss, threshold=0.99, max_bucket=0
+        ).count()
+        == 0
+    )

@@ -428,3 +428,29 @@ def test_token_share_report_single_aggregation(spark):
     # the scan is pruned to the two columns the report needs
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "text" in scan_line and "source" in scan_line and "doc_id" not in scan_line
+
+
+def test_incremental_minhash_probe_index_never_shuffles(spark):
+    """The probe join against the stored band index is a BROADCAST of
+    the batch's band keys — the index is never sort-merge-joined on
+    bucket keys; the batch staging frame is persisted (one batch scan
+    feeds signatures + verify); hot buckets are dropped by the
+    precomputed bucket_n, never re-aggregated."""
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    ib = dd.minhash_index_bands(docs)
+    iss = dd.hashed_shingle_frame(docs)
+    batch = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    plan = physical(
+        dd.incremental_minhash_neardup(batch, ib, iss, threshold=0.99)
+    )
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted batch staging
+    # the (band, bsig) probe is broadcast -- an SMJ on band keys would
+    # mean the index shuffled for the probe
+    assert not any(
+        "SortMergeJoin [band" in l for l in plan.splitlines()
+    )
