@@ -896,3 +896,56 @@ def test_incremental_minhash_neardup(spark):
         ).count()
         == 0
     )
+
+
+def test_duplicated_spans_matches_brute_force(spark):
+    """Differential: a seeded random small-vocab corpus (dense window
+    collisions) against a pure-Python reimplementation — counts,
+    coverage union, and fraction must agree on every doc."""
+    import random
+    import re as _re
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 12))))
+        for i in range(30)
+    ]
+    w, min_docs = 3, 2
+
+    toks = {}
+    for k, t in docs:
+        t2 = _re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+        if t2:
+            toks[str(k)] = t2.split(" ")
+    windows = {
+        k: [(i + 1, " ".join(ws[i : i + w])) for i in range(len(ws) - w + 1)]
+        if len(ws) >= w
+        else []
+        for k, ws in toks.items()
+    }
+    freq = {}
+    for k, wn in windows.items():
+        for g in {g for _, g in wn}:
+            freq[g] = freq.get(g, 0) + 1
+    dup_g = {g for g, c in freq.items() if c >= min_docs}
+    expect = {}
+    for k, ws in toks.items():
+        wn = windows[k]
+        dups = [(p, g) for p, g in wn if g in dup_g]
+        cov = set()
+        for p, _ in dups:
+            cov.update(range(p, p + w))
+        expect[k] = (len(ws), len(wn), len(dups), len(cov))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["k"]: r for r in dd.duplicated_spans(df, w=w, min_docs=min_docs).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n_tok, n_win, n_dup, cov) in expect.items():
+        r = got[k]
+        assert (r["n_tok"], r["n_windows"], r["n_dup_windows"], r["covered_tokens"]) == (
+            n_tok, n_win, n_dup, cov
+        ), k
+        assert abs(r["dup_frac"] - cov / n_tok) < 1.5e-6
