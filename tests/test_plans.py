@@ -454,3 +454,15 @@ def test_incremental_minhash_probe_index_never_shuffles(spark):
     assert not any(
         "SortMergeJoin [band" in l for l in plan.splitlines()
     )
+
+
+def test_minhash_index_build_single_signature_pass(spark):
+    """The band index build runs the signature UDF over the corpus
+    exactly once: bucket sizes come from a partitioned window count,
+    never a groupBy-join-back that would re-scan + re-signature."""
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(dd.minhash_index_bands(docs))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -1320,32 +1320,30 @@ def minhash_index_bands(
     — signatures are deterministic, so an index built yesterday probes
     identically today (the incremental-dedup requirement).
 
-    The bucket-size computation is the one build-time shuffle: groupBy
-    (band, bsig) + join back, explicitly co-partitioned so count + join
-    share a single exchange (the line_dedup pattern).
+    The bucket-size computation is ONE build-time shuffle: an
+    unordered window count partitioned by (band, bsig) — a
+    groupBy-then-join-back would make both consumers recompute the
+    signature UDF over the whole corpus (two scans; caught by
+    test_minhash_index_build_single_signature_pass).
     """
+    from pyspark.sql import Window
+
     rows_per_band = n_hashes // n_bands
-    n = df.sparkSession.sparkContext.defaultParallelism
     sets_ = hashed_shingle_frame(df, text_col, key_col, k=k)
     sig = sets_.filter(F.size("sh") > 0).select(
         "k",
         F.size("sh").cast("long").alias("n"),
         minhash_sig_from_hashes_udf(n_hashes)(F.col("sh")).alias("sig"),
     )
-    exploded = (
-        sig.select(
-            "k", "n",
-            F.posexplode(
-                band_signatures(F.col("sig"), n_bands, rows_per_band)
-            ).alias("band", "bsig"),
-        )
-        .repartition(n, "band", "bsig")
+    exploded = sig.select(
+        "k", "n",
+        F.posexplode(
+            band_signatures(F.col("sig"), n_bands, rows_per_band)
+        ).alias("band", "bsig"),
     )
-    sizes = exploded.groupBy("band", "bsig").agg(
-        F.count(F.lit(1)).cast("long").alias("bucket_n")
-    )
-    return exploded.join(sizes, ["band", "bsig"]).select(
-        "k", "n", "band", "bsig", "bucket_n"
+    return exploded.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bsig")).cast("long"),
     )
 
 
