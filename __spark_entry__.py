@@ -1812,6 +1812,62 @@ def q77_incremental_minhash(spark, sf_dir):
     )
 
 
+def q78_quality_quantile(spark, sf_dir):
+    """CCNet-style per-language quality cut (sampling.
+    quality_quantile_filter): keep the best 3/10 of each lang stratum
+    by the closed-form quality score, md5-then-key tie-break; the kept
+    fraction is enforced by INTEGER cross-multiplication (rank*10 <=
+    3*n) so the selection replays bit-identically in the oracle."""
+    from validate_spark.operators.sampling import quality_quantile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quality_quantile_filter(
+        docs, "lang", ts.quality_score(F.col("text")), 3, 10, "doc_id"
+    )
+    return kept.select("doc_id", "lang", "q_rank", "q_n")
+
+
+def q79_stratum_quota(spark, sf_dir):
+    """Per-source document cap (sampling.stratum_quota): at most 7 docs
+    per source under the portable md5 draw — the two-phase
+    (partition-salted local top-N, then quota-bounded survivors) plan
+    whose result is provably the same single-window top-N the oracle
+    computes."""
+    from validate_spark.operators.sampling import stratum_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratum_quota(docs, "source", 7, "doc_id").select(
+        "doc_id", "source", "quota_rank"
+    )
+
+
+def q80_centroid_outliers(spark, sf_dir):
+    """Embedding label audit (similarity.label_centroid_outliers):
+    round-6 L2 distance of every vector to its label centroid +
+    over-threshold flag. Centroids are posexplode avgs (map-side
+    partials, |labels|x64 rows) broadcast back; the flag compares the
+    ROUND-6 distance so the boolean replays across engines."""
+    from validate_spark.operators.similarity import label_centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, dist_threshold=1.0)
+
+
+def q81_source_overlap(spark, sf_dir):
+    """Cross-source near-dup contamination matrix (dedup.
+    source_overlap_matrix): unordered source pairs sharing exact-
+    Jaccard>=0.7 near-dups, with pair counts and round-6 mean jaccard.
+    24 hashes x 12 bands: the weakest qualifying pair at sf0.01 has
+    J~0.92, band-miss probability <= (1-0.92^2)^12 ~ 6e-10, so the
+    LSH pair set coincides with the oracle's exhaustive O(n^2) set
+    (the q16 argument); jaccard VALUES agree because 64-bit shingle
+    hashing is collision-free at this scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.source_overlap_matrix(
+        docs, "source", threshold=0.7, n_hashes=24, n_bands=12
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2094,6 +2150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_duplicated_spans": q75_duplicated_spans,
         "q76_token_share_report": q76_token_share_report,
         "q77_incremental_minhash": q77_incremental_minhash,
+        "q78_quality_quantile": q78_quality_quantile,
+        "q79_stratum_quota": q79_stratum_quota,
+        "q80_centroid_outliers": q80_centroid_outliers,
+        "q81_source_overlap": q81_source_overlap,
     }
 
 
@@ -3375,6 +3435,83 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY h, doc_id::varchar)::bigint
                      AS pos
             FROM s
+        """,
+        # per-lang quality cut: same closed-form score, same md5+key
+        # tie-break, same INTEGER rank*den <= num*n keep predicate
+        "q78_quality_quantile": f"""
+            WITH s AS (
+              SELECT doc_id, lang, {_QUALITY} AS score,
+                     md5(coalesce(doc_id::varchar, '') || chr(31) || '0') AS h
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, h,
+                                                 doc_id::varchar)::bigint
+                       AS q_rank,
+                     count(*) OVER (PARTITION BY lang)::bigint AS q_n
+              FROM s
+            )
+            SELECT doc_id, lang, q_rank, q_n FROM r
+            WHERE q_rank * 10 <= 3 * q_n
+        """,
+        # per-source quota: the two-phase Spark top-N equals this one
+        # full-window top-N (min-N of local min-Ns is exact)
+        "q79_stratum_quota": """
+            WITH s AS (
+              SELECT doc_id, source,
+                     md5(coalesce(doc_id::varchar, '') || chr(31) || '0') AS h
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h, doc_id::varchar)::bigint
+                       AS quota_rank
+              FROM s
+            )
+            SELECT doc_id, source, quota_rank FROM r WHERE quota_rank <= 7
+        """,
+        # label centroids via lockstep unnest; round-6 L2 distance is
+        # cross-engine safe (64 summands, noise ~1e-15 << 1e-6 tick)
+        "q80_centroid_outliers": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     unnest(embedding)::double AS x,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings
+            ), c AS (
+              SELECT label, pos, avg(x) AS cx FROM e GROUP BY label, pos
+            ), d AS (
+              SELECT e.vec_id, e.label,
+                     round(sqrt(sum((e.x - c.cx) * (e.x - c.cx))), 6) AS dist
+              FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+              GROUP BY e.vec_id, e.label
+            )
+            SELECT vec_id, label, dist, (dist > 1.0) AS is_outlier FROM d
+        """,
+        # cross-source overlap: exhaustive O(n^2) exact-Jaccard rollup;
+        # the LSH side's 24x12 band family misses nothing at the data's
+        # weakest qualifying pair (see q81 docstring)
+        "q81_source_overlap": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, source, {_NORM} AS t FROM documents
+            ), s AS (
+              SELECT k, source, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM c WHERE length(t) > 0
+            ), p AS (
+              SELECT least(x.source, y.source) AS src_a,
+                     greatest(x.source, y.source) AS src_b,
+                     round(len(list_intersect(x.sh, y.sh))::double
+                           / len(list_distinct(x.sh || y.sh))::double, 6) AS j
+              FROM s x JOIN s y ON x.k < y.k
+              WHERE round(len(list_intersect(x.sh, y.sh))::double
+                          / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.7
+            )
+            SELECT src_a, src_b, count(*)::bigint AS n_pairs,
+                   round(avg(j), 6) AS mean_jaccard
+            FROM p GROUP BY src_a, src_b
         """,
         # incremental LSH probe: exhaustive batch x index exact-Jaccard
         # (the q16 oracle argument in incremental form; at j >= 0.99

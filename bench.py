@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "q75_duplicated_spans",
     "q76_token_share_report",
     "q77_incremental_minhash",
+    "q78_quality_quantile",
+    "q79_stratum_quota",
+    "q80_centroid_outliers",
+    "q81_source_overlap",
 ]
 
 

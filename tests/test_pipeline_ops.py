@@ -949,3 +949,143 @@ def test_duplicated_spans_matches_brute_force(spark):
             n_tok, n_win, n_dup, cov
         ), k
         assert abs(r["dup_frac"] - cov / n_tok) < 1.5e-6
+
+
+# ---------------------------------------------------------------------------
+# round-4 late additions: quality cut / quota / centroid audit / overlap
+# ---------------------------------------------------------------------------
+
+def test_mh_family_frozen_prefix_and_extension():
+    """First 12 constants must never change (stored LSH indexes replay
+    signatures); past 12 the family extends deterministically with odd
+    multipliers. _MH_A[:24] silently truncating to 12 was the q81 bug."""
+    a12, c12 = dd._mh_family(12)
+    assert a12 == dd._MH_A and c12 == dd._MH_C
+    a24, c24 = dd._mh_family(24)
+    assert a24[:12] == dd._MH_A and len(a24) == 24 and len(c24) == 24
+    assert all(x % 2 == 1 for x in a24)
+    assert len(set(a24)) == 24
+    # deterministic: same family every call
+    assert dd._mh_family(24) == (a24, c24)
+
+
+def test_minhash_sig_udf_length_matches_n_hashes(spark):
+    df = spark.createDataFrame([("a", [1, 2, 3, 99])], "k string, sh array<long>")
+    for n in (12, 24):
+        row = df.select(
+            dd.minhash_sig_from_hashes_udf(n)(F.col("sh")).alias("sig")
+        ).first()
+        assert len(row["sig"]) == n
+
+
+def test_quality_quantile_filter_exact(spark):
+    from validate_spark.operators import sampling as sp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = sp.quality_quantile_filter(
+        docs, "lang", ts.quality_score(F.col("text")), 3, 10, "doc_id"
+    )
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == (3 * n) // 10  # floor(0.3 n) exactly
+    # ranks are 1..kept_n and the score ordering is descending
+    one = kept.filter(F.col("lang") == "en").orderBy("q_rank")
+    scores = [r["s"] for r in
+              one.select(ts.quality_score(F.col("text")).alias("s")).collect()]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_quantile_approx_agrees_on_small_data(spark):
+    """At sketch accuracy 10k over a few hundred rows the approx cut
+    point is the exact quantile — kept sets may differ only at the
+    boundary score. Assert per-stratum kept counts within 2 rows and
+    that every approx-kept row scores >= the exact path's minimum."""
+    from validate_spark.operators import sampling as sp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    score = ts.quality_score(F.col("text"))
+    exact = sp.quality_quantile_filter(docs, "lang", score, 3, 10, "doc_id")
+    approx = sp.quality_quantile_filter_approx(docs, "lang", score, 0.3)
+    e = {r["lang"]: r["n"] for r in
+         exact.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    a = {r["lang"]: r["n"] for r in
+         approx.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(a) == set(e)
+    for lang in e:
+        assert abs(a[lang] - e[lang]) <= 2
+    # kept SETS agree except at the boundary score: exact tie-breaks
+    # boundary ties by md5, approx keeps every row at >= thr — so the
+    # symmetric difference is confined to rows scoring the cut point
+    ek = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    ak = {r["doc_id"] for r in approx.select("doc_id").collect()}
+    assert len(ek & ak) >= 0.9 * len(ek)
+
+
+def test_stratum_quota_equals_single_window(spark):
+    """Two-phase (partition-salted) top-N must equal the one-window
+    definition — including on a deliberately skewed stratum."""
+    from pyspark.sql import Window
+    from validate_spark.operators import sampling as sp
+
+    rows = [(i, "mega" if i % 10 else "rare") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string").repartition(16)
+    got = sp.stratum_quota(df, "src", 25, "doc_id", seed=3)
+    h = F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.lit("3")))
+    w = Window.partitionBy("src").orderBy(h, F.col("doc_id").cast("string"))
+    want = (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= 25)
+    )
+    assert sorted(got.select("doc_id", "src", "quota_rank").collect()) == sorted(
+        want.select("doc_id", "src", "quota_rank").collect()
+    )
+    per = {r["src"]: r["n"] for r in
+           got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per == {"mega": 25, "rare": 25}
+
+
+def test_label_centroid_outliers_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    labels = [int(i % 3) for i in range(60)]
+    rows = [(i, labels[i], [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["dist"], r["is_outlier"])
+        for r in sim.label_centroid_outliers(df, dist_threshold=2.5).collect()
+    }
+    v64 = vecs.astype("float64")
+    for lbl in range(3):
+        idx = [i for i in range(60) if labels[i] == lbl]
+        cent = v64[idx].mean(axis=0)
+        for i in idx:
+            d = round(float(np.sqrt(((v64[i] - cent) ** 2).sum())), 6)
+            assert got[i][0] == pytest.approx(d, abs=1e-6)
+            assert got[i][1] == (got[i][0] > 2.5)
+
+
+def test_source_overlap_matrix_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [
+        (1, "srcA", base),
+        (2, "srcB", base + " tiny tail"),          # cross-source near-dup
+        (3, "srcA", "completely different words about mountains and rivers " * 8),
+        (4, "srcB", "unrelated musings on compilers and type systems " * 8),
+        (5, "srcC", base + " another small suffix"),  # second cross-source dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    m = {
+        (r["src_a"], r["src_b"]): r["n_pairs"]
+        for r in dd.source_overlap_matrix(df, threshold=0.7).collect()
+    }
+    # J(1,2) ~ 0.87 and J(1,5) ~ 0.76 clear the 0.7 bar; J(2,5) ~ 0.68
+    # (each tail dilutes the shared base) correctly does NOT
+    assert m[("srcA", "srcB")] == 1
+    assert m[("srcA", "srcC")] == 1
+    assert ("srcB", "srcC") not in m
+    assert ("srcA", "srcA") not in m

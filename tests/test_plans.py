@@ -13,6 +13,7 @@ from validate_spark.operators import stats as st
 from validate_spark.operators import uniq as uq
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
 
 
 def physical(df) -> str:
@@ -466,3 +467,46 @@ def test_minhash_index_build_single_signature_pass(spark):
     plan = physical(dd.minhash_index_bands(docs))
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_quality_quantile_approx_is_sortless_broadcast(spark):
+    """The scale path for the per-stratum quality cut must never sort:
+    threshold sketch agg + broadcast join + map-side filter. A window
+    (sort) sneaking in would funnel mega-strata through one task."""
+    from validate_spark.operators import sampling as sp
+    from validate_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(
+        sp.quality_quantile_filter_approx(
+            docs, "lang", ts.quality_score(F.col("text")), 0.3
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan and "Sort[" not in plan
+
+
+def test_stratum_quota_first_exchange_is_salted(spark):
+    """Phase 1 must rank within (physical partition, stratum) — the
+    exchange key carries SPARK_PARTITION_ID so a mega-stratum spreads
+    over every task; only quota-bounded survivors shuffle on the bare
+    stratum key."""
+    from validate_spark.operators import sampling as sp
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(sp.stratum_quota(docs, "source", 7, "doc_id"))
+    assert plan.count("Window") >= 2
+    assert "_pid" in plan  # salted phase-1 partition key present
+
+
+def test_label_centroid_outliers_two_scans_broadcast(spark):
+    """Centroids (labels x dim, KBs) broadcast back onto the corpus:
+    two scans total, no shuffle join of the corpus against itself."""
+    from validate_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(EMB)
+    plan = physical(sim.label_centroid_outliers(emb))
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

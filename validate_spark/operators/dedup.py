@@ -211,6 +211,30 @@ _MH_A = [0x9E3779B97F4A7C15 | 1, 0xBF58476D1CE4E5B9 | 1, 0x94D049BB133111EB | 1,
 _MH_C = list(range(1, 13))
 
 
+def _mh_family(n_hashes: int) -> tuple[list[int], list[int]]:
+    """(A, C) affine-family constants of EXACTLY n_hashes entries.
+    The first 12 are the frozen _MH_A/_MH_C table (signatures already
+    shipped in stored LSH indexes must stay bit-identical); beyond 12
+    the multipliers extend deterministically by splitmix64 steps of the
+    golden-ratio constant, forced odd (bijective mod 2^64). Silently
+    slicing _MH_A[:n] past its length was a truncation bug: a 24-hash
+    request produced 12-long signatures and banding then indexed past
+    the array (caught by q81's 24x12 configuration)."""
+    a = list(_MH_A[: min(n_hashes, len(_MH_A))])
+    c = list(_MH_C[: min(n_hashes, len(_MH_C))])
+    x = _MH_A[-1]
+    while len(a) < n_hashes:
+        # splitmix64 finalizer step — deterministic, well-mixed
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        a.append(z | 1)
+        c.append(len(c) + 1)
+    return a, c
+
+
 def minhash_sig_from_hashes_udf(n_hashes: int = 12):
     """Vectorized MinHash sketch FROM distinct shingle hashes:
     array<long> (hashed_shingle_frame output) → array<long> signature.
@@ -227,8 +251,9 @@ def minhash_sig_from_hashes_udf(n_hashes: int = 12):
     pattern, min is order-independent."""
     import numpy as np
 
-    A = np.array(_MH_A[:n_hashes], dtype=np.uint64)
-    C = np.array(_MH_C[:n_hashes], dtype=np.uint64)
+    a, c = _mh_family(n_hashes)
+    A = np.array(a, dtype=np.uint64)
+    C = np.array(c, dtype=np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(sh: pd.Series) -> pd.Series:
@@ -1446,4 +1471,57 @@ def incremental_minhash_neardup(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+    threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered pair of
+    strata (crawl sources, snapshots, datasets), how many near-dup
+    document pairs at ``threshold`` straddle them and how similar they
+    are — ``(src_a, src_b, n_pairs, mean_jaccard)`` with
+    src_a <= src_b. The governance view a mix designer reads before
+    trusting per-source token budgets: two "independent" sources
+    sharing thousands of near-dups are one source wearing two hats.
+
+    Plan shape: the pair generation is ``minhash_dedup_pairs``
+    unchanged (bucketed LSH + exact verify — its 100 TB contract
+    carries over); the pair frame (≪ corpus) is then joined TWICE
+    against a projected ``(key, stratum)`` frame. Both joins hash on
+    the pair's key columns — the (key, stratum) projection is 2
+    narrow columns off the corpus, and at typical near-dup densities
+    the PAIRS side is the small side; the final rollup groups
+    |strata|² keys at most. mean_jaccard is a round-6 mean of already
+    round-6 values with bounded per-cell cardinality — cross-engine
+    safe per the working-notes round-4 rule; n_pairs (the selection
+    signal) stays integer.
+    """
+    pairs = minhash_dedup_pairs(
+        df, text_col, key_col, k=k, threshold=threshold, **minhash_kwargs
+    )
+    lab = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(strata_col).alias("_src"),
+    )
+    pa = pairs.join(lab.withColumnsRenamed({"_k": "a", "_src": "src_of_a"}), "a")
+    pb = pa.join(lab.withColumnsRenamed({"_k": "b", "_src": "src_of_b"}), "b")
+    return (
+        pb.select(
+            F.least("src_of_a", "src_of_b").alias("src_a"),
+            F.greatest("src_of_a", "src_of_b").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
     )

@@ -170,3 +170,170 @@ def deterministic_shuffle(
         .orderBy(F.col("_h"), F.col(key_col).cast("string"))
     )
     return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop("_h")
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    strata_col: str,
+    score: Column,
+    keep_num: int,
+    keep_den: int,
+    key_col: str,
+    *,
+    seed: int = 0,
+    rank_col: str = "q_rank",
+    n_col: str = "q_n",
+) -> DataFrame:
+    """CCNet-style per-stratum quality cut: keep the top
+    ``keep_num/keep_den`` fraction of each stratum by ``score`` (ties
+    broken by the portable md5 draw, then the key — fully
+    deterministic). The kept fraction is enforced with INTEGER
+    cross-multiplication (``rank * den <= num * n``) so the selection
+    is bit-identical across engines — never a float threshold compare
+    (the repo's cross-engine selection rule).
+
+    Output = kept rows + ``rank_col`` (1 = best in stratum) and
+    ``n_col`` (stratum size), both computed from ONE window partition
+    spec — a single hash exchange on the stratum + one per-stratum
+    sort.
+
+    Scale shape, stated honestly: the per-stratum sort funnels a
+    mega-stratum (one language = half the corpus) through few tasks.
+    That is acceptable when strata are languages/sources (tens to
+    thousands of strata); for pathological strata use
+    ``quality_quantile_filter_approx`` — a two-pass
+    threshold-broadcast plan with NO sort anywhere (at the cost of an
+    approximate cut point).
+
+    Reference analogue: gookit/validate's min/max rules gate single
+    records; this is the dataset-level "keep the best p%" curation gate
+    a pretraining pipeline runs after scoring (cf. CCNet, Wenzek et
+    al. 2020 — public paper).
+    """
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError("keep fraction must be >= 0 with positive denominator")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.lit(str(seed)),
+        )
+    )
+    part = Window.partitionBy(strata_col)
+    w = part.orderBy(
+        score.desc(), F.col("_h"), F.col(key_col).cast("string")
+    )
+    out = (
+        df.withColumn("_h", h)
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .withColumn(n_col, F.count(F.lit(1)).over(part).cast("long"))
+        .drop("_h")
+    )
+    return out.filter(
+        F.col(rank_col) * F.lit(int(keep_den)) <= F.lit(int(keep_num)) * F.col(n_col)
+    )
+
+
+def quality_quantile_thresholds(
+    df: DataFrame,
+    strata_col: str,
+    score: Column,
+    keep_frac: float,
+    *,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-stratum approximate score cut points: ``(stratum, thr)``
+    where thr ≈ the (1-keep_frac) quantile of score. One aggregation
+    with map-side partial sketches (Greenwald-Khanna inside
+    ``approx_percentile``) — the frame is |strata| rows, broadcastable
+    by construction. No sort, no window, skew-immune."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    return df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.percentile_approx(
+            score, F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("thr")
+    )
+
+
+def quality_quantile_filter_approx(
+    df: DataFrame,
+    strata_col: str,
+    score: Column,
+    keep_frac: float,
+    *,
+    accuracy: int = 10000,
+    thresholds: DataFrame | None = None,
+) -> DataFrame:
+    """Scale path for the per-stratum quality cut: broadcast the
+    per-stratum approximate threshold and keep rows with
+    ``score >= thr`` — a map-side filter after a broadcast hash join;
+    the corpus never shuffles and no stratum ever sorts. The cut point
+    is approximate (sketch error ~1/accuracy of rank), so the kept
+    fraction wobbles around keep_frac — the standard trade every
+    petabyte-scale quantile cut makes. Pass a precomputed
+    ``thresholds`` frame to pin cut points across incremental runs
+    (score drift then shows up as kept-fraction drift — a signal, not
+    a bug)."""
+    if thresholds is None:
+        thresholds = quality_quantile_thresholds(
+            df, strata_col, score, keep_frac, accuracy=accuracy
+        )
+    t = F.broadcast(thresholds.withColumnRenamed("stratum", "_qstratum"))
+    joined = df.withColumn("_qscore", score).join(
+        t, F.col(strata_col) == F.col("_qstratum"), "inner"
+    )
+    return joined.filter(F.col("_qscore") >= F.col("thr")).drop(
+        "_qstratum", "_qscore", "thr"
+    )
+
+
+def stratum_quota(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_col: str,
+    *,
+    seed: int = 0,
+    rank_col: str = "quota_rank",
+) -> DataFrame:
+    """Cap every stratum at ``quota`` rows, chosen by the portable md5
+    draw (deterministic on every run/retry/engine) — the "at most N
+    documents per domain" balancing gate crawl pipelines apply before
+    mixing.
+
+    TWO-PHASE top-N so a mega-stratum never funnels through one task
+    (the salted-uniqueness pattern, operators/uniq.py): phase 1 ranks
+    within (input partition, stratum) — the exchange key includes the
+    physical partition id, so a stratum occupying half the corpus
+    spreads over every task — and keeps ≤ quota rows per (partition,
+    stratum); phase 2 ranks the ≤ n_partitions × quota survivors per
+    stratum. Global-min-N-of-local-min-Ns is exact: any row in the true
+    top-N is in its partition's top-N. Only the survivor frame (quota-
+    bounded) ever shuffles on the bare stratum key.
+
+    Ordering key is (full md5 hex, key) — the same tie-proof pair
+    ``deterministic_shuffle`` uses, so the oracle replays the selection
+    with one window over the full table.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.lit(str(seed)),
+        )
+    )
+    ks = F.col(key_col).cast("string")
+    staged = df.withColumn("_h", h).withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("_pid", strata_col).orderBy(F.col("_h"), ks)
+    local = staged.withColumn("_lr", F.row_number().over(w1)).filter(
+        F.col("_lr") <= quota
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(F.col("_h"), ks)
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .filter(F.col(rank_col) <= quota)
+        .drop("_h", "_pid", "_lr")
+    )

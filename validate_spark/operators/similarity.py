@@ -260,3 +260,82 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     hit = a.join(e, ["query_id", "neighbor_id"], "inner").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    key_col: str = "vec_id",
+    *,
+    dist_threshold: float = 1.0,
+) -> DataFrame:
+    """Embedding-space label audit: distance of every vector to its
+    label's mean vector (centroid), flagging rows whose L2 distance
+    exceeds ``dist_threshold`` — the standard mislabel / junk-embedding
+    screen run before training a classifier head or trusting
+    label-stratified mixes.
+
+    Plan shape (scale-first):
+
+    - centroids via ``posexplode`` → groupBy (label, pos) avg — a
+      map-side-combined aggregate whose result is |labels| × dim rows
+      (KBs), re-assembled to one array per label with a
+      ``sort_array(collect_list(struct(pos, avg)))`` — bounded by dim;
+    - the centroid frame is **broadcast** back onto the corpus (labels
+      ≪ corpus — a dimension-table join by the repo's broadcast rule);
+    - the distance is a JVM ``zip_with`` + fold — no Python, no second
+      shuffle; the corpus is scanned once for centroids and once for
+      distances (two scans total, both map-side beyond the tiny agg).
+
+    The flag compares the ROUND-6 distance (not the raw double) so the
+    oracle's boolean replays bit-identically — round-6 doubles match
+    across engines when per-group cardinality is bounded (working-notes
+    round-4 rule); the selection itself ships as a flag column, never a
+    filter, so the output row set is engine-independent.
+
+    Reference analogue: gookit/validate's enum/in membership gates a
+    field against a fixed set; this is the continuous-space analogue —
+    membership in a label's cluster — which only exists at dataset
+    scale. (validators.go:598 enum; no per-record counterpart.)
+    """
+    v = F.col(vec_col)
+    exploded = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(v).alias("pos", "x"),
+    )
+    centroids = (
+        exploded.groupBy("_lbl", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("centroid")
+        )
+    )
+    joined = df.join(
+        F.broadcast(centroids), df[label_col] == F.col("_lbl"), "inner"
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.col("centroid"),
+                    lambda x, c: (x.try_cast("double") - c)
+                    * (x.try_cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        ),
+        6,
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col(label_col),
+        dist.alias("dist"),
+        (dist > F.lit(float(dist_threshold))).alias("is_outlier"),
+    )
