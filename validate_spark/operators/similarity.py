@@ -299,6 +299,9 @@ def label_centroid_outliers(
     membership in a label's cluster — which only exists at dataset
     scale. (validators.go:598 enum; no per-record counterpart.)
     """
+    from validate_spark.session import fan_out
+
+    df = fan_out(df)  # 64-wide posexplode + folds — never on 1 scan task
     v = F.col(vec_col)
     exploded = df.select(
         F.col(label_col).alias("_lbl"),
