@@ -1868,6 +1868,38 @@ def q81_source_overlap(spark, sf_dir):
     )
 
 
+def q82_soft_dedup_weights(spark, sf_dir):
+    """Duplication-aware soft dedup (dedup.exact_clusters +
+    soft_dedup_weights): every third doc is doubled, then each doc
+    keeps weight 1/|exact cluster| — round-6 of 1/integer, cross-engine
+    exact; cluster sizes come from ONE window count (no
+    groupBy-join-back)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cohort = docs.unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    clusters = dd.exact_clusters(cohort)
+    return dd.soft_dedup_weights(cohort, clusters)
+
+
+def q83_cluster_split(spark, sf_dir):
+    """Leakage-free train/val/test split (dedup.cluster_split): docs
+    gate into splits by the md5 draw of their NEAR-DUP cluster id
+    (minhash pairs at 0.9, 24x12 band family — weakest qualifying pair
+    J~0.92, miss probability ~6e-10, the q16/q81 argument), so
+    near-duplicates never straddle train and eval."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        docs, threshold=0.9, n_hashes=24, n_bands=12
+    )
+    clusters = dd.dedup_clusters(pairs)
+    return dd.cluster_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2154,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_stratum_quota": q79_stratum_quota,
         "q80_centroid_outliers": q80_centroid_outliers,
         "q81_source_overlap": q81_source_overlap,
+        "q82_soft_dedup_weights": q82_soft_dedup_weights,
+        "q83_cluster_split": q83_cluster_split,
     }
 
 
@@ -3512,6 +3546,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_a, src_b, count(*)::bigint AS n_pairs,
                    round(avg(j), 6) AS mean_jaccard
             FROM p GROUP BY src_a, src_b
+        """,
+        # soft dedup: exact-fp clusters via window min/count; weight is
+        # round-6 of 1/integer — cross-engine exact
+        "q82_soft_dedup_weights": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 3 = 0
+            ), f AS (
+              SELECT doc_id::varchar AS k, md5({_NORM}) AS fp FROM d
+            ), c AS (
+              SELECT k, min(k) OVER (PARTITION BY fp) AS cluster FROM f
+            )
+            SELECT k, cluster,
+                   count(*) OVER (PARTITION BY cluster)::bigint AS cluster_n,
+                   round(1.0::double
+                         / count(*) OVER (PARTITION BY cluster), 6) AS weight
+            FROM c
+        """,
+        # leakage-free split: connected components at 0.9 (recursive
+        # CTE, the q26 argument), singletons root to self, md5 gate on
+        # the CLUSTER id with cumulative sorted-name boundaries
+        # (test 0.1 | train 0.8 | val 0.1 -> 100000 / 900000)
+        "q83_cluster_split": f"""
+            WITH RECURSIVE c AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t FROM documents
+            ), s AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substring(t, i, 5))) AS sh
+              FROM c WHERE length(t) > 0
+            ), e AS (
+              SELECT x.k AS u, y.k AS v
+              FROM s x JOIN s y ON x.k < y.k
+              WHERE round(len(list_intersect(x.sh, y.sh))::double
+                          / len(list_distinct(x.sh || y.sh))::double, 6) >= 0.9
+            ), adj AS (
+              SELECT u, v FROM e UNION SELECT v, u FROM e
+            ), reach(node, r) AS (
+              SELECT u, u FROM adj
+              UNION
+              SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
+            ), root AS (
+              SELECT node AS k, min(r) AS cluster FROM reach GROUP BY node
+            ), assigned AS (
+              SELECT d.doc_id::varchar AS k,
+                     coalesce(root.cluster, d.doc_id::varchar) AS cluster
+              FROM documents d LEFT JOIN root ON root.k = d.doc_id::varchar
+            )
+            SELECT k, cluster,
+                   CASE WHEN CAST('0x' || substr(md5(cluster || chr(31) || '0'),
+                                  1, 8) AS BIGINT) % 1000000 < 100000
+                          THEN 'test'
+                        WHEN CAST('0x' || substr(md5(cluster || chr(31) || '0'),
+                                  1, 8) AS BIGINT) % 1000000 < 900000
+                          THEN 'train'
+                        ELSE 'val' END AS split
+            FROM assigned
         """,
         # incremental LSH probe: exhaustive batch x index exact-Jaccard
         # (the q16 oracle argument in incremental form; at j >= 0.99

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "q79_stratum_quota",
     "q80_centroid_outliers",
     "q81_source_overlap",
+    "q82_soft_dedup_weights",
+    "q83_cluster_split",
 ]
 
 

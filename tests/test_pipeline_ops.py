@@ -1089,3 +1089,56 @@ def test_source_overlap_matrix_planted_pair(spark):
     assert m[("srcA", "srcC")] == 1
     assert ("srcB", "srcC") not in m
     assert ("srcA", "srcA") not in m
+
+
+def test_exact_clusters_and_soft_weights(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "ALPHA beta   gamma, delta!"),   # same normalized content
+        (3, "alpha beta gamma delta"),       # third member
+        (4, "something else entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = dd.exact_clusters(df)
+    got = {r["member"]: r["cluster"] for r in cl.collect()}
+    assert got == {"1": "1", "2": "1", "3": "1", "4": "4"}
+    w = {r["k"]: (r["cluster_n"], r["weight"])
+         for r in dd.soft_dedup_weights(df, cl).collect()}
+    assert w["1"] == (3, 0.333333) and w["2"] == (3, 0.333333)
+    assert w["4"] == (1, 1.0)
+
+
+def test_soft_weights_singleton_for_unclustered(spark):
+    """Docs missing from the clusters frame are their own singleton
+    cluster — total weight mass = number of unique contents."""
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i} with words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "member string, cluster string")
+    w = dd.soft_dedup_weights(df, empty)
+    assert w.count() == 10
+    assert w.filter((F.col("cluster_n") == 1) & (F.col("weight") == 1.0)).count() == 10
+
+
+def test_cluster_split_leakage_free(spark):
+    """Members of one cluster always share a split; fractions are
+    roughly honored over many singleton clusters."""
+    rows = [(i, f"totally unique document {i} body text") for i in range(300)]
+    rows += [(1000 + i, "the shared near duplicate boilerplate page") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = dd.exact_clusters(df)
+    out = dd.cluster_split(df, cl, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_cluster = (
+        out.groupBy("cluster")
+        .agg(F.size(F.collect_set("split")).alias("ns"))
+        .agg(F.max("ns"))
+        .first()[0]
+    )
+    assert per_cluster == 1  # no cluster straddles splits
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) > 200  # ~80% of 305
+    assert set(counts) <= {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        dd.cluster_split(df, cl, {"train": 0.5, "val": 0.1})

@@ -1525,3 +1525,106 @@ def source_overlap_matrix(
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+def exact_clusters(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """(member, cluster) over exact-duplicate groups: cluster id = min
+    member key per normalized-text md5 fingerprint. The cheap (one
+    fixed-width-key exchange) cluster frame for the soft-dedup /
+    split consumers below; feed ``dedup_clusters`` output instead when
+    near-dup grouping is wanted — same contract."""
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(key_col).cast("string").alias("member"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return staged.withColumn("cluster", F.min("member").over(w)).drop("fp")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, keep every document
+    with sampling weight 1/|cluster| — the duplication-aware
+    reweighting that preserves corpus coverage while equalizing each
+    unique content's total mass (the alternative to hard dedup when
+    duplicates carry signal, e.g. popularity).
+
+    ``clusters`` is any (member, cluster) frame — ``exact_clusters``
+    for exact groups, ``dedup_clusters`` for near-dup components.
+    Documents absent from it are singletons (cluster = own key,
+    weight 1).
+
+    Plan shape: left join corpus keys to the cluster frame on the key
+    (fixed-width exchange), then ONE window count partitioned by
+    cluster — a second single exchange; no groupBy-join-back double
+    scan (the minhash_index_bands lesson). weight is round-6 of
+    1/integer — cross-engine exact.
+    """
+    all_k = df.select(F.col(key_col).cast("string").alias("k"))
+    lab = clusters.select(F.col("member").alias("k"), "cluster")
+    full = all_k.join(lab, "k", "left").withColumn(
+        "cluster", F.coalesce("cluster", F.col("k"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster")
+    return full.withColumn(
+        "cluster_n", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("cluster_n"), 6)
+    )
+
+
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    fractions: dict,
+    key_col: str = "doc_id",
+    *,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: every document is
+    gated into a split by the md5 draw of its CLUSTER id — members of
+    one (near-)duplicate cluster land in the same split by
+    construction, so evaluation never scores memorized training
+    near-dups (the split-contamination failure mode hard dedup alone
+    does not fix when dedup thresholds are looser than "similar").
+
+    ``fractions`` maps split name → fraction; must sum to 1. The gate
+    is the samplers' portable md5 construction on the cluster id, so
+    the assignment replays on any engine; bucket boundaries are
+    cumulative in sorted-name order.
+
+    Plan shape: one key join (corpus → cluster frame) + a map-side
+    CASE on the draw — no extra shuffle beyond the join; singleton
+    docs short-circuit to cluster = own key.
+    """
+    from validate_spark.operators.sampling import _M, _gate
+
+    tot = sum(fractions.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    all_k = df.select(F.col(key_col).cast("string").alias("k"))
+    lab = clusters.select(F.col("member").alias("k"), "cluster")
+    full = all_k.join(lab, "k", "left").withColumn(
+        "cluster", F.coalesce("cluster", F.col("k"))
+    )
+    full = full.withColumn("_g", _gate("cluster", seed))
+    expr = None
+    acc = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = F.col("_g") < F.lit(int(acc * _M))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return full.withColumn(split_col, out).drop("_g")
