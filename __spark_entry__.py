@@ -1900,6 +1900,32 @@ def q83_cluster_split(spark, sf_dir):
     )
 
 
+def q84_top_spans(spark, sf_dir):
+    """Top-20 most-duplicated exact 8-token spans (dedup.
+    top_duplicated_spans) over the q75 cohort: the WHAT-is-the-
+    boilerplate governance view. Distributed top-N via
+    TakeOrderedAndProject (local N-heaps, no global sort — plan-
+    asserted); fully deterministic (n_docs desc, n_occ desc, span)
+    tie-break so the oracle's LIMIT picks identical rows."""
+    from validate_spark.operators.dedup import top_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.lit(" the quick brown fox jumps over the lazy sleeping dog"),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 0,
+            F.lit(" pack my box with five dozen brown liquor jugs now"),
+        ).otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", t2.alias("text"))
+    return top_duplicated_spans(corpus, w=8, min_docs=2, top_n=20)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2188,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_source_overlap": q81_source_overlap,
         "q82_soft_dedup_weights": q82_soft_dedup_weights,
         "q83_cluster_split": q83_cluster_split,
+        "q84_top_spans": q84_top_spans,
     }
 
 
@@ -3546,6 +3573,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_a, src_b, count(*)::bigint AS n_pairs,
                    round(avg(j), 6) AS mean_jaccard
             FROM p GROUP BY src_a, src_b
+        """,
+        # top duplicated spans: replay tokenize -> span windows ->
+        # two-stage (span, doc) / (span) counts -> deterministic
+        # ORDER BY ... LIMIT (the same tie-break as the Spark side)
+        "q84_top_spans": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' the quick brown fox jumps over the lazy sleeping dog'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' pack my box with five dozen brown liquor jugs now'
+                          ELSE '' END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id::varchar AS k,
+                     string_split({_NORM}, ' ') AS wl
+              FROM d WHERE length({_NORM}) > 0
+            ), b AS (
+              SELECT k, greatest(len(wl) - 7, 0)::int AS n_windows, wl
+              FROM t
+            ), wn AS (
+              SELECT k, unnest(range(1, n_windows + 1)) AS pos, wl
+              FROM b WHERE n_windows > 0
+            ), sp AS (
+              SELECT k, array_to_string(wl[pos:pos+7], ' ') AS span FROM wn
+            ), pd AS (
+              SELECT span, k, count(*)::bigint AS nk FROM sp GROUP BY span, k
+            ), ag AS (
+              SELECT span, count(*)::bigint AS n_docs,
+                     sum(nk)::bigint AS n_occ
+              FROM pd GROUP BY span
+            )
+            SELECT row_number() OVER (ORDER BY n_docs DESC, n_occ DESC,
+                                      span)::bigint AS rank,
+                   span, n_docs, n_occ
+            FROM ag WHERE n_docs >= 2
+            ORDER BY n_docs DESC, n_occ DESC, span
+            LIMIT 20
         """,
         # soft dedup: exact-fp clusters via window min/count; weight is
         # round-6 of 1/integer — cross-engine exact

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q81_source_overlap",
     "q82_soft_dedup_weights",
     "q83_cluster_split",
+    "q84_top_spans",
 ]
 
 

@@ -1142,3 +1142,21 @@ def test_cluster_split_leakage_free(spark):
     assert set(counts) <= {"train", "val", "test"}
     with pytest.raises(ValueError):
         dd.cluster_split(df, cl, {"train": 0.5, "val": 0.1})
+
+
+def test_top_duplicated_spans(spark):
+    boiler = "one two three four five six seven eight"   # exactly 8 tokens
+    rows = [
+        (1, f"{boiler} unique tail alpha"),
+        (2, f"{boiler} unique tail beta"),
+        (3, f"prefix words here {boiler}"),
+        (4, "totally different content with no shared windows at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.top_duplicated_spans(df, w=8, min_docs=2, top_n=5).collect()
+    assert out[0]["rank"] == 1
+    assert out[0]["span"] == boiler
+    assert out[0]["n_docs"] == 3 and out[0]["n_occ"] == 3
+    # every reported span occurs in >= 2 docs; ranks are 1..n dense
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert all(r["n_docs"] >= 2 for r in out)

@@ -510,3 +510,14 @@ def test_label_centroid_outliers_two_scans_broadcast(spark):
     assert plan.count("Scan parquet") == 2
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_top_spans_is_take_ordered_not_global_sort(spark):
+    """The global top-N must plan as TakeOrderedAndProject (per-task
+    N-heaps, driver merge) — a full Sort of the span-aggregate frame
+    would materialize a global order over billions of distinct spans."""
+    from validate_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(dd.top_duplicated_spans(docs, top_n=20))
+    assert "TakeOrderedAndProject" in plan

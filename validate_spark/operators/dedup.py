@@ -1628,3 +1628,81 @@ def cluster_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return full.withColumn(split_col, out).drop("_g")
+
+
+def top_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    w: int = 8,
+    min_docs: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """The governance companion to ``duplicated_spans``: WHAT is the
+    boilerplate — the ``top_n`` exact w-token spans occurring in the
+    most distinct documents → ``(rank, span, n_docs, n_occ)`` ordered
+    by (n_docs desc, n_occ desc, span) with a fully deterministic
+    tie-break.
+
+    Scale shape:
+
+    - window building is the same map-side split + slice projection
+      (``fan_out`` guard); exchanges key on ``md5(span)`` (16-byte
+      uniform keys), the span string rides along (min-per-group — the
+      hash is injective modulo md5 collision);
+    - the doc-frequency aggregate is TWO distinct-free stages —
+      (wh, k) then (wh) — never a ``countDistinct`` beside a plain
+      count (that re-plans the groupBy as a two-phase Expand, the
+      round-4 gotcha); per-stage state is counters only, so the one
+      mega-boilerplate span is a single row, not a collected list;
+    - the global top-N is ``orderBy().limit(top_n)`` — Spark plans
+      TakeOrderedAndProject: each task keeps a local N-heap and the
+      driver merges ≤ tasks × N rows; NO global sort ever materializes
+      (plan-asserted). The final rank window runs over the ≤ top_n-row
+      result — driver-sized by construction.
+    """
+    if w < 1 or top_n < 1:
+        raise ValueError("w and top_n must be >= 1")
+    from pyspark.sql import Window
+
+    toks = _fan_out(
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+        ).filter(F.length(F.concat_ws("", "_w")) > 0)
+    )
+    tw = F.col("_w")
+    base = toks.select(
+        "k", F.greatest(F.size(tw) - (w - 1), F.lit(0)).alias("n_windows"), tw.alias("_w")
+    )
+    spans = (
+        base.filter(F.col("n_windows") > 0)
+        .select(
+            "k",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_windows")),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, w)),
+                )
+            ).alias("span"),
+        )
+        .select("k", F.md5("span").alias("wh"), "span")
+    )
+    per_doc = spans.groupBy("wh", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"), F.min("span").alias("span")
+    )
+    agg = per_doc.groupBy("wh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_occ"),
+        F.min("span").alias("span"),
+    )
+    top = (
+        agg.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+        .limit(top_n)
+    )
+    wnd = Window.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+    return top.withColumn("rank", F.row_number().over(wnd).cast("long")).select(
+        "rank", "span", "n_docs", "n_occ"
+    )
