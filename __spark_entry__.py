@@ -1926,6 +1926,51 @@ def q84_top_spans(spark, sf_dir):
     return top_duplicated_spans(corpus, w=8, min_docs=2, top_n=20)
 
 
+def q85_rule_drift(spark, sf_dir):
+    """Per-rule violation-rate drift between an md5 A/B split of one
+    validation run (drift.rule_violation_drift): the governance view
+    that answers 'did any RULE's failure rate move between yesterday's
+    and today's partitions'. The drifted flag is integer
+    cross-multiplication in decimal(38,0)/HUGEINT (|n_a*tot_b -
+    n_b*tot_a|*10^4 > bp*tot_a*tot_b) so the selection replays
+    bit-identically and never overflows at 10^12-row totals; totals
+    ride the same single scan via a NULL-sentinel explode element."""
+    from validate_spark.operators.drift import rule_violation_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    cohort = (
+        F.substring(
+            F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))), 1, 1
+        )
+        < "8"
+    )
+    return rule_violation_drift(res, cohort, min_delta_bp=100)
+
+
+def q86_violation_control(spark, sf_dir):
+    """Violation-rate control chart over daily ingest windows
+    (drift.windowed_violation_anomalies): per-day row/failing-row
+    counts and an anomalous flag when the day's rate deviates from the
+    global rate by >200 bp — what a production pipeline alarms on.
+    One scan -> groupBy(day) map-side partials; global totals are an
+    unpartitioned-window sum over the tiny per-day frame, not a second
+    input pass. Flag is decimal(38,0)/HUGEINT cross-multiplication
+    (engine-portable, overflow-safe)."""
+    from validate_spark.operators.drift import windowed_violation_anomalies
+
+    events = _t(spark, sf_dir, "events")
+    rs = RuleSet(
+        rules={
+            "value": "required|max:400",
+            "event_type": "required|enum:click,view,error,purchase",
+        }
+    )
+    res = validate(events, rs, key_cols=["event_id"])
+    win = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    return windowed_violation_anomalies(res, win, max_delta_bp=200)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2215,6 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_soft_dedup_weights": q82_soft_dedup_weights,
         "q83_cluster_split": q83_cluster_split,
         "q84_top_spans": q84_top_spans,
+        "q85_rule_drift": q85_rule_drift,
+        "q86_violation_control": q86_violation_control,
     }
 
 
@@ -3613,6 +3660,62 @@ def oracle_sql() -> dict[str, str]:
             FROM ag WHERE n_docs >= 2
             ORDER BY n_docs DESC, n_occ DESC, span
             LIMIT 20
+        """,
+        # rule drift: per-rule violation counts per md5-A/B cohort; the
+        # drifted flag is HUGEINT cross-multiplication (the Spark side
+        # uses decimal(38,0)) so the boolean replays bit-identically
+        "q85_rule_drift": f"""
+            WITH c AS (
+              SELECT *,
+                     substr(md5(coalesce(doc_id::VARCHAR, '')), 1, 1) < '8'
+                       AS in_a
+              FROM documents
+            ), r AS (
+              {" UNION ALL ".join(
+                  f"SELECT '{fld}' AS field, '{val}' AS validator, "
+                  f"count(*) FILTER (in_a AND {_V[k]})::BIGINT AS n_a, "
+                  f"count(*) FILTER ((NOT in_a) AND {_V[k]})::BIGINT AS n_b "
+                  f"FROM c"
+                  for k, fld, val in _RULE_ORDER
+              )}
+            ), t AS (
+              SELECT count(*) FILTER (in_a)::BIGINT AS tot_a,
+                     count(*) FILTER (NOT in_a)::BIGINT AS tot_b
+              FROM c
+            )
+            SELECT field, validator, n_a, n_b, tot_a, tot_b,
+                   round(n_a / tot_a, 6) AS rate_a,
+                   round(n_b / tot_b, 6) AS rate_b,
+                   (abs(n_a::HUGEINT * tot_b - n_b::HUGEINT * tot_a) * 10000
+                      > 100::HUGEINT * tot_a * tot_b) AS drifted
+            FROM r CROSS JOIN t
+            WHERE n_a + n_b > 0
+        """,
+        # violation control chart: per-day failing-row rate vs the
+        # global rate, anomalous when >200bp apart (HUGEINT cross-mult)
+        "q86_violation_control": """
+            WITH w AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS "window",
+                     (value IS NOT NULL AND value <= 400
+                      AND event_type IS NOT NULL AND event_type <> ''
+                      AND event_type IN ('click','view','error','purchase'))
+                       AS p
+              FROM events
+            ), per AS (
+              SELECT "window", count(*)::BIGINT AS n,
+                     count(*) FILTER (NOT p)::BIGINT AS n_viol
+              FROM w GROUP BY "window"
+            ), t AS (
+              SELECT sum(n)::BIGINT AS tot_n,
+                     sum(n_viol)::BIGINT AS tot_viol
+              FROM per
+            )
+            SELECT "window", n, n_viol, tot_n, tot_viol,
+                   round(n_viol / n, 6) AS rate,
+                   round(tot_viol / tot_n, 6) AS global_rate,
+                   (abs(n_viol::HUGEINT * tot_n - tot_viol::HUGEINT * n)
+                      * 10000 > 200::HUGEINT * n * tot_n) AS anomalous
+            FROM per CROSS JOIN t
         """,
         # soft dedup: exact-fp clusters via window min/count; weight is
         # round-6 of 1/integer — cross-engine exact

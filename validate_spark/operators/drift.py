@@ -291,3 +291,138 @@ def _report(left: list[int], right: list[int], method: str) -> DriftReport:
     return DriftReport(
         statistic=stat, p_value=p, n_left=sum(left), n_right=sum(right), method=method
     )
+
+
+_FAILED_COL = "_vs_failed"
+_PASS_COL = "_vs_pass"
+
+# Integer cross-multiplication products reach |count|·|count|·10^4; at
+# 10^12 rows that's ~10^29, far past BIGINT — all rate comparisons below
+# go through decimal(38,0) (Spark) / HUGEINT (oracle SQL), never long.
+_DEC = "decimal(38,0)"
+
+
+def rule_violation_drift(
+    res,
+    cohort,
+    *,
+    min_delta_bp: int = 100,
+    failed_col: str = _FAILED_COL,
+) -> DataFrame:
+    """Per-rule violation-RATE drift between two cohorts of one
+    validation run (e.g. yesterday's partition vs today's, or an
+    md5-split A/B of the same table): for every (field, validator)
+    with at least one violation, the per-cohort violation counts, row
+    totals, round-6 rates, and a ``drifted`` flag raised when the two
+    rates differ by more than ``min_delta_bp`` basis points.
+
+    ``cohort`` is a boolean Column (True = cohort A). The flag is
+    decided by INTEGER cross-multiplication —
+    ``|n_a·tot_b − n_b·tot_a|·10⁴ > bp·tot_a·tot_b`` — in decimal(38,0)
+    so the selection replays bit-identically in any engine and never
+    overflows at 10^12-row totals.
+
+    Scale: ONE scan. Row totals ride the same explode as the per-rule
+    counts via a NULL-sentinel element prepended to every row's
+    violation array, so the groupBy((field, validator)) — cardinality
+    = #rules + 1, map-side combined — is the only shuffle; the totals
+    row is then broadcast back inside the tiny aggregated frame with
+    an unpartitioned window (≤ #rules rows on one task, not a second
+    scan of the input)."""
+    from pyspark.sql import Window
+
+    ann = getattr(res, "annotated", res)
+    arr_t = ann.schema[failed_col].dataType
+    sentinel = F.array(F.lit(None).cast(arr_t.elementType))
+    ex = ann.select(
+        cohort.alias("_in_a"),
+        F.explode(
+            F.concat(sentinel, F.coalesce(F.col(failed_col), F.array().cast(arr_t)))
+        ).alias("_v"),
+    )
+    a = F.col("_in_a")
+    counts = ex.groupBy(
+        F.col("_v.field").alias("field"),
+        F.col("_v.validator").alias("validator"),
+    ).agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    null_f = F.col("field").isNull()
+    counts = counts.withColumn(
+        "tot_a", F.max(F.when(null_f, F.col("n_a"))).over(whole)
+    ).withColumn("tot_b", F.max(F.when(null_f, F.col("n_b"))).over(whole))
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    delta = d("n_a") * d("tot_b") - d("n_b") * d("tot_a")
+    drifted = F.abs(delta) * F.lit(10_000).cast(_DEC) > (
+        F.lit(int(min_delta_bp)).cast(_DEC) * d("tot_a") * d("tot_b")
+    )
+    return counts.filter(~null_f).select(
+        "field",
+        "validator",
+        "n_a",
+        "n_b",
+        "tot_a",
+        "tot_b",
+        F.round(F.col("n_a") / F.col("tot_a"), 6).alias("rate_a"),
+        F.round(F.col("n_b") / F.col("tot_b"), 6).alias("rate_b"),
+        drifted.alias("drifted"),
+    )
+
+
+def windowed_violation_anomalies(
+    res,
+    window_col,
+    *,
+    max_delta_bp: int = 200,
+    pass_col: str = _PASS_COL,
+) -> DataFrame:
+    """Violation-rate control chart: per ``window_col`` group (a day,
+    an ingest batch, a source shard) the row count, failing-row count,
+    round-6 failure rate, and an ``anomalous`` flag raised when the
+    window's rate deviates from the GLOBAL rate by more than
+    ``max_delta_bp`` basis points — the monitoring view a production
+    validation pipeline alarms on.
+
+    Flag semantics are integer cross-multiplication in decimal(38,0)
+    (``|n_viol·tot_n − tot_viol·n|·10⁴ > bp·n·tot_n``) — engine-portable
+    and overflow-safe at 10^12 rows (same discipline as
+    :func:`rule_violation_drift`).
+
+    Scale: ONE scan → groupBy(window) with map-side partials
+    (cardinality = #windows); global totals are an unpartitioned-window
+    sum over that tiny aggregated frame, NOT a second pass over the
+    input."""
+    from pyspark.sql import Window
+
+    ann = getattr(res, "annotated", res)
+    per = ann.select(
+        window_col.alias("window"), F.col(pass_col).alias("_p")
+    ).groupBy("window").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_p"), 0).otherwise(1)).cast("long").alias("n_viol"),
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = per.withColumn("tot_n", F.sum("n").over(whole)).withColumn(
+        "tot_viol", F.sum("n_viol").over(whole)
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    delta = d("n_viol") * d("tot_n") - d("tot_viol") * d("n")
+    anomalous = F.abs(delta) * F.lit(10_000).cast(_DEC) > (
+        F.lit(int(max_delta_bp)).cast(_DEC) * d("n") * d("tot_n")
+    )
+    return per.select(
+        "window",
+        "n",
+        "n_viol",
+        "tot_n",
+        "tot_viol",
+        F.round(F.col("n_viol") / F.col("n"), 6).alias("rate"),
+        F.round(F.col("tot_viol") / F.col("tot_n"), 6).alias("global_rate"),
+        anomalous.alias("anomalous"),
+    )
