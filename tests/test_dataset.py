@@ -173,3 +173,77 @@ def test_dangling_ref_counts_semijoin_reduction(spark):
     first_agg = plan.find("partial_count")
     first_exchange = plan.find("Exchange")
     assert first_agg != -1 and first_exchange != -1
+
+
+def test_rule_violation_drift_counts_and_flag(spark):
+    """Exact per-cohort counts, totals from the NULL-sentinel ride-along,
+    and the integer cross-multiplied drifted flag (both polarities)."""
+    from validate_spark import validate
+    from validate_spark.operators.drift import rule_violation_drift
+
+    # cohort A = id < 40 (40 rows), B = 60 rows.
+    # 'v' fails min:10 for id<8 in A (8/40=20%) and id in [40,46) in B
+    # (6/60=10%) -> 1000bp apart. 's' fails required for exactly 4 rows
+    # in EACH cohort (A 10%, B ~6.67%) -> 333bp apart.
+    rows = [
+        (i, 5 if (i < 8 or 40 <= i < 46) else 50, None if i % 25 < 2 else "x")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, s string")
+    res = validate(df, RuleSet(rules={"v": "min:10", "s": "required"}), key_cols=["id"])
+    out = rule_violation_drift(res, F.col("id") < 40, min_delta_bp=500)
+    got = {r["validator"]: r.asDict() for r in out.collect()}
+    assert got["min"]["n_a"] == 8 and got["min"]["n_b"] == 6
+    assert got["min"]["tot_a"] == 40 and got["min"]["tot_b"] == 60
+    assert got["min"]["rate_a"] == 0.2 and got["min"]["rate_b"] == 0.1
+    assert got["min"]["drifted"] is True          # 1000bp > 500bp
+    assert got["required"]["n_a"] == 4 and got["required"]["n_b"] == 4
+    assert got["required"]["drifted"] is False    # ~333bp < 500bp
+    # the sentinel row never leaks into the output
+    assert all(r["field"] is not None for r in out.collect())
+
+
+def test_rule_violation_drift_zero_violation_cohort_totals(spark):
+    """A rule violated in only ONE cohort still reports both totals
+    (the sentinel totals don't depend on a rule having violations)."""
+    from validate_spark import validate
+    from validate_spark.operators.drift import rule_violation_drift
+
+    df = spark.createDataFrame(
+        [(i, 0 if i < 5 else 99) for i in range(30)], "id long, v long"
+    )
+    res = validate(df, RuleSet(rules={"v": "min:10"}), key_cols=["id"])
+    row = rule_violation_drift(res, F.col("id") < 10).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (5, 0)
+    assert (row["tot_a"], row["tot_b"]) == (10, 20)
+    assert row["drifted"] is True
+
+
+def test_windowed_violation_anomalies(spark):
+    """Per-window counts, global totals, and the >bp deviation flag."""
+    from validate_spark import validate
+    from validate_spark.operators.drift import windowed_violation_anomalies
+
+    # w0: 2/10 fail (20%), w1: 1/10 (10%), w2: 0/10 (0%); global 10%.
+    rows = [(i, i // 10, 0 if (i % 10 < 2 - i // 10) else 99) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, w int, v long")
+    res = validate(df, RuleSet(rules={"v": "min:10"}), key_cols=["id"])
+    out = windowed_violation_anomalies(res, F.col("w"), max_delta_bp=500)
+    got = {r["window"]: r.asDict() for r in out.collect()}
+    assert len(got) == 3 and all(g["tot_n"] == 30 and g["tot_viol"] == 3 for g in got.values())
+    assert got[0]["n_viol"] == 2 and got[0]["anomalous"] is True    # +1000bp
+    assert got[1]["n_viol"] == 1 and got[1]["anomalous"] is False   # 0bp
+    assert got[2]["n_viol"] == 0 and got[2]["anomalous"] is True    # -1000bp
+
+
+def test_windowed_violation_single_input_scan(spark):
+    """The global totals ride a window over the AGGREGATED frame —
+    the physical plan scans the input exactly once."""
+    from validate_spark import validate
+    from validate_spark.operators.drift import windowed_violation_anomalies
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    res = validate(df, RuleSet(rules={"value": "max:400"}), key_cols=["event_id"])
+    out = windowed_violation_anomalies(res, F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
