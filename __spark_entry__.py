@@ -1971,6 +1971,94 @@ def q86_violation_control(spark, sf_dir):
     return windowed_violation_anomalies(res, win, max_delta_bp=200)
 
 
+def q87_schema_profile_drift(spark, sf_dir):
+    """TFDV/Deequ-style schema + profile skew between two snapshots of
+    one table (drift.schema_profile_drift): snapshot B is today's crawl
+    of documents with one column dropped (lang), one type-changed
+    (n_chars -> string), one added (fetched), and ~12.5% of text
+    md5-gated to NULL. Per column: presence, dtypes, null counts,
+    round-6 null rates, and a status (added/dropped/type_changed/
+    null_drift/ok); the null_drift selection is decimal(38,0)/HUGEINT
+    cross-multiplication. ONE wide-agg scan per snapshot; everything
+    after is metadata-sized (reference seed: the compile-time struct
+    shape pin, cache.go:98-257)."""
+    from validate_spark.operators.drift import schema_profile_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = (
+        F.substring(
+            F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))), 1, 1
+        )
+        < "2"
+    )
+    snap_b = docs.select(
+        "doc_id",
+        F.when(~gate, F.col("text")).alias("text"),
+        "source",
+        F.col("n_chars").cast("string").alias("n_chars"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("fetched"),
+    )
+    return schema_profile_drift(docs, snap_b, max_null_delta_bp=100)
+
+
+def q88_pattern_profile(spark, sf_dir):
+    """Value-shape profile of a string column (suggest.pattern_profile):
+    classify every value into its first-matching pattern class (null,
+    empty, int/float/bool strings, date, uuid, email, url, hex, other)
+    and report counts + round-6 shares — the evidence view behind rule
+    suggestion. The profiled column is derived from documents by
+    doc_id modulus cohorts so every class has deterministic members in
+    both engines; the classification regexes are the Java-RE2 common
+    dialect and the priority ORDER is part of the contract (an
+    all-digit md5 fragment is int_string, not hex, in both engines).
+    One scan, regex ladder in one codegen'd projection (fan_out
+    guarded), groupBy over <=11 labels, total via window over the
+    aggregated frame."""
+    from validate_spark.operators.suggest import pattern_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = F.md5(ds)
+    kind = F.pmod(d, F.lit(9))
+    # 5 is coprime to 9 so every (kind, sub) combination occurs —
+    # pmod(d, 3) would be constant 2 on the kind==8 cohort
+    sub = F.pmod(d, F.lit(5))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    val = (
+        F.when(kind == 0, (d * 37).cast("string"))
+        .when(kind == 1, F.concat(F.lit("3."), F.pmod(d, F.lit(100)).cast("string")))
+        .when(kind == 2, F.when(F.pmod(d, F.lit(2)) == 0, "true").otherwise("no"))
+        .when(
+            kind == 3,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad((F.pmod(d, F.lit(28)) + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .when(kind == 4, uuid)
+        .when(kind == 5, F.concat(F.lit("u"), ds, F.lit("@example.com")))
+        .when(
+            kind == 6,
+            F.concat(
+                F.lit("https://ex"), F.pmod(d, F.lit(50)).cast("string"), F.lit(".org/p")
+            ),
+        )
+        .when(kind == 7, F.lit(None).cast("string"))
+        .when(sub == 0, F.lit(""))
+        .when(sub == 1, F.substring(m, 1, 12))
+        .otherwise(F.concat(F.lit("plain text "), ds))
+    )
+    return pattern_profile(docs.select(val.alias("val")), "val")
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2262,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_top_spans": q84_top_spans,
         "q85_rule_drift": q85_rule_drift,
         "q86_violation_control": q86_violation_control,
+        "q87_schema_profile_drift": q87_schema_profile_drift,
+        "q88_pattern_profile": q88_pattern_profile,
     }
 
 
@@ -2664,6 +2754,58 @@ def _q35_sql() -> str:
             f"FROM documents WHERE {_V[key]}"
         )
     return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") WHERE n > 0"
+
+
+def _q88_sql() -> str:
+    """Pattern-profile oracle: replay q88's modulus-cohort derived
+    column, then classify with the SAME regex ladder in the SAME
+    priority order as suggest.PATTERN_CLASSES (interpolated — one
+    source of truth; the patterns are the Java∩RE2 common dialect so
+    DuckDB's RE2 and Spark's Java regex agree, incl. the all-digit
+    md5-fragment -> int_string tie-break)."""
+    from validate_spark.operators.suggest import PATTERN_CLASSES
+
+    ladder = " ".join(
+        f"WHEN regexp_matches(v, '{rx}') THEN '{name}'"
+        for name, rx in PATTERN_CLASSES
+    )
+    return f"""
+        WITH d AS (
+          SELECT CASE (doc_id % 9)
+            WHEN 0 THEN (doc_id * 37)::VARCHAR
+            WHEN 1 THEN '3.' || (doc_id % 100)::VARCHAR
+            WHEN 2 THEN CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'no' END
+            WHEN 3 THEN '2024-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+            WHEN 4 THEN substr(md5(doc_id::VARCHAR), 1, 8) || '-' ||
+                        substr(md5(doc_id::VARCHAR), 9, 4) || '-' ||
+                        substr(md5(doc_id::VARCHAR), 13, 4) || '-' ||
+                        substr(md5(doc_id::VARCHAR), 17, 4) || '-' ||
+                        substr(md5(doc_id::VARCHAR), 21, 12)
+            WHEN 5 THEN 'u' || doc_id::VARCHAR || '@example.com'
+            WHEN 6 THEN 'https://ex' || (doc_id % 50)::VARCHAR || '.org/p'
+            WHEN 7 THEN NULL
+            ELSE CASE (doc_id % 5)
+              WHEN 0 THEN ''
+              WHEN 1 THEN substr(md5(doc_id::VARCHAR), 1, 12)
+              ELSE 'plain text ' || doc_id::VARCHAR END
+          END AS v
+          FROM documents
+        ), c AS (
+          SELECT CASE WHEN v IS NULL THEN 'null'
+                      WHEN v = '' THEN 'empty'
+                      {ladder}
+                      ELSE 'other' END AS pattern_class
+          FROM d
+        ), per AS (
+          SELECT pattern_class, count(*)::BIGINT AS n
+          FROM c GROUP BY pattern_class
+        ), t AS (
+          SELECT sum(n)::BIGINT AS n_total FROM per
+        )
+        SELECT pattern_class, n, n_total,
+               round(n / n_total, 6) AS share
+        FROM per CROSS JOIN t
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3717,6 +3859,68 @@ def oracle_sql() -> dict[str, str]:
                       * 10000 > 200::HUGEINT * n * tot_n) AS anomalous
             FROM per CROSS JOIN t
         """,
+        # schema/profile drift: snapshot B derived from documents (lang
+        # dropped, n_chars type-changed, fetched added, text md5-gated
+        # to NULL); dtype strings are Spark simpleString literals (the
+        # snapshot schemas are the fixture's SPEC); null_drift selection
+        # is HUGEINT cross-multiplication
+        "q87_schema_profile_drift": """
+            WITH a AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum((doc_id IS NULL)::INT)::BIGINT AS null_doc_id,
+                     sum((text IS NULL)::INT)::BIGINT AS null_text,
+                     sum((lang IS NULL)::INT)::BIGINT AS null_lang,
+                     sum((source IS NULL)::INT)::BIGINT AS null_source,
+                     sum((n_chars IS NULL)::INT)::BIGINT AS null_n_chars
+              FROM documents
+            ), b AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum((doc_id IS NULL)::INT)::BIGINT AS null_doc_id,
+                     sum((CASE WHEN substr(md5(coalesce(doc_id::VARCHAR, '')), 1, 1) < '2'
+                               THEN NULL ELSE text END IS NULL)::INT)::BIGINT AS null_text,
+                     sum((source IS NULL)::INT)::BIGINT AS null_source,
+                     sum((n_chars IS NULL)::INT)::BIGINT AS null_n_chars,
+                     sum((doc_id IS NULL)::INT)::BIGINT AS null_fetched
+              FROM documents
+            ), sides AS (
+              SELECT 'doc_id' AS col_name, 'bigint' AS dtype_a, 'bigint' AS dtype_b,
+                     a.n AS n_a, b.n AS n_b, a.null_doc_id AS null_a, b.null_doc_id AS null_b
+              FROM a CROSS JOIN b
+              UNION ALL
+              SELECT 'text', 'string', 'string', a.n, b.n, a.null_text, b.null_text
+              FROM a CROSS JOIN b
+              UNION ALL
+              SELECT 'lang', 'string', NULL::VARCHAR, a.n, NULL::BIGINT, a.null_lang, NULL::BIGINT
+              FROM a CROSS JOIN b
+              UNION ALL
+              SELECT 'source', 'string', 'string', a.n, b.n, a.null_source, b.null_source
+              FROM a CROSS JOIN b
+              UNION ALL
+              SELECT 'n_chars', 'bigint', 'string', a.n, b.n, a.null_n_chars, b.null_n_chars
+              FROM a CROSS JOIN b
+              UNION ALL
+              SELECT 'fetched', NULL::VARCHAR, 'string', NULL::BIGINT, b.n, NULL::BIGINT, b.null_fetched
+              FROM a CROSS JOIN b
+            )
+            SELECT col_name,
+                   dtype_a IS NOT NULL AS in_a,
+                   dtype_b IS NOT NULL AS in_b,
+                   dtype_a, dtype_b, n_a, n_b, null_a, null_b,
+                   round(null_a / n_a, 6) AS null_rate_a,
+                   round(null_b / n_b, 6) AS null_rate_b,
+                   CASE WHEN dtype_b IS NULL THEN 'dropped'
+                        WHEN dtype_a IS NULL THEN 'added'
+                        WHEN dtype_a <> dtype_b THEN 'type_changed'
+                        WHEN abs(null_a::HUGEINT * n_b - null_b::HUGEINT * n_a) * 10000
+                             > 100::HUGEINT * n_a * n_b THEN 'null_drift'
+                        ELSE 'ok' END AS status
+            FROM sides
+        """,
+        # pattern profile: the derived modulus-cohort column replayed,
+        # then the SAME Java∩RE2 regex ladder in the SAME priority
+        # order (interpolated from suggest.PATTERN_CLASSES — one source
+        # of truth for the classification contract)
+        "q88_pattern_profile": _q88_sql(),
         # soft dedup: exact-fp clusters via window min/count; weight is
         # round-6 of 1/integer — cross-engine exact
         "q82_soft_dedup_weights": f"""

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q82_soft_dedup_weights",
     "q83_cluster_split",
     "q84_top_spans",
+    "q85_rule_drift",
+    "q86_violation_control",
 ]
 
 

@@ -247,3 +247,64 @@ def test_windowed_violation_single_input_scan(spark):
     out = windowed_violation_anomalies(res, F.date_format(F.col("ts"), "yyyy-MM-dd"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_schema_profile_drift_statuses(spark):
+    """added / dropped / type_changed / null_drift / ok, with exact
+    counts and round-6 null rates."""
+    from validate_spark.operators.drift import schema_profile_drift
+
+    a = spark.createDataFrame(
+        [(i, None if i < 2 else "x", i * 1.0, "k") for i in range(10)],
+        "id long, s string, v double, gone string",
+    )
+    b = spark.createDataFrame(
+        [(i, None if i < 5 else "x", str(i), "n") for i in range(20)],
+        "id long, s string, v string, fresh string",
+    )
+    out = {r["col_name"]: r.asDict() for r in schema_profile_drift(a, b).collect()}
+    assert out["id"]["status"] == "ok" and out["id"]["in_a"] and out["id"]["in_b"]
+    assert (out["id"]["n_a"], out["id"]["n_b"]) == (10, 20)
+    # 2/10 vs 5/20 nulls -> 500bp apart > 100bp default
+    assert out["s"]["status"] == "null_drift"
+    assert out["s"]["null_rate_a"] == 0.2 and out["s"]["null_rate_b"] == 0.25
+    assert out["v"]["status"] == "type_changed"
+    assert (out["v"]["dtype_a"], out["v"]["dtype_b"]) == ("double", "string")
+    assert out["gone"]["status"] == "dropped" and not out["gone"]["in_b"]
+    assert out["gone"]["n_b"] is None and out["gone"]["null_rate_b"] is None
+    assert out["fresh"]["status"] == "added" and not out["fresh"]["in_a"]
+    # dropped-before-type_changed precedence is pinned by construction:
+    # a dropped column never reports its old dtype against NULL
+
+
+def test_schema_profile_drift_threshold(spark):
+    """The bp threshold gates null_drift -> ok (integer cross-mult)."""
+    from validate_spark.operators.drift import schema_profile_drift
+
+    a = spark.createDataFrame([(i, None if i < 2 else "x") for i in range(10)], "id long, s string")
+    b = spark.createDataFrame([(i, None if i < 5 else "x") for i in range(20)], "id long, s string")
+    loose = schema_profile_drift(a, b, max_null_delta_bp=600)
+    assert {r["status"] for r in loose.collect()} == {"ok"}
+
+
+def test_pattern_profile_classes_and_priority(spark):
+    """Every class reachable; first-match priority pinned (an all-digit
+    or all-hex string that is also an int is int_string; 'true' is
+    bool_string even though 'e' spoils hex anyway)."""
+    from validate_spark.operators.suggest import pattern_profile
+
+    vals = [
+        None, "", "42", "-7", "3.14", ".5", "true", "OFF", "2024-02-29",
+        "0f3a2b1c-9d8e-4f5a-8b7c-612345abcdef", "a@b.co", "https://x.io/p",
+        "deadbeef", "DEADBEEF", "plain words", "123",  # 123 -> int, not hex
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    got = {r["pattern_class"]: r["n"] for r in pattern_profile(df, "val").collect()}
+    assert got == {
+        "null": 1, "empty": 1, "int_string": 3, "float_string": 2,
+        "bool_string": 2, "date": 1, "uuid": 1, "email": 1, "url": 1,
+        "hex": 2, "other": 1,
+    }
+    out = pattern_profile(df, "val").collect()
+    assert all(r["n_total"] == len(vals) for r in out)
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-6

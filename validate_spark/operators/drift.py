@@ -426,3 +426,105 @@ def windowed_violation_anomalies(
         F.round(F.col("tot_viol") / F.col("tot_n"), 6).alias("global_rate"),
         anomalous.alias("anomalous"),
     )
+
+
+def _profile_side(df: DataFrame, suffix: str) -> DataFrame:
+    """ONE-scan per-column profile of one snapshot, melted long:
+    (col_name, dtype_<s>, n_<s>, null_<s>). The agg is a single wide
+    count(*) + per-column null sums (map-side partials, no raw-data
+    shuffle); the melt explodes the resulting ONE row into #columns
+    rows, so everything after the agg is metadata-sized. dtypes are
+    schema literals (driver-side metadata, not a data read)."""
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}")
+        for i, c in enumerate(cols)
+    ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(df.schema[c].dataType.simpleString()).alias("dtype"),
+                F.col("_n").alias("n"),
+                F.col(f"_null_{i}").alias("n_null"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select(
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.dtype").alias(f"dtype_{suffix}"),
+        F.col("e.n").alias(f"n_{suffix}"),
+        F.col("e.n_null").alias(f"null_{suffix}"),
+    )
+
+
+def schema_profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    max_null_delta_bp: int = 100,
+) -> DataFrame:
+    """Schema + profile drift between two snapshots of one table (the
+    trusted snapshot vs today's crawl) — the TFDV/Deequ-style skew
+    check that runs BEFORE row validation. Per column (union of both
+    schemas): presence, dtype on each side, row/null counts, round-6
+    null rates, and a ``status``:
+
+    - ``added`` / ``dropped`` — column present on one side only;
+    - ``type_changed`` — present on both with different Spark dtypes;
+    - ``null_drift`` — same dtype but null RATES more than
+      ``max_null_delta_bp`` basis points apart (integer
+      cross-multiplication in decimal(38,0) — bit-identical replay in
+      any engine, no overflow at 10^12-row snapshots);
+    - ``ok`` otherwise.
+
+    The structural-only, nested-path variant is
+    :func:`validate_spark.operators.suggest.schema_diff`; this one adds
+    the data-side evidence (a dropped column and an all-NULL column
+    look identical to a consumer — only the profile tells them apart).
+
+    Scale: ONE scan per snapshot (wide agg with map-side partials →
+    one row), then a full-outer join of two #columns-row frames —
+    everything past the aggs is metadata-sized. No raw-data shuffle.
+
+    An EMPTY snapshot reports n=0 with NULL null-counts/rates (sum
+    over zero rows — identical in DuckDB), so the null_drift flag
+    never fires on it: zero rows is "no evidence", not "0% nulls".
+
+    Reference seed: the compile-time struct-shape pin in cache.go:98-257
+    (gookit/validate re-checks a struct's fields/types per call; at
+    table scale the analogous guard is snapshot-vs-snapshot).
+    """
+    a = _profile_side(df_a, "a")
+    b = _profile_side(df_b, "b")
+    j = a.join(b, "col_name", "full_outer")
+    in_a = F.col("dtype_a").isNotNull()
+    in_b = F.col("dtype_b").isNotNull()
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    delta = d("null_a") * d("n_b") - d("null_b") * d("n_a")
+    null_drifted = F.abs(delta) * F.lit(10_000).cast(_DEC) > (
+        F.lit(int(max_null_delta_bp)).cast(_DEC) * d("n_a") * d("n_b")
+    )
+    status = (
+        F.when(~in_b, F.lit("dropped"))
+        .when(~in_a, F.lit("added"))
+        .when(F.col("dtype_a") != F.col("dtype_b"), F.lit("type_changed"))
+        .when(null_drifted, F.lit("null_drift"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "col_name",
+        in_a.alias("in_a"),
+        in_b.alias("in_b"),
+        "dtype_a",
+        "dtype_b",
+        "n_a",
+        "n_b",
+        "null_a",
+        "null_b",
+        F.round(F.col("null_a") / F.col("n_a"), 6).alias("null_rate_a"),
+        F.round(F.col("null_b") / F.col("n_b"), 6).alias("null_rate_b"),
+        status.alias("status"),
+    )

@@ -187,3 +187,77 @@ def schema_diff(
         elif a[path] != b[path]:
             diffs.append({"path": path, "kind": "type_changed", "before": a[path], "after": b[path]})
     return diffs
+
+
+# (class, Java∩RE2 regex) in PRIORITY order — first match wins; the
+# fixed order is part of the contract so any engine replays the same
+# classification (an int string never reaches bool/hex even though
+# '1' / '123' also match those patterns). NULL and '' are handled
+# before the regex ladder.
+PATTERN_CLASSES: list[tuple[str, str]] = [
+    ("int_string", r"^[+-]?[0-9]+$"),
+    ("float_string", r"^[+-]?[0-9]*\.[0-9]+$"),
+    ("bool_string", r"^(?i)(true|false|yes|no|on|off)$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("uuid", r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"),
+    (
+        "email",
+        r"^[^@\s]+@([a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}$",
+    ),
+    (
+        "url",
+        r"^(?:ftp|tcp|udp|wss?|https?)://(?:(?:[a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}|(?:[0-9]{1,3}\.){3}[0-9]{1,3})(?::[0-9]{1,5})?(?:[/?#]\S*)?$",
+    ),
+    ("hex", r"^[0-9a-fA-F]+$"),
+]
+
+
+def pattern_profile(
+    df: DataFrame,
+    col: str,
+    *,
+    classes: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Value-shape profile of a string column — classify every value
+    into its first-matching pattern class (``null``, ``empty``, then
+    :data:`PATTERN_CLASSES` in order, else ``other``) and report
+    (pattern_class, n, n_total, round-6 share). The TFDV-style
+    "what does this column actually hold" view that tells you a
+    'user_id' column is 3% emails before you write `isInt` on it —
+    and the evidence behind :func:`suggest_rules`'s format choices.
+
+    Every regex is in the Java∩RE2 common dialect (the repo's
+    cross-engine regex discipline, tests/test_regex_dialect.py), so an
+    external engine replays the classification exactly.
+
+    Scale: the regex ladder is ONE codegen'd projection (per-row work →
+    routed through ``fan_out`` against 1-partition scans), then a
+    groupBy over ≤ len(classes)+3 distinct class labels (map-side
+    partials); the total rides a window over that tiny aggregated
+    frame — ONE input scan, no second pass.
+    """
+    from validate_spark.session import fan_out
+    from pyspark.sql import Window
+
+    if classes is None:
+        classes = PATTERN_CLASSES
+    v = F.col("_v")
+    cls = F.when(v.isNull(), F.lit("null")).when(v == "", F.lit("empty"))
+    for name, rx in classes:
+        cls = cls.when(v.rlike(rx), F.lit(name))
+    cls = cls.otherwise(F.lit("other"))
+
+    src = fan_out(df.select(F.col(col).cast("string").alias("_v")))
+    per = src.groupBy(cls.alias("pattern_class")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = per.withColumn("n_total", F.sum("n").over(whole))
+    return per.select(
+        "pattern_class",
+        "n",
+        "n_total",
+        F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+    )
