@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "q84_top_spans",
     "q85_rule_drift",
     "q86_violation_control",
+    "q87_schema_profile_drift",
+    "q88_pattern_profile",
 ]
 
 
