@@ -2059,6 +2059,134 @@ def q88_pattern_profile(spark, sf_dir):
     return pattern_profile(docs.select(val.alias("val")), "val")
 
 
+def q89_streaming_windowed_drift(spark, sf_dir):
+    """Streaming distribution drift, value-oracled end-to-end (the last
+    streaming class without an oracle row): even events form the
+    reference histogram; odd events are split into 3 deterministic
+    chunk files (event_id%3 — deliberately NOT time-ordered), streamed
+    back one file per micro-batch under availableNow, and
+    ``windowed_drift`` computes a per-day chi-square against the
+    snapshot. Complete output mode + a 3650-day watermark make the
+    result chunk-order independent (no late-drop), so DuckDB replays
+    the bucket counts per day and the SAME left-fold chi-square
+    (list_aggregate over bucket-ordered cells — bit-identical to the
+    Column-expression fold; round-6)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.streaming.drift_stream import (
+        snapshot_histogram,
+        windowed_drift,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    ref = events.filter(F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2)) == 0)
+    snap = snapshot_histogram(ref, "value", lo=0.0, hi=500.0, n_buckets=16)
+    odd = events.filter(F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2)) == 1)
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q89_")
+    name = f"q89_drift_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            (
+                odd.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            # watermarks require TIMESTAMP (LTZ); the fixture's parquet
+            # ts is NTZ — the cast reinterprets wall-clock as UTC
+            # (session tz), matching DuckDB's naive day arithmetic
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        wd = windowed_drift(
+            stream,
+            "value",
+            snap,
+            ts_col="ts",
+            window="1 day",
+            watermark="3650 days",
+            lo=0.0,
+            hi=500.0,
+            n_buckets=16,
+        )
+        q = (
+            wd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "n_obs",
+            "chi2",
+            "dof",
+        )
+        rows = out.collect()  # materialize before the memory table goes away
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q90_encoding_signals(spark, sf_dir):
+    """Encoding-damage gate (textstats.encoding_signals): mojibake
+    (UTF-8 misdecoded as cp1252), U+FFFD replacement chars, and C0
+    control chars, counted per document. Damage is seeded by modulus
+    cohorts (2-byte 'caf&Atilde;&copy;'-style, 3-byte curly-quote
+    mojibake, FFFD, BEL) with a pinned first-match CASE order; the
+    oracle replays the seeding via chr() codepoints and the SAME
+    \\x{..}-class regexes interpolated from the module. One codegen'd
+    projection, fan_out-guarded, no shuffle."""
+    from validate_spark.operators.textstats import encoding_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    # explicit \u escapes — the suffixes ARE the damage codepoints:
+    # 2-byte mojibake 'caf\u00c3\u00a9' (C3 A9 seen as cp1252), 3-byte
+    # curly-quote mojibake E2+20AC+2122, U+FFFD, two BELs
+    val = (
+        F.when(
+            F.pmod(d, F.lit(17)) == 0,
+            F.concat(t, F.lit(" caf\u00c3\u00a9")),
+        )
+        .when(
+            F.pmod(d, F.lit(19)) == 0,
+            F.concat(t, F.lit(" it\u00e2\u20ac\u2122s")),
+        )
+        .when(
+            F.pmod(d, F.lit(23)) == 0,
+            F.concat(t, F.lit(" x\ufffd")),
+        )
+        .when(
+            F.pmod(d, F.lit(29)) == 0,
+            F.concat(t, F.lit(" b\u0007\u0007")),
+        )
+        .otherwise(t)
+    )
+    seeded = docs.select(F.col("doc_id"), val.alias("text"))
+    return encoding_signals(seeded, "text").select(
+        "doc_id",
+        F.col("n_mojibake").cast("long").alias("n_mojibake"),
+        F.col("n_replacement").cast("long").alias("n_replacement"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        "damaged",
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2352,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_violation_control": q86_violation_control,
         "q87_schema_profile_drift": q87_schema_profile_drift,
         "q88_pattern_profile": q88_pattern_profile,
+        "q89_streaming_windowed_drift": q89_streaming_windowed_drift,
+        "q90_encoding_signals": q90_encoding_signals,
     }
 
 
@@ -2805,6 +2935,45 @@ def _q88_sql() -> str:
         SELECT pattern_class, n, n_total,
                round(n / n_total, 6) AS share
         FROM per CROSS JOIN t
+    """
+
+
+def _q90_sql() -> str:
+    """Encoding-signals oracle: replay the damage seeding via chr()
+    codepoints (byte-exact — no raw mojibake literals in source), then
+    count with the SAME \\x{..}-class regexes interpolated from
+    textstats (one source of truth; Java regexp_count and RE2
+    regexp_extract_all are both leftmost non-overlapping)."""
+    from validate_spark.operators.textstats import (
+        CTRL_RX,
+        MOJIBAKE_RX,
+        REPLACEMENT_RX,
+    )
+
+    moji = f"len(regexp_extract_all(v, '{MOJIBAKE_RX}'))::BIGINT"
+    repl = f"len(regexp_extract_all(v, '{REPLACEMENT_RX}'))::BIGINT"
+    ctrl = f"len(regexp_extract_all(v, '{CTRL_RX}'))::BIGINT"
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN coalesce(doc_id, 0) % 17 = 0
+                        THEN coalesce(text, '') || ' caf' || chr(195) || chr(169)
+                      WHEN coalesce(doc_id, 0) % 19 = 0
+                        THEN coalesce(text, '') || ' it' || chr(226) || chr(8364)
+                             || chr(8482) || 's'
+                      WHEN coalesce(doc_id, 0) % 23 = 0
+                        THEN coalesce(text, '') || ' x' || chr(65533)
+                      WHEN coalesce(doc_id, 0) % 29 = 0
+                        THEN coalesce(text, '') || ' b' || chr(7) || chr(7)
+                      ELSE coalesce(text, '') END AS v
+          FROM documents
+        )
+        SELECT doc_id,
+               {moji} AS n_mojibake,
+               {repl} AS n_replacement,
+               {ctrl} AS n_ctrl,
+               ({moji} > 0 OR {repl} > 0 OR {ctrl} > 0) AS damaged
+        FROM s
     """
 
 
@@ -3921,6 +4090,61 @@ def oracle_sql() -> dict[str, str]:
         # order (interpolated from suggest.PATTERN_CLASSES — one source
         # of truth for the classification contract)
         "q88_pattern_profile": _q88_sql(),
+        # streaming windowed drift: per-day bucket counts replayed in
+        # batch SQL (complete-mode availableNow output is chunk-order
+        # independent); chi2 is the SAME bucket-ordered left fold —
+        # list_aggregate over list(cell ORDER BY b) is bit-identical to
+        # the engine's Column-expression chain (round-3 gotcha), so
+        # round-6 hashes match
+        "q89_streaming_windowed_drift": """
+            WITH refh AS (
+              SELECT CAST(least(15, greatest(0, floor(value / 31.25))) AS INT) AS b,
+                     count(*)::DOUBLE AS rc
+              FROM events
+              WHERE event_id % 2 = 0 AND value IS NOT NULL
+              GROUP BY 1
+            ), tr AS (
+              SELECT coalesce(sum(rc), 0.0) AS t_ref FROM refh
+            ), curh AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     CAST(least(15, greatest(0, floor(value / 31.25))) AS INT) AS b,
+                     count(*)::DOUBLE AS cc
+              FROM events
+              WHERE event_id % 2 = 1 AND value IS NOT NULL
+              GROUP BY 1, 2
+            ), grid AS (
+              SELECT d.day, g.b,
+                     coalesce(c.cc, 0.0) AS cc,
+                     coalesce(r.rc, 0.0) AS rc
+              FROM (SELECT DISTINCT day FROM curh) d
+              CROSS JOIN (SELECT unnest(range(16))::INT AS b) g
+              LEFT JOIN curh c ON c.day = d.day AND c.b = g.b
+              LEFT JOIN refh r ON r.b = g.b
+            ), tc AS (
+              SELECT day, sum(cc) AS t_cur FROM grid GROUP BY day
+            ), cells AS (
+              SELECT grid.day, grid.b, grid.cc,
+                     CASE WHEN grid.cc + grid.rc > 0 THEN
+                       power(grid.cc - (grid.cc + grid.rc) * tc.t_cur
+                                       / (tc.t_cur + tr.t_ref), 2)
+                         / ((grid.cc + grid.rc) * tc.t_cur / (tc.t_cur + tr.t_ref))
+                       + power(grid.rc - (grid.cc + grid.rc) * tr.t_ref
+                                         / (tc.t_cur + tr.t_ref), 2)
+                         / ((grid.cc + grid.rc) * tr.t_ref / (tc.t_cur + tr.t_ref))
+                     ELSE 0.0 END AS cell,
+                     CASE WHEN grid.cc + grid.rc > 0 THEN 1 ELSE 0 END AS live
+              FROM grid
+              JOIN tc ON tc.day = grid.day
+              CROSS JOIN tr
+            )
+            SELECT day,
+                   sum(cc)::BIGINT AS n_obs,
+                   round(list_aggregate(list(cell ORDER BY b), 'sum'), 6) AS chi2,
+                   (-1 + sum(live))::INT AS dof
+            FROM cells GROUP BY day
+        """,
+        # encoding-damage signals: seeding + counts replayed (see _q90_sql)
+        "q90_encoding_signals": _q90_sql(),
         # soft dedup: exact-fp clusters via window min/count; weight is
         # round-6 of 1/integer — cross-engine exact
         "q82_soft_dedup_weights": f"""

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "q86_violation_control",
     "q87_schema_profile_drift",
     "q88_pattern_profile",
+    "q89_streaming_windowed_drift",
+    "q90_encoding_signals",
 ]
 
 

@@ -1160,3 +1160,30 @@ def test_top_duplicated_spans(spark):
     # every reported span occurs in >= 2 docs; ranks are 1..n dense
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
     assert all(r["n_docs"] >= 2 for r in out)
+
+
+def test_encoding_signals_counts(spark):
+    """Each damage family counted exactly; clean text all-zero; NULL
+    text -> NULL counts (no evidence, not zero)."""
+    from validate_spark.operators.textstats import encoding_signals
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "caf\u00c3\u00a9 and na\u00c3\u00afve"),       # two 2-byte mojibake
+        (3, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153q\u00e2\u20ac\u009d"),  # three 3-byte
+        (4, "lost \ufffd\ufffd here"),
+        (5, "bell \u0007 and \u0000\u001f"),
+        (6, None),
+        (7, "tabs\tand\nnewlines\rok"),                     # whitelisted ctrl
+        (8, "r\u00e9sum\u00e9 caf\u00e9"),                  # REAL accents: not mojibake
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r.asDict() for r in encoding_signals(df, "text").collect()}
+    assert out[1]["damaged"] is False
+    assert out[2]["n_mojibake"] == 2 and out[2]["damaged"] is True
+    assert out[3]["n_mojibake"] == 3
+    assert out[4]["n_replacement"] == 2 and out[4]["n_mojibake"] == 0
+    assert out[5]["n_ctrl"] == 3 and out[5]["n_mojibake"] == 0
+    assert out[6]["n_mojibake"] is None and out[6]["damaged"] is None
+    assert out[7]["damaged"] is False                         # tab/LF/CR are fine
+    assert out[8]["damaged"] is False                         # real accents are legit

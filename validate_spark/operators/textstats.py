@@ -488,3 +488,68 @@ def token_share_report(
         F.round(F.sum("n_tokens").over(w_run) / total, 6).alias("cum_share"),
         (share > F.lit(float(cap))).alias("over_cap"),
     )
+
+
+# The cp1252 image of UTF-8 continuation bytes 0x80-0xBF: when UTF-8
+# text is misdecoded as Windows-1252 (the classic web mojibake), a
+# continuation byte becomes either a C1 codepoint (U+0080-U+009F gaps
+# stay as-is in Latin-1 fallback) or one of these punctuation/symbol
+# codepoints. Spelled as \x{..} codepoint escapes — the one class
+# syntax Java regex and RE2 share (round-4 gotcha: no common script
+# class names).
+_CP1252_CONT = (
+    r"[\x{80}-\x{bf}\x{20ac}\x{201a}\x{192}\x{201e}\x{2026}\x{2020}"
+    r"\x{2021}\x{2c6}\x{2030}\x{160}\x{2039}\x{152}\x{17d}\x{2018}"
+    r"\x{2019}\x{201c}\x{201d}\x{2022}\x{2013}\x{2014}\x{2dc}\x{2122}"
+    r"\x{161}\x{203a}\x{153}\x{17e}\x{178}]"
+)
+
+# lead char of a misdecoded 2-byte sequence (0xC2/0xC3 cover all
+# Latin-1 supplement text, by far the most common damage) followed by
+# one continuation image; or a misdecoded 3-byte sequence lead 0xE2
+# (general punctuation — ' " – …) followed by two.
+MOJIBAKE_RX = rf"[\x{{c2}}-\x{{c3}}]{_CP1252_CONT}|\x{{e2}}{_CP1252_CONT}{{2}}"
+
+REPLACEMENT_RX = r"\x{fffd}"
+
+# C0 control characters that are never legitimate in text corpora
+# (tab/newline/CR excluded).
+CTRL_RX = r"[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}]"
+
+
+def encoding_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-damage signals — the C4/CCNet-style
+    cleanup gate that catches text whose bytes survived but whose
+    decoding didn't:
+
+    - ``n_mojibake``    UTF-8-misdecoded-as-cp1252 sequences
+      (:data:`MOJIBAKE_RX` — 'Ã©', 'â€™', 'Â ' …);
+    - ``n_replacement`` U+FFFD replacement characters (a decoder
+      already gave up there);
+    - ``n_ctrl``        C0 control characters (minus tab/LF/CR);
+    - ``damaged``       any of the above > 0.
+
+    All three patterns are \\x{..} codepoint classes — the Java∩RE2
+    common spelling — so an external engine replays the counts exactly.
+
+    Scale: three ``regexp_count`` expressions in ONE codegen'd
+    projection over the corpus — no shuffle, no Python; routed through
+    ``fan_out`` so a 1-partition scan doesn't serialize the regex work
+    (the repo's recorded gotcha). NULL text yields NULL counts and a
+    NULL flag (no evidence), same as every annotator here.
+    """
+    from validate_spark.session import fan_out
+
+    t = F.col(text_col)
+    out = fan_out(df).select(
+        "*",
+        F.regexp_count(t, F.lit(MOJIBAKE_RX)).alias("n_mojibake"),
+        F.regexp_count(t, F.lit(REPLACEMENT_RX)).alias("n_replacement"),
+        F.regexp_count(t, F.lit(CTRL_RX)).alias("n_ctrl"),
+    )
+    damaged = (
+        (F.col("n_mojibake") > 0)
+        | (F.col("n_replacement") > 0)
+        | (F.col("n_ctrl") > 0)
+    )
+    return out.withColumn("damaged", damaged)
