@@ -1857,14 +1857,16 @@ def q81_source_overlap(spark, sf_dir):
     """Cross-source near-dup contamination matrix (dedup.
     source_overlap_matrix): unordered source pairs sharing exact-
     Jaccard>=0.7 near-dups, with pair counts and round-6 mean jaccard.
-    24 hashes x 12 bands: the weakest qualifying pair at sf0.01 has
-    J~0.92, band-miss probability <= (1-0.92^2)^12 ~ 6e-10, so the
+    24 hashes x 8 bands (r=3): the weakest qualifying pair at sf0.01
+    has J~0.92, band-miss probability <= (1-0.92^3)^8 ~ 5.6e-6, so the
     LSH pair set coincides with the oracle's exhaustive O(n^2) set
     (the q16 argument); jaccard VALUES agree because 64-bit shingle
-    hashing is collision-free at this scale."""
+    hashing is collision-free at this scale. r=3 instead of r=2 keeps
+    that recall argument while cutting the low-J candidate explosion
+    ~4x (measured 25.2->6.0 s at sf0.1, byte-identical output)."""
     docs = _t(spark, sf_dir, "documents")
     return dd.source_overlap_matrix(
-        docs, "source", threshold=0.7, n_hashes=24, n_bands=12
+        docs, "source", threshold=0.7, n_hashes=24, n_bands=8
     )
 
 
@@ -1887,12 +1889,13 @@ def q82_soft_dedup_weights(spark, sf_dir):
 def q83_cluster_split(spark, sf_dir):
     """Leakage-free train/val/test split (dedup.cluster_split): docs
     gate into splits by the md5 draw of their NEAR-DUP cluster id
-    (minhash pairs at 0.9, 24x12 band family — weakest qualifying pair
-    J~0.92, miss probability ~6e-10, the q16/q81 argument), so
+    (minhash pairs at 0.9, 24x8 band family — weakest qualifying pair
+    J~0.92, miss probability (1-0.92^3)^8 ~ 5.6e-6, the q16/q81
+    argument; r=3 avoids the r=2 low-J candidate explosion), so
     near-duplicates never straddle train and eval."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(
-        docs, threshold=0.9, n_hashes=24, n_bands=12
+        docs, threshold=0.9, n_hashes=24, n_bands=8
     )
     clusters = dd.dedup_clusters(pairs)
     return dd.cluster_split(
@@ -2184,6 +2187,40 @@ def q90_encoding_signals(spark, sf_dir):
         F.col("n_replacement").cast("long").alias("n_replacement"),
         F.col("n_ctrl").cast("long").alias("n_ctrl"),
         "damaged",
+    )
+
+
+def q91_snapshot_diff(spark, sf_dir):
+    """Key-level churn between two snapshots (snapdiff.snapshot_diff_rows):
+    snapshot B is documents with %11 rows removed, %7 texts changed,
+    %13 clones added under new keys, and %97 rows duplicated (dup_key).
+    ONE shuffle total (tag + union + groupBy(key) — no full-outer
+    join); content identity is an md5 fingerprint over a
+    NULL-distinguishing per-column encoding (chr(0)/v-prefix, chr(1)
+    joins) that DuckDB replays byte-for-byte."""
+    from validate_spark.operators.snapdiff import snapshot_diff_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    base = docs.filter(F.pmod(d, F.lit(11)) != 0)
+    changed = (
+        F.when(F.pmod(d, F.lit(7)) == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+    )
+    b1 = base.select(
+        "doc_id", changed.alias("text"), "lang", "source", "n_chars"
+    )
+    added = docs.filter(F.pmod(d, F.lit(13)) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dups = b1.filter(F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(97)) == 0)
+    snap_b = b1.unionByName(added).unionByName(dups)
+    return snapshot_diff_rows(
+        docs, snap_b, ["doc_id"], compare_cols=["text", "lang", "source", "n_chars"]
     )
 
 
@@ -2482,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_pattern_profile": q88_pattern_profile,
         "q89_streaming_windowed_drift": q89_streaming_windowed_drift,
         "q90_encoding_signals": q90_encoding_signals,
+        "q91_snapshot_diff": q91_snapshot_diff,
     }
 
 
@@ -4145,6 +4183,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         # encoding-damage signals: seeding + counts replayed (see _q90_sql)
         "q90_encoding_signals": _q90_sql(),
+        # snapshot diff: B's derivation replayed, then the same
+        # union+groupBy(key) diff with the same chr(0)/'v'-prefix
+        # chr(1)-joined md5 row fingerprint
+        "q91_snapshot_diff": """
+            WITH enc_a AS (
+              SELECT doc_id,
+                     md5(concat_ws(chr(1),
+                       CASE WHEN text IS NULL THEN chr(0) ELSE 'v' || text END,
+                       CASE WHEN lang IS NULL THEN chr(0) ELSE 'v' || lang END,
+                       CASE WHEN source IS NULL THEN chr(0) ELSE 'v' || source END,
+                       CASE WHEN n_chars IS NULL THEN chr(0) ELSE 'v' || n_chars::VARCHAR END
+                     )) AS fp
+              FROM documents
+            ), b1 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 11 <> 0
+            ), b_all AS (
+              SELECT * FROM b1
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text || ' new' AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 13 = 0
+              UNION ALL
+              SELECT * FROM b1 WHERE doc_id % 97 = 0
+            ), enc_b AS (
+              SELECT doc_id,
+                     md5(concat_ws(chr(1),
+                       CASE WHEN text IS NULL THEN chr(0) ELSE 'v' || text END,
+                       CASE WHEN lang IS NULL THEN chr(0) ELSE 'v' || lang END,
+                       CASE WHEN source IS NULL THEN chr(0) ELSE 'v' || source END,
+                       CASE WHEN n_chars IS NULL THEN chr(0) ELSE 'v' || n_chars::VARCHAR END
+                     )) AS fp
+              FROM b_all
+            ), u AS (
+              SELECT doc_id, 1 AS in_a, 0 AS in_b,
+                     fp AS fp_a, NULL::VARCHAR AS fp_b
+              FROM enc_a
+              UNION ALL
+              SELECT doc_id, 0, 1, NULL::VARCHAR, fp FROM enc_b
+            ), g AS (
+              SELECT doc_id,
+                     sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+                     max(fp_a) AS fp_a, max(fp_b) AS fp_b
+              FROM u GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN n_a > 1 OR n_b > 1 THEN 'dup_key'
+                        WHEN n_a = 0 THEN 'added'
+                        WHEN n_b = 0 THEN 'removed'
+                        WHEN fp_a <> fp_b THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM g
+        """,
         # soft dedup: exact-fp clusters via window min/count; weight is
         # round-6 of 1/integer — cross-engine exact
         "q82_soft_dedup_weights": f"""

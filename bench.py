@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q88_pattern_profile",
     "q89_streaming_windowed_drift",
     "q90_encoding_signals",
+    "q91_snapshot_diff",
 ]
 
 

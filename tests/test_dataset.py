@@ -308,3 +308,48 @@ def test_pattern_profile_classes_and_priority(spark):
     out = pattern_profile(df, "val").collect()
     assert all(r["n_total"] == len(vals) for r in out)
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-6
+
+
+def test_snapshot_diff_statuses_and_plan(spark):
+    """All five statuses; and the scale contract: ONE exchange (the
+    union's groupBy(key)), no join operator anywhere in the plan."""
+    from validate_spark.operators.snapdiff import (
+        snapshot_diff_rows,
+        snapshot_diff_summary,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, "w", 40), (5, "v", 50)],
+        "id long, s string, v long",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10),            # unchanged
+         (2, "Y", 20),            # changed
+         (4, "w", 40), (4, "w", 40),   # dup_key in B
+         (6, "n", 60)],           # added; 3 and 5 removed
+        "id long, s string, v long",
+    )
+    rows = snapshot_diff_rows(a, b, ["id"])
+    got = {r["id"]: r["status"] for r in rows.collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "dup_key", 5: "removed", 6: "added"}
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    # one Exchange PER UNION BRANCH (each input shuffled exactly once
+    # onto the key) and no join operator / build side anywhere
+    assert plan.count("Exchange") <= 2 and "Join" not in plan
+
+    summ = {r["status"]: r["n_keys"] for r in
+            snapshot_diff_summary(a, b, ["id"]).collect()}
+    assert summ == {"unchanged": 1, "changed": 1, "removed": 2,
+                    "dup_key": 1, "added": 1}
+
+
+def test_snapshot_diff_null_vs_empty_vs_literal(spark):
+    """The fingerprint encoding distinguishes NULL, '', and the chr(0)
+    sentinel itself appearing as data."""
+    from validate_spark.operators.snapdiff import snapshot_diff_rows
+
+    a = spark.createDataFrame([(1, None), (2, ""), (3, "\x00")], "id long, s string")
+    b = spark.createDataFrame([(1, ""), (2, "\x00"), (3, None)], "id long, s string")
+    got = {r["id"]: r["status"] for r in snapshot_diff_rows(a, b, ["id"]).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "changed"}

@@ -1,0 +1,114 @@
+"""Snapshot row diff — key-level churn between two snapshots of one
+table (yesterday's ingest vs today's): which rows were added, removed,
+changed, or left untouched, plus the rollup a pipeline alarms on.
+
+This is the row-level complement of ``drift.schema_profile_drift``
+(column-level) and the incremental-validation primitive: re-validate
+only ``added`` + ``changed`` keys instead of the whole snapshot.
+
+Reference seed: gookit/validate has no table notion — the closest is
+``UpdateSource`` write-back (validate.go:69-145 GlobalOption), which
+mutates the ONE record in place; at table scale the analogue is
+diffing whole snapshots by key.
+
+Scale design (10^12 rows):
+
+* ONE shuffle pass: both sides are tagged and UNIONed, then a single
+  ``groupBy(key)`` computes per-side row counts and content
+  fingerprints. Each input is exchanged exactly once onto the key
+  (one Exchange per union branch — total bytes |A|+|B|, the floor for
+  any by-key comparison) and there is NO join operator: no build-side
+  hash tables, no sort-merge, nothing skew-sensitive beyond the agg
+  (plan-asserted in tests). On snapshots stored bucketed by the key,
+  even those exchanges disappear.
+* Row content is compared by an md5 fingerprint of the compare
+  columns (md5 because the value crosses the engine boundary — repo
+  hash-portability rule). NULL is distinguished from ``'NULL'``/empty
+  by a per-column presence prefix (chr(0) for NULL, 'v'+value
+  otherwise), columns joined by chr(1) — an external engine replays
+  the encoding byte-for-byte.
+* Duplicate keys make row identity ambiguous — those keys are
+  reported as ``dup_key`` instead of silently mis-diffing (uniqueness
+  is its own operator, operators/uniq.py).
+
+The summary never moves raw rows: statuses aggregate map-side into a
+<=5-row frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NUL = "\x00"
+_SEP = "\x01"
+
+
+def _row_fingerprint(cols: list[str]):
+    """md5 over NULL-distinguishing per-column encodings (see module
+    docstring). Portable: any engine with md5/chr replays it."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit(_NUL)).otherwise(
+            F.concat(F.lit("v"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def snapshot_diff_rows(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key diff status between snapshot A (old) and B (new):
+    one row per distinct key with ``status`` in ``added`` (B only),
+    ``removed`` (A only), ``changed`` (both, content fingerprints
+    differ), ``unchanged``, or ``dup_key`` (key not unique on either
+    side — identity ambiguous, excluded from content comparison).
+
+    ``compare_cols`` defaults to the non-key columns both snapshots
+    share (a column only one side has would mark every row changed —
+    schema drift is :func:`~validate_spark.operators.drift.
+    schema_profile_drift`'s job, not this one's).
+    """
+    if compare_cols is None:
+        shared = [c for c in df_a.columns if c in set(df_b.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    fp = _row_fingerprint(compare_cols)
+    tagged = df_a.select(
+        *key_cols, F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"),
+        fp.alias("_fp_a"), F.lit(None).cast("string").alias("_fp_b"),
+    ).unionByName(
+        df_b.select(
+            *key_cols, F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"),
+            F.lit(None).cast("string").alias("_fp_a"), fp.alias("_fp_b"),
+        )
+    )
+    g = tagged.groupBy(*key_cols).agg(
+        F.sum("_in_a").alias("n_a"),
+        F.sum("_in_b").alias("n_b"),
+        F.max("_fp_a").alias("fp_a"),
+        F.max("_fp_b").alias("fp_b"),
+    )
+    status = (
+        F.when((F.col("n_a") > 1) | (F.col("n_b") > 1), F.lit("dup_key"))
+        .when(F.col("n_a") == 0, F.lit("added"))
+        .when(F.col("n_b") == 0, F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return g.select(*key_cols, status.alias("status"))
+
+
+def snapshot_diff_summary(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Churn rollup: (status, n_keys) over :func:`snapshot_diff_rows` —
+    at most 5 rows ever reach the driver/sink; the groupBy(status)
+    partials collapse map-side on the already-key-partitioned frame."""
+    rows = snapshot_diff_rows(df_a, df_b, key_cols, compare_cols)
+    return rows.groupBy("status").agg(F.count(F.lit(1)).alias("n_keys"))
