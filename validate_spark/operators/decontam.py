@@ -121,7 +121,12 @@ def blocked_url_docs(
     |blocklist| per doc — shuffle into the per-doc rollup. A blocklist
     too big to broadcast: ``broadcast_blocklist=False`` → shuffle join
     (refcheck's large-catalog rule), same semantics."""
-    doms = corpus.select(
+    from validate_spark.session import fan_out
+
+    # fan_out: the regexp_extract_all URL scan is per-row-heavy — on a
+    # 1-partition parquet source it would run on one core (the repo's
+    # recorded gotcha; 4th occurrence caught by q66's bench cell)
+    doms = fan_out(corpus).select(
         F.col(key_col).cast("string").alias("k"),
         F.explode(extract_domains(text_col)).alias("dom"),
     )
