@@ -2224,6 +2224,66 @@ def q91_snapshot_diff(spark, sf_dir):
     )
 
 
+def q92_attribute_consistency(spark, sf_dir):
+    """Denormalization-consistency check (refcheck.attribute_consistency):
+    customer rows carry denormalized nation_name/nation_region copies
+    with seeded damage (%7 suffix-corrupted, %13 NULLed — the
+    NULL-vs-value mismatch case — %11 off-by-one region); the check
+    joins back to the nation of record (broadcast, fact never
+    shuffles) and rolls up mismatches per attribute pair in ONE
+    map-side-partial agg. eqNullSafe comparisons; counts integer-exact
+    cross-engine."""
+    from validate_spark.operators.refcheck import attribute_consistency
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    base = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    )
+    fact = base.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+        .when(k % 7 == 0, F.concat(F.col("n_name"), F.lit("?")))
+        .otherwise(F.col("n_name"))
+        .alias("nation_name"),
+        F.when(k % 11 == 0, F.col("n_regionkey") + 1)
+        .otherwise(F.col("n_regionkey"))
+        .alias("nation_region"),
+    )
+    return attribute_consistency(
+        fact,
+        "c_nationkey",
+        nation,
+        "n_nationkey",
+        [("nation_name", "n_name"), ("nation_region", "n_regionkey")],
+    )
+
+
+def q93_suite_report(spark, sf_dir):
+    """The north-rule suite as ONE action (operators/suite.py): verdict
+    rollup + two uniqueness key sets + a seeded referential check
+    (catalog = distinct sources minus 'src0') + the n_chars drift
+    histogram, unioned into a single (check, metric, value) frame so
+    one job submits every branch (no idle pool between checks). All
+    values integer -> hash-exact oracle."""
+    from validate_spark.operators.suite import suite_report
+
+    docs = _t(spark, sf_dir, "documents")
+    catalog = (
+        docs.select("source").distinct().filter(F.col("source") != "src0")
+    )
+    return suite_report(
+        docs,
+        DOC_RULES,
+        key_cols=["doc_id"],
+        unique_cols=[["doc_id"], ["source", "lang"]],
+        ref_checks=[("source", catalog, "source")],
+        hist_specs=[("n_chars", 0.0, 600.0, 12)],
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2520,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_streaming_windowed_drift": q89_streaming_windowed_drift,
         "q90_encoding_signals": q90_encoding_signals,
         "q91_snapshot_diff": q91_snapshot_diff,
+        "q92_attribute_consistency": q92_attribute_consistency,
+        "q93_suite_report": q93_suite_report,
     }
 
 
@@ -4237,6 +4299,80 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # suite report: the q01/q02 predicates (_V, disjoint per field
+        # by their guards) roll into verdict totals; uniqueness /
+        # referential / histogram replayed directly
+        "q93_suite_report": f"""
+            SELECT 'verdicts' AS "check", 'n_rows' AS metric,
+                   count(*)::BIGINT AS value FROM documents
+            UNION ALL
+            SELECT 'verdicts', 'n_pass',
+                   count(*) FILTER (NOT ({" OR ".join(_V.values())}))::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT 'verdicts', 'n_fail',
+                   count(*) FILTER ({" OR ".join(_V.values())})::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT 'verdicts', 'n_violations',
+                   coalesce(sum({" + ".join(f"({p})::INT" for p in _V.values())}), 0)::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT 'uniqueness', 'dup_keys:doc_id', count(*)::BIGINT FROM (
+              SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+              GROUP BY doc_id HAVING count(*) > 1
+            )
+            UNION ALL
+            SELECT 'uniqueness', 'dup_keys:source,lang', count(*)::BIGINT FROM (
+              SELECT source, lang FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY source, lang HAVING count(*) > 1
+            )
+            UNION ALL
+            SELECT 'referential', 'dangling:source', count(*)::BIGINT
+            FROM documents
+            WHERE source IS NOT NULL AND source NOT IN (
+              SELECT DISTINCT source FROM documents
+              WHERE source IS NOT NULL AND source <> 'src0'
+            )
+            UNION ALL
+            SELECT 'histogram:n_chars',
+                   greatest(0, least(11, floor((n_chars - 0.0) / 50.0)))::INT::VARCHAR,
+                   count(*)::BIGINT
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 2
+        """,
+        # attribute consistency: replay the seeded denormalization +
+        # the null-safe mismatch counts (IS NOT DISTINCT FROM)
+        "q92_attribute_consistency": """
+            WITH f AS (
+              SELECT c.c_custkey, c.c_nationkey,
+                     CASE WHEN c.c_custkey % 13 = 0 THEN NULL
+                          WHEN c.c_custkey % 7 = 0 THEN n.n_name || '?'
+                          ELSE n.n_name END AS nation_name,
+                     CASE WHEN c.c_custkey % 11 = 0 THEN n.n_regionkey + 1
+                          ELSE n.n_regionkey END AS nation_region
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ), j AS (
+              SELECT f.nation_name, f.nation_region,
+                     n.n_name AS d0, n.n_regionkey AS d1
+              FROM f JOIN nation n ON f.c_nationkey = n.n_nationkey
+            ), per AS (
+              SELECT 'nation_name' AS fact_attr, 'n_name' AS dim_attr,
+                     count(*)::BIGINT AS n_checked,
+                     sum((NOT (nation_name IS NOT DISTINCT FROM d0))::INT)::BIGINT
+                       AS n_mismatch
+              FROM j
+              UNION ALL
+              SELECT 'nation_region', 'n_regionkey',
+                     count(*)::BIGINT,
+                     sum((NOT (nation_region IS NOT DISTINCT FROM d1))::INT)::BIGINT
+              FROM j
+            )
+            SELECT fact_attr, dim_attr, n_checked, n_mismatch,
+                   round(n_mismatch / n_checked, 6) AS mismatch_rate
+            FROM per
         """,
         # soft dedup: exact-fp clusters via window min/count; weight is
         # round-6 of 1/integer — cross-engine exact

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "q89_streaming_windowed_drift",
     "q90_encoding_signals",
     "q91_snapshot_diff",
+    "q92_attribute_consistency",
+    "q93_suite_report",
 ]
 
 

@@ -353,3 +353,63 @@ def test_snapshot_diff_null_vs_empty_vs_literal(spark):
     b = spark.createDataFrame([(1, ""), (2, "\x00"), (3, None)], "id long, s string")
     got = {r["id"]: r["status"] for r in snapshot_diff_rows(a, b, ["id"]).collect()}
     assert got == {1: "changed", 2: "changed", 3: "changed"}
+
+
+def test_attribute_consistency(spark):
+    """Null-safe mismatch semantics + broadcast plan shape."""
+    from validate_spark.operators.refcheck import attribute_consistency
+
+    dim = spark.createDataFrame(
+        [(1, "US", 10), (2, "DE", 20), (3, None, 30)], "k int, name string, r int"
+    )
+    fact = spark.createDataFrame(
+        [(100, 1, "US", 10),     # consistent
+         (101, 1, "us", 10),     # name mismatch
+         (102, 2, None, 20),     # NULL vs value -> mismatch
+         (103, 3, None, 31),     # NULL==NULL consistent; r off by one
+         (104, 9, "XX", 0),      # unresolved fk -> excluded (dangling's job)
+         (105, None, "US", 10)], # NULL fk -> excluded
+        "id int, fk int, dname string, dr int",
+    )
+    out = {r["fact_attr"]: r.asDict() for r in attribute_consistency(
+        fact, "fk", dim, "k", [("dname", "name"), ("dr", "r")]
+    ).collect()}
+    assert out["dname"]["n_checked"] == 4 and out["dname"]["n_mismatch"] == 2
+    assert out["dr"]["n_checked"] == 4 and out["dr"]["n_mismatch"] == 1
+    assert out["dr"]["mismatch_rate"] == 0.25
+    plan = attribute_consistency(
+        fact, "fk", dim, "k", [("dname", "name")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_suite_report_one_action(spark):
+    """All four check families in one frame; values match the
+    individual operators; single plan contains every branch."""
+    from validate_spark import RuleSet
+    from validate_spark.operators.suite import suite_report
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 5), i % 3, float(i % 100)) for i in range(60)],
+        "id long, s string, grp int, v double",
+    )
+    cat = spark.createDataFrame([(0,), (1,)], "grp int")  # 2 is dangling
+    rep = suite_report(
+        df,
+        RuleSet(rules={"s": "required|minLength:2", "v": "max:50"}),
+        key_cols=["id"],
+        unique_cols=[["id"], ["grp"]],
+        ref_checks=[("grp", cat, "grp")],
+        hist_specs=[("v", 0.0, 100.0, 4)],
+    )
+    got = {(r["check"], r["metric"]): r["value"] for r in rep.collect()}
+    assert got[("verdicts", "n_rows")] == 60
+    assert got[("verdicts", "n_pass")] + got[("verdicts", "n_fail")] == 60
+    # s: empty (i%5==0, required) 12 + len-1 (i%5==1, minLength) 12;
+    # v: i>50 (max:50) 9 — fields disjoint, so violations sum exactly
+    assert got[("verdicts", "n_violations")] == 12 + 12 + 9
+    assert got[("uniqueness", "dup_keys:id")] == 0
+    assert got[("uniqueness", "dup_keys:grp")] == 3   # all 3 groups repeat
+    assert got[("referential", "dangling:grp")] == 20
+    hist = {int(m): v for (c, m), v in got.items() if c == "histogram:v"}
+    assert sum(hist.values()) == 60 and set(hist) <= {0, 1, 2, 3}

@@ -116,3 +116,71 @@ def ref_integrity_report(
         F.count(F.lit(1)).alias("n_dangling")
     )
     return n_refs.crossJoin(n_dangling)
+
+
+def attribute_consistency(
+    fact: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    attr_pairs: list[tuple[str, str]],
+    *,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Denormalization-consistency check (the step past existence):
+    for fact rows whose ``fk_col`` RESOLVES in the dimension, do the
+    fact's denormalized copies of dimension attributes still agree
+    with the dimension of record? One row per ``(fact_attr, dim_attr)``
+    pair: rows checked, mismatches, round-6 mismatch rate.
+
+    Values are compared null-safely (``eqNullSafe``): NULL==NULL is
+    consistent, NULL vs value is a mismatch — a denormalized column
+    that silently went NULL is exactly the corruption this catches.
+    Unresolved foreign keys are :func:`dangling_refs`' job and are
+    excluded here (inner join).
+
+    Scale: the dimension is dimension-sized by definition → broadcast
+    inner join (the fact side never shuffles), then ONE map-side-
+    partial agg over len(attr_pairs) counters; output rows =
+    len(attr_pairs). ``broadcast_dim=False`` falls back to a shuffle
+    join for dimensions past the broadcast threshold (same rule as
+    ``dangling_refs``).
+
+    Reference seed: eqField (validators_compare.go — cross-FIELD
+    equality inside one record); at table scale the natural lift is
+    cross-TABLE equality through a key.
+    """
+    d = dim.select(
+        F.col(dim_key).alias("__dk"),
+        *[F.col(dc).alias(f"__d_{i}") for i, (_, dc) in enumerate(attr_pairs)],
+    )
+    if broadcast_dim:
+        d = F.broadcast(d)
+    f = fact.filter(F.col(fk_col).isNotNull())
+    j = f.join(d, f[fk_col] == d["__dk"], "inner")
+    aggs = []
+    for i, (fc, _) in enumerate(attr_pairs):
+        ok = F.col(fc).eqNullSafe(F.col(f"__d_{i}"))
+        aggs.append(F.count(F.lit(1)).alias(f"__n_{i}"))
+        aggs.append(F.sum((~ok).cast("long")).alias(f"__m_{i}"))
+    one = j.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(fc).alias("fact_attr"),
+                F.lit(dc).alias("dim_attr"),
+                F.col(f"__n_{i}").alias("n_checked"),
+                F.col(f"__m_{i}").alias("n_mismatch"),
+            )
+            for i, (fc, dc) in enumerate(attr_pairs)
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select(
+        F.col("e.fact_attr").alias("fact_attr"),
+        F.col("e.dim_attr").alias("dim_attr"),
+        F.col("e.n_checked").alias("n_checked"),
+        F.col("e.n_mismatch").alias("n_mismatch"),
+        F.round(F.col("e.n_mismatch") / F.col("e.n_checked"), 6).alias(
+            "mismatch_rate"
+        ),
+    )
