@@ -471,3 +471,37 @@ def test_prefix_membership_property_vs_reference_semantics(spark):
     }
     for p in probes:
         assert got[p] == ref_semantics(p), f"divergence at {p!r}"
+
+
+def test_ruleset_json_roundtrip():
+    """to_json/from_json preserve the declarative surface AND the
+    manifest identity hash; per-instance validators re-bind by name or
+    fail loudly."""
+    from validate_spark import RuleSet
+
+    rs = RuleSet(
+        rules={"a": "required|min:3", "b.*": "enum:x,y"},
+        filters={"a": "trim|int"},
+        messages={"a.min": "too small"},
+        labels={"a": "Alpha"},
+        scenes={"ingest": ["a"]},
+        stop_on_error=True,
+        zero_as_empty=True,
+        locale="zh-CN",
+    )
+    back = RuleSet.from_json(rs.to_json())
+    assert back == rs
+    assert back.hash() == rs.hash()
+
+    def my_validator(col, args, ctx):  # pragma: no cover - never called
+        return col.isNotNull()
+
+    rs2 = RuleSet(rules={"a": "myCheck"}, validators={"myCheck": my_validator})
+    payload = rs2.to_json()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="myCheck"):
+        RuleSet.from_json(payload)
+    back2 = RuleSet.from_json(payload, validators={"myCheck": my_validator})
+    assert back2.hash() == rs2.hash()
+    assert back2.validators["myCheck"] is my_validator

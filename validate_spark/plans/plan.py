@@ -105,6 +105,54 @@ class RuleSet:
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    def to_json(self) -> str:
+        """Serialize the DECLARATIVE surface — rules, filters, messages,
+        labels, scenes, and every option flag — as versionable JSON
+        (store it next to the run manifest; ``hash()`` is its identity).
+        Per-instance ``validators`` are callables and serialize as
+        NAMES only: ``from_json`` re-binds them from the mapping you
+        pass (or fails loudly — a silently dropped custom validator
+        would pass rows the original set rejected).
+
+        Reference parity: gookit carries rules as data in struct tags
+        (struct_rules.go:328-519); at table scale the analogue is the
+        rule set as a versioned artifact."""
+        return json.dumps(
+            {
+                "rules": self.rules,
+                "filters": self.filters,
+                "messages": self.messages,
+                "labels": self.labels,
+                "scenes": self.scenes,
+                "stop_on_error": self.stop_on_error,
+                "skip_on_empty": self.skip_on_empty,
+                "zero_as_empty": self.zero_as_empty,
+                "locale": self.locale,
+                "err_show_value": self.err_show_value,
+                "check_default": self.check_default,
+                "validator_names": sorted(self.validators),
+            },
+            sort_keys=True,
+            indent=2,
+        )
+
+    @staticmethod
+    def from_json(payload: str, validators: dict | None = None) -> "RuleSet":
+        """Inverse of :meth:`to_json`. ``validators`` must supply a
+        builder for every serialized per-instance validator name;
+        missing names raise (never silently weaken a rule set)."""
+        d = json.loads(payload)
+        names = d.pop("validator_names", [])
+        provided = validators or {}
+        missing = [n for n in names if n not in provided]
+        if missing:
+            raise ValueError(
+                "from_json: per-instance validators not provided: "
+                f"{missing} — pass validators={{name: builder}} or "
+                "register them globally and drop them from the payload"
+            )
+        return RuleSet(validators={n: provided[n] for n in names}, **d)
+
     def field_names(self) -> set[str]:
         """All individual ruled/filtered field paths, comma keys expanded
         (a key may bind MULTIPLE comma-separated fields, rule.go:15-60)."""
