@@ -2284,6 +2284,49 @@ def q93_suite_report(spark, sf_dir):
     )
 
 
+def q94_retain_best(spark, sf_dir):
+    """Quality-aware dedup retention (dedup.dedup_retain_best): the
+    q82 doubled cohort gets an integer quality (doc_id*37 mod 101 —
+    tie-free by construction across the +1e6 clones), exact clusters
+    keep their HIGHEST-quality member (tie-break min member key,
+    DESC NULLS LAST pinned in both engines). Oracle = row_number over
+    the same fp partition and ordering."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cohort = docs.unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    cohort = cohort.withColumn(
+        "q", F.pmod(F.col("doc_id") * 37, F.lit(101)).cast("long")
+    )
+    clusters = dd.exact_clusters(cohort)
+    kept = dd.dedup_retain_best(cohort, clusters, "q")
+    return kept.select("doc_id", "q")
+
+
+def q95_functional_dependency(spark, sf_dir):
+    """Functional-dependency audit (uniq.functional_dependency_violations):
+    user_id -> home holds by construction except for %97 users whose
+    even-event rows carry a variant value — those determinants (and
+    only those) surface with their row/distinct counts. Distinct-FREE
+    two-stage groupBy (the count_distinct-beside-count Expand gotcha)."""
+    from validate_spark.operators.uniq import functional_dependency_violations
+
+    events = _t(spark, sf_dir, "events")
+    u = F.coalesce(F.col("user_id"), F.lit(0))
+    home = (
+        F.when(
+            (F.pmod(u, F.lit(97)) == 0)
+            & (F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2)) == 0),
+            F.lit("h?"),
+        )
+        .otherwise(F.concat(F.lit("h"), F.pmod(u, F.lit(50)).cast("string")))
+    )
+    seeded = events.select("event_id", "user_id", home.alias("home"))
+    return functional_dependency_violations(seeded, "user_id", "home")
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2582,6 +2625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_snapshot_diff": q91_snapshot_diff,
         "q92_attribute_consistency": q92_attribute_consistency,
         "q93_suite_report": q93_suite_report,
+        "q94_retain_best": q94_retain_best,
+        "q95_functional_dependency": q95_functional_dependency,
     }
 
 
@@ -4299,6 +4344,51 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # quality-aware retention: row_number over the same fp
+        # partition + (q DESC NULLS LAST, member ASC) ordering
+        "q94_retain_best": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 3 = 0
+            ), f AS (
+              SELECT doc_id, (doc_id * 37) % 101 AS q,
+                     doc_id::VARCHAR AS k, md5({_NORM}) AS fp
+              FROM d
+            ), r AS (
+              SELECT doc_id, q,
+                     row_number() OVER (
+                       PARTITION BY fp
+                       ORDER BY q DESC NULLS LAST, k ASC
+                     ) AS rk
+              FROM f
+            )
+            SELECT doc_id, q::BIGINT AS q FROM r WHERE rk = 1
+        """,
+        # FD audit: replay the seeded home column, two-stage
+        # distinct-free rollup, HAVING > 1
+        "q95_functional_dependency": """
+            WITH s AS (
+              SELECT user_id,
+                     CASE WHEN coalesce(user_id, 0) % 97 = 0
+                               AND coalesce(event_id, 0) % 2 = 0
+                          THEN 'h?'
+                          ELSE 'h' || (coalesce(user_id, 0) % 50)::VARCHAR
+                     END AS home
+              FROM events
+            ), pairs AS (
+              SELECT user_id, home, count(*)::BIGINT AS c
+              FROM s
+              WHERE home IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY user_id, home
+            )
+            SELECT user_id,
+                   sum(c)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_distinct_dependent
+            FROM pairs GROUP BY user_id
+            HAVING count(*) > 1
         """,
         # suite report: the q01/q02 predicates (_V, disjoint per field
         # by their guards) roll into verdict totals; uniqueness /

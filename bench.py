@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "q91_snapshot_diff",
     "q92_attribute_consistency",
     "q93_suite_report",
+    "q94_retain_best",
+    "q95_functional_dependency",
 ]
 
 

@@ -1187,3 +1187,38 @@ def test_encoding_signals_counts(spark):
     assert out[6]["n_mojibake"] is None and out[6]["damaged"] is None
     assert out[7]["damaged"] is False                         # tab/LF/CR are fine
     assert out[8]["damaged"] is False                         # real accents are legit
+
+
+def test_dedup_retain_best(spark):
+    """Highest quality wins, min-key tie-break, NULL quality last,
+    unclustered rows pass through untouched."""
+    from validate_spark.operators.dedup import dedup_retain_best
+
+    corpus = spark.createDataFrame(
+        [("1", 5), ("2", 9), ("3", 9), ("4", None), ("9", 1)],
+        "doc_id string, q int",
+    )
+    clusters = spark.createDataFrame(
+        [("1", "1"), ("2", "1"), ("3", "1"), ("4", "4")],  # 9 unclustered
+        "member string, cluster string",
+    )
+    kept = {r["doc_id"] for r in dedup_retain_best(corpus, clusters, "q").collect()}
+    # cluster 1: q 9 ties on docs 2,3 -> min key "2"; cluster 4: NULL q
+    # is its only member; 9 unclustered
+    assert kept == {"2", "4", "9"}
+
+
+def test_functional_dependency_violations(spark):
+    """Violating determinants only; NULL dependents don't contradict;
+    the plan is Expand-free (the distinct-beside-count gotcha)."""
+    from validate_spark.operators.uniq import functional_dependency_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (3, "c"), (None, "z")],
+        "k int, v string",
+    )
+    out = functional_dependency_violations(df, "k", "v")
+    got = {r["k"]: (r["n_rows"], r["n_distinct_dependent"]) for r in out.collect()}
+    assert got == {2: (2, 2)}        # k=3's NULL doesn't count; k=1 holds
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

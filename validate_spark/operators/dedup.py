@@ -1706,3 +1706,46 @@ def top_duplicated_spans(
     return top.withColumn("rank", F.row_number().over(wnd).cast("long")).select(
         "rank", "span", "n_docs", "n_occ"
     )
+
+
+def dedup_retain_best(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware retention: keep each cluster's HIGHEST-``quality_col``
+    member (ties broken by min key — fully deterministic) plus every
+    unclustered doc. What production pipelines actually do after
+    near-dedup: the canonical should be the best-written copy, not the
+    one with the smallest id (:func:`dedup_retain` is the min-key
+    variant for when no quality signal exists).
+
+    Scale: the corpus joins the (member, cluster) frame once on the key
+    (clusters frame is pair-pipeline-sized, broadcastable when small),
+    then ONE per-cluster max_by window on the CLUSTERED SUBSET only —
+    unclustered docs (the overwhelming majority at real dup rates)
+    bypass the window entirely via the anti-join branch; finally the
+    kept keys semi-join back to the corpus, map-only. NULL quality
+    sorts LAST in both engines under DESC NULLS LAST (pinned
+    explicitly — Spark and DuckDB default NULL ordering differ).
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key_col).cast("string")
+    mem = clusters.select(F.col("member"), F.col("cluster"))
+    clustered = corpus.join(mem, k == mem["member"], "inner")
+    w = (
+        Window.partitionBy("cluster")
+        .orderBy(F.col(quality_col).desc_nulls_last(), F.col("member").asc())
+    )
+    best = (
+        clustered.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("member").alias("_keep"))
+    )
+    unclustered = corpus.join(mem, k == mem["member"], "left_anti")
+    kept_clustered = corpus.join(
+        best, k == best["_keep"], "left_semi"
+    )
+    return unclustered.unionByName(kept_clustered)

@@ -58,3 +58,40 @@ def uniqueness_report(df: DataFrame, key: str, *, salt_buckets: int | None = Non
         F.count_distinct(F.col(key)).alias("n_keys"),
     )
     return base_agg.crossJoin(dup_agg)
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant: str | list[str],
+    dependent: str,
+) -> DataFrame:
+    """Functional-dependency audit ``determinant -> dependent`` (Deequ
+    profiling's FD hint, and the practical 'is zip -> city still true
+    in today's crawl' check): determinant values whose dependent column
+    takes MORE than one distinct non-null value, with row and distinct
+    counts. Empty result == the FD holds.
+
+    NULL dependents are skipped (a missing value cannot contradict a
+    dependency — it is a `required` finding, not an FD one; same
+    separation of concerns as :func:`duplicate_keys`).
+
+    Scale: deliberately distinct-FREE — groupBy(det, dep) counts, then
+    groupBy(det) rolls up group counts. A count_distinct beside the
+    row count would re-plan the agg as a two-phase Expand (input rows
+    x 2 — the working-notes round-4 gotcha); the two-stage spelling is
+    one full-width exchange on (det, dep) plus a group-cardinality
+    exchange on det, both map-side combined.
+    """
+    dets = [determinant] if isinstance(determinant, str) else list(determinant)
+    base = df.filter(F.col(dependent).isNotNull())
+    for d in dets:
+        base = base.filter(F.col(d).isNotNull())
+    pairs = base.groupBy(*dets, dependent).agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        pairs.groupBy(*dets)
+        .agg(
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_dependent"),
+        )
+        .filter(F.col("n_distinct_dependent") > 1)
+    )
