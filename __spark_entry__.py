@@ -2327,6 +2327,30 @@ def q95_functional_dependency(spark, sf_dir):
     return functional_dependency_violations(seeded, "user_id", "home")
 
 
+def q96_categorical_drift(spark, sf_dir):
+    """Category-share drift (drift.categorical_drift): documents lang
+    distribution, md5-A cohort vs md5-B cohort where %13 B-rows are
+    overridden to a NEW category 'xx' and %17 B-rows to NULL — so the
+    report exercises one-sided categories AND the NULL category. The
+    drifted flag is decimal(38,0)/HUGEINT share cross-multiplication;
+    per-side counts meet via tag+union+groupBy (no join)."""
+    from validate_spark.operators.drift import categorical_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    in_a = (
+        F.substring(F.md5(F.coalesce(d.cast("string"), F.lit(""))), 1, 1) < "8"
+    )
+    a = docs.filter(in_a).select("lang")
+    b = docs.filter(~in_a).select(
+        F.when(F.pmod(d, F.lit(13)) == 0, F.lit("xx"))
+        .when(F.pmod(d, F.lit(17)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    )
+    return categorical_drift(a, b, "lang", min_delta_bp=100)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2627,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_suite_report": q93_suite_report,
         "q94_retain_best": q94_retain_best,
         "q95_functional_dependency": q95_functional_dependency,
+        "q96_categorical_drift": q96_categorical_drift,
     }
 
 
@@ -4344,6 +4369,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # categorical drift: cohort + seeding replayed; NULL category
+        # groups like any other; HUGEINT share cross-multiplication
+        "q96_categorical_drift": """
+            WITH base AS (
+              SELECT coalesce(doc_id, 0) AS d, lang,
+                     substr(md5(coalesce(coalesce(doc_id, 0)::VARCHAR, '')), 1, 1)
+                       < '8' AS in_a
+              FROM documents
+            ), a AS (
+              SELECT lang AS category FROM base WHERE in_a
+            ), b AS (
+              SELECT CASE WHEN d % 13 = 0 THEN 'xx'
+                          WHEN d % 17 = 0 THEN NULL
+                          ELSE lang END AS category
+              FROM base WHERE NOT in_a
+            ), ca AS (
+              SELECT category, count(*)::BIGINT AS n_a FROM a GROUP BY category
+            ), cb AS (
+              SELECT category, count(*)::BIGINT AS n_b FROM b GROUP BY category
+            ), g AS (
+              SELECT coalesce(ca.category, cb.category) AS category,
+                     coalesce(n_a, 0)::BIGINT AS n_a,
+                     coalesce(n_b, 0)::BIGINT AS n_b
+              FROM ca FULL OUTER JOIN cb
+                ON ca.category IS NOT DISTINCT FROM cb.category
+            ), t AS (
+              SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b FROM g
+            )
+            SELECT category, n_a, n_b, tot_a, tot_b,
+                   round(n_a / tot_a, 6) AS share_a,
+                   round(n_b / tot_b, 6) AS share_b,
+                   (abs(n_a::HUGEINT * tot_b - n_b::HUGEINT * tot_a) * 10000
+                      > 100::HUGEINT * tot_a * tot_b) AS drifted
+            FROM g CROSS JOIN t
         """,
         # quality-aware retention: row_number over the same fp
         # partition + (q DESC NULLS LAST, member ASC) ordering

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q93_suite_report",
     "q94_retain_best",
     "q95_functional_dependency",
+    "q96_categorical_drift",
 ]
 
 

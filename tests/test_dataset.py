@@ -413,3 +413,24 @@ def test_suite_report_one_action(spark):
     assert got[("referential", "dangling:grp")] == 20
     hist = {int(m): v for (c, m), v in got.items() if c == "histogram:v"}
     assert sum(hist.values()) == 60 and set(hist) <= {0, 1, 2, 3}
+
+
+def test_categorical_drift(spark):
+    """One-sided categories get zero counts (not dropped), NULL is a
+    category, and the bp flag fires on real share moves only."""
+    from validate_spark.operators.drift import categorical_drift
+
+    a = spark.createDataFrame(
+        [("en",)] * 50 + [("de",)] * 45 + [("fr",)] * 5, "lang string"
+    )
+    b = spark.createDataFrame(
+        [("en",)] * 50 + [("de",)] * 30 + [("xx",)] * 15 + [(None,)] * 5,
+        "lang string",
+    )
+    out = {r["category"]: r.asDict() for r in categorical_drift(a, b, "lang").collect()}
+    assert set(out) == {"en", "de", "fr", "xx", None}
+    assert out["fr"]["n_b"] == 0 and out["xx"]["n_a"] == 0
+    assert out["en"]["drifted"] is False          # 50% both sides
+    assert out["de"]["drifted"] is True           # 45% -> 30%
+    assert out["xx"]["drifted"] is True and out[None]["n_b"] == 5
+    assert out["de"]["share_a"] == 0.45 and out["de"]["share_b"] == 0.3

@@ -528,3 +528,66 @@ def schema_profile_drift(
         F.round(F.col("null_b") / F.col("n_b"), 6).alias("null_rate_b"),
         status.alias("status"),
     )
+
+
+def categorical_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    *,
+    min_delta_bp: int = 100,
+) -> DataFrame:
+    """Category-share drift between two snapshots of one column (the
+    categorical complement of :func:`numeric_drift`): per category —
+    including categories present on only one side, and the NULL
+    category — per-side counts, totals, round-6 shares, and a
+    ``drifted`` flag when the shares differ by more than
+    ``min_delta_bp`` basis points (decimal(38,0) cross-multiplication,
+    same engine-portable discipline as :func:`rule_violation_drift`).
+
+    Scale: each snapshot aggregates map-side into (category, count)
+    and the two tiny frames meet via tag+union+groupBy — one exchange
+    per side, no join (the snapdiff pattern); totals ride a window
+    over the aggregated frame. Output cardinality = |categories|: for
+    genuinely high-cardinality columns, bucket first (hash buckets or
+    :func:`~validate_spark.operators.suggest.pattern_profile` classes)
+    — emitting 10^9 category rows is a modeling error, not a drift
+    report, so no silent top-K is applied here.
+    """
+    from pyspark.sql import Window
+
+    def side(df, ia, ib):
+        return df.groupBy(F.col(col).alias("category")).agg(
+            F.count(F.lit(1)).alias("_c")
+        ).select(
+            "category",
+            (F.col("_c") * ia).cast("long").alias("_na"),
+            (F.col("_c") * ib).cast("long").alias("_nb"),
+        )
+
+    u = side(df_a, 1, 0).unionByName(side(df_b, 0, 1))
+    g = u.groupBy("category").agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.withColumn("tot_a", F.sum("n_a").over(whole)).withColumn(
+        "tot_b", F.sum("n_b").over(whole)
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    delta = d("n_a") * d("tot_b") - d("n_b") * d("tot_a")
+    drifted = F.abs(delta) * F.lit(10_000).cast(_DEC) > (
+        F.lit(int(min_delta_bp)).cast(_DEC) * d("tot_a") * d("tot_b")
+    )
+    return g.select(
+        "category",
+        "n_a",
+        "n_b",
+        "tot_a",
+        "tot_b",
+        F.round(F.col("n_a") / F.col("tot_a"), 6).alias("share_a"),
+        F.round(F.col("n_b") / F.col("tot_b"), 6).alias("share_b"),
+        drifted.alias("drifted"),
+    )
