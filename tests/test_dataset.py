@@ -434,3 +434,47 @@ def test_categorical_drift(spark):
     assert out["de"]["drifted"] is True           # 45% -> 30%
     assert out["xx"]["drifted"] is True and out[None]["n_b"] == 5
     assert out["de"]["share_a"] == 0.45 and out["de"]["share_b"] == 0.3
+
+
+def test_snapshot_diff_differential_random(spark):
+    """Differential: operator output == a pure-Python reference diff on
+    randomized snapshots (seeded — Spark sessions are too costly for
+    per-example hypothesis here; 20 seeds × dense key collisions)."""
+    import random
+
+    from validate_spark.operators.snapdiff import snapshot_diff_rows
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        def mk():
+            rows = []
+            for _ in range(rng.randrange(0, 25)):
+                k = rng.randrange(0, 10)          # dense -> collisions
+                v = rng.choice(["a", "b", None])
+                w = rng.choice([0, 1, None])
+                rows.append((k, v, w))
+            return rows
+        ra, rb = mk(), mk()
+        a = spark.createDataFrame(ra, "k int, v string, w int") if ra else \
+            spark.createDataFrame([], "k int, v string, w int")
+        b = spark.createDataFrame(rb, "k int, v string, w int") if rb else \
+            spark.createDataFrame([], "k int, v string, w int")
+        got = {r["k"]: r["status"] for r in snapshot_diff_rows(a, b, ["k"]).collect()}
+
+        from collections import Counter
+        ca, cb = Counter(r[0] for r in ra), Counter(r[0] for r in rb)
+        va = {r[0]: (r[1], r[2]) for r in ra}
+        vb = {r[0]: (r[1], r[2]) for r in rb}
+        want = {}
+        for k in set(ca) | set(cb):
+            if ca[k] > 1 or cb[k] > 1:
+                want[k] = "dup_key"
+            elif ca[k] == 0:
+                want[k] = "added"
+            elif cb[k] == 0:
+                want[k] = "removed"
+            elif va[k] != vb[k]:
+                want[k] = "changed"
+            else:
+                want[k] = "unchanged"
+        assert got == want, f"seed={seed}"
