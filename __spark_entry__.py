@@ -2351,6 +2351,45 @@ def q96_categorical_drift(spark, sf_dir):
     return categorical_drift(a, b, "lang", min_delta_bp=100)
 
 
+def q97_numeric_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations (stats.numeric_correlations) over
+    three INTEGRAL columns (n_chars, rune length of text, doc_id mod
+    97): the co-moment sums accumulate in decimal(38,0)/HUGEINT so
+    they are EXACT in both engines, and the final double formula is
+    evaluated in the same literal order — the corr values replay
+    bit-identically before the round-6 (not merely within tolerance).
+    ONE wide-agg scan for all pairs."""
+    from validate_spark.operators.stats import numeric_correlations
+
+    docs = _t(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.col("n_chars"),
+        F.length(F.col("text")).cast("long").alias("text_len"),
+        F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(97))
+        .cast("long")
+        .alias("id_mod"),
+    )
+    return numeric_correlations(frame, ["n_chars", "text_len", "id_mod"])
+
+
+def q98_frequent_values(spark, sf_dir):
+    """Heavy-hitter value profile (stats.frequent_values): top-5 lang
+    values with %19 rows NULLed so NULL competes as a value; ordering
+    (cnt DESC, value ASC NULLS FIRST) is fully deterministic so both
+    engines' LIMIT picks identical rows. TakeOrderedAndProject —
+    per-task k-heaps, no global sort."""
+    from validate_spark.operators.stats import frequent_values
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    seeded = docs.select(
+        F.when(F.pmod(d, F.lit(19)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    )
+    return frequent_values(seeded, "lang", k=5)
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2652,6 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_retain_best": q94_retain_best,
         "q95_functional_dependency": q95_functional_dependency,
         "q96_categorical_drift": q96_categorical_drift,
+        "q97_numeric_correlations": q97_numeric_correlations,
+        "q98_frequent_values": q98_frequent_values,
     }
 
 
@@ -3145,6 +3186,49 @@ def _q90_sql() -> str:
                ({moji} > 0 OR {repl} > 0 OR {ctrl} > 0) AS damaged
         FROM s
     """
+
+
+def _q97_sql() -> str:
+    """Correlation oracle: HUGEINT co-moment sums (exact, matching the
+    engine's decimal(38,0) accumulation on integral inputs), then the
+    SAME double formula in the SAME literal order — bit-identical corr
+    before the round-6."""
+    pairs = [
+        ("n_chars", "text_len"),
+        ("n_chars", "id_mod"),
+        ("text_len", "id_mod"),
+    ]
+    parts = []
+    for a, b in pairs:
+        parts.append(f"""
+          SELECT '{a}' AS col_x, '{b}' AS col_y, n,
+                 CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                       AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                      THEN round(
+                        (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                        / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 6)
+                      ELSE NULL END AS corr
+          FROM (
+            SELECT count(*) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL)::BIGINT AS n,
+                   coalesce(sum({a}::HUGEINT) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL), 0) AS sx,
+                   coalesce(sum({b}::HUGEINT) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL), 0) AS sy,
+                   coalesce(sum({a}::HUGEINT * {a}::HUGEINT) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL), 0) AS sxx,
+                   coalesce(sum({b}::HUGEINT * {b}::HUGEINT) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL), 0) AS syy,
+                   coalesce(sum({a}::HUGEINT * {b}::HUGEINT) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL), 0) AS sxy
+            FROM f
+          )""")
+    return (
+        """
+        WITH f AS (
+          SELECT n_chars,
+                 length(text)::BIGINT AS text_len,
+                 (coalesce(doc_id, 0) % 97)::BIGINT AS id_mod
+          FROM documents
+        )
+        """
+        + " UNION ALL ".join(parts)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4369,6 +4453,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # correlations: exact HUGEINT co-moment sums + same double
+        # formula order (see _q97_sql)
+        "q97_numeric_correlations": _q97_sql(),
+        # heavy hitters: deterministic (cnt DESC, value ASC NULLS
+        # FIRST) total order so LIMIT picks identical rows
+        "q98_frequent_values": """
+            WITH s AS (
+              SELECT CASE WHEN coalesce(doc_id, 0) % 19 = 0 THEN NULL
+                          ELSE lang END AS value
+              FROM documents
+            )
+            SELECT value, count(*)::BIGINT AS cnt
+            FROM s GROUP BY value
+            ORDER BY cnt DESC, value ASC NULLS FIRST
+            LIMIT 5
         """,
         # categorical drift: cohort + seeding replayed; NULL category
         # groups like any other; HUGEINT share cross-multiplication

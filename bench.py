@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "q94_retain_best",
     "q95_functional_dependency",
     "q96_categorical_drift",
+    "q97_numeric_correlations",
+    "q98_frequent_values",
 ]
 
 

@@ -478,3 +478,44 @@ def test_snapshot_diff_differential_random(spark):
             else:
                 want[k] = "unchanged"
         assert got == want, f"seed={seed}"
+
+
+def test_numeric_correlations_vs_numpy(spark):
+    """Corr matches numpy on clean data; pairwise-NULL exclusion;
+    constant column -> NULL; one scan (one agg, metadata explode)."""
+    import numpy as np
+
+    from validate_spark.operators.stats import numeric_correlations
+
+    xs = list(range(40))
+    ys = [3 * x + 7 - (x % 5) for x in xs]     # strongly correlated
+    zs = [5] * 40                               # constant
+    df = spark.createDataFrame(list(zip(xs, ys, zs)), "x long, y long, z long")
+    out = {(r["col_x"], r["col_y"]): r for r in
+           numeric_correlations(df, ["x", "y", "z"]).collect()}
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    assert out[("x", "y")]["corr"] == want and out[("x", "y")]["n"] == 40
+    assert out[("x", "z")]["corr"] is None      # zero variance
+    # pairwise NULL exclusion: poison one y row
+    df2 = spark.createDataFrame(
+        [(x, None if x == 0 else 3 * x, x * x) for x in xs], "x long, y long, z long"
+    )
+    got = {(r["col_x"], r["col_y"]): r for r in
+           numeric_correlations(df2, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")]["n"] == 39 and got[("x", "z")]["n"] == 40
+    assert got[("x", "y")]["corr"] == 1.0
+    plan = numeric_correlations(df, ["x", "y"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1        # single scan
+
+
+def test_frequent_values_deterministic_order(spark):
+    """Ties break on value ASC NULLS FIRST; NULL counts as a value;
+    plan is TakeOrderedAndProject, not a global sort."""
+    from validate_spark.operators.stats import frequent_values
+
+    rows = [("b",)] * 5 + [("a",)] * 5 + [(None,)] * 5 + [("c",)] * 2 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    got = [(r["value"], r["cnt"]) for r in frequent_values(df, "v", k=4).collect()]
+    assert got == [(None, 5), ("a", 5), ("b", 5), ("c", 2)]
+    plan = frequent_values(df, "v", k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan

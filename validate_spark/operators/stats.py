@@ -141,3 +141,106 @@ def numeric_histogram(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def numeric_correlations(
+    df: DataFrame, cols: list[str], *, round_to: int | None = 6
+) -> DataFrame:
+    """Pearson correlation for every unordered column pair — Deequ-style
+    multi-column profiling — computed from ONE wide aggregate of raw
+    co-moment sums (n, Σx, Σx², Σxy per pair), never per-pair passes.
+
+    Deliberately NOT ``F.corr``: streaming co-moment updates are
+    engine- and order-dependent, but the raw SUMS are exact integers
+    whenever the inputs are integral (and map-side-combinable always),
+    so the final driver-free formula
+    ``(n·Σxy − Σx·Σy) / sqrt(n·Σx²−Σx²̂) / sqrt(n·Σy²−Σy²̂)``
+    replays bit-identically in any engine from the same sums. Rows
+    with a NULL in EITHER column of a pair are excluded pairwise
+    (count tracked per pair). Sums are decimal(38,0) for integral
+    inputs at 10^12-row scale (the working-notes overflow rule);
+    fractional inputs fall back to double sums (exactness then holds
+    to fp-addition order, still one scan).
+
+    Output: (col_x, col_y, n, corr) with col_x < col_y; ``corr`` NULL
+    when either side is constant (zero variance).
+
+    Scale: ONE scan, one 1-row aggregate (pairs×4 + cols sums), then a
+    metadata-sized explode — no shuffle of raw data.
+    """
+    from pyspark.sql import types as T
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    integral = all(
+        isinstance(schema[c], (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        for c in cols
+    )
+    acc_t = "decimal(38,0)" if integral else "double"
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        x = F.col(a).cast(acc_t)
+        y = F.col(b).cast(acc_t)
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        z = F.lit(0).cast(acc_t)
+        aggs += [
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias(f"_n_{i}"),
+            F.sum(F.when(both, x).otherwise(z)).alias(f"_sx_{i}"),
+            F.sum(F.when(both, y).otherwise(z)).alias(f"_sy_{i}"),
+            F.sum(F.when(both, x * x).otherwise(z)).alias(f"_sxx_{i}"),
+            F.sum(F.when(both, y * y).otherwise(z)).alias(f"_syy_{i}"),
+            F.sum(F.when(both, x * y).otherwise(z)).alias(f"_sxy_{i}"),
+        ]
+    one = df.agg(*aggs)
+    entries = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"_n_{i}").cast("double")
+        sx = F.col(f"_sx_{i}").cast("double")
+        sy = F.col(f"_sy_{i}").cast("double")
+        sxx = F.col(f"_sxx_{i}").cast("double")
+        syy = F.col(f"_syy_{i}").cast("double")
+        sxy = F.col(f"_sxy_{i}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy)
+        ).otherwise(F.lit(None).cast("double"))
+        if round_to is not None:
+            corr = F.round(corr, round_to)
+        entries.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"_n_{i}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return one.select(F.explode(F.array(*entries)).alias("e")).select(
+        F.col("e.col_x").alias("col_x"),
+        F.col("e.col_y").alias("col_y"),
+        F.col("e.n").alias("n"),
+        F.col("e.corr").alias("corr"),
+    )
+
+
+def frequent_values(
+    df: DataFrame, col: str, *, k: int = 20
+) -> DataFrame:
+    """Top-``k`` most frequent values of a column (heavy-hitter
+    profile): (value, cnt) with the fully deterministic ordering
+    ``cnt DESC, value ASC NULLS FIRST`` so any engine's LIMIT picks
+    identical rows. NULL is a value here — a top-1 NULL is the single
+    most useful profiling fact there is.
+
+    Scale: groupBy(col) with map-side partials, then a distributed
+    top-k via ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-task k-heaps + one k-row merge), never
+    a global sort (the q84 pattern).
+    """
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value").asc_nulls_first())
+        .limit(k)
+    )
