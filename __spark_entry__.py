@@ -2390,6 +2390,43 @@ def q98_frequent_values(spark, sf_dir):
     return frequent_values(seeded, "lang", k=5)
 
 
+def q99_c4_signals(spark, sf_dir):
+    """C4 cleanup heuristics as signals (textstats.c4_signals, Raffel
+    et al. 2020 §2.2): curly brace / lorem ipsum / javascript / policy
+    cues seeded by modulus cohorts, sentence counts from the natural
+    text, would_drop composed per the C4 rule (any cue OR <3
+    sentences). One codegen'd projection; DuckDB replays every cue and
+    the terminator-based sentence count."""
+    from validate_spark.operators.textstats import c4_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    val = (
+        F.when(F.pmod(d, F.lit(23)) == 0, F.concat(t, F.lit(" {code}")))
+        .when(F.pmod(d, F.lit(29)) == 0, F.concat(t, F.lit(" Lorem Ipsum dolor")))
+        .when(
+            F.pmod(d, F.lit(31)) == 0,
+            F.concat(t, F.lit(" Enable JavaScript to continue.")),
+        )
+        .when(
+            F.pmod(d, F.lit(37)) == 0,
+            F.concat(t, F.lit(" See our Privacy Policy.")),
+        )
+        .otherwise(t)
+    )
+    seeded = docs.select("doc_id", val.alias("text"))
+    return c4_signals(seeded, "text").select(
+        "doc_id",
+        "has_curly",
+        "has_lorem",
+        "has_js",
+        "has_policy",
+        "n_sentences",
+        "would_drop",
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2693,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_categorical_drift": q96_categorical_drift,
         "q97_numeric_correlations": q97_numeric_correlations,
         "q98_frequent_values": q98_frequent_values,
+        "q99_c4_signals": q99_c4_signals,
     }
 
 
@@ -4453,6 +4491,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # C4 signals: seeded cues + the same case-folded predicates and
+        # terminator-based sentence count
+        "q99_c4_signals": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN coalesce(doc_id, 0) % 23 = 0
+                            THEN coalesce(text, '') || ' {code}'
+                          WHEN coalesce(doc_id, 0) % 29 = 0
+                            THEN coalesce(text, '') || ' Lorem Ipsum dolor'
+                          WHEN coalesce(doc_id, 0) % 31 = 0
+                            THEN coalesce(text, '') || ' Enable JavaScript to continue.'
+                          WHEN coalesce(doc_id, 0) % 37 = 0
+                            THEN coalesce(text, '') || ' See our Privacy Policy.'
+                          ELSE coalesce(text, '') END AS v
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     contains(v, '{') AS has_curly,
+                     contains(lower(v), 'lorem ipsum') AS has_lorem,
+                     contains(lower(v), 'javascript') AS has_js,
+                     regexp_matches(lower(v),
+                       '(terms of use|privacy policy|cookie policy|uses cookies)')
+                       AS has_policy,
+                     len(regexp_extract_all(v, '[.!?]+(\\s|$)'))::BIGINT
+                       AS n_sentences
+              FROM s
+            )
+            SELECT doc_id, has_curly, has_lorem, has_js, has_policy,
+                   n_sentences,
+                   (has_curly OR has_lorem OR has_js OR has_policy
+                    OR n_sentences < 3) AS would_drop
+            FROM sig
         """,
         # correlations: exact HUGEINT co-moment sums + same double
         # formula order (see _q97_sql)

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q96_categorical_drift",
     "q97_numeric_correlations",
     "q98_frequent_values",
+    "q99_c4_signals",
 ]
 
 

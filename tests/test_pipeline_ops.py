@@ -1222,3 +1222,27 @@ def test_functional_dependency_violations(spark):
     assert got == {2: (2, 2)}        # k=3's NULL doesn't count; k=1 holds
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_c4_signals(spark):
+    """Each C4 cue fires independently; sentence rule composes into
+    would_drop; NULL text -> NULL signals."""
+    from validate_spark.operators.textstats import c4_signals
+
+    rows = [
+        (1, "One. Two! Three? Clean and long enough."),
+        (2, "Code ahead { x } here. Two. Three."),
+        (3, "LOREM IPSUM dolor. Two. Three."),
+        (4, "Please enable JavaScript now. Two. Three."),
+        (5, "We updated our Privacy Policy. Two. Three."),
+        (6, "Too short. Really."),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r.asDict() for r in c4_signals(df, "text").collect()}
+    assert out[1]["would_drop"] is False and out[1]["n_sentences"] == 4
+    assert out[2]["has_curly"] and out[2]["would_drop"]
+    assert out[3]["has_lorem"] and not out[3]["has_js"]
+    assert out[4]["has_js"] and out[5]["has_policy"]
+    assert out[6]["n_sentences"] == 2 and out[6]["would_drop"] is True
+    assert out[7]["would_drop"] is None

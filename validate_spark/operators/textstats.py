@@ -553,3 +553,54 @@ def encoding_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         | (F.col("n_ctrl") > 0)
     )
     return out.withColumn("damaged", damaged)
+
+
+# C4 policy-page cue phrases (Raffel et al. 2020 §2.2 cleanup rules).
+_C4_POLICY_RX = r"(terms of use|privacy policy|cookie policy|uses cookies)"
+# a sentence terminator followed by whitespace or end-of-text — the
+# cheap sentence counter C4's "at least 3 sentences" rule needs
+_SENTENCE_RX = r"[.!?]+(\s|$)"
+
+
+def c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 cleanup heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2) as per-document signals:
+
+    - ``has_curly``     source-code tell: a ``{`` anywhere;
+    - ``has_lorem``     placeholder text: 'lorem ipsum';
+    - ``has_js``        the word 'javascript' (enable-JS boilerplate);
+    - ``has_policy``    policy-page cue phrases;
+    - ``n_sentences``   terminator-based sentence count;
+    - ``would_drop``    any cue fired OR fewer than 3 sentences.
+
+    Emitted as SIGNALS (not applied) so a pipeline can audit the kill
+    rate per source before committing — the same governance posture as
+    :func:`encoding_signals`. All predicates are case-folded Column
+    expressions in the Java∩RE2 dialect; one fan_out-guarded codegen'd
+    projection, no shuffle. NULL text → NULL signals (no evidence).
+    """
+    from validate_spark.session import fan_out
+
+    t = F.col(text_col)
+    low = F.lower(t)
+    has_curly = t.contains("{")
+    has_lorem = low.contains("lorem ipsum")
+    has_js = low.contains("javascript")
+    has_policy = low.rlike(_C4_POLICY_RX)
+    n_sent = F.regexp_count(t, F.lit(_SENTENCE_RX)).cast("long")
+    out = fan_out(df).select(
+        "*",
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_js"),
+        has_policy.alias("has_policy"),
+        n_sent.alias("n_sentences"),
+    )
+    would_drop = (
+        F.col("has_curly")
+        | F.col("has_lorem")
+        | F.col("has_js")
+        | F.col("has_policy")
+        | (F.col("n_sentences") < 3)
+    )
+    return out.withColumn("would_drop", would_drop)
