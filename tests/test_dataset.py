@@ -434,6 +434,9 @@ def test_categorical_drift(spark):
     assert out["de"]["drifted"] is True           # 45% -> 30%
     assert out["xx"]["drifted"] is True and out[None]["n_b"] == 5
     assert out["de"]["share_a"] == 0.45 and out["de"]["share_b"] == 0.3
+    # join-free: per-side aggregates meet via union (snapdiff pattern)
+    plan = categorical_drift(a, b, "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
 
 
 def test_snapshot_diff_differential_random(spark):
