@@ -2427,6 +2427,61 @@ def q99_c4_signals(spark, sf_dir):
     )
 
 
+def q100_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (textstats.gopher_rules, Rae et al. 2021
+    App. A): word count / mean word length / symbol ratio / bullet &
+    ellipsis lines / alpha-word fraction / stop-word presence, every
+    ratio threshold integer cross-multiplied (no float decides a
+    flag). Symbol, ellipsis-line, and bullet-line cohorts are seeded
+    by modulus; everything else exercises the natural text. DuckDB
+    replays every count with the same Java∩RE2 patterns."""
+    from validate_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    nl = F.lit("\n")
+    val = (
+        F.when(
+            F.pmod(d, F.lit(41)) == 0,
+            F.concat(t, F.lit(" # # # # # # # # # #")),
+        )
+        .when(
+            F.pmod(d, F.lit(43)) == 0,
+            F.concat(
+                t, nl, F.lit("first part..."), nl, F.lit("second..."),
+                nl, F.lit("third\u2026"),
+            ),
+        )
+        .when(
+            F.pmod(d, F.lit(47)) == 0,
+            F.concat(F.lit("- one"), nl, F.lit("- two"), nl, F.lit("- three")),
+        )
+        .otherwise(t)
+    )
+    seeded = docs.select("doc_id", val.alias("text"))
+    out = gopher_rules(seeded, "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_nonspace",
+        "n_symbols",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        "n_alpha_words",
+        "n_stopwords_present",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_symbol_ratio",
+        "flag_bullet",
+        "flag_ellipsis",
+        "flag_alpha",
+        "flag_stopwords",
+        "would_drop",
+    )
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2731,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_numeric_correlations": q97_numeric_correlations,
         "q98_frequent_values": q98_frequent_values,
         "q99_c4_signals": q99_c4_signals,
+        "q100_gopher_rules": q100_gopher_rules,
     }
 
 
@@ -4491,6 +4547,68 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # Gopher rules: seeded cohorts via chr() codepoints; every
+        # count replayed with the same Java∩RE2 patterns; every flag
+        # is integer cross-multiplication
+        "q100_gopher_rules": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN coalesce(doc_id, 0) % 41 = 0
+                            THEN coalesce(text, '') || ' # # # # # # # # # #'
+                          WHEN coalesce(doc_id, 0) % 43 = 0
+                            THEN coalesce(text, '') || chr(10) || 'first part...'
+                                 || chr(10) || 'second...'
+                                 || chr(10) || 'third' || chr(8230)
+                          WHEN coalesce(doc_id, 0) % 47 = 0
+                            THEN '- one' || chr(10) || '- two' || chr(10) || '- three'
+                          ELSE coalesce(text, '') END AS v
+              FROM documents
+            ), c AS (
+              SELECT doc_id, trim(v) AS tv,
+                     (CASE WHEN trim(coalesce(v, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(coalesce(v, '')), '\\s+'))
+                      END)::BIGINT AS n_words
+              FROM s
+            ), m AS (
+              SELECT doc_id, n_words,
+                     length(regexp_replace(tv, '\\s', '', 'g'))::BIGINT AS n_nonspace,
+                     len(regexp_extract_all(tv, '#|\\x{2026}|\\.\\.\\.'))::BIGINT AS n_symbols,
+                     (CASE WHEN tv = '' THEN 0
+                           ELSE len(regexp_split_to_array(tv, '\\n')) END)::BIGINT AS n_lines,
+                     len(regexp_extract_all(tv, '(^|\\n)[ \\t]*[\\x{2022}*-]'))::BIGINT AS n_bullet_lines,
+                     len(regexp_extract_all(tv, '(\\.\\.\\.|\\x{2026})[ \\t]*(\\n|$)'))::BIGINT AS n_ellipsis_lines,
+                     len(regexp_extract_all(' ' || tv, '\\s[^\\s]*[A-Za-z]'))::BIGINT AS n_alpha_words,
+                     (regexp_matches(lower(tv), '\\bthe\\b')::INT
+                      + regexp_matches(lower(tv), '\\bbe\\b')::INT
+                      + regexp_matches(lower(tv), '\\bto\\b')::INT
+                      + regexp_matches(lower(tv), '\\bof\\b')::INT
+                      + regexp_matches(lower(tv), '\\band\\b')::INT
+                      + regexp_matches(lower(tv), '\\bthat\\b')::INT
+                      + regexp_matches(lower(tv), '\\bhave\\b')::INT
+                      + regexp_matches(lower(tv), '\\bwith\\b')::INT)::BIGINT
+                       AS n_stopwords_present
+              FROM c
+            )
+            SELECT doc_id, n_words, n_nonspace, n_symbols, n_lines,
+                   n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+                   n_stopwords_present,
+                   (n_words < 50 OR n_words > 100000) AS flag_word_count,
+                   (n_nonspace < 3 * n_words OR n_nonspace > 10 * n_words)
+                     AS flag_mean_word_len,
+                   (n_symbols * 10 > n_words) AS flag_symbol_ratio,
+                   (n_bullet_lines * 10 > 9 * n_lines) AS flag_bullet,
+                   (n_ellipsis_lines * 10 > 3 * n_lines) AS flag_ellipsis,
+                   (n_alpha_words * 10 < 8 * n_words) AS flag_alpha,
+                   (n_stopwords_present < 2) AS flag_stopwords,
+                   ((n_words < 50 OR n_words > 100000)
+                    OR (n_nonspace < 3 * n_words OR n_nonspace > 10 * n_words)
+                    OR (n_symbols * 10 > n_words)
+                    OR (n_bullet_lines * 10 > 9 * n_lines)
+                    OR (n_ellipsis_lines * 10 > 3 * n_lines)
+                    OR (n_alpha_words * 10 < 8 * n_words)
+                    OR (n_stopwords_present < 2)) AS would_drop
+            FROM m
         """,
         # C4 signals: seeded cues + the same case-folded predicates and
         # terminator-based sentence count

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q97_numeric_correlations",
     "q98_frequent_values",
     "q99_c4_signals",
+    "q100_gopher_rules",
 ]
 
 

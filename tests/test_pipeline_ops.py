@@ -1246,3 +1246,31 @@ def test_c4_signals(spark):
     assert out[4]["has_js"] and out[5]["has_policy"]
     assert out[6]["n_sentences"] == 2 and out[6]["would_drop"] is True
     assert out[7]["would_drop"] is None
+
+
+def test_gopher_rules(spark):
+    """Flag-by-flag on crafted docs; ratio thresholds are integer
+    cross-multiplied; NULL text -> NULL flags."""
+    from validate_spark.operators.textstats import gopher_rules
+
+    long_good = ("the cat and the dog have fun with all of that stuff here " * 6).strip()
+    rows = [
+        (1, long_good),                                     # clean: no flags
+        (2, "short with the and of"),                       # < 50 words
+        (3, long_good + " # # # # # # # # # # # # # # #"),  # symbol ratio
+        (4, "- a\n- b\n- c"),                               # all-bullet lines
+        (5, "one...\ntwo...\nthree is fine"),               # 2/3 ellipsis ends
+        (6, ("1 2 3 4 5 " * 12).strip()),                   # no alpha words
+        (7, "zzz qqq " * 30),                               # no stopwords
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r.asDict() for r in gopher_rules(df, "text", min_words=50).collect()}
+    assert out[1]["would_drop"] is False
+    assert out[2]["flag_word_count"] is True
+    assert out[3]["flag_symbol_ratio"] is True and out[3]["n_symbols"] == 15
+    assert out[4]["flag_bullet"] is True and out[4]["n_bullet_lines"] == 3
+    assert out[5]["flag_ellipsis"] is True and out[5]["n_ellipsis_lines"] == 2
+    assert out[6]["flag_alpha"] is True and out[6]["n_alpha_words"] == 0
+    assert out[7]["flag_stopwords"] is True and out[7]["n_stopwords_present"] == 0
+    assert out[8]["would_drop"] is None and out[8]["flag_alpha"] is None

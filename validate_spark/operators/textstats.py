@@ -604,3 +604,87 @@ def c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         | (F.col("n_sentences") < 3)
     )
     return out.withColumn("would_drop", would_drop)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, Appendix A) as
+    per-document flags plus the raw counts behind them:
+
+    - ``flag_word_count``    words outside [min_words, max_words]
+    - ``flag_mean_word_len`` mean word length outside [3, 10]
+      (spelled as non-space chars per word — documented approximation)
+    - ``flag_symbol_ratio``  (# or ellipsis) per word > 0.1
+    - ``flag_bullet``        > 90% of lines start with a bullet
+    - ``flag_ellipsis``      > 30% of lines end with an ellipsis
+    - ``flag_alpha``         < 80% of words contain a letter
+    - ``flag_stopwords``     fewer than 2 of the 8 Gopher stop words
+    - ``would_drop``         any flag
+
+    Every RATIO threshold is integer cross-multiplication
+    (``n_sym*10 > n_words`` etc.) — the working-notes rule for
+    cross-engine exact selection; no float ever decides a flag. All
+    counting is regexp/split Column expressions in the Java∩RE2
+    dialect, one fan_out-guarded projection, no shuffle. NULL text →
+    NULL flags (no evidence).
+    """
+    from validate_spark.session import fan_out
+
+    raw = F.col(text_col)
+    t = F.trim(F.coalesce(raw, F.lit("")))
+    n_words = whitespace_token_count(raw).cast("long")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    n_sym = F.regexp_count(t, F.lit(r"#|\x{2026}|\.\.\.")).cast("long")
+    n_lines = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\n")))
+        .cast("long")
+    )
+    n_bullet = F.regexp_count(t, F.lit(r"(^|\n)[ \t]*[\x{2022}*-]")).cast("long")
+    n_ell = F.regexp_count(
+        t, F.lit(r"(\.\.\.|\x{2026})[ \t]*(\n|$)")
+    ).cast("long")
+    n_alpha_words = F.regexp_count(
+        F.concat(F.lit(" "), t), F.lit(r"\s[^\s]*[A-Za-z]")
+    ).cast("long")
+    n_stop = sum(
+        F.lower(t).rlike(rf"\b{w}\b").cast("int") for w in GOPHER_STOPWORDS
+    ).cast("long")
+
+    out = fan_out(df).select(
+        "*",
+        n_words.alias("n_words"),
+        n_nonspace.alias("n_nonspace"),
+        n_sym.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell.alias("n_ellipsis_lines"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords_present"),
+    )
+    w = F.col("n_words")
+    null_gate = F.when(raw.isNull(), F.lit(None).cast("boolean"))
+    flags = {
+        "flag_word_count": (w < min_words) | (w > max_words),
+        "flag_mean_word_len": (F.col("n_nonspace") < 3 * w)
+        | (F.col("n_nonspace") > 10 * w),
+        "flag_symbol_ratio": F.col("n_symbols") * 10 > w,
+        "flag_bullet": F.col("n_bullet_lines") * 10 > 9 * F.col("n_lines"),
+        "flag_ellipsis": F.col("n_ellipsis_lines") * 10 > 3 * F.col("n_lines"),
+        "flag_alpha": F.col("n_alpha_words") * 10 < 8 * w,
+        "flag_stopwords": F.col("n_stopwords_present") < 2,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, null_gate.otherwise(expr))
+    drop = None
+    for name in flags:
+        drop = F.col(name) if drop is None else drop | F.col(name)
+    return out.withColumn("would_drop", drop)
