@@ -2073,7 +2073,10 @@ def q89_streaming_windowed_drift(spark, sf_dir):
     result chunk-order independent (no late-drop), so DuckDB replays
     the bucket counts per day and the SAME left-fold chi-square
     (list_aggregate over bucket-ordered cells — bit-identical to the
-    Column-expression fold; round-6)."""
+    Column-expression fold; round-6). Complete mode + the huge
+    watermark are FIXTURE choices for oracle determinism; a production
+    stream runs windowed_drift in append/update with a real watermark
+    (state per window = n_buckets longs, per the module contract)."""
     import shutil
     import tempfile
     import uuid
