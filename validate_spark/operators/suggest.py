@@ -197,7 +197,10 @@ def schema_diff(
 PATTERN_CLASSES: list[tuple[str, str]] = [
     ("int_string", r"^[+-]?[0-9]+$"),
     ("float_string", r"^[+-]?[0-9]*\.[0-9]+$"),
-    ("bool_string", r"^(?i)(true|false|yes|no|on|off)$"),
+    # scoped (?i:...) — the one case-fold spelling Java, RE2, AND
+    # Python re all accept (a global ^(?i) is illegal mid-pattern in
+    # Python, which the dialect-parity test enforces)
+    ("bool_string", r"^(?i:true|false|yes|no|on|off)$"),
     ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
     ("uuid", r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"),
     (
