@@ -2485,6 +2485,39 @@ def q100_gopher_rules(spark, sf_dir):
     )
 
 
+def q101_incremental_validate(spark, sf_dir):
+    """Incremental validation (snapdiff.incremental_validate): the q91
+    churn (same schema — %11 removed, %7 changed, %13 added, %97
+    duplicated) re-validates ONLY added/changed/dup keys and carries
+    yesterday's verdicts for the rest; the ORACLE is a full
+    from-scratch validation of the new snapshot, so the hash match IS
+    the incremental==full equivalence proof at gate level (also
+    unit-tested on crafted churn)."""
+    from validate_spark.operators.snapdiff import incremental_validate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.coalesce(F.col("doc_id"), F.lit(0))
+    base = docs.filter(F.pmod(d, F.lit(11)) != 0)
+    changed = (
+        F.when(F.pmod(d, F.lit(7)) == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+    )
+    b1 = base.select(
+        "doc_id", changed.alias("text"), "lang", "source", "n_chars"
+    )
+    added = docs.filter(F.pmod(d, F.lit(13)) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dups = b1.filter(F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(97)) == 0)
+    new = b1.unionByName(added).unionByName(dups)
+    old_verdicts = validate(docs, DOC_RULES, key_cols=["doc_id"]).verdicts()
+    return incremental_validate(docs, old_verdicts, new, DOC_RULES, ["doc_id"])
+
+
 def q34_scene_projection(spark, sf_dir):
     """Scene-gated validation (validation.go:823-854): only the scene's
     fields compile; other rules never evaluate."""
@@ -2790,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_frequent_values": q98_frequent_values,
         "q99_c4_signals": q99_c4_signals,
         "q100_gopher_rules": q100_gopher_rules,
+        "q101_incremental_validate": q101_incremental_validate,
     }
 
 
@@ -4550,6 +4584,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fp_a <> fp_b THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM g
+        """,
+        # incremental validation: the oracle validates the NEW snapshot
+        # from scratch — hash equality proves incremental == full
+        "q101_incremental_validate": f"""
+            WITH b1 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 11 <> 0
+            ), b_all AS (
+              SELECT * FROM b1
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text || ' new' AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 13 = 0
+              UNION ALL
+              SELECT * FROM b1 WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id,
+                   NOT ({" OR ".join(_V.values())}) AS pass,
+                   ({" + ".join(f"({p})::INT" for p in _V.values())})::INT
+                     AS n_violations
+            FROM b_all
         """,
         # Gopher rules: seeded cohorts via chr() codepoints; every
         # count replayed with the same Java∩RE2 patterns; every flag

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q98_frequent_values",
     "q99_c4_signals",
     "q100_gopher_rules",
+    "q101_incremental_validate",
 ]
 
 

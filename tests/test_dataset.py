@@ -522,3 +522,37 @@ def test_frequent_values_deterministic_order(spark):
     assert got == [(None, 5), ("a", 5), ("b", 5), ("c", 2)]
     plan = frequent_values(df, "v", k=4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+
+
+def test_incremental_validate_equivalence_and_carry(spark):
+    """incremental == full revalidation on churn; and a poisoned old
+    verdict for an UNCHANGED key is carried verbatim — behavioral proof
+    that unchanged rows are never re-evaluated."""
+    from validate_spark import RuleSet, validate
+    from validate_spark.operators.snapdiff import incremental_validate
+
+    rules = RuleSet(rules={"v": "required|min:10"})
+    old = spark.createDataFrame(
+        [(i, 5 if i % 4 == 0 else 50) for i in range(40)], "id long, v long"
+    )
+    # churn: drop %5, change %3 (fix its value), add 100..104
+    new = (
+        old.filter(F.col("id") % 5 != 0)
+        .withColumn("v", F.when(F.col("id") % 3 == 0, 99).otherwise(F.col("v")))
+        .unionByName(
+            spark.createDataFrame([(100 + i, 3) for i in range(5)], "id long, v long")
+        )
+    )
+    old_v = validate(old, rules, key_cols=["id"]).verdicts()
+    inc = incremental_validate(old, old_v, new, rules, ["id"])
+    full = validate(new, rules, key_cols=["id"]).verdicts()
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+    # poison an unchanged key's verdict: id=2 (not %3, not %5 -> unchanged)
+    poisoned = old_v.withColumn(
+        "pass", F.when(F.col("id") == 2, F.lit(False)).otherwise(F.col("pass"))
+    )
+    inc2 = {r["id"]: r["pass"] for r in
+            incremental_validate(old, poisoned, new, rules, ["id"]).collect()}
+    assert inc2[2] is False          # carried verbatim, not recomputed
+    assert inc2[3] == full.filter("id = 3").collect()[0]["pass"]  # changed -> fresh
