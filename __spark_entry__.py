@@ -2721,6 +2721,85 @@ def q43_span_sequence_invariant(spark, sf_dir):
     )
 
 
+def q102_sessionize(spark, sf_dir):
+    """Gap-based sessionization (temporal.sessionize) over the events
+    stream: native F.session_window (the SAME operator Structured
+    Streaming runs under a watermark), 6-hour gap, one shuffle on the
+    user key with map-side partial session merging. Boundary semantics
+    pinned by experiment: an event at EXACTLY prev+gap merges, so the
+    oracle's gaps-and-islands break flag is strict `> gap`. sum_value
+    is a bounded-cardinality per-session fp rollup (round-6 safe)."""
+    from validate_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap="6 hours", value_col="value")
+
+
+def q103_asof_join(spark, sf_dir):
+    """AS-OF join (temporal.asof_join): each purchase event picks the
+    most recent click by the same user at-or-before it, within a 48 h
+    tolerance. Spark has no ASOF JOIN — the scale-correct
+    re-expression is the tagged-union + running last_value(ignorenulls)
+    window: ONE shuffle of |L|+|R| rows on the key, no join operator,
+    no per-row probe. The right side is pre-aggregated unique per
+    (user, ts) (max event_id) — the ASOF tie precondition. DuckDB
+    oracle uses its native ASOF LEFT JOIN (inclusive >=), lag in
+    floored epoch seconds to match Spark's cast(ts as long)."""
+    from validate_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_id"],
+        tolerance_s=48 * 3600,
+    )
+
+
+def q104_range_join(spark, sf_dir):
+    """Keyless point-in-interval join (temporal.range_join_bins):
+    every error event opens a 10-minute incident window [ts, ts+10m];
+    count events (any user) inside each window. An inequality-only
+    join plans as BroadcastNestedLoopJoin in OSS Spark (O(L*R) —
+    dead at 10^12 rows); binning to bin_width >= interval length
+    restores a plain equi-join on the bin key (<= 2 bins per
+    interval, each pair meets exactly once since a point owns one
+    bin), AQE-skew-splittable. Counts are exact integers."""
+    from validate_spark.operators.temporal import range_join_bins
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    pairs = range_join_bins(
+        ev,
+        err,
+        point_ts="ts",
+        lo="lo",
+        hi="hi",
+        bin_width_s=600,
+        point_cols=["event_id", "user_id"],
+        interval_cols=["err_id"],
+    )
+    return pairs.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -2824,6 +2903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_c4_signals": q99_c4_signals,
         "q100_gopher_rules": q100_gopher_rules,
         "q101_incremental_validate": q101_incremental_validate,
+        "q102_sessionize": q102_sessionize,
+        "q103_asof_join": q103_asof_join,
+        "q104_range_join": q104_range_join,
     }
 
 
@@ -5374,5 +5456,63 @@ def oracle_sql() -> dict[str, str]:
                 WHERE k IS NOT NULL AND k > 95
             )
             SELECT * FROM v WHERE n > 0
+        """,
+        # sessionize: gaps-and-islands; break is STRICTLY > gap (an
+        # event at exactly prev+gap merges in Spark's session_window —
+        # pinned by experiment)
+        "q102_sessionize": """
+            WITH e AS (
+              SELECT user_id AS "user", ts, value
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT "user", ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY "user" ORDER BY ts)
+                               > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), g AS (
+              SELECT "user", ts, value,
+                     sum(brk) OVER (PARTITION BY "user" ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+              FROM f
+            )
+            SELECT "user", min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::bigint AS n_events, sum(value) AS sum_value
+            FROM g GROUP BY "user", sid
+        """,
+        # asof: DuckDB native ASOF LEFT JOIN (inclusive >=); lag in
+        # floored epoch seconds (epoch_us // 1e6) to match Spark's
+        # cast(timestamp as long); tolerance applied on the floored lag
+        "q103_asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, max(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ), pur AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), j AS (
+              SELECT p.event_id, p.user_id, p.ts, c.ts AS cts, c.click_id,
+                     (epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000)
+                       AS lag_s
+              FROM pur p ASOF LEFT JOIN clicks c
+                ON p.user_id = c.user_id AND p.ts >= c.ts
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag_s <= 172800 THEN cts END AS r_ts,
+                   CASE WHEN lag_s <= 172800 THEN click_id END AS r_click_id,
+                   CASE WHEN lag_s <= 172800 THEN lag_s END AS asof_lag_s
+            FROM j
+        """,
+        # range join: the oracle is the direct inequality join (DuckDB
+        # IEJoin); both bounds inclusive
+        "q104_range_join": """
+            WITH err AS (
+              SELECT event_id AS err_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT err_id, count(*)::bigint AS n_in_window,
+                   count(DISTINCT e.user_id)::bigint AS n_users
+            FROM err JOIN events e ON e.ts >= err.lo AND e.ts <= err.hi
+            GROUP BY err_id
         """,
     }

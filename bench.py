@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "q99_c4_signals",
     "q100_gopher_rules",
     "q101_incremental_validate",
+    "q102_sessionize",
+    "q103_asof_join",
+    "q104_range_join",
 ]
 
 

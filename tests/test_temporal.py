@@ -1,0 +1,185 @@
+"""Temporal operators: sessionize / asof_join / range_join_bins.
+
+Boundary semantics are the whole game here — each test pins one edge
+the oracle SQL must agree on (exact-gap merge, inclusive as-of tie,
+tolerance on floored seconds, inclusive range bounds) plus the plan
+shapes that make the operators scale (no BroadcastNestedLoopJoin in
+the binned range join; exactly one exchange in the as-of union plan).
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from validate_spark.operators.temporal import (
+    asof_join,
+    range_join_bins,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _m(minutes, seconds=0):
+    return T0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+
+def test_sessionize_exact_gap_merges(spark):
+    # pinned by experiment: an event at EXACTLY prev + gap merges;
+    # one microsecond past the padded end starts a new session
+    df = spark.createDataFrame(
+        [
+            (1, _m(0)),
+            (1, _m(30)),            # exactly gap after -> same session
+            (1, _m(60), ),          # exactly gap after 10:30 -> merges again
+            (1, _m(90, 1)),         # gap + 1s after 11:00 -> NEW session
+            (2, _m(0)),
+            (None, _m(0)),          # NULL user dropped
+        ],
+        "u long, ts timestamp",
+    )
+    out = sessionize(df, "u", "ts", gap="30 minutes")
+    got = {
+        (r["user"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, _m(0), _m(60), 3),
+        (1, _m(90, 1), _m(90, 1), 1),
+        (2, _m(0), _m(0), 1),
+    }
+
+
+def test_sessionize_value_sum(spark):
+    df = spark.createDataFrame(
+        [(1, _m(0), 1.5), (1, _m(1), 2.5), (1, _m(200), 4.0)],
+        "u long, ts timestamp, v double",
+    )
+    out = sessionize(df, "u", "ts", gap="30 minutes", value_col="v")
+    got = sorted((r["n_events"], r["sum_value"]) for r in out.collect())
+    assert got == [(1, 4.0), (2, 4.0)]
+
+
+def test_asof_inclusive_tie_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(10, 1, _m(5)), (11, 1, _m(0)), (12, 2, _m(5)), (13, 3, _m(5))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _m(5), 100),   # tie with left event 10 -> matches (inclusive)
+            (1, _m(1), 101),
+            (2, _m(6), 102),   # after left 12 -> no match
+        ],
+        "k long, ts timestamp, rid long",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts", payload=["rid"]
+    )
+    got = {(r["event_id"], r["r_rid"], r["asof_lag_s"]) for r in out.collect()}
+    assert got == {
+        (10, 100, 0),      # inclusive tie wins over the older click
+        (11, None, None),  # left strictly before any right
+        (12, None, None),  # right only exists after
+        (13, None, None),  # key never on right
+    }
+
+
+def test_asof_tolerance_floored_seconds(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _m(10))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _m(0), 7)], "k long, ts timestamp, rid long"
+    )
+    within = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload=["rid"], tolerance_s=600,
+    )
+    beyond = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload=["rid"], tolerance_s=599,
+    )
+    assert [r["r_rid"] for r in within.collect()] == [7]
+    assert [r["r_rid"] for r in beyond.collect()] == [None]
+
+
+def test_asof_single_exchange_no_join(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _m(0))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _m(0), 1)], "k long, ts timestamp, rid long"
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts", payload=["rid"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # re-expressed as union + window, no join op
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_inclusive_bounds_and_multibin(spark):
+    points = spark.createDataFrame(
+        [(1, _m(0)), (2, _m(5)), (3, _m(10)), (4, _m(10, 1))],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        # 10-minute interval straddling a 600 s bin edge (explodes to 2 bins)
+        [(100, _m(0), _m(10))],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    out = range_join_bins(
+        points, intervals, point_ts="ts", lo="lo", hi="hi",
+        bin_width_s=600, point_cols=["pid"], interval_cols=["iid"],
+    )
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == [1, 2, 3]  # both ends inclusive; 10:10:01 out; no dup rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # the rewrite's whole point
+
+
+def test_range_join_microsecond_bounds(spark):
+    # regression: an early version compared floored SECONDS, admitting
+    # points fractionally past hi; the predicate must be full-precision
+    hi = _m(10) + dt.timedelta(microseconds=500_000)
+    points = spark.createDataFrame(
+        [(1, hi), (2, hi + dt.timedelta(microseconds=1))],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, _m(0), hi)], "iid long, lo timestamp, hi timestamp"
+    )
+    out = range_join_bins(
+        points, intervals, point_ts="ts", lo="lo", hi="hi",
+        bin_width_s=600, point_cols=["pid"], interval_cols=["iid"],
+    )
+    assert sorted(r["pid"] for r in out.collect()) == [1]
+
+
+def test_range_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    points = spark.createDataFrame(
+        [(i, _m(0, rng.randrange(0, 7200))) for i in range(300)],
+        "pid long, ts timestamp",
+    )
+    ivs = [
+        (j, _m(0, s), _m(0, s + rng.randrange(0, 590)))
+        for j, s in ((j, rng.randrange(0, 7200)) for j in range(40))
+    ]
+    intervals = spark.createDataFrame(ivs, "iid long, lo timestamp, hi timestamp")
+    out = range_join_bins(
+        points, intervals, point_ts="ts", lo="lo", hi="hi",
+        bin_width_s=600, point_cols=["pid"], interval_cols=["iid"],
+    )
+    got = {(r["iid"], r["pid"]) for r in out.collect()}
+    raw_points = {r["pid"]: r["ts"] for r in points.collect()}
+    want = {
+        (j, pid)
+        for j, lo, hi in ivs
+        for pid, ts in raw_points.items()
+        if lo <= ts <= hi
+    }
+    assert got == want

@@ -1,0 +1,210 @@
+"""Temporal operators: sessionization, as-of join, binned range join.
+
+The reference has no temporal operators at all (per-record validation,
+SURVEY.md §2.12) — these are the table-scale lift of its date family
+(validators_compare.go:204-281: date parsing + before/after ordering
+checks) to the three event-time shapes every large pipeline needs:
+
+- ``sessionize``: gap-based event sessions. Spark-first: the NATIVE
+  ``F.session_window`` aggregate (one hash-partitioned shuffle on the
+  user key with map-side partial session merging — the same operator
+  that runs under Structured Streaming with a watermark, so the batch
+  and streaming plans share semantics).
+- ``asof_join``: for each left row, the most recent right row
+  at-or-before it on the same key. Spark has no ASOF JOIN; the
+  scale-correct re-expression is the tagged-union trick — union both
+  sides, one window partitioned by key ordered by (ts, side), and a
+  running ``last_value(..., ignorenulls)`` carries the latest right
+  payload forward into each left row. ONE shuffle, no join at all, no
+  per-left-row probe; skew bound = rows per key (same bound any
+  keyed shuffle has).
+- ``range_join_bins``: point-in-interval join WITHOUT an equality key.
+  Naive Spark planning of an inequality-only join is
+  BroadcastNestedLoopJoin (O(|L|·|R|) compares — dead at 10^12 rows).
+  Binning restores an equi-join: intervals explode into the fixed-width
+  bins they cover, points hash to their bin, the join runs on the bin
+  key, and the exact predicate filters within the bin. With
+  ``bin_width >= max interval length`` each interval covers <= 2 bins,
+  so the blow-up factor is bounded by 2 and each (interval, point)
+  pair meets at most once per covered bin of the point — exactly once,
+  since a point lives in exactly one bin. No distinct needed.
+
+Boundary semantics (pinned by experiment, tests/test_temporal*):
+- session_window merges an event at EXACTLY prev + gap (a new session
+  starts only when the gap is STRICTLY exceeded) — the DuckDB oracle's
+  gaps-and-islands flag must be ``(ts - prev) > gap``, not ``>=``.
+- asof_join is INCLUSIVE (right_ts == left_ts matches), matching
+  DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+- range_join_bins bounds are inclusive on both ends.
+
+All timestamps are cast to TIMESTAMP (LTZ) on entry: parquet columns
+read as TIMESTAMP_NTZ, and the session timezone is UTC so the wall
+clock — and therefore DuckDB's naive timestamp arithmetic — is
+preserved (CLAUDE.md round-4 gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _ts(col: str) -> Column:
+    # try_cast, not cast: a malformed/overflow timestamp must fail the
+    # row, never the job (ANSI mode).
+    return F.col(col).try_cast("timestamp")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions per user → one row per session:
+    ``(user, session_start, session_end, n_events, n_types?, sum_value?)``.
+
+    session_start/end are min/max EVENT times (not the padded window
+    end = last + gap, which bakes the gap into the output and is the
+    less portable contract). Rows with a NULL user or NULL/unparseable
+    timestamp are dropped (they belong to no session) — stated, not
+    silent.
+
+    Scale: one shuffle (hash on user), map-side partial session
+    aggregation; state per task is the open sessions of its keys. The
+    identical expression runs under readStream + withWatermark.
+    """
+    ts = _ts(ts_col)
+    base = df.filter(F.col(user_col).isNotNull() & ts.isNotNull()).select(
+        F.col(user_col).alias("user"), ts.alias("_ts"),
+        *( [F.col(value_col).alias("_v")] if value_col else [] ),
+    )
+    aggs = [
+        F.min("_ts").alias("session_start"),
+        F.max("_ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(F.sum("_v").alias("sum_value"))
+    return (
+        base.groupBy(F.session_window("_ts", gap).alias("_w"), F.col("user"))
+        .agg(*aggs)
+        .drop("_w")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tolerance_s: int | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row: the most recent right row with
+    ``right.key == left.key AND right_ts <= left_ts`` (inclusive),
+    optionally within ``tolerance_s`` seconds. Unmatched (or
+    out-of-tolerance) left rows keep NULL right columns (LEFT as-of).
+
+    Output = every left column + ``{prefix}{payload...}`` +
+    ``{prefix}ts`` + ``asof_lag_s`` (left_ts - matched ts, seconds).
+
+    PRECONDITION: right is unique per (key, right_ts) — pre-aggregate
+    otherwise (ties among identical right timestamps have no defined
+    winner in any engine's ASOF).
+
+    Plan: tagged union + ONE window (partition key, order ts then
+    side so a right row at exactly left_ts sorts first and is visible
+    to it) + running last_value(ignorenulls) over ROWS UNBOUNDED
+    PRECEDING..CURRENT ROW — running state is ONE payload struct per
+    key, no join, no per-row probe. At 10^12 rows this is strictly one
+    shuffle of |L|+|R| rows on the key.
+    """
+    lts, rts = _ts(left_ts), _ts(right_ts)
+    pay = F.struct(rts.alias("_pts"), *[F.col(c) for c in payload])
+    r = right.select(
+        F.col(key).alias("_k"), rts.alias("_t"), F.lit(0).alias("_side"),
+        pay.alias("_pay"), *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                             for c in left.columns],
+    )
+    l = left.select(
+        F.col(key).alias("_k"), lts.alias("_t"), F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"), *left.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r).withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
+    m = F.col("_m")
+    lag_s = F.col("_t").cast("long") - m["_pts"].cast("long")
+    if tolerance_s is not None:
+        m = F.when(lag_s <= int(tolerance_s), F.col("_m"))
+        lag_s = F.col("_t").cast("long") - m["_pts"].cast("long")
+    return out.select(
+        *left.columns,
+        m["_pts"].alias(f"{prefix}ts"),
+        *[m[c].alias(f"{prefix}{c}") for c in payload],
+        lag_s.alias("asof_lag_s"),
+    )
+
+
+def range_join_bins(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bin_width_s: int,
+    point_cols: list[str],
+    interval_cols: list[str],
+) -> DataFrame:
+    """Inner join of point rows to every interval containing them
+    (``lo <= ts <= hi``, both inclusive), with NO equality key —
+    re-expressed as an equi-join on fixed-width time bins.
+
+    ``bin_width_s`` should be >= the maximum interval length so each
+    interval explodes into <= 2 bins (assert-guarded via sequence
+    length: an interval spanning k bins emits k rows — correctness
+    never depends on the bound, only the blow-up factor does).
+
+    Scale: shuffle on the bin key only; per-bin density is the knob
+    (pick bin_width so a bin holds ~10^3-10^4 points). Skew (a hot
+    bin) is AQE-skew-join splittable since the join is a plain
+    equi-join after the rewrite.
+    """
+    # bins are computed on FLOORED epoch seconds (cast ts->long) —
+    # flooring is monotone, so lo <= pt <= hi implies the point's bin
+    # is inside the interval's covered bin range; the exact predicate
+    # below runs on the FULL-precision timestamps (a floored-seconds
+    # compare would admit points fractionally past the bound)
+    pt, lot, hit = _ts(point_ts), _ts(lo), _ts(hi)
+    pts, los, his = pt.cast("long"), lot.cast("long"), hit.cast("long")
+    p = points.filter(pt.isNotNull()).select(
+        *[F.col(c) for c in point_cols],
+        pt.alias("_pt"),
+        F.floor(pts / bin_width_s).alias("_bin"),
+    )
+    i = (
+        intervals.filter(lot.isNotNull() & hit.isNotNull() & (lot <= hit))
+        .select(
+            *[F.col(c) for c in interval_cols],
+            lot.alias("_lo"), hit.alias("_hi"),
+            F.explode(
+                F.sequence(F.floor(los / bin_width_s), F.floor(his / bin_width_s))
+            ).alias("_bin"),
+        )
+    )
+    return (
+        p.join(i, "_bin")
+        .filter((F.col("_pt") >= F.col("_lo")) & (F.col("_pt") <= F.col("_hi")))
+        .select(*interval_cols, *point_cols)
+    )
