@@ -2800,6 +2800,120 @@ def q104_range_join(spark, sf_dir):
     )
 
 
+def q105_streaming_sessionize(spark, sf_dir):
+    """Streaming sessionization: the SAME temporal.sessionize
+    expression as q102 run under readStream — odd-event_id events
+    split into 3 chunk files (event_id%3, deliberately NOT
+    time-ordered), one file per micro-batch under availableNow, with
+    streaming session-window state merging sessions across
+    micro-batches. Complete mode + 3650-day watermark make the output
+    chunk-order independent (q89 fixture convention; production runs
+    append with a real watermark — state per user = open sessions).
+    The oracle is the same strict-gap gaps-and-islands SQL over the
+    odd cohort; the hash match proves streaming ≡ batch ≡ SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.operators.temporal import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    odd = events.filter(
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2)) == 1
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q105_")
+    name = f"q105_sess_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            (
+                odd.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        sess = sessionize(
+            stream, "user_id", "ts", gap="6 hours", value_col="value",
+            watermark="3650 days",
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "user", "session_start", "session_end", "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        rows = out.collect()  # materialize before the memory table goes away
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q106_event_stream_quality(spark, sf_dir):
+    """Per-user event-stream health (temporal.event_stream_quality):
+    inter-arrival gaps (microsecond-exact, floored to seconds),
+    sequence-id inversions, and exact-timestamp duplicates in
+    (ts, event_id) order. Ingestion disorder is seeded by pulling
+    every event_id%31 event back 3 days — the displaced rows create
+    real inversions for the counter to find. One window shuffle; the
+    groupBy is co-partitioned with it (no second exchange)."""
+    from validate_spark.operators.temporal import event_stream_quality
+
+    ev = _t(spark, sf_dir, "events")
+    perturbed = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(31)) == 0,
+            F.col("ts") - F.expr("INTERVAL 3 DAYS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return event_stream_quality(
+        perturbed, "user_id", "ts", "event_id", big_gap_s=86400
+    )
+
+
+def q107_funnel(spark, sf_dir):
+    """3-step conversion funnel (temporal.funnel): first signup →
+    first click within 36 h after it → first purchase within 36 h
+    after that, per user. Each stage's 'first qualifier so far' is a
+    running min(CASE) window over one shared (user, ts, event_id)
+    sort — three window passes + the final groupBy ride ONE exchange,
+    no self-joins, no collect_list (O(1) state per row). Microsecond
+    arithmetic via unix_micros/epoch_us — exact in both engines."""
+    from validate_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        steps=("signup", "click", "purchase"),
+        within_s=36 * 3600,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -2906,6 +3020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_sessionize": q102_sessionize,
         "q103_asof_join": q103_asof_join,
         "q104_range_join": q104_range_join,
+        "q105_streaming_sessionize": q105_streaming_sessionize,
+        "q106_event_stream_quality": q106_event_stream_quality,
+        "q107_funnel": q107_funnel,
     }
 
 
@@ -5502,6 +5619,101 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lag_s <= 172800 THEN click_id END AS r_click_id,
                    CASE WHEN lag_s <= 172800 THEN lag_s END AS asof_lag_s
             FROM j
+        """,
+        # streaming sessionize: same gaps-and-islands as q102 over the
+        # odd-event_id cohort; round-6 on the sum (micro-batch addition
+        # order differs; values are 2-decimal so the 6th-decimal tick
+        # is never contested)
+        "q105_streaming_sessionize": """
+            WITH e AS (
+              SELECT user_id AS "user", ts, value
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND coalesce(event_id, 0) % 2 = 1
+            ), f AS (
+              SELECT "user", ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY "user" ORDER BY ts)
+                               > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), g AS (
+              SELECT "user", ts, value,
+                     sum(brk) OVER (PARTITION BY "user" ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+              FROM f
+            )
+            SELECT "user", min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::bigint AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM g GROUP BY "user", sid
+        """,
+        # event-stream quality: same (ts, seq)-ordered lag arithmetic;
+        # gaps in exact epoch microseconds, floored to seconds on output
+        "q106_event_stream_quality": """
+            WITH e AS (
+              SELECT user_id AS "user",
+                     CASE WHEN coalesce(event_id, 0) % 31 = 0
+                          THEN ts - INTERVAL 3 DAY ELSE ts END AS ts,
+                     event_id AS seq
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT "user",
+                     epoch_us(ts) - epoch_us(lag(ts) OVER
+                       (PARTITION BY "user" ORDER BY ts, seq)) AS gap_us,
+                     (seq < lag(seq) OVER
+                       (PARTITION BY "user" ORDER BY ts, seq)) AS inv,
+                     (ts = lag(ts) OVER
+                       (PARTITION BY "user" ORDER BY ts, seq)) AS dup
+              FROM e
+            )
+            SELECT "user", count(*)::bigint AS n_events,
+                   sum(CASE WHEN gap_us > 86400000000 THEN 1 ELSE 0 END)::bigint
+                     AS n_big_gaps,
+                   (max(gap_us) // 1000000)::bigint AS max_gap_s,
+                   sum(CASE WHEN inv THEN 1 ELSE 0 END)::bigint
+                     AS n_seq_inversions,
+                   sum(CASE WHEN dup THEN 1 ELSE 0 END)::bigint AS n_ts_dups
+            FROM f GROUP BY "user"
+        """,
+        # funnel: identical running-min(CASE) window construction; ROWS
+        # frame stated explicitly (RANGE-default tie gotcha); depth ::int
+        "q107_funnel": """
+            WITH e AS (
+              SELECT user_id AS "user", ts, event_type AS k, event_id AS seq
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), a1 AS (
+              SELECT *, min(CASE WHEN k = 'signup' THEN ts END) OVER
+                       (PARTITION BY "user" ORDER BY ts, seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS t1r
+              FROM e
+            ), a2 AS (
+              SELECT *, CASE WHEN k = 'click' AND t1r IS NOT NULL
+                              AND epoch_us(ts) - epoch_us(t1r) <= 129600000000
+                         THEN ts END AS c2ts
+              FROM a1
+            ), a3 AS (
+              SELECT *, min(c2ts) OVER
+                       (PARTITION BY "user" ORDER BY ts, seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS t2r
+              FROM a2
+            ), a4 AS (
+              SELECT *, CASE WHEN k = 'purchase' AND t2r IS NOT NULL
+                              AND epoch_us(ts) - epoch_us(t2r) <= 129600000000
+                         THEN ts END AS c3ts
+              FROM a3
+            ), g AS (
+              SELECT "user",
+                     min(CASE WHEN k = 'signup' THEN ts END) AS t1,
+                     min(c2ts) AS t2, min(c3ts) AS t3
+              FROM a4 GROUP BY "user"
+            )
+            SELECT "user", t1, t2, t3,
+                   (CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::int AS depth
+            FROM g
         """,
         # range join: the oracle is the direct inequality join (DuckDB
         # IEJoin); both bounds inclusive

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "q102_sessionize",
     "q103_asof_join",
     "q104_range_join",
+    "q105_streaming_sessionize",
+    "q106_event_stream_quality",
+    "q107_funnel",
 ]
 
 

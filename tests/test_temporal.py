@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from validate_spark.operators.temporal import (
     asof_join,
+    event_stream_quality,
+    funnel,
     range_join_bins,
     sessionize,
 )
@@ -139,6 +141,53 @@ def test_range_join_inclusive_bounds_and_multibin(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # the rewrite's whole point
 
 
+def test_sessionize_streaming_equals_batch(spark, tmp_path):
+    """The batch≡streaming claim, proven: the SAME sessionize call on a
+    readStream source (3 chunk files deliberately NOT time-ordered,
+    one per micro-batch) produces the batch result — session merging
+    across micro-batches included. Complete mode + huge watermark for
+    chunk-order independence (q89 fixture convention); sums compared
+    at round-6 (addition order differs across micro-batches)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = sessionize(ev, "user_id", "ts", gap="6 hours", value_col="value")
+
+    def norm(rows):
+        return sorted(
+            (r["user"], r["session_start"], r["session_end"], r["n_events"],
+             round(r["sum_value"], 6))
+            for r in rows
+        )
+
+    src = str(tmp_path / "chunks")
+    for i in range(3):
+        (
+            ev.filter(F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i)
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = sessionize(
+        stream, "user_id", "ts", gap="6 hours", value_col="value",
+        watermark="3650 days",
+    )
+    name = "sess_eq_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(300)
+        assert norm(spark.table(name).collect()) == norm(batch.collect())
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 def test_range_join_microsecond_bounds(spark):
     # regression: an early version compared floored SECONDS, admitting
     # points fractionally past hi; the predicate must be full-precision
@@ -155,6 +204,75 @@ def test_range_join_microsecond_bounds(spark):
         bin_width_s=600, point_cols=["pid"], interval_cols=["iid"],
     )
     assert sorted(r["pid"] for r in out.collect()) == [1]
+
+
+def test_event_stream_quality_counters(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, _m(0)),
+            (1, 11, _m(0)),            # exact-ts duplicate
+            (1, 5, _m(1)),             # seq inversion (5 < 11)
+            (1, 12, _m(1, 1)),
+            (1, 13, _m(2000)),         # gap 1999m59s > 1000s -> big gap
+            (2, 20, _m(0)),            # singleton: NULL max_gap
+            (None, 1, _m(0)),          # dropped
+        ],
+        "u long, eid long, ts timestamp",
+    )
+    out = event_stream_quality(df, "u", "ts", "eid", big_gap_s=1000)
+    got = {
+        (r["user"], r["n_events"], r["n_big_gaps"], r["max_gap_s"],
+         r["n_seq_inversions"], r["n_ts_dups"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 5, 1, (2000 - 1) * 60 - 1, 1, 1),
+        (2, 1, 0, None, 0, 0),
+    }
+
+
+def test_funnel_depths_and_windows(spark):
+    rows = [
+        # u1: full conversion, click ties signup ts (inclusive, seq after)
+        (1, 1, "signup", _m(0)),
+        (1, 2, "click", _m(0)),
+        (1, 3, "purchase", _m(5)),
+        # u2: click BEFORE first signup never counts; later click in
+        # window does; purchase outside the 10-min window -> depth 2
+        (2, 1, "click", _m(0)),
+        (2, 2, "signup", _m(1)),
+        (2, 3, "click", _m(5)),
+        (2, 4, "purchase", _m(15, 1)),
+        # u3: signup only
+        (3, 1, "signup", _m(0)),
+        # u4: no signup at all -> depth 0
+        (4, 1, "click", _m(0)),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, k string, ts timestamp")
+    out = funnel(
+        df, "u", "ts", "k", "eid",
+        steps=("signup", "click", "purchase"), within_s=600,
+    )
+    got = {(r["user"], r["depth"], r["t2"]) for r in out.collect()}
+    assert got == {
+        (1, 3, _m(0)),
+        (2, 2, _m(5)),
+        (3, 1, None),
+        (4, 0, None),
+    }
+
+
+def test_funnel_single_exchange(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "signup", _m(0))], "u long, eid long, k string, ts timestamp"
+    )
+    out = funnel(
+        df, "u", "ts", "k", "eid",
+        steps=("signup", "click", "purchase"), within_s=600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # three window passes + the final groupBy share one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_range_join_matches_bruteforce(spark):

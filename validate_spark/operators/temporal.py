@@ -62,6 +62,7 @@ def sessionize(
     *,
     gap: str = "30 minutes",
     value_col: str | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Gap-based sessions per user → one row per session:
     ``(user, session_start, session_end, n_events, n_types?, sum_value?)``.
@@ -81,6 +82,13 @@ def sessionize(
         F.col(user_col).alias("user"), ts.alias("_ts"),
         *( [F.col(value_col).alias("_v")] if value_col else [] ),
     )
+    if watermark is not None:
+        # streaming path: the watermark must attach to the session
+        # window's event-time column (_ts, post-cast — parquet NTZ
+        # columns are not watermarkable); the rest of the plan is
+        # byte-identical to the batch path, which is the point —
+        # batch and streaming sessionization share one expression.
+        base = base.withWatermark("_ts", watermark)
     aggs = [
         F.min("_ts").alias("session_start"),
         F.max("_ts").alias("session_end"),
@@ -154,6 +162,123 @@ def asof_join(
         *[m[c].alias(f"{prefix}{c}") for c in payload],
         lag_s.alias("asof_lag_s"),
     )
+
+
+def event_stream_quality(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    seq_col: str,
+    *,
+    big_gap_s: int = 86400,
+) -> DataFrame:
+    """Per-key event-stream health: the table-scale lift of the
+    reference's ordering checks (afterDate/beforeDate,
+    validators_compare.go:204-281, are row-local; an event STREAM's
+    ordering invariant lives across rows of a key).
+
+    One row per key: ``(user, n_events, n_big_gaps, max_gap_s,
+    n_seq_inversions, n_ts_dups)`` where, in (ts, seq) order per key:
+    - n_big_gaps / max_gap_s: inter-arrival gaps (microsecond-exact
+      diffs, reported floored to seconds) exceeding ``big_gap_s``;
+    - n_seq_inversions: rows whose seq id is LOWER than the previous
+      row's (ingestion disorder — time moved forward, ids moved back);
+    - n_ts_dups: rows sharing an exact timestamp with the previous row.
+
+    One shuffle (window on the key) feeding a same-key groupBy — the
+    aggregation is co-partitioned with the window, no second exchange.
+    NULL key/ts rows are dropped (no stream to belong to).
+    """
+    ts, seq = _ts(ts_col), F.col(seq_col)
+    base = df.filter(F.col(user_col).isNotNull() & ts.isNotNull()).select(
+        F.col(user_col).alias("user"), ts.alias("_ts"), seq.alias("_seq")
+    )
+    w = Window.partitionBy("user").orderBy("_ts", "_seq")
+    us = F.unix_micros(F.col("_ts"))
+    gap_us = us - F.unix_micros(F.lag("_ts").over(w))
+    ann = base.select(
+        "user",
+        gap_us.alias("_gap_us"),
+        (F.col("_seq") < F.lag("_seq").over(w)).alias("_inv"),
+        (F.col("_ts") == F.lag("_ts").over(w)).alias("_dup"),
+    )
+    big = int(big_gap_s) * 1_000_000
+    return ann.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("_gap_us") > big, 1).otherwise(0)).alias("n_big_gaps"),
+        F.floor(F.max("_gap_us") / 1_000_000).alias("max_gap_s"),
+        F.sum(F.when(F.col("_inv"), 1).otherwise(0)).alias("n_seq_inversions"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_ts_dups"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    seq_col: str,
+    *,
+    steps: tuple[str, str, str],
+    within_s: int,
+) -> DataFrame:
+    """3-step conversion funnel per key: first ``steps[0]`` event, then
+    the first ``steps[1]`` within ``within_s`` seconds AFTER it
+    (inclusive ties), then the first ``steps[2]`` within ``within_s``
+    after that → ``(user, t1, t2, t3, depth)``.
+
+    Spark-first trick: each stage's "first qualifying event so far" is
+    a running ``min(CASE ...)`` window over the SAME (key, ts, seq)
+    sort — for every row past the stage's first qualifier, the running
+    min EQUALS that qualifier, so stage n+1's predicate can reference
+    it row-locally. Three window passes share ONE exchange + sort
+    (same partitioning/ordering), then a co-partitioned groupBy
+    finalizes — one shuffle total, no self-joins, no collect_list
+    (state stays O(1) per row regardless of per-key cardinality;
+    capped-collect designs do not).
+
+    Microsecond-exact arithmetic (unix_micros both engines); window
+    frames stated as ROWS explicitly (the RANGE-default tie gotcha).
+    """
+    s1, s2, s3 = steps
+    lim = int(within_s) * 1_000_000
+    ts = _ts(ts_col)
+    base = df.filter(F.col(user_col).isNotNull() & ts.isNotNull()).select(
+        F.col(user_col).alias("user"), ts.alias("_ts"),
+        F.col(type_col).alias("_k"), F.col(seq_col).alias("_seq"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("_ts", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("_ts"))
+    t1r = F.min(F.when(F.col("_k") == s1, F.col("_ts"))).over(w)
+    c2 = (
+        (F.col("_k") == s2)
+        & t1r.isNotNull()
+        & ((us - F.unix_micros(t1r)) <= lim)
+    )
+    ann1 = base.withColumn("_c2ts", F.when(c2, F.col("_ts")))
+    t2r = F.min("_c2ts").over(w)
+    c3 = (
+        (F.col("_k") == s3)
+        & t2r.isNotNull()
+        & ((us - F.unix_micros(t2r)) <= lim)
+    )
+    ann2 = ann1.withColumn("_c3ts", F.when(c3, F.col("_ts")))
+    agg = ann2.groupBy("user").agg(
+        F.min(F.when(F.col("_k") == s1, F.col("_ts"))).alias("t1"),
+        F.min("_c2ts").alias("t2"),
+        F.min("_c3ts").alias("t3"),
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select("user", "t1", "t2", "t3", depth.alias("depth"))
 
 
 def range_join_bins(
