@@ -2914,6 +2914,36 @@ def q107_funnel(spark, sf_dir):
     )
 
 
+def q108_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (temporal.cohort_retention) over
+    purchase events: cohort = first purchase day, w0..w3 = cohort
+    users active in week k after their own first day. The per-week
+    distinct counts go through a per-(cohort,user) week BITMASK
+    (bit_or) instead of 4 countDistincts — multiple distinct
+    aggregates would re-plan the rollup as an Expand (q66 gotcha);
+    the mask keeps every stage a plain hash aggregate."""
+    from validate_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return cohort_retention(ev, "user_id", "ts", n_weeks=4)
+
+
+def q109_rolling_window(spark, sf_dir):
+    """Trailing 24 h per-user velocity (temporal.rolling_window_stats):
+    for every event, the same user's event count and value sum in the
+    inclusive last 24 hours — a RANGE frame over unix MICROSECONDS
+    (time-bounded, tie-inclusive in both engines; a ROWS frame would
+    tie-break arbitrarily). One shuffle on the user key; frame state
+    bounded by the window's row count."""
+    from validate_spark.operators.temporal import rolling_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_window_stats(
+        ev, "user_id", "ts", window_s=86400, value_col="value",
+        out_cols=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3023,6 +3053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_streaming_sessionize": q105_streaming_sessionize,
         "q106_event_stream_quality": q106_event_stream_quality,
         "q107_funnel": q107_funnel,
+        "q108_cohort_retention": q108_cohort_retention,
+        "q109_rolling_window": q109_rolling_window,
     }
 
 
@@ -5714,6 +5746,48 @@ def oracle_sql() -> dict[str, str]:
                          WHEN t2 IS NOT NULL THEN 2
                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::int AS depth
             FROM g
+        """,
+        # cohort retention: naive distinct-count SQL is a fine oracle
+        # (the engine-side bitmask is a plan optimization, not a
+        # semantic change)
+        "q108_cohort_retention": """
+            WITH e AS (
+              SELECT user_id AS u, CAST(ts AS DATE) AS day
+              FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT u, min(day) AS cohort_day FROM e GROUP BY u
+            ), a AS (
+              SELECT DISTINCT u, day FROM e
+            ), j AS (
+              SELECT a.u, f.cohort_day,
+                     date_diff('day', f.cohort_day, a.day) // 7 AS wk
+              FROM a JOIN f ON a.u = f.u
+            )
+            SELECT cohort_day, count(DISTINCT u)::bigint AS n_users,
+                   count(DISTINCT CASE WHEN wk = 0 THEN u END)::bigint AS w0,
+                   count(DISTINCT CASE WHEN wk = 1 THEN u END)::bigint AS w1,
+                   count(DISTINCT CASE WHEN wk = 2 THEN u END)::bigint AS w2,
+                   count(DISTINCT CASE WHEN wk = 3 THEN u END)::bigint AS w3
+            FROM j GROUP BY cohort_day
+        """,
+        # rolling window: identical RANGE frame over epoch microseconds
+        # (tie-inclusive in both engines); frame-bounded fp sum is
+        # round-6 safe under the gate's rounding
+        "q109_rolling_window": """
+            WITH e AS (
+              SELECT event_id, user_id, value, epoch_us(ts) AS us
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT event_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY us
+                                  RANGE BETWEEN 86400000000 PRECEDING
+                                  AND CURRENT ROW)::bigint AS n_in_window,
+                   sum(value) OVER (PARTITION BY user_id ORDER BY us
+                                    RANGE BETWEEN 86400000000 PRECEDING
+                                    AND CURRENT ROW) AS sum_in_window
+            FROM e
         """,
         # range join: the oracle is the direct inequality join (DuckDB
         # IEJoin); both bounds inclusive

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "q105_streaming_sessionize",
     "q106_event_stream_quality",
     "q107_funnel",
+    "q108_cohort_retention",
+    "q109_rolling_window",
 ]
 
 

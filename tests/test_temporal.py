@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from validate_spark.operators.temporal import (
     asof_join,
+    cohort_retention,
     event_stream_quality,
     funnel,
     range_join_bins,
+    rolling_window_stats,
     sessionize,
 )
 
@@ -273,6 +275,69 @@ def test_funnel_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # three window passes + the final groupBy share one hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_matrix(spark):
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def day(n, h=0):
+        return d0 + dt.timedelta(days=n, hours=h)
+
+    df = spark.createDataFrame(
+        [
+            # u1: first day 0; active weeks 0 and 2 (day 15)
+            (1, day(0)), (1, day(0, 3)), (1, day(15)),
+            # u2: first day 3 (same cohort day? no - cohort 2024-01-04);
+            # active week 0 only
+            (2, day(3)),
+            # u3: cohort day 0, active weeks 0,1
+            (3, day(0)), (3, day(8)),
+            # activity beyond n_weeks is ignored (week 6)
+            (1, day(44)),
+        ],
+        "u long, ts timestamp",
+    )
+    out = cohort_retention(df, "u", "ts", n_weeks=4)
+    got = {
+        (str(r["cohort_day"]), r["n_users"], r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 2, 2, 1, 1, 0),
+        ("2024-01-04", 1, 1, 0, 0, 0),
+    }
+    # no Expand in the rollup (the multiple-countDistinct trap)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_rolling_window_range_frame(spark):
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(n):
+        return t + dt.timedelta(seconds=n)
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, s(0), 1.0),
+            (2, 1, s(100), 2.0),       # window 100s: includes s(0) (inclusive)
+            (3, 1, s(100), 4.0),       # tie: RANGE frame includes BOTH peers
+            (4, 1, s(201), 8.0),       # s(101)..s(201): only itself + ties at 100? no: 100 < 101 -> out
+            (5, 2, s(0), 16.0),
+        ],
+        "event_id long, u long, ts timestamp, v double",
+    )
+    out = rolling_window_stats(
+        df, "u", "ts", window_s=100, value_col="v", out_cols=["event_id"]
+    )
+    got = {(r["event_id"], r["n_in_window"], r["sum_in_window"]) for r in out.collect()}
+    assert got == {
+        (1, 1, 1.0),
+        (2, 3, 7.0),   # tie peers both in frame regardless of row order
+        (3, 3, 7.0),
+        (4, 1, 8.0),
+        (5, 1, 16.0),
+    }
 
 
 def test_range_join_matches_bruteforce(spark):

@@ -281,6 +281,95 @@ def funnel(
     return agg.select("user", "t1", "t2", "t3", depth.alias("depth"))
 
 
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    n_weeks: int = 4,
+) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = the user's FIRST event
+    day; ``w{k}`` = distinct users of that cohort active in week k
+    (days [7k, 7k+7) after their own first day) →
+    ``(cohort_day, n_users, w0..w{n-1})``.
+
+    Plan shape: first-day per user and active (user, day) pairs are
+    both user-keyed aggregates — the join between them is
+    co-partitioned on the user shuffle. The per-week distinct-user
+    counts are NOT n_weeks countDistincts (multiple distinct
+    aggregates re-plan the groupBy as an Expand — row blow-up × the
+    aggregate count, the q66 gotcha): each (cohort, user) first
+    reduces to ONE week-bitmask long (bit_or), then the cohort rollup
+    is plain integer sums of mask bits. Cohort cardinality = distinct
+    first days — driver-safe output.
+    """
+    if not 0 < n_weeks <= 62:
+        raise ValueError("n_weeks must be in (0, 62]")
+    ts = _ts(ts_col)
+    base = df.filter(F.col(user_col).isNotNull() & ts.isNotNull()).select(
+        F.col(user_col).alias("user"), ts.cast("date").alias("day")
+    )
+    first = base.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    active = base.distinct()
+    wk = F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+    # call_function: the shiftleft WRAPPER only takes a literal shift;
+    # the SQL function itself shifts by a column
+    contrib = F.when(
+        wk < n_weeks,
+        F.call_function("shiftleft", F.lit(1).cast("long"), wk.cast("int")),
+    ).otherwise(F.lit(0).cast("long"))
+    masks = (
+        active.join(first, "user")
+        .select("user", "cohort_day", contrib.alias("_c"))
+        .groupBy("cohort_day", "user")
+        .agg(F.bit_or("_c").alias("_mask"))
+    )
+    return masks.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(F.shiftright(F.col("_mask"), k).bitwiseAND(1)).alias(f"w{k}")
+            for k in range(n_weeks)
+        ],
+    )
+
+
+def rolling_window_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    window_s: int,
+    value_col: str | None = None,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-event trailing-window stats: for every event, the count
+    (and optional value sum) of the SAME user's events in the last
+    ``window_s`` seconds INCLUSIVE of now — the rate-limit / velocity
+    feature every abuse pipeline computes.
+
+    RANGE frame (not ROWS) over unix MICROSECONDS so (a) the bound is
+    time, not row-count, and (b) equal-timestamp peers are all in
+    frame in both engines — the deterministic tie semantics. One
+    shuffle on the user key; running frame state is O(window rows per
+    key) inside the sort, never materialized per row.
+    """
+    ts = _ts(ts_col)
+    keep = out_cols if out_cols is not None else df.columns
+    base = df.filter(F.col(user_col).isNotNull() & ts.isNotNull()).select(
+        *keep, F.col(user_col).alias("_u"), F.unix_micros(ts).alias("_us"),
+        *( [F.col(value_col).alias("_v")] if value_col else [] ),
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_us")
+        .rangeBetween(-int(window_s) * 1_000_000, 0)
+    )
+    out = base.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+    if value_col:
+        out = out.withColumn("sum_in_window", F.sum("_v").over(w))
+    return out.drop("_u", "_us", *(["_v"] if value_col else []))
+
+
 def range_join_bins(
     points: DataFrame,
     intervals: DataFrame,
