@@ -2944,6 +2944,37 @@ def q109_rolling_window(spark, sf_dir):
     )
 
 
+def q110_distinctive_terms(spark, sf_dir):
+    """Per-document top-3 distinctive terms (textstats.distinctive_terms):
+    rarity-weighted TF where score = tf·10⁹ div document-frequency —
+    an integer-exact TF-IDF surrogate (a log IDF would make the
+    ranking a double comparison whose near-ties can flip between
+    engines). The TF aggregate and the DF join share ONE term-keyed
+    exchange (explicit repartition, q16/AQE gotcha); ranking window is
+    per-doc top-k, deterministic via (score DESC, term ASC)."""
+    from validate_spark.operators.textstats import distinctive_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return distinctive_terms(docs, "doc_id", "text", top_k=3)
+
+
+def q111_hopping_windows(spark, sf_dir):
+    """Hopping (overlapping) 6h/2h event windows via native
+    F.window(ts, window, slide) — each event lands in exactly 3
+    epoch-aligned [start, end) windows, the same generator Structured
+    Streaming uses, so this batch result previews the streaming rollup
+    exactly. One shuffle on the window key; sum rounded to 6 (per-
+    window cardinality is bounded by window span, so addition-order
+    noise can't reach the tick — round-4 gotcha)."""
+    from validate_spark.operators.temporal import hopping_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = hopping_window_counts(
+        ev, "ts", window_s=6 * 3600, slide_s=2 * 3600, value_col="value"
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3055,6 +3086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_funnel": q107_funnel,
         "q108_cohort_retention": q108_cohort_retention,
         "q109_rolling_window": q109_rolling_window,
+        "q110_distinctive_terms": q110_distinctive_terms,
+        "q111_hopping_windows": q111_hopping_windows,
     }
 
 
@@ -5788,6 +5821,53 @@ def oracle_sql() -> dict[str, str]:
                                     RANGE BETWEEN 86400000000 PRECEDING
                                     AND CURRENT ROW) AS sum_in_window
             FROM e
+        """,
+        # distinctive terms: same normalize/split machinery as the
+        # dedup oracles; integer-exact score replayed with // (both
+        # operands positive, so DuckDB floor == Spark div truncation)
+        "q110_distinctive_terms": f"""
+            WITH c AS (
+              SELECT doc_id, {_NORM} AS t FROM documents
+            ), tk AS (
+              SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+              FROM c WHERE length(t) > 0
+            ), tf AS (
+              SELECT doc_id, term, count(*)::bigint AS tf
+              FROM tk GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, count(*)::bigint AS df FROM tf GROUP BY term
+            ), s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     ((tf.tf * 1000000000) // dfq.df)::bigint AS score
+              FROM tf JOIN dfq USING (term)
+            ), r AS (
+              SELECT *, row_number() OVER
+                       (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC)::int AS rank
+              FROM s
+            )
+            SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+        """,
+        # hopping windows: replay F.window's epoch-aligned generator —
+        # for slide s and window w = 3s, the 3 containing starts are
+        # us - us%s - k·s for k in 0..2 (microsecond arithmetic, exact)
+        "q111_hopping_windows": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, value
+              FROM events WHERE ts IS NOT NULL
+            ), w AS (
+              SELECT make_timestamp(us - (us % 7200000000)
+                                    - k * 7200000000) AS window_start,
+                     make_timestamp(us - (us % 7200000000)
+                                    - k * 7200000000
+                                    + 21600000000) AS window_end,
+                     value
+              FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+            )
+            SELECT window_start, window_end,
+                   count(*)::bigint AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM w GROUP BY window_start, window_end
         """,
         # range join: the oracle is the direct inequality join (DuckDB
         # IEJoin); both bounds inclusive

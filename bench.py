@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "q107_funnel",
     "q108_cohort_retention",
     "q109_rolling_window",
+    "q110_distinctive_terms",
+    "q111_hopping_windows",
 ]
 
 

@@ -1274,3 +1274,37 @@ def test_gopher_rules(spark):
     assert out[6]["flag_alpha"] is True and out[6]["n_alpha_words"] == 0
     assert out[7]["flag_stopwords"] is True and out[7]["n_stopwords_present"] == 0
     assert out[8]["would_drop"] is None and out[8]["flag_alpha"] is None
+
+
+def test_distinctive_terms_integer_exact_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Apple, APPLE banana!"),          # normalizes + casefolds
+            (2, "apple cherry"),
+            (3, "banana banana banana cherry"),
+            (4, None),                            # empty after normalize: no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = ts.distinctive_terms(df, "doc_id", "text", top_k=2)
+    got = {
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["score"], r["rank"])
+        for r in out.collect()
+    }
+    # df: apple 2, banana 2, cherry 2; score = tf*10^9 div df
+    assert got == {
+        (1, "apple", 2, 2, 1_000_000_000, 1),
+        (1, "banana", 1, 2, 500_000_000, 2),
+        # d2 ties on score -> term ASC breaks it deterministically
+        (2, "apple", 1, 2, 500_000_000, 1),
+        (2, "cherry", 1, 2, 500_000_000, 2),
+        (3, "banana", 3, 2, 1_500_000_000, 1),
+        (3, "cherry", 1, 2, 500_000_000, 2),
+    }
+    # two-branch sharing: the TF frame is persisted, so the corpus is
+    # scanned ONCE — the DF-aggregate branch reads the InMemoryRelation,
+    # not a second explode over the source (round-4 gotcha)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+    assert "InMemoryTableScan" in final or "TableCacheQueryStage" in final

@@ -366,3 +366,41 @@ def test_range_join_matches_bruteforce(spark):
         if lo <= ts <= hi
     }
     assert got == want
+
+
+def test_hopping_window_counts_semantics(spark):
+    import pytest
+
+    from validate_spark.operators.temporal import hopping_window_counts
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(n):
+        return t + dt.timedelta(seconds=n)
+
+    # window 20s / slide 10s -> every event in exactly 2 windows;
+    # boundaries are half-open [start, end): an event AT a window's
+    # end belongs to the next two windows, not the ending one
+    df = spark.createDataFrame(
+        [(1, s(0), 1.0), (2, s(20), 2.0), (3, s(25), 4.0)],
+        "event_id long, ts timestamp, v double",
+    )
+    out = hopping_window_counts(df, "ts", window_s=20, slide_s=10, value_col="v")
+    rows = {
+        (r["window_start"].strftime("%H:%M:%S"), r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert rows == {
+        # event 1 (t=0): windows starting at -10 and 0
+        ("23:59:50", 1, 1.0),
+        ("00:00:00", 1, 1.0),
+        # t=20 is NOT in [00:00:10, 00:00:30)? it IS: 10 <= 20 < 30.
+        # windows [10,30): events 2,3; [20,40): events 2,3
+        ("00:00:10", 2, 6.0),
+        ("00:00:20", 2, 6.0),
+    }
+    # every event lands in exactly window/slide windows
+    assert out.agg(F.sum("n_events")).first()[0] == 3 * 2
+
+    with pytest.raises(ValueError):
+        hopping_window_counts(df, "ts", window_s=25, slide_s=10)

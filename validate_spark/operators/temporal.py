@@ -370,6 +370,44 @@ def rolling_window_stats(
     return out.drop("_u", "_us", *(["_v"] if value_col else []))
 
 
+def hopping_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    window_s: int,
+    slide_s: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Overlapping (hopping) time-window aggregates via the native
+    ``F.window(ts, window, slide)`` — each event lands in exactly
+    ``window_s / slide_s`` windows (epoch-aligned starts, [start, end)
+    half-open), the same generator Structured Streaming uses, so the
+    batch result previews the streaming rollup exactly.
+
+    One shuffle on the window key; the per-event window expansion is
+    the unavoidable ×(w/s) blow-up of hopping semantics — pick the
+    ratio, not the operator. ``window_s`` must be a multiple of
+    ``slide_s`` (the oracle's k-range replay depends on it)."""
+    if window_s % slide_s != 0:
+        raise ValueError("window_s must be a multiple of slide_s")
+    ts = _ts(ts_col)
+    base = df.filter(ts.isNotNull()).select(
+        ts.alias("_ts"),
+        *( [F.col(value_col).alias("_v")] if value_col else [] ),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum("_v").alias("sum_value"))
+    out = base.groupBy(
+        F.window("_ts", f"{window_s} seconds", f"{slide_s} seconds").alias("_w")
+    ).agg(*aggs)
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *[c for c in out.columns if c != "_w"],
+    )
+
+
 def range_join_bins(
     points: DataFrame,
     intervals: DataFrame,

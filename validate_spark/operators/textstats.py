@@ -437,6 +437,70 @@ def unigram_logprob_scores(
     )
 
 
+def distinctive_terms(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k DISTINCTIVE terms: rarity-weighted term
+    frequency (TF-IDF's job) with a fully integer-exact ranking —
+    score = ``tf * 10^9 div df`` (int64 floor division; tf·10^9 ≤
+    ~10^14 « 2^63), descending, then term ASC. An IDF log would make
+    the ranking a double comparison whose near-ties can flip across
+    engines; the rational-score floor is bit-identical everywhere,
+    which is what lets the result sit under the value-hash gate.
+
+    Plan: fan_out-guarded explode (the 1-partition scan gotcha) →
+    per-(doc,term) count [shuffle 1] → explicit repartition on term
+    [shuffle 2], **persisted** (MEMORY_AND_DISK) because two branches
+    consume it — the term-DF aggregate and the TF⋈DF join; without
+    the persist each branch re-runs the scan + regex + explode over
+    the whole corpus (the round-4 two-branch gotcha). Both branches
+    ride the persisted frame's term partitioning (agg and join add NO
+    exchange) → per-doc top-k window [shuffle 3]. Every frame is
+    token-bounded; blocks freed on driver GC of the returned plan.
+
+    Reference seed: the reference has no corpus-level text analysis;
+    this extends its string family (SURVEY.md §2.6) the same way the
+    quality/repetition signals do."""
+    from validate_spark.session import fan_out
+    from pyspark.sql.window import Window
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(key_col).alias("k"),
+            normalize_text(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.length("_t") > 0)
+        .select("k", F.explode(F.split("_t", " ")).alias("term"))
+    )
+    from pyspark import StorageLevel
+
+    tf = (
+        toks.groupBy("k", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .repartition(n, "term")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "k", "term", "tf", "df",
+        F.expr("(tf * 1000000000L) div df").alias("score"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("k").alias(key_col), "term", "tf", "df", "score", "rank")
+    )
+
+
 def token_share_report(
     df: DataFrame,
     strata_col: str,
