@@ -963,7 +963,15 @@ def embedding_neardup_lsh(
     omitted, a one-row limit-scan infers it — a deliberate, documented
     small driver action, not a hidden full scan."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # NULL-safe: the first ROW may carry a NULL/empty vector
+        row = (
+            df.select(F.size(F.col(vec_col)).alias("_d"))
+            .filter(F.col("_d") > 0)
+            .first()
+        )
+        if row is None:
+            raise ValueError(f"cannot infer dim: no non-empty {vec_col!r}")
+        dim = row["_d"]
     import numpy as np
 
     rng = np.random.default_rng(seed)
