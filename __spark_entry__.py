@@ -2975,6 +2975,150 @@ def q111_hopping_windows(spark, sf_dir):
     return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
+def q112_stream_interval_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join (temporal.interval_join):
+    error events joined to the same user's clicks in the 6 h before
+    each error. Both cohorts are split into 3 chunk files by
+    event_id%3 (deliberately NOT time-ordered), one file per source
+    per micro-batch under availableNow — matches form across
+    micro-batch boundaries through the join state. Append mode (the
+    only stream-stream-join mode) + 3650-day watermark: no state
+    eviction, so the emitted SET of pairs is chunk-order independent
+    (the gate compares order-insensitively). The bounds are timestamp
+    ± INTERVAL literals — the exact shape Spark's state manager
+    recognizes to bound state under a real watermark in production.
+    The oracle is the direct inequality join; hash match proves
+    streaming ≡ batch ≡ SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.operators.temporal import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q112_")
+    name = f"q112_ivj_{uuid.uuid4().hex[:8]}"
+    try:
+        srcs = {}
+        for kind in ("error", "click"):
+            src = f"{tmp}/{kind}"
+            cohort = events.filter(F.col("event_type") == kind)
+            for i in range(3):
+                (
+                    cohort.filter(
+                        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+                        == i
+                    )
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(src)
+                )
+            srcs[kind] = src
+        err = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcs["error"])
+            .select("user_id", "ts", F.col("event_id").alias("err_id"))
+        )
+        clk = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcs["click"])
+            .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        )
+        joined = interval_join(
+            err, clk, "user_id", "ts", "ts",
+            lower_s=-6 * 3600, upper_s=0,
+            left_cols=["err_id"], right_cols=["click_id"],
+            watermark="3650 days",
+        ).select(
+            "user_id", "ts_l", "ts_r", "err_id", "click_id",
+            F.expr("(unix_micros(ts_l) - unix_micros(ts_r)) div 1000000")
+            .alias("gap_s"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q113_streaming_hopping(spark, sf_dir):
+    """Streaming hopping windows: the SAME hopping_window_counts
+    expression as q111 (4h window / 1h slide, even-event_id cohort)
+    run under readStream from 3 non-time-ordered chunk files.
+    Complete mode + memory sink + huge watermark per the q89
+    convention (chunk-order-independent finalized output under
+    availableNow); production runs append with a real watermark —
+    state per key = open windows. Hash match vs the k-range SQL
+    replay proves the batch operator previews the streaming rollup
+    EXACTLY — same epoch-aligned half-open window generator."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.operators.temporal import hopping_window_counts
+
+    events = _t(spark, sf_dir, "events")
+    even = events.filter(
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2)) == 0
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q113_")
+    name = f"q113_hop_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            (
+                even.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hop = hopping_window_counts(
+            stream, "ts", window_s=4 * 3600, slide_s=3600,
+            value_col="value", watermark="3650 days",
+        )
+        q = (
+            hop.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "window_start", "window_end", "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3088,6 +3232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_rolling_window": q109_rolling_window,
         "q110_distinctive_terms": q110_distinctive_terms,
         "q111_hopping_windows": q111_hopping_windows,
+        "q112_stream_interval_join": q112_stream_interval_join,
+        "q113_streaming_hopping": q113_streaming_hopping,
     }
 
 
@@ -5863,6 +6009,47 @@ def oracle_sql() -> dict[str, str]:
                                     + 21600000000) AS window_end,
                      value
               FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+            )
+            SELECT window_start, window_end,
+                   count(*)::bigint AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM w GROUP BY window_start, window_end
+        """,
+        # stream-stream interval join: oracle is the direct keyed
+        # inequality join (both bounds inclusive); gap in whole
+        # seconds via integer-exact microsecond floor division
+        "q112_stream_interval_join": """
+            WITH err AS (
+              SELECT user_id, ts, event_id AS err_id
+              FROM events WHERE event_type = 'error'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+            ), clk AS (
+              SELECT user_id, ts, event_id AS click_id
+              FROM events WHERE event_type = 'click'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT e.user_id, e.ts AS ts_l, c.ts AS ts_r,
+                   e.err_id, c.click_id,
+                   ((epoch_us(e.ts) - epoch_us(c.ts)) // 1000000)::bigint
+                     AS gap_s
+            FROM err e JOIN clk c ON e.user_id = c.user_id
+             AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts
+        """,
+        # streaming hopping windows: same k-range replay as q111 with
+        # 4h/1h on the even cohort — proving streaming == batch == SQL
+        "q113_streaming_hopping": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, value
+              FROM events
+              WHERE ts IS NOT NULL AND coalesce(event_id, 0) % 2 = 0
+            ), w AS (
+              SELECT make_timestamp(us - (us % 3600000000)
+                                    - k * 3600000000) AS window_start,
+                     make_timestamp(us - (us % 3600000000)
+                                    - k * 3600000000
+                                    + 14400000000) AS window_end,
+                     value
+              FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
             )
             SELECT window_start, window_end,
                    count(*)::bigint AS n_events,

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q109_rolling_window",
     "q110_distinctive_terms",
     "q111_hopping_windows",
+    "q112_stream_interval_join",
+    "q113_streaming_hopping",
 ]
 
 

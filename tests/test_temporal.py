@@ -404,3 +404,79 @@ def test_hopping_window_counts_semantics(spark):
 
     with pytest.raises(ValueError):
         hopping_window_counts(df, "ts", window_s=25, slide_s=10)
+
+
+def test_interval_join_bounds_and_plan(spark):
+    from validate_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, _m(60), 10), (2, _m(60), 20), (None, _m(60), 30)],
+        "k long, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _m(30), 100),   # exactly lower bound (-30 min): IN
+            (1, _m(29, 59), 101),  # 1 s before lower bound: OUT
+            (1, _m(60), 102),   # exactly upper bound (0): IN
+            (1, _m(60, 1), 103),   # 1 s after: OUT
+            (2, _m(45), 104),   # other key
+            (None, _m(45), 105),   # NULL key: dropped
+        ],
+        "k long, ts timestamp, rid int",
+    )
+    out = interval_join(
+        left, right, "k", "ts", "ts",
+        lower_s=-1800, upper_s=0, left_cols=["lid"], right_cols=["rid"],
+    )
+    got = {(r["k"], r["lid"], r["rid"]) for r in out.collect()}
+    assert got == {(1, 10, 100), (1, 10, 102), (2, 20, 104)}
+    # equality key must plan as an equi-join, never a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_streaming_equals_batch(spark, tmp_path):
+    """Stream-stream inner join across micro-batch boundaries: the
+    SAME interval_join expression, chunked sources NOT time-ordered,
+    append mode (the only stream-stream mode) + huge watermark —
+    emitted pair SET equals the batch join."""
+    import uuid
+
+    from validate_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"))
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+
+    kw = dict(lower_s=-6 * 3600, upper_s=0,
+              left_cols=["err_id"], right_cols=["click_id"])
+    batch = interval_join(err, clk, "user_id", "ts", "ts", **kw)
+
+    def norm(rows):
+        return sorted((r["err_id"], r["click_id"]) for r in rows)
+
+    srcs = {}
+    for kind, cohort in (("e", err), ("c", clk)):
+        src = str(tmp_path / kind)
+        for i in range(3):
+            key = "err_id" if kind == "e" else "click_id"
+            (cohort.filter(F.pmod(F.coalesce(F.col(key), F.lit(0)), F.lit(3)) == i)
+             .coalesce(1).write.mode("append").parquet(src))
+        srcs[kind] = src
+    es = (spark.readStream.schema(err.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcs["e"]))
+    cs = (spark.readStream.schema(clk.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcs["c"]))
+    out = interval_join(es, cs, "user_id", "ts", "ts",
+                        watermark="3650 days", **kw)
+    name = "ivj_eq_" + uuid.uuid4().hex[:6]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(300)
+        assert norm(spark.table(name).collect()) == norm(batch.collect())
+        assert len(norm(batch.collect())) > 0
+    finally:
+        spark.catalog.dropTempView(name)

@@ -377,12 +377,15 @@ def hopping_window_counts(
     window_s: int,
     slide_s: int,
     value_col: str | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Overlapping (hopping) time-window aggregates via the native
     ``F.window(ts, window, slide)`` — each event lands in exactly
     ``window_s / slide_s`` windows (epoch-aligned starts, [start, end)
     half-open), the same generator Structured Streaming uses, so the
-    batch result previews the streaming rollup exactly.
+    batch result previews the streaming rollup exactly. Pass
+    ``watermark`` on a streaming frame (state per key = open windows;
+    append mode finalizes a window when the watermark passes its end).
 
     One shuffle on the window key; the per-event window expansion is
     the unavoidable ×(w/s) blow-up of hopping semantics — pick the
@@ -395,6 +398,8 @@ def hopping_window_counts(
         ts.alias("_ts"),
         *( [F.col(value_col).alias("_v")] if value_col else [] ),
     )
+    if watermark is not None:
+        base = base.withWatermark("_ts", watermark)
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col:
         aggs.append(F.sum("_v").alias("sum_value"))
@@ -405,6 +410,67 @@ def hopping_window_counts(
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
         *[c for c in out.columns if c != "_w"],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower_s: int,
+    upper_s: int,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Keyed event-time interval join: every (l, r) pair with
+    ``l.key == r.key`` and ``r.ts ∈ [l.ts + lower_s, l.ts + upper_s]``
+    (both bounds inclusive; ``lower_s`` is usually negative — "right
+    events in the N minutes before each left event").
+
+    The SAME expression serves batch and streaming. Batch: a plain
+    equi-join on the key (sort-merge/broadcast per Catalyst) with the
+    range as a join filter — never a BroadcastNestedLoopJoin. With
+    ``watermark`` set on two streaming frames this is Spark's
+    stream-stream inner join: the bounds are timestamp ± INTERVAL
+    literals, the exact shape the state manager recognizes to evict
+    rows once the other side's watermark passes their reach — state
+    is bounded by (watermark + window span) × arrival rate, not by
+    stream length. NULL keys/timestamps drop (inner-join semantics).
+
+    Output: ``key``, ``{left_ts}_l``, ``{right_ts}_r``, then the
+    passthrough columns (caller keeps names disjoint)."""
+    lsel = [
+        F.col(key).alias("_k"),
+        _ts(left_ts).alias("_lts"),
+        *[F.col(c) for c in (left_cols or [])],
+    ]
+    rsel = [
+        F.col(key).alias("_rk"),
+        _ts(right_ts).alias("_rts"),
+        *[F.col(c) for c in (right_cols or [])],
+    ]
+    lf = left.select(*lsel).filter(F.col("_lts").isNotNull())
+    rf = right.select(*rsel).filter(F.col("_rts").isNotNull())
+    if watermark is not None:
+        lf = lf.withWatermark("_lts", watermark)
+        rf = rf.withWatermark("_rts", watermark)
+    lo = F.make_interval(secs=F.lit(int(lower_s)))
+    hi = F.make_interval(secs=F.lit(int(upper_s)))
+    cond = (
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("_rts") >= F.col("_lts") + lo)
+        & (F.col("_rts") <= F.col("_lts") + hi)
+    )
+    out = lf.join(rf, cond, "inner")
+    return out.select(
+        F.col("_k").alias(key),
+        F.col("_lts").alias(f"{left_ts}_l"),
+        F.col("_rts").alias(f"{right_ts}_r"),
+        *[c for c in out.columns if not c.startswith("_")],
     )
 
 
