@@ -3119,6 +3119,67 @@ def q113_streaming_hopping(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q114_native_streaming_dedup(spark, sf_dir):
+    """The NATIVE streaming dedup path (q56's custom stateful operator
+    has a built-in sibling): dropDuplicatesWithinWatermark keyed on
+    the content fingerprint — JVM state store, zero Python in the
+    loop. The doubled corpus carries a deterministic pseudo event time
+    (doc_id mod 1000 seconds past a fixed epoch; a doc and its doubled
+    copy share it, so duplicates are time-co-located, the case the
+    watermark contract is built for). Huge watermark → no state
+    eviction → the emitted fingerprint SET equals the corpus's
+    distinct fingerprints, whatever the micro-batch boundaries."""
+    import shutil
+    import tempfile
+
+    from validate_spark.streaming.stateful_dedup import (
+        native_drop_duplicates_within_watermark,
+    )
+
+    corpus = _doubled_docs(spark, sf_dir).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(
+            secs=F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(1000))
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q114_")
+    try:
+        src = f"{tmp}/src"
+        for i in range(4):
+            (
+                corpus.filter(
+                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = f"{tmp}/out"
+        q = (
+            native_drop_duplicates_within_watermark(
+                stream, ts_col="ts", watermark="3650 days"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(sink).select("fp")
+        rows = res.collect()  # materialize before the temp dir goes away
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3234,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_hopping_windows": q111_hopping_windows,
         "q112_stream_interval_join": q112_stream_interval_join,
         "q113_streaming_hopping": q113_streaming_hopping,
+        "q114_native_streaming_dedup": q114_native_streaming_dedup,
     }
 
 
@@ -5501,6 +5563,11 @@ def oracle_sql() -> dict[str, str]:
         # the corpus's distinct content fingerprints, whatever the
         # micro-batch boundaries
         "q56_streaming_stateful_dedup": f"""
+            SELECT DISTINCT {_FP} AS fp FROM ({_DOUBLED_DOCS})
+        """,
+        # native dropDuplicatesWithinWatermark: same contract under a
+        # non-evicting watermark — distinct content fingerprints
+        "q114_native_streaming_dedup": f"""
             SELECT DISTINCT {_FP} AS fp FROM ({_DOUBLED_DOCS})
         """,
         # retained corpus = everything minus non-canonical members of

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q111_hopping_windows",
     "q112_stream_interval_join",
     "q113_streaming_hopping",
+    "q114_native_streaming_dedup",
 ]
 
 

@@ -298,3 +298,68 @@ def test_manifest_empty_batch_reports_zeros_not_nulls(spark, tmp_path):
     assert row["n_rows"] == 0
     assert row["n_pass"] == 0 and row["n_fail"] == 0 and row["n_violations"] == 0
     assert row["verdict"] is True
+
+
+def test_native_dedup_watermark_eviction_reemits(spark, tmp_path):
+    """The contract difference vs stateful_drop_duplicates, pinned:
+    dropDuplicatesWithinWatermark drops a duplicate while the
+    fingerprint's state lives, then RE-EMITS one arriving after the
+    watermark passed first-seen + delay (state evicted). Batches must
+    arrive in order here, so files get strictly increasing mtimes."""
+    import datetime as dt
+    import time
+
+    from validate_spark.streaming.stateful_dedup import (
+        native_drop_duplicates_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    batches = [
+        # batch 1: A twice within one batch -> ONE emission
+        [(1, "same text", t0), (2, "same text", t0)],
+        # batch 2: a different key; advances the watermark to t0+2h
+        # for the NEXT batch
+        [(3, "other text", t0 + dt.timedelta(hours=3))],
+        # batch 3: runs with wm t0+2h -> A's state (expiry t0+1h) is
+        # evicted at END of this batch, after its dedup decisions (a
+        # duplicate HERE would still be dropped - pinned by experiment)
+        [(5, "third text", t0 + dt.timedelta(hours=3, minutes=30))],
+        # batch 4: A's state is gone -> the late duplicate RE-EMITS
+        [(4, "same text", t0 + dt.timedelta(hours=5))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # FileStreamSource orders batches by mtime
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        native_drop_duplicates_within_watermark(
+            stream, ts_col="ts", watermark="1 hour"
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    out = sorted(
+        (r["key"], r["event_ts"]) for r in spark.read.parquet(sink).collect()
+    )
+    # first arrival of batch 1 (either key 1 or 2 - arrival order within
+    # a batch picks it), the two new fingerprints, and the RE-EMITTED
+    # duplicate from batch 4 (A's state evicted after batch 3)
+    assert len(out) == 4
+    assert out[0][0] in ("1", "2") and out[0][1] == t0
+    assert out[1] == ("3", t0 + dt.timedelta(hours=3))
+    assert out[2] == ("4", t0 + dt.timedelta(hours=5))
+    assert out[3] == ("5", t0 + dt.timedelta(hours=3, minutes=30))

@@ -81,3 +81,33 @@ def stateful_drop_duplicates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def native_drop_duplicates_within_watermark(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Spark-NATIVE cross-batch dedup: ``dropDuplicatesWithinWatermark``
+    keyed on the content fingerprint. State lives in the JVM state
+    store (RocksDB-backed on a real cluster), zero Python in the loop —
+    prefer this over ``stateful_drop_duplicates`` when you don't need
+    the per-fingerprint occurrence counter.
+
+    Contract difference, on purpose: a duplicate arriving more than
+    ``watermark`` of EVENT TIME after the retained row's may re-emit
+    (its state was evicted) — the right trade at 10^12 rows, where
+    duplicates cluster in time and exact forever-state would grow
+    without bound. WHICH representative row survives is arrival-order
+    dependent (first arrival wins); project ``fp`` alone for an
+    order-independent result set."""
+    with_fp = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(text_col).alias("text"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(ts_col).try_cast("timestamp").alias("event_ts"),
+    ).withWatermark("event_ts", watermark)
+    return with_fp.dropDuplicatesWithinWatermark(["fp"])
