@@ -3180,6 +3180,32 @@ def q114_native_streaming_dedup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q115_span_ref_integrity(spark, sf_dir):
+    """SPAN-level referential integrity (refcheck.dangling_span_refs):
+    every media_ref inside the interleaved spans array must exist in
+    the media catalog — explode only (doc_id, media_ref) AFTER
+    null-filtering the nested field (column pruning reaches the scan),
+    then a broadcast LEFT ANTI join against the distinct catalog. The
+    catalog is the fixture's own refs minus the d%17==5 cohort (17 is
+    coprime to every other fixture modulus — the q88 gotcha), so the
+    dangling set is a seeded, DuckDB-replayable cohort."""
+    from validate_spark.operators.refcheck import dangling_span_refs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    built = _interleaved_from_documents(docs)
+    d = F.coalesce(F.col("doc_id"), F.lit(9))
+    keep = _interleaved_from_documents(docs.filter(F.pmod(d, F.lit(17)) != 5))
+    catalog = keep.select(
+        F.explode(
+            F.filter(
+                F.col("spans").getField("media_ref"),
+                lambda r: r.isNotNull(),
+            )
+        ).alias("ref")
+    )
+    return dangling_span_refs(built, catalog)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3296,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_stream_interval_join": q112_stream_interval_join,
         "q113_streaming_hopping": q113_streaming_hopping,
         "q114_native_streaming_dedup": q114_native_streaming_dedup,
+        "q115_span_ref_integrity": q115_span_ref_integrity,
     }
 
 
@@ -5564,6 +5591,34 @@ def oracle_sql() -> dict[str, str]:
         # micro-batch boundaries
         "q56_streaming_stateful_dedup": f"""
             SELECT DISTINCT {_FP} AS fp FROM ({_DOUBLED_DOCS})
+        """,
+        # span-level ref integrity: replay the interleaved fixture's
+        # media_ref construction per (doc, i) and the anti-join against
+        # the non-cohort catalog — multiplicity preserved (no distinct
+        # on the pairs side)
+        "q115_span_ref_integrity": """
+            WITH f AS (
+              SELECT coalesce(doc_id, 9) AS d FROM documents
+            ), sp AS (
+              SELECT d,
+                     CASE WHEN d % 19 = 0 THEN NULL
+                          WHEN d % 19 = 1 THEN 'dx'
+                          ELSE 'doc-' || lpad(d::varchar, 8, '0')
+                     END AS doc_id,
+                     CASE WHEN (d + i) % 3 <> 0
+                          THEN 'm-' || lpad(((d * 3 + i) % 100000000)::varchar,
+                               CASE WHEN d % 7 = 0 THEN 6 ELSE 8 END, '0')
+                     END AS media_ref
+              FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) ii
+              WHERE d % 13 NOT IN (0, 1)
+            ), pairs AS (
+              SELECT d, doc_id, media_ref FROM sp WHERE media_ref IS NOT NULL
+            ), cat AS (
+              SELECT DISTINCT media_ref FROM pairs WHERE d % 17 <> 5
+            )
+            SELECT p.doc_id, p.media_ref
+            FROM pairs p LEFT JOIN cat c USING (media_ref)
+            WHERE p.d % 17 = 5 AND c.media_ref IS NULL
         """,
         # native dropDuplicatesWithinWatermark: same contract under a
         # non-evicting watermark — distinct content fingerprints

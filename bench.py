@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q112_stream_interval_join",
     "q113_streaming_hopping",
     "q114_native_streaming_dedup",
+    "q115_span_ref_integrity",
 ]
 
 
