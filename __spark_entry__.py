@@ -3206,6 +3206,73 @@ def q115_span_ref_integrity(spark, sf_dir):
     return dangling_span_refs(built, catalog)
 
 
+def q116_stream_static_enrich(spark, sf_dir):
+    """Stream-STATIC enrichment (streaming/enrich.py): the events
+    stream broadcast-joined per micro-batch to the static customer
+    dimension (stateless — no join state), then a tumbling 1-day
+    rollup per market segment (stateful, state = windows × segments).
+    Complete mode + huge watermark per the q89 convention; sum rounded
+    to 6 (segment×day cardinality is bounded). Chunked 3 files by
+    event_id%3, NOT time-ordered."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.streaming.enrich import (
+        stream_static_enrich,
+        windowed_segment_rollup,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q116_")
+    name = f"q116_enr_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            (
+                events.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        enriched = stream_static_enrich(
+            stream, cust, key="user_id", dim_key="c_custkey",
+            dim_cols=["c_mktsegment"],
+        )
+        roll = windowed_segment_rollup(
+            enriched, ts_col="ts", segment_col="c_mktsegment",
+            window="1 day", value_col="value", watermark="3650 days",
+        )
+        q = (
+            roll.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "window_start", "segment", "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3323,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_streaming_hopping": q113_streaming_hopping,
         "q114_native_streaming_dedup": q114_native_streaming_dedup,
         "q115_span_ref_integrity": q115_span_ref_integrity,
+        "q116_stream_static_enrich": q116_stream_static_enrich,
     }
 
 
@@ -5619,6 +5687,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.media_ref
             FROM pairs p LEFT JOIN cat c USING (media_ref)
             WHERE p.d % 17 = 5 AND c.media_ref IS NULL
+        """,
+        # stream-static enrichment: plain SQL join + the tumbling-day
+        # epoch alignment (F.window with no slide = slide == width)
+        "q116_stream_static_enrich": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, value, c.c_mktsegment AS segment
+              FROM events ev JOIN customer c ON ev.user_id = c.c_custkey
+              WHERE ev.ts IS NOT NULL
+            )
+            SELECT make_timestamp(us - (us % 86400000000)) AS window_start,
+                   segment,
+                   count(*)::bigint AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM e GROUP BY 1, 2
         """,
         # native dropDuplicatesWithinWatermark: same contract under a
         # non-evicting watermark — distinct content fingerprints

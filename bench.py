@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q113_streaming_hopping",
     "q114_native_streaming_dedup",
     "q115_span_ref_integrity",
+    "q116_stream_static_enrich",
 ]
 
 

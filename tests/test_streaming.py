@@ -363,3 +363,61 @@ def test_native_dedup_watermark_eviction_reemits(spark, tmp_path):
     assert out[1] == ("3", t0 + dt.timedelta(hours=3))
     assert out[2] == ("4", t0 + dt.timedelta(hours=5))
     assert out[3] == ("5", t0 + dt.timedelta(hours=3, minutes=30))
+
+
+def test_stream_static_enrich_is_stateless_broadcast(spark, tmp_path):
+    """The stream-static join must plan as a broadcast hash join and
+    contribute NO state operator — the only stateful operator in the
+    query is the downstream windowed rollup."""
+    import datetime as dt
+
+    from validate_spark.streaming.enrich import (
+        stream_static_enrich,
+        windowed_segment_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 10.0), (2, t0, 20.0), (1, t0 + dt.timedelta(days=1), 5.0),
+         (99, t0, 1.0)],  # no dimension row -> inner join drops it
+        "uid long, ts timestamp, value double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k long, seg string"
+    )
+    # batch path: same expression, broadcast plan asserted
+    b = windowed_segment_rollup(
+        stream_static_enrich(ev, dim, key="uid", dim_key="k", dim_cols=["seg"]),
+        ts_col="ts", segment_col="seg", window="1 day", value_col="value",
+    )
+    got = {(str(r["window_start"]), r["segment"], r["n_events"], r["sum_value"])
+           for r in b.collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", "A", 1, 10.0),
+        ("2024-01-01 00:00:00", "B", 1, 20.0),
+        ("2024-01-02 00:00:00", "A", 1, 5.0),
+    }
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # streaming path: exactly ONE state operator (the aggregation)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    roll = windowed_segment_rollup(
+        stream_static_enrich(stream, dim, key="uid", dim_key="k",
+                             dim_cols=["seg"]),
+        ts_col="ts", segment_col="seg", window="1 day",
+        value_col="value", watermark="3650 days",
+    )
+    q = (roll.writeStream.format("memory").queryName("enr_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert all(len(p["stateOperators"]) == 1 for p in progress)
+        s = {(str(r["window_start"]), r["segment"], r["n_events"], r["sum_value"])
+             for r in spark.table("enr_t").collect()}
+        assert s == got
+    finally:
+        spark.catalog.dropTempView("enr_t")
