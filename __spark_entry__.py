@@ -3273,6 +3273,32 @@ def q116_stream_static_enrich(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q117_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (drift.benford_audit) over order
+    totals — the no-baseline forensic check beside the KS/χ²/PSI drift
+    family. Integer-only gate surface: digits from int64-cents
+    STRINGS, shares as div-ppm, the log10 law as a hardcoded ppm
+    table (no libm ULP can differ)."""
+    from validate_spark.operators.drift import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q118_label_agreement(spark, sf_dir):
+    """Cohen's kappa (stats.categorical_agreement) between the
+    documents table's declared lang tag and the engine's lang_id
+    prediction — chance-corrected label agreement from one class²-
+    bounded pair aggregate; all fp inputs are exact int64 counts, so
+    po/pe/kappa are identical doubles in both engines."""
+    from validate_spark.operators.stats import categorical_agreement
+    from validate_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+    return categorical_agreement(docs, "lang", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3391,6 +3417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_native_streaming_dedup": q114_native_streaming_dedup,
         "q115_span_ref_integrity": q115_span_ref_integrity,
         "q116_stream_static_enrich": q116_stream_static_enrich,
+        "q117_benford_audit": q117_benford_audit,
+        "q118_label_agreement": q118_label_agreement,
     }
 
 
@@ -5687,6 +5715,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.media_ref
             FROM pairs p LEFT JOIN cat c USING (media_ref)
             WHERE p.d % 17 = 5 AND c.media_ref IS NULL
+        """,
+        # Benford: identical integer pipeline — round(abs·100) is
+        # half-up in both engines on positives; ppm by floor division;
+        # the law is the same hardcoded table
+        "q117_benford_audit": """
+            WITH c AS (
+              SELECT round(abs(o_totalprice) * 100.0)::bigint AS cents
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ), d AS (
+              SELECT substring(cents::varchar, 1, 1)::int AS digit
+              FROM c WHERE cents > 0
+            ), g AS (
+              SELECT digit, count(*)::bigint AS n FROM d
+              WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+            ), t AS (SELECT sum(n)::bigint AS total FROM g),
+            law(digit, ppm) AS (VALUES (1, 301030), (2, 176091),
+              (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+              (7, 57992), (8, 51153), (9, 45757))
+            SELECT g.digit, g.n,
+                   ((g.n * 1000000) // t.total)::bigint AS share_ppm,
+                   law.ppm::bigint AS expected_ppm,
+                   ((g.n * 1000000) // t.total - law.ppm)::bigint
+                     AS excess_ppm
+            FROM g, t JOIN law ON law.digit = g.digit
+        """,
+        # Cohen's kappa: same pair-count -> marginals -> expected sum
+        # pipeline; every fp input is an exact int64 count
+        "q118_label_agreement": f"""
+            WITH s0 AS (SELECT lang, text, {_SCORES} FROM documents),
+            s AS (
+              SELECT coalesce(lang, '') AS a,
+                     coalesce({_LANG_PRED}, '') AS b
+              FROM s0
+            ), p AS (
+              SELECT a, b, count(*)::bigint AS n FROM s GROUP BY a, b
+            ), ra AS (SELECT a AS k, sum(n)::bigint AS rn FROM p GROUP BY a),
+            cb AS (SELECT b AS k, sum(n)::bigint AS cn FROM p GROUP BY b),
+            t AS (
+              SELECT sum(n)::bigint AS n,
+                     sum(CASE WHEN a = b THEN n ELSE 0 END)::bigint
+                       AS n_agree
+              FROM p
+            ), e AS (
+              SELECT sum(rn * cn)::bigint AS pe_num
+              FROM ra JOIN cb USING (k)
+            )
+            SELECT t.n, t.n_agree,
+                   round(t.n_agree::double / t.n::double, 6) AS po,
+                   round(e.pe_num::double / (t.n::double * t.n::double), 6)
+                     AS pe,
+                   round(CASE WHEN e.pe_num::double
+                                   / (t.n::double * t.n::double) = 1.0
+                              THEN NULL
+                         ELSE (t.n_agree::double / t.n::double
+                               - e.pe_num::double / (t.n::double * t.n::double))
+                              / (1.0 - e.pe_num::double
+                                       / (t.n::double * t.n::double))
+                         END, 6) AS kappa
+            FROM t, e
         """,
         # stream-static enrichment: plain SQL join + the tumbling-day
         # epoch alignment (F.window with no slide = slide == width)

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "q114_native_streaming_dedup",
     "q115_span_ref_integrity",
     "q116_stream_static_enrich",
+    "q117_benford_audit",
+    "q118_label_agreement",
 ]
 
 

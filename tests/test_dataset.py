@@ -556,3 +556,46 @@ def test_incremental_validate_equivalence_and_carry(spark):
             incremental_validate(old, poisoned, new, rules, ["id"]).collect()}
     assert inc2[2] is False          # carried verbatim, not recomputed
     assert inc2[3] == full.filter("id = 3").collect()[0]["pass"]  # changed -> fresh
+
+
+def test_benford_audit_integer_exact(spark):
+    from validate_spark.operators.drift import benford_audit
+
+    df = spark.createDataFrame(
+        [(1.00,), (19.99,), (2.50,), (0.00,), (None,), (-3.00,)],
+        "v double",
+    )
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    # zero and NULL drop; negatives count by |v|; 19.99 -> cents 1999 -> 1
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n"] == 2 and out[1]["share_ppm"] == 500000
+    assert out[2]["n"] == 1 and out[2]["share_ppm"] == 250000
+    assert out[1]["expected_ppm"] == 301030
+    assert out[1]["excess_ppm"] == 500000 - 301030
+    # the hardcoded law is a probability distribution in ppm
+    from validate_spark.operators.drift import BENFORD_PPM
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+
+
+def test_categorical_agreement_kappa(spark):
+    from validate_spark.operators.stats import categorical_agreement
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "b"), ("a", "b")],
+        "x string, y string",
+    )
+    r = categorical_agreement(df, "x", "y").collect()[0]
+    # po=3/4; marginals x: a3 b1, y: a2 b2 -> pe=(3*2+1*2)/16=0.5
+    assert (r["n"], r["n_agree"], r["po"], r["pe"], r["kappa"]) == (
+        4, 3, 0.75, 0.5, 0.5
+    )
+    # degenerate one-class table: pe == 1 -> kappa NULL, not a crash
+    one = spark.createDataFrame([("a", "a")] * 3, "x string, y string")
+    r1 = categorical_agreement(one, "x", "y").collect()[0]
+    assert r1["pe"] == 1.0 and r1["kappa"] is None
+    # NULL labels are the '' class
+    withnull = spark.createDataFrame(
+        [(None, ""), ("a", "a")], "x string, y string"
+    )
+    r2 = categorical_agreement(withnull, "x", "y").collect()[0]
+    assert r2["n_agree"] == 2

@@ -591,3 +591,65 @@ def categorical_drift(
         F.round(F.col("n_b") / F.col("tot_b"), 6).alias("share_b"),
         drifted.alias("drifted"),
     )
+
+
+# digit -> round(log10(1 + 1/d) * 1e6): hardcoded in BOTH engines so no
+# libm ULP difference can ever reach the gate; the nine values sum to
+# exactly 1_000_000.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, *, cents_scale: int = 100
+) -> DataFrame:
+    """First-significant-digit (Benford's law) audit of a positive
+    numeric column — fabricated or truncated financial/measure data
+    drifts from the log10(1 + 1/d) digit law long before its moments
+    move (classic forensic-accounting check; complements the KS/χ²
+    drift family with a no-baseline audit).
+
+    Everything that crosses the gate is an INTEGER: the value is
+    scaled to cents (round-half-up on an abs() value — identical in
+    both engines), the digit comes from the integer's STRING (double
+    formatting differs across engines; int64 strings don't), shares
+    are ppm by integer floor division, and the expected law is the
+    hardcoded BENFORD_PPM table. Zero/NULL/overflow-cents rows drop.
+
+    One map-side-partial groupBy on 9 keys; the whole-frame window
+    below runs over those 9 rows, not the input."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).try_cast("double")
+    cents = F.round(F.abs(v) * F.lit(float(cents_scale))).try_cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).try_cast("int")
+    counts = (
+        df.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # try_element_at: map element_at aborts under ANSI on a missing
+    # key; the filter guarantees 1..9, but data paths never hard-throw
+    expected = F.try_element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.withColumn("total", F.sum("n").over(whole))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000L) div total").alias("share_ppm"),
+            expected.cast("long").alias("expected_ppm"),
+            (F.expr("(n * 1000000L) div total") - expected).cast("long")
+            .alias("excess_ppm"),
+        )
+    )

@@ -244,3 +244,51 @@ def frequent_values(
         .orderBy(F.col("cnt").desc(), F.col("value").asc_nulls_first())
         .limit(k)
     )
+
+
+def categorical_agreement(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two label columns (e.g. a declared
+    language tag vs the engine's lang_id prediction) — chance-corrected
+    agreement, the standard annotator/classifier consistency score.
+
+    Shuffle shape: one groupBy on the (a, b) pair (class²-bounded),
+    then marginals and the expected-agreement sum are derived FROM the
+    pair frame (class-bounded; never re-touches the input). Every fp
+    input is an exact int64 count, so po/pe/kappa are identical
+    doubles in Spark and DuckDB (round-6 under the gate regardless).
+    NULL labels coalesce to '' — a real class, as the reference's
+    IsEmpty treats missing (validators.go required semantics)."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("")).alias("a")
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("")).alias("b")
+    pairs = (
+        df.select(a, b)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ra = pairs.groupBy(F.col("a").alias("k")).agg(F.sum("n").alias("rn"))
+    cb = pairs.groupBy(F.col("b").alias("k")).agg(F.sum("n").alias("cn"))
+    tot = pairs.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pe_num = (
+        ra.join(cb, "k")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("pe_num"))
+    )
+    out = tot.crossJoin(pe_num)
+    po = F.col("n_agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    kappa = F.when(pe == 1.0, F.lit(None).cast("double")).otherwise(
+        (po - pe) / (F.lit(1.0) - pe)
+    )
+    return out.select(
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )
