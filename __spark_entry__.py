@@ -3299,6 +3299,39 @@ def q118_label_agreement(spark, sf_dir):
     return categorical_agreement(docs, "lang", "lang_pred")
 
 
+def q119_cube_profile(spark, sf_dir):
+    """CUBE profile (stats.cube_profile) over documents (lang ×
+    source): all four grouping sets from ONE Expand + hash aggregate
+    — the one place an Expand is the right plan. g_* GROUPING() flags
+    keep real NULL dims distinct from subtotal rows; the token sum is
+    int64-exact."""
+    from validate_spark.operators.stats import cube_profile
+    from validate_spark.operators.textstats import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "source",
+        whitespace_token_count(F.col("text")).cast("long").alias("ntok"),
+    )
+    return cube_profile(
+        docs, ["lang", "source"],
+        aggs=[F.sum("ntok").cast("long").alias("sum_tokens")],
+    )
+
+
+def q120_event_pivot(spark, sf_dir):
+    """PIVOT (stats.pivot_counts): per-user event counts widened to
+    one column per event type, domain passed EXPLICITLY (no extra
+    distinct-discovery scan, data-independent schema). Absent
+    combinations are 0, not NULL."""
+    from validate_spark.operators.stats import pivot_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return pivot_counts(
+        ev, "user_id", "event_type",
+        ["signup", "click", "view", "purchase", "error"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3419,6 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_stream_static_enrich": q116_stream_static_enrich,
         "q117_benford_audit": q117_benford_audit,
         "q118_label_agreement": q118_label_agreement,
+        "q119_cube_profile": q119_cube_profile,
+        "q120_event_pivot": q120_event_pivot,
     }
 
 
@@ -5715,6 +5750,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.media_ref
             FROM pairs p LEFT JOIN cat c USING (media_ref)
             WHERE p.d % 17 = 5 AND c.media_ref IS NULL
+        """,
+        # CUBE: DuckDB GROUP BY CUBE + GROUPING() replays the grouping
+        # sets; token sum int64-exact
+        "q119_cube_profile": f"""
+            WITH d AS (
+              SELECT lang, source, ({_NTOK})::bigint AS ntok FROM documents
+            )
+            SELECT lang, source,
+                   GROUPING(lang)::int AS g_lang,
+                   GROUPING(source)::int AS g_source,
+                   count(*)::bigint AS n,
+                   sum(ntok)::bigint AS sum_tokens
+            FROM d GROUP BY CUBE (lang, source)
+        """,
+        # PIVOT: explicit-domain CASE counts (absent combos 0)
+        "q120_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'signup')::bigint AS signup,
+                   count(*) FILTER (event_type = 'click')::bigint AS click,
+                   count(*) FILTER (event_type = 'view')::bigint AS view,
+                   count(*) FILTER (event_type = 'purchase')::bigint
+                     AS purchase,
+                   count(*) FILTER (event_type = 'error')::bigint AS error
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
         """,
         # Benford: identical integer pipeline — round(abs·100) is
         # half-up in both engines on positives; ppm by floor division;

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q116_stream_static_enrich",
     "q117_benford_audit",
     "q118_label_agreement",
+    "q119_cube_profile",
+    "q120_event_pivot",
 ]
 
 

@@ -599,3 +599,38 @@ def test_categorical_agreement_kappa(spark):
     )
     r2 = categorical_agreement(withnull, "x", "y").collect()[0]
     assert r2["n_agree"] == 2
+
+
+def test_cube_profile_grouping_flags(spark):
+    from validate_spark.operators.stats import cube_profile
+
+    df = spark.createDataFrame(
+        [("en", "web"), ("en", "pdf"), (None, "web")],
+        "lang string, source string",
+    )
+    out = cube_profile(df, ["lang", "source"])
+    rows = {
+        (r["lang"], r["source"], r["g_lang"], r["g_source"]): r["n"]
+        for r in out.collect()
+    }
+    # 4 grouping sets in ONE pass; real NULL lang distinct from subtotal
+    assert rows[(None, "web", 0, 0)] == 1          # real NULL lang cell
+    assert rows[(None, None, 0, 1)] == 1           # real NULL lang subtotal
+    assert rows[(None, "web", 1, 0)] == 2          # subtotal over lang
+    assert rows[(None, None, 1, 1)] == 3           # grand total
+    assert rows[("en", None, 0, 1)] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1  # the one RIGHT Expand
+
+
+def test_pivot_counts_explicit_domain(spark):
+    from validate_spark.operators.stats import pivot_counts
+
+    df = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "buy"), (2, "other")],
+        "u long, t string",
+    )
+    out = {r["u"]: r for r in pivot_counts(df, "u", "t", ["click", "buy"]).collect()}
+    assert (out[1]["click"], out[1]["buy"]) == (2, 1)
+    # absent combos are 0 (not NULL); out-of-domain values land nowhere
+    assert (out[2]["click"], out[2]["buy"]) == (0, 0)

@@ -292,3 +292,46 @@ def categorical_agreement(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def cube_profile(
+    df: DataFrame,
+    dims: list[str],
+    *,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Multi-dimensional profile via the native CUBE: ONE pass emits
+    every subset of ``dims`` as a grouping set — Catalyst plans a
+    single Expand + hash aggregate, i.e. 2^|dims| subtotal layers for
+    one shuffle, not 2^|dims| scans (the one place an Expand is the
+    RIGHT plan, unlike the accidental distinct-aggregate Expand of the
+    q66 gotcha). Each dim gets a ``g_<dim>`` GROUPING() flag (1 =
+    subtotal row) so real NULL dimension values never conflate with
+    subtotal rows."""
+    out_aggs = [
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *(aggs or []),
+    ]
+    return df.cube(*dims).agg(*out_aggs)
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_key: str,
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Wide per-key counts: groupBy(row_key).pivot(pivot_col, values)
+    — passing ``values`` explicitly matters at scale: without it Spark
+    runs an EXTRA distinct scan to discover the pivot domain and the
+    output width becomes data-dependent (a skewed domain explodes the
+    schema). Count of values outside ``values`` lands in none of the
+    columns, deliberately. One shuffle on row_key; per-row width is
+    |values|-bounded."""
+    out = df.groupBy(row_key).pivot(pivot_col, values).count()
+    # pivot leaves NULL (not 0) for absent combinations; report counts
+    return out.select(
+        row_key,
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
+    )
