@@ -3332,6 +3332,39 @@ def q120_event_pivot(spark, sf_dir):
     )
 
 
+def q121_event_melt(spark, sf_dir):
+    """UNPIVOT/melt (stats.unpivot_wide): q120's wide pivot matrix
+    back to long (user_id, event_type, n) — ONE Expand pass, not five
+    unioned scans. Round-trips the pivot: zeros survive as explicit
+    rows (the gap-fill contract)."""
+    from validate_spark.operators.stats import pivot_counts, unpivot_wide
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wide = pivot_counts(
+        ev, "user_id", "event_type",
+        ["signup", "click", "view", "purchase", "error"],
+    )
+    return unpivot_wide(
+        wide, ["user_id"], ["signup", "click", "view", "purchase", "error"],
+        var_name="event_type", value_name="n",
+    )
+
+
+def q122_daily_densify(spark, sf_dir):
+    """Calendar densification (temporal.densify_daily): one row per
+    (user, day) over each user's own [first, last] day span with
+    zero-filled quiet days — trailing-window math over sparse rows
+    silently skips them otherwise. One pass over events; the calendar
+    explode derives from the day-bounded aggregate, never the raw
+    stream. Day-bounded fp sums round-6 safe."""
+    from validate_spark.operators.temporal import densify_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return densify_daily(ev, "user_id", "ts", value_col="value").select(
+        F.col("key").alias("user"), "day", "n_events", "sum_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3454,6 +3487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_label_agreement": q118_label_agreement,
         "q119_cube_profile": q119_cube_profile,
         "q120_event_pivot": q120_event_pivot,
+        "q121_event_melt": q121_event_melt,
+        "q122_daily_densify": q122_daily_densify,
     }
 
 
@@ -5774,6 +5809,45 @@ def oracle_sql() -> dict[str, str]:
                      AS purchase,
                    count(*) FILTER (event_type = 'error')::bigint AS error
             FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        """,
+        # melt: long form = user × the 5-type domain with zero fills
+        "q121_event_melt": """
+            WITH u AS (
+              SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+            ), dom(event_type) AS (
+              VALUES ('signup'), ('click'), ('view'), ('purchase'),
+                     ('error')
+            ), c AS (
+              SELECT user_id, event_type, count(*)::bigint AS n
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id, event_type
+            )
+            SELECT u.user_id, dom.event_type, coalesce(c.n, 0)::bigint AS n
+            FROM u CROSS JOIN dom
+            LEFT JOIN c ON c.user_id = u.user_id
+                       AND c.event_type = dom.event_type
+        """,
+        # densify: per-user generate_series over [min_day, max_day],
+        # left join the day aggregate, zero fill
+        "q122_daily_densify": """
+            WITH e AS (
+              SELECT user_id AS u, CAST(ts AS DATE) AS day, value
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+              SELECT u, day, count(*)::bigint AS n,
+                     sum(value) AS sv
+              FROM e GROUP BY u, day
+            ), span AS (
+              SELECT u, min(day) AS lo, max(day) AS hi FROM c GROUP BY u
+            ), cal AS (
+              SELECT u, unnest(generate_series(lo::timestamp,
+                               hi::timestamp, INTERVAL 1 DAY))::date AS day
+              FROM span
+            )
+            SELECT cal.u AS "user", cal.day,
+                   coalesce(c.n, 0)::bigint AS n_events,
+                   round(coalesce(c.sv, 0.0), 6) AS sum_value
+            FROM cal LEFT JOIN c ON c.u = cal.u AND c.day = cal.day
         """,
         # Benford: identical integer pipeline — round(abs·100) is
         # half-up in both engines on positives; ppm by floor division;

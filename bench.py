@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "q118_label_agreement",
     "q119_cube_profile",
     "q120_event_pivot",
+    "q121_event_melt",
+    "q122_daily_densify",
 ]
 
 

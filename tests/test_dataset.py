@@ -634,3 +634,20 @@ def test_pivot_counts_explicit_domain(spark):
     assert (out[1]["click"], out[1]["buy"]) == (2, 1)
     # absent combos are 0 (not NULL); out-of-domain values land nowhere
     assert (out[2]["click"], out[2]["buy"]) == (0, 0)
+
+
+def test_unpivot_round_trips_pivot(spark):
+    from validate_spark.operators.stats import pivot_counts, unpivot_wide
+
+    df = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (2, "buy")], "u long, t string"
+    )
+    wide = pivot_counts(df, "u", "t", ["click", "buy"])
+    long = unpivot_wide(wide, ["u"], ["click", "buy"],
+                        var_name="t", value_name="n")
+    got = {(r["u"], r["t"], r["n"]) for r in long.collect()}
+    assert got == {(1, "click", 2), (1, "buy", 0),
+                   (2, "click", 0), (2, "buy", 1)}
+    # ONE Expand pass, not a per-column union of scans
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Union" not in plan

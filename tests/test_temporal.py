@@ -480,3 +480,26 @@ def test_interval_join_streaming_equals_batch(spark, tmp_path):
         assert len(norm(batch.collect())) > 0
     finally:
         spark.catalog.dropTempView(name)
+
+
+def test_densify_daily_zero_fills_gaps(spark):
+    from validate_spark.operators.temporal import densify_daily
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0)
+    df = spark.createDataFrame(
+        [
+            (1, d0, 2.0), (1, d0 + dt.timedelta(days=2), 3.0),  # gap day 2
+            (2, d0 + dt.timedelta(days=9), 5.0),                # own span
+            (None, d0, 1.0),                                    # dropped
+        ],
+        "u long, ts timestamp, v double",
+    )
+    out = densify_daily(df, "u", "ts", value_col="v")
+    got = {(r["key"], str(r["day"]), r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01", 1, 2.0),
+        (1, "2024-01-02", 0, 0.0),   # the zero-filled quiet day
+        (1, "2024-01-03", 1, 3.0),
+        (2, "2024-01-10", 1, 5.0),   # spans are PER KEY, not global
+    }

@@ -335,3 +335,25 @@ def pivot_counts(
         row_key,
         *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
     )
+
+
+def unpivot_wide(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Native UNPIVOT (melt): wide metric columns back to long
+    (id, variable, value) rows. Spark plans this as ONE Expand pass —
+    |value_cols|× the rows, never |value_cols| scans unioned (what a
+    hand-rolled per-column UNION ALL would cost at 100 TB). Inverse of
+    ``pivot_counts``; value columns must share one type (Spark casts
+    to their common type or refuses — keep them homogeneous)."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

@@ -526,3 +526,55 @@ def range_join_bins(
         .filter((F.col("_pt") >= F.col("_lo")) & (F.col("_pt") <= F.col("_hi")))
         .select(*interval_cols, *point_cols)
     )
+
+
+def densify_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Calendar densification (gap fill): one row per (key, day) over
+    each key's OWN [first_day, last_day] span, zero-filled where the
+    key had no events — downstream window/velocity math needs the
+    zero days to exist (a trailing mean over sparse rows silently
+    skips quiet days).
+
+    One pass over the input (per-(key, day) aggregate); the span
+    frame and the calendar explode are derived from THAT day-bounded
+    frame, never from the raw events. Blow-up is span-bounded (days,
+    not events); the final left join is keyed (key, day) against the
+    same aggregate. NULL keys/timestamps drop."""
+    k = F.col(key_col)
+    ts = _ts(ts_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("_sv"))
+    days = (
+        df.filter(k.isNotNull() & ts.isNotNull())
+        .select(k.alias("key"), ts.cast("date").alias("day"),
+                *([F.col(value_col)] if value_col else []))
+        .groupBy("key", "day")
+        .agg(*aggs)
+    )
+    span = days.groupBy("key").agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    cal = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    out = cal.join(days, ["key", "day"], "left").select(
+        "key",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        *(
+            [F.round(F.coalesce(F.col("_sv"), F.lit(0.0)), 6).alias("sum_value")]
+            if value_col
+            else []
+        ),
+    )
+    return out
