@@ -3365,6 +3365,48 @@ def q122_daily_densify(spark, sf_dir):
     )
 
 
+def q123_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (olap.pricing_summary): per (returnflag,
+    linestatus) money rollup with ALL-INTEGER internals — cents and
+    basis-unit int64 sums (a double sum at 1e8 scale carries more
+    addition-order error than the round-6 tick), doubles only at the
+    display division. One map-side-partial aggregate."""
+    from validate_spark.operators.olap import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q124_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape (olap.top_revenue_orders): top-10 open BUILDING
+    orders by revenue — the k-cut sorts by the EXACT int64 revenue
+    (doubles could flip near-ties across engines), TakeOrderedAndProject
+    plan (per-task heaps, no global sort)."""
+    from validate_spark.operators.olap import top_revenue_orders
+
+    return top_revenue_orders(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def q125_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (olap.local_supplier_volume): five-way star join
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    the local-supplier nation-equality condition; true dimensions are
+    explicitly broadcast. Revenue int64-exact, nation-bounded output."""
+    from validate_spark.operators.olap import local_supplier_volume
+
+    return local_supplier_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3489,6 +3531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_event_pivot": q120_event_pivot,
         "q121_event_melt": q121_event_melt,
         "q122_daily_densify": q122_daily_densify,
+        "q123_pricing_summary": q123_pricing_summary,
+        "q124_top_revenue": q124_top_revenue,
+        "q125_local_supplier_volume": q125_local_supplier_volume,
     }
 
 
@@ -5809,6 +5854,82 @@ def oracle_sql() -> dict[str, str]:
                      AS purchase,
                    count(*) FILTER (event_type = 'error')::bigint AS error
             FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        """,
+        # TPC-H Q1 shape: identical integer cents/basis pipeline
+        "q123_pricing_summary": """
+            WITH li AS (
+              SELECT l_returnflag, l_linestatus,
+                     round(l_quantity * 100)::bigint AS qc,
+                     round(l_extendedprice * 100)::bigint AS pc,
+                     round(l_discount * 100)::bigint AS dc,
+                     round(l_tax * 100)::bigint AS tc
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            ), g AS (
+              SELECT l_returnflag, l_linestatus,
+                     sum(qc)::bigint AS sq, sum(pc)::bigint AS sp,
+                     sum(pc * (100 - dc))::bigint AS sdp,
+                     sum(pc * (100 - dc) * (100 + tc))::bigint AS sc,
+                     sum(dc)::bigint AS sd,
+                     count(*)::bigint AS n
+              FROM li GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus,
+                   round(sq::double / 100, 6) AS sum_qty,
+                   round(sp::double / 100, 6) AS sum_base_price,
+                   round(sdp::double / 10000, 6) AS sum_disc_price,
+                   round(sc::double / 1000000, 6) AS sum_charge,
+                   round(sq::double / (100 * n), 6) AS avg_qty,
+                   round(sp::double / (100 * n), 6) AS avg_price,
+                   round(sd::double / (100 * n), 6) AS avg_disc,
+                   n
+            FROM g
+        """,
+        # TPC-H Q3 shape: k-cut ordered by the exact int64 revenue
+        "q124_top_revenue": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) AS rev
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+            ), o AS (
+              SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            ), c AS (
+              SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+            ), g AS (
+              SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                     sum(li.rev)::bigint AS rev
+              FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+              JOIN c ON o.o_custkey = c.c_custkey
+              GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(rev::double / 10000, 6) AS revenue
+            FROM g ORDER BY rev DESC, o_orderkey LIMIT 10
+        """,
+        # TPC-H Q5 shape: local-supplier star join
+        "q125_local_supplier_volume": """
+            WITH s AS (
+              SELECT s_suppkey, s_nationkey, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ), li AS (
+              SELECT l_orderkey, l_suppkey,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) AS rev
+              FROM lineitem
+            )
+            SELECT s.n_name,
+                   round(sum(li.rev)::double / 10000, 6) AS revenue
+            FROM li JOIN s ON li.l_suppkey = s.s_suppkey
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY s.n_name
         """,
         # melt: long form = user × the 5-type domain with zero fills
         "q121_event_melt": """

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "q120_event_pivot",
     "q121_event_melt",
     "q122_daily_densify",
+    "q123_pricing_summary",
+    "q124_top_revenue",
+    "q125_local_supplier_volume",
 ]
 
 
