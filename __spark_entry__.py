@@ -3407,6 +3407,68 @@ def q125_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q126_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (olap.order_priority_counts): per-priority count
+    of one quarter's orders having a late-shipping line — EXISTS as a
+    LEFT SEMI join with a cross-table inequality residual (the fact
+    side never widens, duplicates never inflate the count)."""
+    from validate_spark.operators.olap import order_priority_counts
+
+    return order_priority_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q127_customer_orders_dist(spark, sf_dir):
+    """TPC-H Q13 shape (olap.customer_order_distribution): customers
+    bucketed by non-urgent order count INCLUDING the zero bucket (the
+    left outer join is the point — inner drops the largest bucket)."""
+    from validate_spark.operators.olap import customer_order_distribution
+
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q128_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (olap.idle_rich_customers): above-average
+    balances with no RECENT orders (churned capital) — one-row global
+    aggregate broadcast back, INTEGER cross-multiplied threshold (no
+    float decides membership), LEFT ANTI join for NOT EXISTS with the
+    date filter pushed into the orders scan, int64-cents money."""
+    from validate_spark.operators.olap import idle_rich_customers
+
+    return idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q129_latest_wins(spark, sf_dir):
+    """CDC changelog compaction (snapdiff.latest_wins): newest event
+    per user by (ts DESC, event_id DESC) NULLS LAST — one exchange +
+    row_number, no max-ts self-join (two shuffles + tie-broken)."""
+    from validate_spark.operators.snapdiff import latest_wins
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_wins(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+def q130_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (textstats.quality_classifier):
+    linear classifier over integer count features with int64
+    1e-6-unit weights — the score and the keep/drop decision are
+    integer-exact cross-engine; one map-only codegen'd projection."""
+    from validate_spark.operators.textstats import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_classifier(docs).select(
+        "doc_id", "n_words", "n_stop", "n_punct", "n_digit", "n_upper",
+        "score_e6", "model_score", "keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3534,6 +3596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_pricing_summary": q123_pricing_summary,
         "q124_top_revenue": q124_top_revenue,
         "q125_local_supplier_volume": q125_local_supplier_volume,
+        "q126_order_priority": q126_order_priority,
+        "q127_customer_orders_dist": q127_customer_orders_dist,
+        "q128_idle_rich_customers": q128_idle_rich_customers,
+        "q129_latest_wins": q129_latest_wins,
+        "q130_quality_classifier": q130_quality_classifier,
     }
 
 
@@ -5930,6 +5997,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY s.n_name
+        """,
+        # TPC-H Q4 shape: EXISTS (semi join) with cross-table inequality
+        "q126_order_priority": """
+            SELECT o_orderpriority, count(*)::bigint AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        # TPC-H Q13 shape: zero-bucket-preserving left outer + double agg
+        "q127_customer_orders_dist": """
+            WITH per AS (
+              SELECT c.c_custkey, count(o.o_orderkey)::bigint AS c_count
+              FROM customer c
+              LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*)::bigint AS custdist
+            FROM per GROUP BY c_count
+        """,
+        # TPC-H Q22 shape: integer cross-multiplied global-average
+        # threshold + NOT EXISTS anti join, int64-cents money
+        "q128_idle_rich_customers": """
+            WITH c AS (
+              SELECT c_custkey, c_nationkey,
+                     round(c_acctbal * 100)::bigint AS bal_c
+              FROM customer
+            ), pos AS (
+              SELECT sum(bal_c)::bigint AS sum_pos,
+                     count(*)::bigint AS n_pos
+              FROM c WHERE bal_c > 0
+            ), idle AS (
+              SELECT c.c_nationkey, c.bal_c
+              FROM c, pos
+              WHERE c.bal_c * pos.n_pos > pos.sum_pos
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate
+                                      >= TIMESTAMP '2000-01-01')
+            )
+            SELECT c_nationkey, count(*)::bigint AS numcust,
+                   round(sum(bal_c)::double / 100, 6) AS totacctbal
+            FROM idle GROUP BY c_nationkey
+        """,
+        # CDC compaction: newest row per key, NULLS LAST stated (Spark
+        # DESC default and DuckDB default disagree on NULL placement)
+        "q129_latest_wins": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+            ) = 1
+        """,
+        # linear quality model: integer dot product replayed exactly
+        # (weights imported from the operator — one source of truth)
+        "q130_quality_classifier": f"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     ({_NTOK})::bigint AS n_words,
+                     len(regexp_extract_all(lower(coalesce(text,'')),
+                         '\\b({_SW["en"]})\\b'))::bigint AS n_stop,
+                     len(regexp_extract_all(coalesce(text,''),
+                         '[^\\w\\s]'))::bigint AS n_punct,
+                     len(regexp_extract_all(coalesce(text,''),
+                         '[0-9]'))::bigint AS n_digit,
+                     len(regexp_extract_all(coalesce(text,''),
+                         '[A-Z]'))::bigint AS n_upper
+              FROM documents
+            ), s AS (
+              SELECT *,
+                     (CASE WHEN text IS NULL THEN NULL ELSE
+                        {ts.QUALITY_MODEL_BIAS_E6}
+                        + ({ts.QUALITY_MODEL_WEIGHTS_E6["n_words"]}) * n_words
+                        + ({ts.QUALITY_MODEL_WEIGHTS_E6["n_stop"]}) * n_stop
+                        + ({ts.QUALITY_MODEL_WEIGHTS_E6["n_punct"]}) * n_punct
+                        + ({ts.QUALITY_MODEL_WEIGHTS_E6["n_digit"]}) * n_digit
+                        + ({ts.QUALITY_MODEL_WEIGHTS_E6["n_upper"]}) * n_upper
+                      END)::bigint AS score_e6
+              FROM f
+            )
+            SELECT doc_id, n_words, n_stop, n_punct, n_digit, n_upper,
+                   score_e6,
+                   round(score_e6::double / 1e6, 6) AS model_score,
+                   (score_e6 > 0) AS keep
+            FROM s
         """,
         # melt: long form = user × the 5-type domain with zero fills
         "q121_event_melt": """

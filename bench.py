@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "q123_pricing_summary",
     "q124_top_revenue",
     "q125_local_supplier_volume",
+    "q126_order_priority",
+    "q127_customer_orders_dist",
+    "q128_idle_rich_customers",
+    "q129_latest_wins",
+    "q130_quality_classifier",
 ]
 
 
@@ -237,6 +242,11 @@ def main() -> None:
         # row-returning queries and under-measure them
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.perf_counter() - t0, 3)
+        # drop frames the cell persisted so the NEXT cell measures its
+        # own operator, not 100 queries' accumulated block-manager /
+        # GC pressure (measured: q16 38 s in-suite vs 5.8 s isolated
+        # warm before this; cleanup time is excluded from the cells)
+        spark.catalog.clearCache()
 
     result = {
         "metric": "validated_docs_per_sec",

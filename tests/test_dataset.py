@@ -651,3 +651,31 @@ def test_unpivot_round_trips_pivot(spark):
     # ONE Expand pass, not a per-column union of scans
     plan = long._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Union" not in plan
+
+
+def test_latest_wins_compaction(spark):
+    import datetime as dt
+
+    from validate_spark.operators.snapdiff import latest_wins
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, 10, t(1), "a"),
+            (1, 11, t(3), "b"),   # newest ts -> wins
+            (1, 12, t(2), "c"),
+            (2, 20, t(5), "d"),
+            (2, 21, t(5), "e"),   # ts tie -> higher event_id wins
+            (3, 30, None, "f"),   # NULL ts sorts last but is the only row
+        ],
+        "user_id long, event_id long, ts timestamp, payload string",
+    )
+    out = latest_wins(df, ["user_id"], "ts", "event_id")
+    got = {r["user_id"]: (r["event_id"], r["payload"]) for r in out.collect()}
+    assert got == {1: (11, "b"), 2: (21, "e"), 3: (30, "f")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one exchange + window, never a max-ts self-join (count inside the
+    # AQE final plan only — toString repeats it as "Initial Plan")
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1

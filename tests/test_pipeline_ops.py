@@ -1308,3 +1308,37 @@ def test_distinctive_terms_integer_exact_ranking(spark):
     final = plan.split("+- == Initial Plan ==")[0]
     assert final.count("Scan ExistingRDD") == 1
     assert "InMemoryTableScan" in final or "TableCacheQueryStage" in final
+
+
+def test_quality_classifier_integer_exact(spark):
+    from validate_spark.operators.textstats import (
+        QUALITY_MODEL_BIAS_E6,
+        QUALITY_MODEL_WEIGHTS_E6,
+        quality_classifier,
+    )
+
+    good = ("the cat and the dog sat in the house with it "
+            "and that is good for everyone to see")
+    bad = "$$$ 404 ERROR 12345 !!! ### 999 @@@"
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    w = QUALITY_MODEL_WEIGHTS_E6
+
+    def score(r):
+        return (QUALITY_MODEL_BIAS_E6
+                + w["n_words"] * r["n_words"] + w["n_stop"] * r["n_stop"]
+                + w["n_punct"] * r["n_punct"] + w["n_digit"] * r["n_digit"]
+                + w["n_upper"] * r["n_upper"])
+
+    # the dot product is integer-exact, replayable in plain Python
+    assert rows[1]["score_e6"] == score(rows[1]) and rows[1]["keep"] is True
+    assert rows[2]["score_e6"] == score(rows[2]) and rows[2]["keep"] is False
+    # stopword-dense prose scores above symbol soup
+    assert rows[1]["score_e6"] > rows[2]["score_e6"]
+    # NULL text -> NULL score and NULL keep (no evidence), zero features
+    assert rows[3]["score_e6"] is None and rows[3]["keep"] is None
+    assert rows[3]["n_words"] == 0
+    # display score is the e6 division
+    assert rows[1]["model_score"] == round(rows[1]["score_e6"] / 1e6, 6)

@@ -163,3 +163,108 @@ def local_supplier_volume(
             F.round(F.col("_rev").cast("double") / 10000, 6).alias("revenue"),
         )
     )
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    start: str = "1997-07-01",
+    end: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders placed in one
+    quarter that have at least one line shipped AFTER the order date
+    (the schema here has no commit/receipt dates, so "late-shipping
+    line exists" is the adapted existence predicate — stated, not
+    silent). The EXISTS is a LEFT SEMI join: the fact side is never
+    widened, duplicates never multiply the count, and the join carries
+    a compound condition (key equality + cross-table inequality) that
+    Catalyst executes as a shuffled semi join with the inequality as a
+    post-join residual — no cartesian anywhere."""
+    o = orders.filter(
+        (F.col("o_orderdate").try_cast("timestamp")
+         >= F.to_timestamp(F.lit(start)))
+        & (F.col("o_orderdate").try_cast("timestamp")
+           < F.to_timestamp(F.lit(end)))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"].try_cast("timestamp")
+           > o["o_orderdate"].try_cast("timestamp")),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    *,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    (non-excluded) orders they placed, INCLUDING the zero-order
+    customers — the left outer join is the whole point (an inner join
+    silently drops the c_count=0 bucket, the largest one). count() is
+    over the order key so NULL (no match) rows count 0. Two shuffles
+    by construction (custkey join+agg share one exchange; the second
+    groupBy is on the derived count)."""
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    *,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count + balance of customers whose
+    account balance beats the global positive-balance average and who
+    placed NO order since ``since`` (the churned-capital report). The
+    global average is a one-row aggregate cross-joined back (broadcast
+    NLJ of a single row — free at any scale); the comparison is
+    INTEGER CROSS-MULTIPLICATION (bal_cents * n_pos > sum_pos_cents),
+    so no float ever decides membership (working-notes rule). "No
+    recent order" is a LEFT ANTI join on custkey with the date filter
+    pushed into the orders SCAN (filtering after the join would keep
+    the full fact table in the exchange). Money stays int64 cents
+    until display."""
+    bal_c = _cents("c_acctbal")
+    c = customer.select("c_custkey", "c_nationkey", bal_c.alias("_bal_c"))
+    pos = c.filter(F.col("_bal_c") > 0).agg(
+        F.sum("_bal_c").alias("_sum_pos"),
+        F.count(F.lit(1)).cast("long").alias("_n_pos"),
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("_bal_c") * F.col("_n_pos") > F.col("_sum_pos"))
+        .select("c_custkey", "c_nationkey", "_bal_c")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate").try_cast("timestamp")
+        >= F.to_timestamp(F.lit(since))
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(F.sum("_bal_c").cast("double") / 100, 6).alias("totacctbal"),
+    )

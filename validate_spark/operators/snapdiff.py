@@ -156,3 +156,42 @@ def incremental_validate(
     ).verdicts()
     carried = old_verdicts.join(keep, key_cols, "left_semi")
     return fresh.unionByName(carried)
+
+
+def latest_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """CDC / changelog compaction: keep exactly the newest row per key
+    ("latest record wins" — the upsert-stream materialization every
+    ingest pipeline runs before validating a snapshot).
+
+    Newest = max(ts), ties broken by max(tiebreak) — the tiebreak must
+    be unique within (key, ts) (an offset / event id) or "the" latest
+    row is ill-defined; NULL timestamps sort LAST (NULLS LAST stated
+    explicitly: Spark default for DESC and DuckDB default differ, the
+    repo's cross-engine ordering rule).
+
+    Scale: one hash exchange on the key + row_number per group —
+    no self-join against a max-ts aggregate (that shape shuffles
+    twice and breaks on ts ties). On inputs bucketed by the key the
+    exchange disappears. State per group is O(1) (running top row),
+    so a mega-hot key costs time, not memory.
+
+    Reference seed: gookit/validate's UpdateSource write-back
+    (validate.go:69-145) mutates the single record in place; at table
+    scale "apply the newest update" is this compaction.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc_nulls_last(),
+        F.col(tiebreak_col).desc_nulls_last(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -752,3 +752,85 @@ def gopher_rules(
     for name in flags:
         drop = F.col(name) if drop is None else drop | F.col(name)
     return out.withColumn("would_drop", drop)
+
+
+# default linear quality model: integer 1e-6-score-units per raw count.
+# Stand-in coefficients for a learned fastText/CCNet-style quality
+# filter — production swaps in trained weights; the EXECUTION shape
+# (integer dot product over count features) is what this pins down.
+QUALITY_MODEL_WEIGHTS_E6: dict[str, int] = {
+    "n_words": 2_500,      # prose length helps, mildly
+    "n_stop": 60_000,      # English-function-word hits: strong signal
+    "n_punct": -15_000,
+    "n_digit": -20_000,
+    "n_upper": -8_000,
+}
+QUALITY_MODEL_BIAS_E6: int = -400_000
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    weights_e6: dict[str, int] | None = None,
+    bias_e6: int = QUALITY_MODEL_BIAS_E6,
+) -> DataFrame:
+    """Model-based quality filter: a linear classifier over integer
+    count features (the CCNet/fastText stage of a training-data
+    pipeline, with pluggable weights).
+
+    ALL-INTEGER score: features are int64 counts, weights are int64
+    1e-6-units, so ``score_e6 = bias + Σ w·f`` is exact — the
+    keep/drop decision (``score_e6 > 0``) can never flip across
+    engines on float noise (working-notes rule: integer
+    cross-multiplication for cross-engine selection). The display
+    score divides once at the end.
+
+    Scale: one fan_out-guarded projection, zero shuffle, zero Python —
+    five regexp/split counts and a dot product inside whole-stage
+    codegen. A learned model with 10^5 hashed-ngram features would
+    swap the count features for a broadcast weight-map probe; the
+    plan shape (map-only scan → score → flag) is identical.
+
+    Reference seed: gookit/validate's custom-validator surface
+    (register.go AddValidator) — a scoring rule is just a validator
+    that returns a number; this lifts it to a first-class column.
+    """
+    from validate_spark.session import fan_out
+
+    w = dict(QUALITY_MODEL_WEIGHTS_E6 if weights_e6 is None else weights_e6)
+    raw = F.col(text_col)
+    t = F.coalesce(raw, F.lit(""))
+    feats: dict[str, Column] = {
+        "n_words": whitespace_token_count(raw).cast("long"),
+        "n_stop": F.coalesce(
+            F.regexp_count(
+                F.lower(t), F.lit(r"\b(" + "|".join(STOPWORDS["en"]) + r")\b")
+            ),
+            F.lit(0),
+        ).cast("long"),
+        "n_punct": F.coalesce(
+            F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0)
+        ).cast("long"),
+        "n_digit": F.coalesce(
+            F.regexp_count(t, F.lit(r"[0-9]")), F.lit(0)
+        ).cast("long"),
+        "n_upper": F.coalesce(
+            F.regexp_count(t, F.lit(r"[A-Z]")), F.lit(0)
+        ).cast("long"),
+    }
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown quality features: {sorted(unknown)}")
+    out = fan_out(df).select("*", *(feats[k].alias(k) for k in feats))
+    score_e6 = F.lit(int(bias_e6)).cast("long")
+    for k in feats:  # fixed iteration order = fixed fold order
+        if k in w:
+            score_e6 = score_e6 + F.lit(int(w[k])).cast("long") * F.col(k)
+    null_gate = F.when(raw.isNull(), F.lit(None).cast("long"))
+    out = out.withColumn("score_e6", null_gate.otherwise(score_e6))
+    return out.select(
+        "*",
+        F.round(F.col("score_e6").cast("double") / 1e6, 6).alias("model_score"),
+        (F.col("score_e6") > 0).alias("keep"),
+    )
