@@ -3469,6 +3469,28 @@ def q130_quality_classifier(spark, sf_dir):
     )
 
 
+def q131_doc_chunks(spark, sf_dir):
+    """Sliding-window context chunking (packing.chunk_documents):
+    fixed 64-token windows at stride 48 with per-doc provenance —
+    map-only (explode + slice, ZERO shuffles), integer-exact chunk
+    count, md5 chunk fingerprints (engine-boundary hash rule)."""
+    from validate_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+def q132_doc_keywords(spark, sf_dir):
+    """Per-doc keyword extraction (textstats.doc_keywords): top-3 terms
+    by (tf DESC, corpus df ASC, term ASC) — TF-IDF selection made
+    integer-exact; one term-side exchange shared by the df aggregate
+    and the tf⋈df join, one doc-side window."""
+    from validate_spark.operators.textstats import doc_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_keywords(docs, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3601,6 +3623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_idle_rich_customers": q128_idle_rich_customers,
         "q129_latest_wins": q129_latest_wins,
         "q130_quality_classifier": q130_quality_classifier,
+        "q131_doc_chunks": q131_doc_chunks,
+        "q132_doc_keywords": q132_doc_keywords,
     }
 
 
@@ -6088,6 +6112,57 @@ def oracle_sql() -> dict[str, str]:
                    round(score_e6::double / 1e6, 6) AS model_score,
                    (score_e6 > 0) AS keep
             FROM s
+        """,
+        # sliding-window chunking: integer-exact chunk count, md5
+        # chunk fingerprints; 64-token windows at stride 48
+        "q131_doc_chunks": f"""
+            WITH d AS (
+              SELECT doc_id AS key,
+                     list_filter(regexp_split_to_array({_NORM}, ' '),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), b AS (
+              SELECT key, tk, len(tk)::bigint AS n
+              FROM d WHERE len(tk) > 0
+            ), c AS (
+              SELECT key, tk,
+                     unnest(range(0,
+                       1 + (greatest(n - 64, 0) + 47) // 48)) AS chunk_idx
+              FROM b
+            )
+            SELECT key, chunk_idx::bigint AS chunk_idx,
+                   (chunk_idx * 48)::bigint AS token_offset,
+                   len(tk[chunk_idx*48+1 : chunk_idx*48+64])::bigint
+                     AS n_chunk_tokens,
+                   md5(array_to_string(
+                       tk[chunk_idx*48+1 : chunk_idx*48+64], ' '))
+                     AS chunk_fp
+            FROM c
+        """,
+        # per-doc keywords: integer-exact (tf DESC, df ASC, term) rank
+        "q132_doc_keywords": f"""
+            WITH base AS (
+              SELECT doc_id AS key,
+                     unnest(list_filter(
+                       regexp_split_to_array({_NORM}, ' '),
+                       x -> length(x) >= 3 AND NOT list_contains(
+                         ['the','and','of','to','in','is','that','for',
+                          'it','with'], x))) AS term
+              FROM documents
+            ), tf AS (
+              SELECT key, term, count(*)::bigint AS tf
+              FROM base GROUP BY key, term
+            ), dfq AS (
+              SELECT term, count(*)::bigint AS df FROM tf GROUP BY term
+            )
+            SELECT key, rank, term, tf, df FROM (
+              SELECT tf.key, tf.term, tf.tf, dfq.df,
+                     row_number() OVER (
+                       PARTITION BY tf.key
+                       ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
+                     )::bigint AS rank
+              FROM tf JOIN dfq USING (term)
+            ) WHERE rank <= 3
         """,
         # melt: long form = user × the 5-type domain with zero fills
         "q121_event_melt": """

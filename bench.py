@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "q128_idle_rich_customers",
     "q129_latest_wins",
     "q130_quality_classifier",
+    "q131_doc_chunks",
+    "q132_doc_keywords",
 ]
 
 

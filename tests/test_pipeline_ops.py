@@ -1342,3 +1342,57 @@ def test_quality_classifier_integer_exact(spark):
     assert rows[3]["n_words"] == 0
     # display score is the e6 division
     assert rows[1]["model_score"] == round(rows[1]["score_e6"] / 1e6, 6)
+
+
+def test_chunk_documents_windows_and_plan(spark):
+    from validate_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i:03d}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, stride=8)
+    rows = sorted(
+        [(r["key"], r["chunk_idx"], r["token_offset"], r["n_chunk_tokens"])
+         for r in out.collect()]
+    )
+    # doc 1: 100 tokens -> 1 + ceil(90/8) = 13 chunks at offsets 0,8,..,96;
+    # the last covers tokens 96..99 (4 tokens). docs 3/4: no chunks.
+    d1 = [r for r in rows if r[0] == 1]
+    assert len(d1) == 13
+    assert [r[2] for r in d1] == [8 * i for i in range(13)]
+    assert [r[3] for r in d1] == [10] * 12 + [4]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 3)]
+    assert not [r for r in rows if r[0] in (3, 4)]
+    # overlapping windows share content: same slice -> same fingerprint
+    fp = {(r["chunk_idx"]): r["chunk_fp"] for r in out.collect()
+          if r["key"] == 1}
+    assert len(set(fp.values())) == 13  # all-distinct windows here
+    # map-only: no exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_doc_keywords_integer_rank(spark):
+    from validate_spark.operators.textstats import doc_keywords
+
+    df = spark.createDataFrame(
+        [
+            # 'apple' tf=3; 'banana' tf=2; 'cherry' tf=2 but rarer (df)
+            (1, "apple apple apple banana banana cherry cherry zebra"),
+            (2, "banana banana banana plum"),
+            (3, "the and of to in is"),  # all stopwords -> no keywords
+        ],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(df, k=2)
+    got = {(r["key"], r["rank"]): (r["term"], r["tf"], r["df"])
+           for r in out.collect()}
+    # doc 1: apple(3) first; banana/cherry tie tf=2 -> cherry df=1 beats
+    # banana df=2 (rare-elsewhere wins)
+    assert got[(1, 1)] == ("apple", 3, 1)
+    assert got[(1, 2)] == ("cherry", 2, 1)
+    assert got[(2, 1)] == ("banana", 3, 2)
+    assert got[(2, 2)] == ("plum", 1, 1)
+    assert not [k for k in got if k[0] == 3]

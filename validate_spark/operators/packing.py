@@ -91,3 +91,72 @@ def packing_report(packed: DataFrame, *, budget: int) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window context chunking WITH overlap — the other half of
+    sequence prep beside ``pack_sequences`` (that one concatenates
+    whole docs into budget groups; this one splits each long doc into
+    fixed windows, keeping per-doc provenance and ``chunk_tokens -
+    stride`` tokens of overlap so no training example straddles a cut
+    blind).
+
+    Chunk i covers whitespace tokens [i*stride, i*stride+chunk_tokens)
+    of the doc; the last chunk may be short; ``n_chunks = 1 +
+    floor((max(n - chunk_tokens, 0) + stride - 1) / stride)`` — all
+    INTEGER arithmetic (floor of a <2^53 ratio is exact), so the
+    chunking is bit-identical across engines. Empty/NULL docs produce
+    no chunks (stated; a zero-token training example is garbage).
+    Chunk content travels as an md5 fingerprint (engine-boundary hash
+    rule) + token count, never the text itself.
+
+    Scale: map-only — normalize, split, explode a per-doc index
+    sequence, slice. ZERO shuffles; the explode fan-out is ~n/stride
+    rows per doc on the same partition (fan_out-guarded against the
+    1-partition-scan gotcha). The guarded ``sequence()`` never sees a
+    negative length (the working-notes F.sequence gotcha).
+
+    Reference seed: length family (SURVEY.md §2.4) lifted to window
+    construction; cf. the standard fixed-window pretraining prep.
+    """
+    from validate_spark.session import fan_out
+
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    L, S = int(chunk_tokens), int(stride)
+    from validate_spark.operators.textstats import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    base = (
+        fan_out(df)
+        .select(F.col(key_col).alias("key"), toks.alias("_tk"))
+        .withColumn("_n", F.size("_tk").cast("long"))
+        .filter(F.col("_n") > 0)
+    )
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.col("_n") - L, F.lit(0)) + (S - 1)) / S
+    ).cast("long")
+    out = base.select(
+        "key",
+        "_tk",
+        "_n",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    piece = F.slice(F.col("_tk"), F.col("chunk_idx") * S + 1, L)
+    return out.select(
+        "key",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * S).alias("token_offset"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )

@@ -834,3 +834,64 @@ def quality_classifier(
         F.round(F.col("score_e6").cast("double") / 1e6, 6).alias("model_score"),
         (F.col("score_e6") > 0).alias("keep"),
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_len: int = 3,
+    shuffle_parts: int | None = None,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms of each doc
+    ranked by (term frequency DESC, corpus doc-frequency ASC, term
+    ASC) — "frequent here, rare elsewhere", the TF-IDF selection made
+    INTEGER-EXACT (a float idf ranking can flip ties across engines;
+    the lexicographic integer rank cannot). Complements
+    ``distinctive_terms`` (corpus-level, per-source) at per-doc
+    granularity.
+
+    Terms are normalize_text tokens of length >= ``min_len`` minus the
+    English stopword list. Output: key, rank (1..k), term, tf (count
+    in doc), df (docs containing term).
+
+    Scale (the inverted-index build): explode is map-side; ONE
+    explicit repartition on term lets the doc-frequency aggregate and
+    the tf⋈df join share the exchange (working-notes AQE/co-partition
+    rule), then one exchange on the doc key for the top-k window whose
+    per-group state is the k-row heap. No collect, no skew trap beyond
+    a mega-doc (bounded by doc length).
+    """
+    from pyspark.sql.window import Window
+
+    from validate_spark.session import fan_out
+
+    stop = set(STOPWORDS["en"])
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda x: (F.length(x) >= min_len) & ~x.isin(*stop),
+    )
+    tf = (
+        fan_out(df)
+        .select(F.col(key_col).alias("key"), F.explode(toks).alias("term"))
+        .groupBy("key", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_parts = shuffle_parts or tf.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    by_term = tf.repartition(int(n_parts), "term")
+    dfreq = by_term.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = by_term.join(dfreq, "term")
+    w = Window.partitionBy("key").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("key", "rank", "term", "tf", "df")
+    )
