@@ -3491,6 +3491,53 @@ def q132_doc_keywords(spark, sf_dir):
     return doc_keywords(docs, k=3)
 
 
+def q133_csv_ingest(spark, sf_dir):
+    """Malformed-CSV ingestion (sources/csvsrc.py): PERMISSIVE read
+    with corrupt-record routing — a deterministic CSV fixture derived
+    from documents (doc_id%7==3 rows get an unparseable n_chars,
+    doc_id%11==5 rows an extra column) is read back under an explicit
+    schema; bad lines become quarantined ROWS (field NULL + raw line
+    captured), never a job abort. The corrupt line crosses the engine
+    boundary as md5 (repo hash rule)."""
+    import tempfile
+
+    from validate_spark.sources.csvsrc import read_csv_validated
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d, lg, n = F.col("doc_id"), F.col("lang"), F.col("n_chars")
+    line = (
+        F.when(
+            d % 7 == 3,
+            F.concat(d.cast("string"), F.lit(","), lg, F.lit(",x"),
+                     n.cast("string")),
+        )
+        .when(
+            d % 11 == 5,
+            F.concat(d.cast("string"), F.lit(","), lg, F.lit(","),
+                     n.cast("string"), F.lit(",999")),
+        )
+        .otherwise(
+            F.concat(d.cast("string"), F.lit(","), lg, F.lit(","),
+                     n.cast("string"))
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_csv_q133_")
+    src = f"{tmp}/src"
+    docs.select(line.alias("value")).write.mode("overwrite").text(src)
+    out = read_csv_validated(
+        spark, src, "doc_id long, lang string, n_chars long"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "is_corrupt",
+        F.when(
+            F.col("is_corrupt"), F.md5(F.col("_corrupt_record"))
+        ).alias("corrupt_line_fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3625,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_quality_classifier": q130_quality_classifier,
         "q131_doc_chunks": q131_doc_chunks,
         "q132_doc_keywords": q132_doc_keywords,
+        "q133_csv_ingest": q133_csv_ingest,
     }
 
 
@@ -6163,6 +6211,22 @@ def oracle_sql() -> dict[str, str]:
                      )::bigint AS rank
               FROM tf JOIN dfq USING (term)
             ) WHERE rank <= 3
+        """,
+        # PERMISSIVE CSV quarantine: the oracle rebuilds the pinned
+        # reader semantics (bad field -> NULL + raw line; extra token
+        # -> parsed + raw line) straight from the source table
+        "q133_csv_ingest": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 3 THEN NULL
+                        ELSE n_chars END AS n_chars,
+                   (doc_id % 7 = 3 OR doc_id % 11 = 5) AS is_corrupt,
+                   CASE WHEN doc_id % 7 = 3
+                          THEN md5(concat(doc_id, ',', lang, ',x', n_chars))
+                        WHEN doc_id % 11 = 5
+                          THEN md5(concat(doc_id, ',', lang, ',',
+                                          n_chars, ',999'))
+                        ELSE NULL END AS corrupt_line_fp
+            FROM documents
         """,
         # melt: long form = user × the 5-type domain with zero fills
         "q121_event_melt": """

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q130_quality_classifier",
     "q131_doc_chunks",
     "q132_doc_keywords",
+    "q133_csv_ingest",
 ]
 
 

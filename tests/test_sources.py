@@ -322,3 +322,39 @@ def test_request_log_all_null_columns(spark):
     )
     res = validate_request_log(df, {"name": "required"}, key_cols=["rid"])
     assert res.verdicts().collect()[0]["pass"] is False
+
+
+def test_csv_permissive_quarantine(spark, tmp_path):
+    from validate_spark.sources.csvsrc import (
+        quarantine_split,
+        read_csv_validated,
+    )
+
+    p = tmp_path / "f.csv"
+    p.write_text(
+        "1,en,100\n"
+        "2,de,abc\n"      # bad int -> field NULL, others parsed, corrupt
+        "3,fr,300,999\n"  # extra token -> all parsed, corrupt
+        "4,zh\n"          # missing token -> NULL, corrupt
+        "5,es,500\n"
+    )
+    df = read_csv_validated(
+        spark, str(p), "doc_id long, lang string, n_chars long"
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert not rows[1]["is_corrupt"] and rows[1]["n_chars"] == 100
+    # pinned PERMISSIVE semantics (module docstring)
+    assert rows[2]["is_corrupt"] and rows[2]["n_chars"] is None
+    assert rows[2]["lang"] == "de" and rows[2]["_corrupt_record"] == "2,de,abc"
+    assert rows[3]["is_corrupt"] and rows[3]["n_chars"] == 300
+    assert rows[4]["is_corrupt"] and rows[4]["n_chars"] is None
+    good, bad = quarantine_split(df)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 5]
+    assert "_corrupt_record" not in good.columns
+    # NB not bad.count(): a corrupt-column-only pruned scan is
+    # disallowed by Spark (SPARK-21610; csvsrc docstring)
+    assert sorted(r["doc_id"] for r in bad.collect()) == [2, 3, 4]
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="corrupt"):
+        bad.count()
