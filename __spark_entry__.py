@@ -3483,8 +3483,9 @@ def q131_doc_chunks(spark, sf_dir):
 def q132_doc_keywords(spark, sf_dir):
     """Per-doc keyword extraction (textstats.doc_keywords): top-3 terms
     by (tf DESC, corpus df ASC, term ASC) — TF-IDF selection made
-    integer-exact; one term-side exchange shared by the df aggregate
-    and the tf⋈df join, one doc-side window."""
+    integer-exact; df via a count window over term (one scan, three
+    exchanges — never a second corpus branch), then the doc-key rank
+    window."""
     from validate_spark.operators.textstats import doc_keywords
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")

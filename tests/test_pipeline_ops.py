@@ -1396,3 +1396,10 @@ def test_doc_keywords_integer_rank(spark):
     assert got[(2, 1)] == ("banana", 3, 2)
     assert got[(2, 2)] == ("plum", 1, 1)
     assert not [k for k in got if k[0] == 3]
+    # one corpus scan, no join: df is a count window on the tf frame
+    # (a groupBy+self-join branch re-scans — fan_out's round-robin
+    # blocks exchange reuse; measured 2 scans/5 exchanges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    assert final.count("Scan ") <= 1

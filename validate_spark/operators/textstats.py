@@ -843,7 +843,6 @@ def doc_keywords(
     *,
     k: int = 5,
     min_len: int = 3,
-    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the top-``k`` terms of each doc
     ranked by (term frequency DESC, corpus doc-frequency ASC, term
@@ -857,12 +856,17 @@ def doc_keywords(
     English stopword list. Output: key, rank (1..k), term, tf (count
     in doc), df (docs containing term).
 
-    Scale (the inverted-index build): explode is map-side; ONE
-    explicit repartition on term lets the doc-frequency aggregate and
-    the tf⋈df join share the exchange (working-notes AQE/co-partition
-    rule), then one exchange on the doc key for the top-k window whose
-    per-group state is the k-row heap. No collect, no skew trap beyond
-    a mega-doc (bounded by doc length).
+    Scale (the inverted-index build): explode is map-side, then
+    exactly THREE exchanges over ONE scan — (key,term) for tf, term
+    for the doc-frequency COUNT WINDOW, key for the top-k rank. The
+    doc frequency is a count().over(partitionBy(term)) on the tf
+    frame, NOT a groupBy+self-join: a second branch re-scans the
+    corpus (fan_out's round-robin repartition is nondeterministic, so
+    Catalyst refuses to reuse the exchange — measured: 2 scans, 5
+    exchanges) and a join adds a build side; the window form needs
+    neither. Per-group window state is one running count (term
+    groups), then the k-row rank heap. No collect, no skew trap
+    beyond a mega-doc (bounded by doc length).
     """
     from pyspark.sql.window import Window
 
@@ -879,14 +883,9 @@ def doc_keywords(
         .groupBy("key", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    n_parts = shuffle_parts or tf.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
     )
-    by_term = tf.repartition(int(n_parts), "term")
-    dfreq = by_term.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    scored = by_term.join(dfreq, "term")
     w = Window.partitionBy("key").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
