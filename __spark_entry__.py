@@ -3539,6 +3539,115 @@ def q133_csv_ingest(spark, sf_dir):
     )
 
 
+def q134_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (olap.nation_volume_shipping): bilateral trade
+    volume between two nations by ship year — two broadcast nation
+    lookups + the disjunctive direction filter after both names
+    attach; revenue int64-exact until the display division."""
+    from validate_spark.operators.olap import nation_volume_shipping
+
+    return nation_volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q135_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape (olap.returned_item_customers): top-20
+    customers by returned-line revenue in one quarter — date filter
+    in the orders scan, broadcast customer+nation dims, k-cut on the
+    exact int64 revenue (TakeOrderedAndProject)."""
+    from validate_spark.operators.olap import returned_item_customers
+
+    return returned_item_customers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q136_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (olap.promo_revenue_share): promotional share
+    of one month's revenue — one broadcast part join, one global
+    conditional aggregate, ratio derived from two exact int64 sums."""
+    from validate_spark.operators.olap import promo_revenue_share
+
+    return promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q137_top_suppliers(spark, sf_dir):
+    """TPC-H Q15 shape (olap.top_suppliers): supplier(s) at the GLOBAL
+    quarterly revenue max, ties preserved — one-row max aggregate
+    broadcast-cross-joined back; int64 equality decides the winner."""
+    from validate_spark.operators.olap import top_suppliers
+
+    return top_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q138_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (olap.small_quantity_revenue): revenue lost to
+    sub-20%-of-average-quantity lines of one brand — the correlated
+    scalar subquery as a semi-reduced per-part aggregate broadcast
+    back; integer cross-multiplied 20% test."""
+    from validate_spark.operators.olap import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q139_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (olap.large_volume_customers): orders whose
+    total line quantity beats the threshold, with their customers —
+    aggregate-first HAVING semi; the qualifying-order frame broadcasts
+    into both lookups."""
+    from validate_spark.operators.olap import large_volume_customers
+
+    return large_volume_customers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def q140_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (olap.disjunctive_revenue): three OR'd
+    brand/size/quantity bands — equi-join on partkey with the
+    disjunction as residual, each side pre-filtered by its own
+    derived OR so no band-less row streams."""
+    from validate_spark.operators.olap import disjunctive_revenue
+
+    return disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q141_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (olap.waiting_suppliers): suppliers solely
+    responsible for a late multi-supplier order — the double
+    correlated EXISTS/NOT EXISTS re-expressed as two stacked
+    aggregates (no fact self-join, no distinct-aggregate Expand)."""
+    from validate_spark.operators.olap import waiting_suppliers
+
+    return waiting_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3674,6 +3783,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_doc_chunks": q131_doc_chunks,
         "q132_doc_keywords": q132_doc_keywords,
         "q133_csv_ingest": q133_csv_ingest,
+        "q134_nation_volume": q134_nation_volume,
+        "q135_returned_customers": q135_returned_customers,
+        "q136_promo_share": q136_promo_share,
+        "q137_top_suppliers": q137_top_suppliers,
+        "q138_small_qty_revenue": q138_small_qty_revenue,
+        "q139_large_volume_customers": q139_large_volume_customers,
+        "q140_disjunctive_revenue": q140_disjunctive_revenue,
+        "q141_waiting_suppliers": q141_waiting_suppliers,
     }
 
 
@@ -6910,5 +7027,171 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT e.user_id)::bigint AS n_users
             FROM err JOIN events e ON e.ts >= err.lo AND e.ts <= err.hi
             GROUP BY err_id
+        """,
+        # TPC-H Q7 shape: bilateral trade volume, both directions
+        "q134_nation_volume": """
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey,
+                     year(l_shipdate)::int AS l_year,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+            ), s AS (
+              SELECT s_suppkey, n_name AS supp_nation FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2')
+            ), c AS (
+              SELECT c_custkey, n_name AS cust_nation FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2')
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(rev)::double / 10000, 6) AS revenue
+            FROM li
+            JOIN s ON li.l_suppkey = s.s_suppkey
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN c ON o.o_custkey = c.c_custkey
+            WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+               OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        # TPC-H Q10 shape: top-20 by exact int64 returned revenue
+        "q135_returned_customers": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) AS rev
+              FROM lineitem WHERE l_returnflag = 'R'
+            ), o AS (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-04-01'
+            ), g AS (
+              SELECT o.o_custkey, sum(li.rev)::bigint AS rev
+              FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+              GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(c.c_acctbal, 2) AS c_acctbal,
+                   round(g.rev::double / 10000, 6) AS revenue
+            FROM g
+            JOIN customer c ON g.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY g.rev DESC, c.c_custkey LIMIT 20
+        """,
+        # TPC-H Q14 shape: promo share from two exact int64 sums
+        "q136_promo_share": """
+            WITH li AS (
+              SELECT l_partkey,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+            ), g AS (
+              SELECT sum(CASE WHEN p.p_type = 'PROMO' THEN li.rev
+                              ELSE 0 END)::bigint AS promo,
+                     sum(li.rev)::bigint AS total
+              FROM li JOIN part p ON li.l_partkey = p.p_partkey
+            )
+            SELECT round(promo::double / 10000, 6) AS promo_revenue,
+                   round(total::double / 10000, 6) AS total_revenue,
+                   round(100.0 * promo::double / total::double, 6)
+                     AS promo_share_pct
+            FROM g
+        """,
+        # TPC-H Q15 shape: global-max suppliers, int64 equality, ties kept
+        "q137_top_suppliers": """
+            WITH per AS (
+              SELECT l_suppkey,
+                     sum(round(l_extendedprice * 100)::bigint
+                         * (100 - round(l_discount * 100)::bigint))::bigint
+                       AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   round(per.rev::double / 10000, 6) AS total_revenue
+            FROM per JOIN supplier s ON per.l_suppkey = s.s_suppkey
+            WHERE per.rev = (SELECT max(rev) FROM per)
+        """,
+        # TPC-H Q17 shape: integer cross-multiplied 20%-of-average test
+        "q138_small_qty_revenue": """
+            WITH li AS (
+              SELECT l.l_partkey,
+                     round(l.l_quantity * 100)::bigint AS qty_c,
+                     round(l.l_extendedprice * 100)::bigint AS price_c
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#1' AND p.p_size <= 20
+            ), per AS (
+              SELECT l_partkey AS pk, sum(qty_c)::bigint AS sum_qty_c,
+                     count(*)::bigint AS n
+              FROM li GROUP BY l_partkey
+            )
+            SELECT round(sum(li.price_c)::double / 100 / 7.0, 6)
+                     AS avg_yearly,
+                   count(*)::bigint AS n_small_lines
+            FROM li JOIN per ON li.l_partkey = per.pk
+            WHERE li.qty_c * 5 * per.n < per.sum_qty_c
+        """,
+        # TPC-H Q18 shape: HAVING on exact int64 quantity-cents
+        "q139_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(round(l_quantity * 100)::bigint)::bigint
+                       AS sum_qty_c
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(round(l_quantity * 100)::bigint) > 14000
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(big.sum_qty_c::double / 100, 6) AS total_qty
+            FROM orders o
+            JOIN big ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        # TPC-H Q19 shape: disjunctive brand/size/qty bands
+        "q140_disjunctive_revenue": """
+            SELECT round(sum(round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint))::double
+                     / 10000, 6) AS revenue,
+                   count(*)::bigint AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # TPC-H Q21 shape: two stacked aggregates replace the double
+        # correlated EXISTS; late = shipped >90 days after order date
+        "q141_waiting_suppliers": """
+            WITH per_os AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     max(CASE WHEN l.l_shipdate
+                                   > o.o_orderdate + INTERVAL 90 DAY
+                              THEN 1 ELSE 0 END) AS supp_late
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY l.l_orderkey, l.l_suppkey
+            ), per_o AS (
+              SELECT l_orderkey, count(*)::bigint AS n_supp,
+                     sum(supp_late)::bigint AS n_late,
+                     max(CASE WHEN supp_late = 1 THEN l_suppkey END)
+                       AS late_supp
+              FROM per_os GROUP BY l_orderkey
+            ), g AS (
+              SELECT late_supp AS s_suppkey, count(*)::bigint AS numwait
+              FROM per_o WHERE n_supp > 1 AND n_late = 1
+              GROUP BY late_supp
+            )
+            SELECT g.s_suppkey, s.s_name, g.numwait
+            FROM g JOIN supplier s ON g.s_suppkey = s.s_suppkey
+            ORDER BY g.numwait DESC, g.s_suppkey LIMIT 25
         """,
     }

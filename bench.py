@@ -138,6 +138,14 @@ BENCH_QUERIES = [
     "q131_doc_chunks",
     "q132_doc_keywords",
     "q133_csv_ingest",
+    "q134_nation_volume",
+    "q135_returned_customers",
+    "q136_promo_share",
+    "q137_top_suppliers",
+    "q138_small_qty_revenue",
+    "q139_large_volume_customers",
+    "q140_disjunctive_revenue",
+    "q141_waiting_suppliers",
 ]
 
 

@@ -145,3 +145,143 @@ def test_idle_rich_customers_threshold_and_anti_join(spark):
     r = rows[0]
     assert r["c_nationkey"] == 8 and r["numcust"] == 1
     assert r["totacctbal"] == 250.0
+
+
+def test_nation_volume_directions_and_year(spark):
+    from validate_spark.operators.olap import nation_volume_shipping
+
+    t96, t97 = dt.datetime(1996, 6, 1), dt.datetime(1997, 6, 1)
+    li = spark.createDataFrame(
+        [(1, 10, 100.00, 0.00, t96),     # supp NATION_1 -> cust NATION_2
+         (2, 20, 200.00, 0.10, t97),     # supp NATION_2 -> cust NATION_1
+         (3, 10, 999.00, 0.00, t96),     # cust NATION_1 == supp nation: drop
+         (4, 30, 999.00, 0.00, t96)],    # supplier in a third nation: drop
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+    o = spark.createDataFrame(
+        [(1, 200), (2, 100), (3, 100), (4, 200)],
+        "o_orderkey long, o_custkey long",
+    )
+    c = spark.createDataFrame(
+        [(100, 1), (200, 2)], "c_custkey long, c_nationkey long"
+    )
+    s = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "s_suppkey long, s_nationkey long"
+    )
+    n = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3")],
+        "n_nationkey long, n_name string",
+    )
+    rows = {(r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+            for r in nation_volume_shipping(li, o, c, s, n).collect()}
+    assert rows == {
+        ("NATION_1", "NATION_2", 1996): 100.0,
+        ("NATION_2", "NATION_1", 1997): 180.0,
+    }
+
+
+def test_top_suppliers_keeps_ties(spark):
+    from validate_spark.operators.olap import top_suppliers
+
+    t = dt.datetime(1997, 2, 1)
+    li = spark.createDataFrame(
+        [(1, 100.00, 0.00, t), (2, 50.00, 0.00, t), (2, 50.00, 0.00, t),
+         (3, 10.00, 0.00, t),
+         (1, 500.00, 0.00, dt.datetime(1998, 6, 1))],  # outside window
+        "l_suppkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    s = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    rows = sorted(
+        (r["s_suppkey"], r["total_revenue"])
+        for r in top_suppliers(li, s).collect()
+    )
+    # suppliers 1 and 2 tie at 100.00 — both must surface
+    assert rows == [(1, 100.0), (2, 100.0)]
+
+
+def test_small_quantity_cross_multiplied_threshold(spark):
+    from validate_spark.operators.olap import small_quantity_revenue
+
+    li = spark.createDataFrame(
+        # part 1: quantities 1, 10, 10, 10 -> avg 7.75; 0.2*avg = 1.55:
+        # only the qty-1 line (price 70.0) qualifies
+        [(1, 1.00, 70.00), (1, 10.00, 10.00), (1, 10.00, 10.00),
+         (1, 10.00, 10.00),
+         # part 2 (wrong brand): never counted
+         (2, 0.50, 999.00)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    p = spark.createDataFrame(
+        [(1, "Brand#1", 5), (2, "Brand#9", 5)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    row = small_quantity_revenue(li, p).collect()[0]
+    assert row["n_small_lines"] == 1
+    assert row["avg_yearly"] == round(70.0 / 7.0, 6)
+
+
+def test_large_volume_customers_threshold_is_exact(spark):
+    from validate_spark.operators.olap import large_volume_customers
+
+    t = dt.datetime(1997, 1, 1)
+    li = spark.createDataFrame(
+        [(1, 100.00), (1, 40.00),   # order 1: 140.00 == threshold -> out
+         (2, 100.00), (2, 40.01)],  # order 2: 140.01 > threshold -> in
+        "l_orderkey long, l_quantity double",
+    )
+    o = spark.createDataFrame(
+        [(1, 7, t, 10.0), (2, 7, t, 20.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    c = spark.createDataFrame([(7, "C7")], "c_custkey long, c_name string")
+    rows = large_volume_customers(li, o, c, min_qty=140.0).collect()
+    assert [(r["o_orderkey"], r["total_qty"]) for r in rows] == [(2, 140.01)]
+
+
+def test_waiting_suppliers_sole_blame_only(spark):
+    from validate_spark.operators.olap import waiting_suppliers
+
+    day0 = dt.datetime(2000, 1, 1)
+    late = dt.datetime(2000, 6, 1)    # > 90 days after day0
+    ontime = dt.datetime(2000, 1, 15)
+    li = spark.createDataFrame(
+        # order 1: supplier 10 late, supplier 20 on time -> blame 10
+        [(1, 10, late), (1, 20, ontime),
+         # order 2: both late -> nobody solely to blame
+         (2, 10, late), (2, 20, late),
+         # order 3: single-supplier order, late -> excluded (n_supp == 1)
+         (3, 10, late),
+         # order 4: supplier 20 late via ONE of two lines -> blame 20
+         (4, 20, late), (4, 20, ontime), (4, 30, ontime)],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    o = spark.createDataFrame(
+        [(1, day0), (2, day0), (3, day0), (4, day0)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    s = spark.createDataFrame(
+        [(10, "S10"), (20, "S20"), (30, "S30")],
+        "s_suppkey long, s_name string",
+    )
+    rows = {r["s_suppkey"]: r["numwait"]
+            for r in waiting_suppliers(li, o, s).collect()}
+    assert rows == {10: 1, 20: 1}
+
+
+def test_disjunctive_join_is_broadcast_no_cartesian(spark):
+    from validate_spark.operators.olap import disjunctive_revenue
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    out = disjunctive_revenue(li, p)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    row = out.collect()[0]
+    assert row["n_lines"] > 0 and row["revenue"] > 0

@@ -268,3 +268,390 @@ def idle_rich_customers(
         F.count(F.lit(1)).cast("long").alias("numcust"),
         F.round(F.sum("_bal_c").cast("double") / 100, 6).alias("totacctbal"),
     )
+
+
+def nation_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue per
+    (supplier nation, customer nation, ship year) for the two flow
+    directions between ``nation_a`` and ``nation_b``.
+
+    Plan: nation is filtered to TWO rows before either join, so both
+    nation joins broadcast for free; the disjunctive direction filter
+    ((A,B) or (B,A)) runs AFTER both nation names are attached — on a
+    fact row that already passed the per-side nation semi filter, so
+    the surviving stream is the union of both directions only. The
+    year is extracted once into the aggregate key (YEAR over the
+    try_cast timestamp is identical in DuckDB's year()).
+    """
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n2), supplier["s_nationkey"] == n2["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = customer.join(
+        F.broadcast(n2), customer["c_nationkey"] == n2["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ts = F.col("l_shipdate").try_cast("timestamp")
+    li = lineitem.filter(
+        (ts >= F.to_timestamp(F.lit(start))) & (ts < F.to_timestamp(F.lit(end)))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year(ts).alias("l_year"),
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+        .alias("_rev_e4"),
+    )
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nation_a)
+             & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b)
+               & (F.col("cust_nation") == nation_a))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("_rev_e4").alias("_rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("_rev").cast("double") / 10000, 6).alias("revenue"),
+        )
+    )
+
+
+def returned_item_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    *,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: the k customers who returned the most revenue
+    (returnflag = 'R') on orders placed in one quarter — the "who is
+    sending product back" report.
+
+    Plan: orders carries the date filter into its scan; the customer
+    and nation dimensions broadcast; the k-cut orders by the EXACT
+    int64 revenue with custkey tiebreak (TakeOrderedAndProject — a
+    double sort key could flip near-ties between engines)."""
+    ots = F.col("o_orderdate").try_cast("timestamp")
+    o = orders.filter(
+        (ots >= F.to_timestamp(F.lit(start))) & (ots < F.to_timestamp(F.lit(end)))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+        .alias("_rev_e4"),
+    )
+    cn = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    g = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev_e4").alias("_rev"))
+    )
+    return (
+        g.join(F.broadcast(cn), g["o_custkey"] == cn["c_custkey"])
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            F.round(F.col("_rev").cast("double") / 10000, 6).alias("revenue"),
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    start: str = "1997-03-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue that came from
+    promotional parts (p_type = 'PROMO' in this schema's single-word
+    type domain). ONE broadcast join + one global conditional
+    aggregate; the ratio is the only double and is derived from two
+    exact int64 sums, so round-6 is engine-stable."""
+    ts = F.col("l_shipdate").try_cast("timestamp")
+    li = lineitem.filter(
+        (ts >= F.to_timestamp(F.lit(start))) & (ts < F.to_timestamp(F.lit(end)))
+    ).select(
+        "l_partkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+        .alias("_rev_e4"),
+    )
+    p = part.select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    g = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rev_e4"))
+              .otherwise(F.lit(0))).alias("_promo"),
+        F.sum("_rev_e4").alias("_total"),
+    )
+    return g.select(
+        F.round(F.col("_promo").cast("double") / 10000, 6).alias("promo_revenue"),
+        F.round(F.col("_total").cast("double") / 10000, 6).alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+    )
+
+
+def top_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the GLOBAL maximum — ties all surface (the reference query's view
+    + subquery equality, not a LIMIT 1 that would break ties
+    arbitrarily).
+
+    Plan: one groupBy(suppkey) aggregate, then the one-row global max
+    re-aggregated from it and cross-joined back (broadcast NLJ of a
+    single row — free at any scale); membership compares the two EXACT
+    int64 revenues, no float ever decides the winner."""
+    ts = F.col("l_shipdate").try_cast("timestamp")
+    li = lineitem.filter(
+        (ts >= F.to_timestamp(F.lit(start))) & (ts < F.to_timestamp(F.lit(end)))
+    ).select(
+        "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+        .alias("_rev_e4"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("_rev_e4").alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_max_rev"))
+    win = per_supp.crossJoin(F.broadcast(mx)).filter(
+        F.col("_rev") == F.col("_max_rev")
+    )
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        win.join(F.broadcast(s), win["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double") / 10000, 6)
+            .alias("total_revenue"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    brand: str = "Brand#1",
+    max_size: int = 20,
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly-averaged revenue lost to small orders —
+    lines of one brand's small parts whose quantity is below 20% of
+    that PART's average quantity (the correlated scalar subquery).
+
+    Plan: the brand's parts are a broadcast-sized dimension; the
+    per-part average is a groupBy over the SEMI-REDUCED lineitem
+    (only the brand's partkeys aggregate), broadcast back onto the
+    same reduced stream — the fact table is scanned once and shuffled
+    once on partkey; both branches of the self-dependency share that
+    reduction. The 20%-of-average test is INTEGER CROSS-MULTIPLIED
+    (qty_c * 5 * n_lines < sum_qty_c), so no float decides membership;
+    the /7.0 yearly display division is the only double."""
+    p = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    li = lineitem.select(
+        "l_partkey",
+        _cents("l_quantity").alias("_qty_c"),
+        _cents("l_extendedprice").alias("_price_c"),
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qty_c").alias("_sum_qty_c"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    j = li.join(F.broadcast(per_part), li["l_partkey"] == F.col("_pk")).filter(
+        F.col("_qty_c") * F.lit(5) * F.col("_n") < F.col("_sum_qty_c")
+    )
+    return j.agg(
+        F.round(F.sum("_price_c").cast("double") / 100 / 7.0, 6)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    *,
+    min_qty: float = 140.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed at least one order whose
+    TOTAL line quantity exceeds ``min_qty`` — the HAVING-driven semi
+    pattern (aggregate first, the qualifying keys then re-join).
+
+    Plan: ONE groupBy(orderkey) over lineitem produces the per-order
+    quantity; the qualifying orders are a tiny frame that broadcasts
+    into both the orders and customer lookups — the fact table never
+    joins unreduced. The HAVING threshold compares EXACT int64
+    quantity-cents. Output ordered by the exact total then keys."""
+    qty_c = _cents("l_quantity")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(qty_c).alias("_sum_qty_c")
+    )
+    big = per_order.filter(
+        F.col("_sum_qty_c") > F.lit(int(round(min_qty * 100)))
+    )
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = customer.select("c_custkey", "c_name")
+    j = (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.round(F.col("_sum_qty_c").cast("double") / 100, 6).alias("total_qty"),
+    )
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    bands — the disjunctive-predicate join. The three bands (fixed
+    here, as in the reference query's parameter template):
+      Brand#1, size 1-15,  qty  1-11
+      Brand#2, size 10-30, qty 10-20
+      Brand#3, size 20-50, qty 20-30
+
+    Plan: the partkey equi-join is the join CONDITION (broadcast hash
+    join); the OR-of-ANDs is a post-join residual — Catalyst cannot
+    split a disjunction across sides, but each disjunct's single-side
+    conjuncts (qty bands on the fact side, brand+size on the
+    broadcast side) are pushed as a derived OR filter into each scan,
+    so neither input streams rows that satisfy NO band."""
+    qty = F.col("l_quantity")
+    li = lineitem.filter(
+        ((qty >= 1) & (qty <= 11))
+        | ((qty >= 10) & (qty <= 20))
+        | ((qty >= 20) & (qty <= 30))
+    ).select(
+        "l_partkey",
+        "l_quantity",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+        .alias("_rev_e4"),
+    )
+    sz = F.col("p_size")
+    p = part.filter(
+        ((F.col("p_brand") == "Brand#1") & (sz >= 1) & (sz <= 15))
+        | ((F.col("p_brand") == "Brand#2") & (sz >= 10) & (sz <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (sz >= 20) & (sz <= 50))
+    ).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+        ((F.col("p_brand") == "Brand#1")
+         & (F.col("p_size").between(1, 15))
+         & (qty.between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2")
+           & (F.col("p_size").between(10, 30))
+           & (qty.between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3")
+           & (F.col("p_size").between(20, 50))
+           & (qty.between(20, 30)))
+    )
+    return j.agg(
+        F.round(F.sum("_rev_e4").cast("double") / 10000, 6).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    *,
+    late_days: int = 90,
+    k: int = 25,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who SOLELY kept a multi-supplier
+    order waiting — an order has >1 distinct supplier, exactly ONE of
+    them shipped late, and this is that supplier. "Late" is adapted to
+    this schema (no commit/receipt dates): shipped more than
+    ``late_days`` after the order date — stated, not silent.
+
+    Plan: the reference's EXISTS(other supplier) AND NOT EXISTS(other
+    LATE supplier) double correlated subquery is re-expressed as TWO
+    STACKED AGGREGATES — per (orderkey, suppkey) fold line-level
+    lateness, then per orderkey count suppliers and late suppliers and
+    keep groups with (n_supp > 1, n_late = 1), whose single late
+    supplier is max(CASE). No self-join of the fact table, no Expand
+    (zero distinct aggregates — the first groupBy IS the distinct),
+    two key-local shuffles total. The k-cut orders by count desc,
+    suppkey asc (TakeOrderedAndProject)."""
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = orders.select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").try_cast("timestamp")
+            > F.col("o_orderdate").try_cast("timestamp")
+            + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        ).cast("int").alias("_late"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_supp"),
+        F.sum("_supp_late").cast("long").alias("_n_late"),
+        F.max(F.when(F.col("_supp_late") == 1, F.col("l_suppkey")))
+        .alias("_late_supp"),
+    )
+    blamed = per_o.filter(
+        (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
+    )
+    g = blamed.groupBy(F.col("_late_supp").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    s = supplier.select(F.col("s_suppkey").alias("_sk"), "s_name")
+    return (
+        g.join(F.broadcast(s), g["s_suppkey"] == F.col("_sk"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+        .select("s_suppkey", "s_name", "numwait")
+    )
