@@ -3648,6 +3648,42 @@ def q141_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q142_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (operators/graph.py): 3 rounds over the
+    deterministic doc-link fixture — every rank an int64 in 1e-12
+    units, one dst-shuffle + co-partitioned left join per round,
+    localCheckpoint lineage truncation. The unrolled SQL oracle
+    replays the identical integral divisions (Spark DIV ≡ DuckDB //
+    on non-negative ints), so ranks match bit-for-bit."""
+    from validate_spark.operators.graph import pagerank, synthetic_doc_links
+
+    docs = _t(spark, sf_dir, "documents")
+    return pagerank(synthetic_doc_links(docs), n_iters=3)
+
+
+def q143_bpe_merges(spark, sf_dir):
+    """First BPE training iteration (textstats.bpe_merge_stats):
+    top-50 adjacent-character-pair frequencies weighted by corpus word
+    frequency — the pair stage runs over the DISTINCT vocabulary (the
+    BPE compression trick), so its input is |vocab|-bounded, not
+    corpus-bounded; native transform+substr pair building, k-cut by
+    (count, lhs, rhs)."""
+    from validate_spark.operators.textstats import bpe_merge_stats
+
+    return bpe_merge_stats(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q144_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (textstats.token_entropy):
+    H = ln(n) − Σ c·ln(c)/n over whitespace-token counts — repetitive
+    text scores low, token soup high. Exact int64 counts; the round-6
+    double is safe cross-engine because per-doc distinct-token
+    cardinality is bounded (round-4 gotcha)."""
+    from validate_spark.operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3791,6 +3827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_large_volume_customers": q139_large_volume_customers,
         "q140_disjunctive_revenue": q140_disjunctive_revenue,
         "q141_waiting_suppliers": q141_waiting_suppliers,
+        "q142_pagerank": q142_pagerank,
+        "q143_bpe_merges": q143_bpe_merges,
+        "q144_token_entropy": q144_token_entropy,
     }
 
 
@@ -7193,5 +7232,114 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.s_suppkey, s.s_name, g.numwait
             FROM g JOIN supplier s ON g.s_suppkey = s.s_suppkey
             ORDER BY g.numwait DESC, g.s_suppkey LIMIT 25
+        """,
+        # integer-exact PageRank: 3 unrolled rounds; DuckDB // replays
+        # Spark DIV bit-for-bit on non-negative int64 (rank in 1e-12
+        # units, damping 85%, teleport 15/(100*N))
+        "q142_pagerank": """
+            WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+            e AS (
+              SELECT doc_id::bigint AS src,
+                     (doc_id::bigint * 7 + 1) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id::bigint, (doc_id::bigint * 13 + 3) % nn.n
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id::bigint, (doc_id::bigint * 31 + 7) % nn.n
+              FROM documents, nn
+            ),
+            od AS (SELECT src, count(*)::bigint AS outdeg
+                   FROM e GROUP BY src),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM e
+              UNION ALL SELECT dst FROM e)),
+            r0 AS (
+              SELECT node,
+                     (1000000000000::bigint // nn.n)::bigint AS r,
+                     (15000000000000::bigint // (100 * nn.n))::bigint
+                       AS base
+              FROM nodes, nn
+            ),
+            c1 AS (
+              SELECT e.dst,
+                     sum((r0.r * 85 // 100) // od.outdeg)::bigint AS s
+              FROM e JOIN od ON e.src = od.src
+              JOIN r0 ON e.src = r0.node GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT r0.node, r0.base,
+                     (r0.base + coalesce(c1.s, 0))::bigint AS r
+              FROM r0 LEFT JOIN c1 ON r0.node = c1.dst
+            ),
+            c2 AS (
+              SELECT e.dst,
+                     sum((r1.r * 85 // 100) // od.outdeg)::bigint AS s
+              FROM e JOIN od ON e.src = od.src
+              JOIN r1 ON e.src = r1.node GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT r1.node, r1.base,
+                     (r1.base + coalesce(c2.s, 0))::bigint AS r
+              FROM r1 LEFT JOIN c2 ON r1.node = c2.dst
+            ),
+            c3 AS (
+              SELECT e.dst,
+                     sum((r2.r * 85 // 100) // od.outdeg)::bigint AS s
+              FROM e JOIN od ON e.src = od.src
+              JOIN r2 ON e.src = r2.node GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT r2.node,
+                     (r2.base + coalesce(c3.s, 0))::bigint AS r
+              FROM r2 LEFT JOIN c3 ON r2.node = c3.dst
+            )
+            SELECT node, r AS rank_e12,
+                   round(r::double / 1000000000000, 9) AS rank
+            FROM r3
+        """,
+        # BPE merge candidates: pair counts over the DISTINCT
+        # vocabulary weighted by word frequency (the compression trick)
+        "q143_bpe_merges": f"""
+            WITH words AS (
+              SELECT word, count(*)::bigint AS wc FROM (
+                SELECT unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+              ) WHERE len(word) >= 2 GROUP BY word
+            ), pos AS (
+              SELECT word, wc,
+                     unnest(generate_series(1, len(word) - 1)) AS i
+              FROM words
+            ), pairs AS (
+              SELECT substr(word, i, 1) AS lhs,
+                     substr(word, i + 1, 1) AS rhs, wc
+              FROM pos
+            ), g AS (
+              SELECT lhs, rhs, sum(wc)::bigint AS pair_count
+              FROM pairs GROUP BY lhs, rhs
+            )
+            SELECT lhs, rhs, pair_count FROM g
+            ORDER BY pair_count DESC, lhs, rhs LIMIT 50
+        """,
+        # per-doc unigram entropy: exact int64 counts, round-6 double
+        # (bounded per-doc cardinality => addition-order safe)
+        "q144_token_entropy": f"""
+            WITH toks AS (
+              SELECT doc_id AS key,
+                     unnest(string_split({_NORM}, ' ')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT key, tok, count(*)::bigint AS c
+              FROM toks WHERE len(tok) >= 1 GROUP BY key, tok
+            ), g AS (
+              SELECT key, sum(c)::bigint AS n_tokens,
+                     count(*)::bigint AS n_distinct,
+                     sum(c::double * ln(c::double)) AS clogc
+              FROM tf GROUP BY key
+            )
+            SELECT key, n_tokens, n_distinct,
+                   round(ln(n_tokens::double) - clogc / n_tokens::double, 6)
+                     AS entropy_nats
+            FROM g
         """,
     }

@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "q139_large_volume_customers",
     "q140_disjunctive_revenue",
     "q141_waiting_suppliers",
+    "q142_pagerank",
+    "q143_bpe_merges",
+    "q144_token_entropy",
 ]
 
 

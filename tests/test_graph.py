@@ -1,0 +1,87 @@
+"""Graph analytics (operators/graph.py): integer-exact PageRank hand
+checks — fixed points, no-in-link teleport floor, parallel-edge
+out-degree — plus the fixture builder's determinism."""
+
+from pyspark.sql import functions as F
+
+from validate_spark.operators.graph import SCALE, pagerank, synthetic_doc_links
+
+
+def _ranks(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(e, checkpoint=False, **kw).collect()
+    }
+
+
+def test_two_node_cycle_is_a_fixed_point(spark):
+    # 1<->2: perfectly symmetric, every round returns 0.5 / 0.5
+    # (integer replay: base 75e9 + damped half 425e9 = 500e9 = SCALE/2)
+    r = _ranks(spark, [(1, 2), (2, 1)], n_iters=3)
+    assert r == {1: SCALE // 2, 2: SCALE // 2}
+
+
+def test_no_inlink_node_keeps_teleport_floor(spark):
+    # 1 -> 2 only: node 1 has no in-edges, so after ONE round its rank
+    # is exactly the teleport base 15*SCALE DIV (100*2)
+    r = _ranks(spark, [(1, 2)], n_iters=1)
+    base = 15 * SCALE // 200
+    assert r[1] == base
+    assert r[2] == base + ((SCALE // 2) * 85 // 100) // 1
+    # round 2: node 2's in-flow is the damped base of node 1
+    r2 = _ranks(spark, [(1, 2)], n_iters=2)
+    assert r2[1] == base
+    assert r2[2] == base + (base * 85 // 100) // 1
+
+
+def test_parallel_edges_split_outdegree(spark):
+    # 1 -> 2 twice and 1 -> 3 once: outdeg(1) = 3 edge slots, node 2
+    # receives two shares, node 3 one share
+    r = _ranks(spark, [(1, 2), (1, 2), (1, 3)], n_iters=1)
+    third = ((SCALE // 3) * 85 // 100) // 3
+    base = 15 * SCALE // 300
+    assert r[2] == base + 2 * third
+    assert r[3] == base + third
+
+
+def test_total_mass_is_bounded_and_positive(spark):
+    docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    e = synthetic_doc_links(docs)
+    assert e.count() == 150  # 3 links per doc, deterministic
+    out = pagerank(e, n_iters=3, checkpoint=False)
+    rows = out.collect()
+    assert len(rows) == 50
+    total = sum(r["rank_e12"] for r in rows)
+    # truncating DIVs only LOSE mass: total <= SCALE, and every node
+    # keeps at least the teleport floor
+    assert total <= SCALE
+    assert all(r["rank_e12"] >= 15 * SCALE // (100 * 50) for r in rows)
+
+
+def test_bpe_merge_stats_hand_checked(spark):
+    from validate_spark.operators.textstats import bpe_merge_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab xy"), (2, "abab")], "doc_id long, text string"
+    )
+    rows = {(r["lhs"], r["rhs"]): r["pair_count"]
+            for r in bpe_merge_stats(docs, k=10).collect()}
+    # vocabulary: abab (wc=3), xy (wc=1); pairs inside 'abab' per
+    # occurrence: ab, ba, ab -> ab:2*3, ba:1*3; xy -> 1
+    assert rows == {("a", "b"): 6, ("b", "a"): 3, ("x", "y"): 1}
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    import math
+
+    from validate_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a")], "doc_id long, text string"
+    )
+    rows = {r["key"]: r for r in token_entropy(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 4
+    assert rows[1]["entropy_nats"] == round(math.log(4), 6)
+    assert rows[2]["n_tokens"] == 4 and rows[2]["n_distinct"] == 1
+    assert rows[2]["entropy_nats"] == 0.0

@@ -1,0 +1,149 @@
+"""Iterative graph analytics over document link graphs — PageRank as
+the representative fixed-point algorithm (dedup.py's min-label
+propagation is the other; both share the checkpoint-per-round
+discipline).
+
+Reference seed: gookit/validate has no graph surface — this is the
+dataset-level extension (SURVEY.md §2.9) for corpora that carry a
+link structure (web crawls: citation/backlink authority is a standard
+document-quality prior at pretraining scale).
+
+INTEGER-EXACT ranks: every rank is an int64 in 1e-12 units of
+probability mass. One update round is
+
+    rank' = (15 * SCALE) DIV (100 * N)                      (teleport)
+          + sum over in-edges of (rank * 85 DIV 100) DIV outdeg
+
+with DIV the truncating integral division — identical in Spark (`DIV`)
+and DuckDB (`//`) on non-negative operands, so three unrolled rounds
+replay bit-for-bit in SQL with zero float drift. (A double PageRank
+needs an addition-order argument per in-degree; integers need
+nothing.) Truncation loses < outdeg * 1e-12 of mass per node per
+round — irrelevant for ranking, and both engines lose the IDENTICAL
+amount.
+
+Scale: each round is ONE shuffle of the edge-contribution stream on
+dst plus a co-partitioned left join back onto the node list (nodes
+with no in-links keep the teleport term — an inner join would
+silently drop them). Lineage is truncated with localCheckpoint every
+round (CLAUDE.md round-3 gotcha: cache() does NOT stop the analyzer
+re-walking a join-per-round nest). For multi-executor runs prefer a
+reliable checkpoint dir (same note as dedup.dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Integer-exact PageRank over an edge list. Nodes are the union
+    of sources and destinations; parallel edges count once each (a
+    node's out-degree is its edge COUNT, not its distinct-neighbor
+    count — stated, both engines agree). Returns
+    (node, rank_e12, rank) with rank_e12 the exact int64 state and
+    rank its 1e-12-scaled double display.
+
+    ``damping_pct`` is an integer percentage (85 = the classic 0.85)
+    so the contribution arithmetic stays in int64.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    outdeg = e.groupBy(F.col("src").alias("_od_node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    # N and the teleport term: one-row aggregate, broadcast cross join
+    # (free at any scale — never a driver-side collect)
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    base_expr = F.expr(f"CAST({15 * SCALE} AS BIGINT) DIV (100 * _n)")
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            F.expr(f"CAST({SCALE} AS BIGINT) DIV _n").alias("rank_e12"),
+            base_expr.alias("_base"),
+        )
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
+    for _ in range(n_iters):
+        # damped per-edge contribution: rank*85 DIV 100 DIV outdeg —
+        # ints end to end; the edge stream shuffles once on dst
+        contrib = (
+            e.join(outdeg, e["src"] == F.col("_od_node"))
+            .join(
+                ranks.select(
+                    F.col("node").alias("_r_node"), "rank_e12"
+                ),
+                F.col("src") == F.col("_r_node"),
+            )
+            .select(
+                "dst",
+                F.expr(
+                    f"(rank_e12 * {damping_pct} DIV 100) DIV outdeg"
+                ).alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.col("_base") + F.coalesce(F.col("_in"), F.lit(0)))
+                .alias("rank_e12"),
+                "_base",
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "node",
+        "rank_e12",
+        F.round(F.col("rank_e12").cast("double") / SCALE, 9).alias("rank"),
+    )
+
+
+def synthetic_doc_links(
+    documents: DataFrame, *, id_col: str = "doc_id", fan_out: int = 3
+) -> DataFrame:
+    """Deterministic link fixture over a document table: doc d points
+    at (d*7+1) mod N, (d*13+3) mod N, (d*31+7) mod N (first
+    ``fan_out`` of those). Self-loops possible and kept — a web graph
+    has them too, and both engines derive the identical edge list.
+    N comes from a one-row aggregate broadcast back (no driver
+    action)."""
+    coefs = [(7, 1), (13, 3), (31, 7)][:fan_out]
+    d = documents.select(F.col(id_col).cast("long").alias("src"))
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    dn = d.crossJoin(F.broadcast(nn))
+    parts = [
+        dn.select(
+            "src",
+            F.pmod(F.col("src") * a + b, F.col("_n")).alias("dst"),
+        )
+        for a, b in coefs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -894,3 +894,118 @@ def doc_keywords(
         .filter(F.col("rank") <= int(k))
         .select("key", "rank", "term", "tf", "df")
     )
+
+
+def bpe_merge_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """First BPE training iteration: frequency of every adjacent
+    CHARACTER pair inside words, weighted by corpus word frequency —
+    the statistic a byte-pair-encoding tokenizer maximizes when it
+    picks its next merge (Sennrich et al. 2016). Returns the top-k
+    (lhs, rhs, pair_count) merge candidates.
+
+    Plan — the classic BPE compression trick, distributed: the corpus
+    explodes to WORDS once and aggregates to (word, word_count)
+    FIRST, so the per-character pair expansion runs over the distinct
+    vocabulary (tens of thousands of rows) instead of the corpus
+    token stream (10^12 rows) — the pair stage's input is bounded by
+    |vocab|, not corpus size. Pair building is native (transform over
+    a 1..len-1 sequence + substr), no UDF; the k-cut is
+    TakeOrderedAndProject on (count desc, left, right). The explode
+    stage is fan_out-guarded (1-partition scan gotcha).
+
+    Reference seed: no gookit/validate analogue (tokenizer-training
+    support op for the pretraining pipeline).
+    """
+    from validate_spark.session import fan_out
+
+    words = (
+        fan_out(df)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: F.length(x) >= 2,
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    # adjacent char pairs of each distinct word: positions 1..len-1
+    # (guarded sequence — F.sequence(1, n) with n <= 0 DESCENDS,
+    # CLAUDE.md round-3 gotcha; len >= 2 is filtered above)
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("lhs"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("rhs"),
+                ),
+            )
+        ).alias("p"),
+    ).select("wc", F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+    g = pairs.groupBy("lhs", "rhs").agg(
+        F.sum("wc").alias("pair_count")
+    )
+    return (
+        g.orderBy(
+            F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+        )
+        .limit(int(k))
+        .select("lhs", "rhs", "pair_count")
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram (whitespace-token) Shannon entropy in
+    nats: H = ln(n) - sum(c * ln(c)) / n over per-token counts c —
+    low entropy flags repetitive/templated text, high entropy flags
+    token soup; both tails are pretraining-quality signals beside the
+    Gopher/C4 rules.
+
+    Cross-engine fp: the per-doc distinct-token cardinality is
+    bounded (a document has at most a few thousand distinct tokens),
+    so addition-order noise in sum(c*ln c) is ~1e-13 relative and
+    cannot reach the round-6 tick (CLAUDE.md round-4 gotcha on
+    bounded-cardinality round-6 rollups). n and c are exact int64.
+
+    Plan: fan_out-guarded explode → groupBy (key, token) → groupBy
+    key; two key-local shuffles, no distinct aggregates, no window.
+    """
+    from validate_spark.session import fan_out
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda x: F.length(x) >= 1,
+    )
+    tf = (
+        fan_out(df)
+        .select(F.col(key_col).alias("key"), F.explode(toks).alias("tok"))
+        .groupBy("key", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = tf.groupBy("key").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("_clogc"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return g.select(
+        "key",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.log(n) - F.col("_clogc") / n, 6).alias("entropy_nats"),
+    )
