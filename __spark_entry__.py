@@ -3684,6 +3684,18 @@ def q144_token_entropy(spark, sf_dir):
     return token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q145_random_projection(spark, sf_dir):
+    """JL ±1 random projection (similarity.random_projection): 64→16
+    dims, long-format (key, k, proj) output. The sign matrix is
+    generated in Python and inlined as literals in BOTH engines (one
+    source of truth); each coordinate is a sequential left fold, so
+    the round-6 values hash-match bit-for-bit. Map-only plan — the
+    projection fuses into the scan."""
+    from validate_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3830,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_pagerank": q142_pagerank,
         "q143_bpe_merges": q143_bpe_merges,
         "q144_token_entropy": q144_token_entropy,
+        "q145_random_projection": q145_random_projection,
     }
 
 
@@ -3867,6 +3880,29 @@ _RULE_ORDER = [  # (violation key, field, validator) in declaration order
     ("n_chars_min", "n_chars", "min"),
     ("n_chars_max", "n_chars", "max"),
 ]
+
+def _jl_oracle_sql() -> str:
+    """DuckDB replay of q145: the ±1 sign matrix comes from the SAME
+    jl_sign_matrix call the operator uses — inlined as VALUES rows."""
+    from validate_spark.operators.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(16, 64, 7)
+    rows = ",\n              ".join(
+        f"({k}, {signs[k]})" for k in range(len(signs))
+    )
+    return f"""
+            WITH sm AS (
+              SELECT * FROM (VALUES {rows}) AS t(k, s)
+            )
+            SELECT e.vec_id AS key, sm.k::bigint AS k,
+                   round(list_aggregate(
+                     list_transform(generate_series(1, 64),
+                                    i -> e.embedding[i]::double * sm.s[i]),
+                     'sum') / 4.0, 6) AS proj
+            FROM embeddings e, sm
+            WHERE len(e.embedding) = 64
+    """
+
 
 # text-analysis building blocks (mirror validate_spark.operators.textstats)
 _NORM = "trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))"
@@ -7342,4 +7378,8 @@ def oracle_sql() -> dict[str, str]:
                      AS entropy_nats
             FROM g
         """,
+        # JL ±1 projection: sign matrix inlined from the operator (one
+        # source of truth); list_aggregate 'sum' == Spark left fold
+        # bit-for-bit (round-3 gotcha), /4.0 is exact
+        "q145_random_projection": _jl_oracle_sql(),
     }

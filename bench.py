@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q142_pagerank",
     "q143_bpe_merges",
     "q144_token_entropy",
+    "q145_random_projection",
 ]
 
 

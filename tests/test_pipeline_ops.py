@@ -1403,3 +1403,46 @@ def test_doc_keywords_integer_rank(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Join" not in final
     assert final.count("Scan ") <= 1
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on real embeddings: pairwise L2 distances in the
+    16-dim projection stay within a generous relative band of the
+    64-dim originals (the lemma's guarantee), and ragged vectors are
+    filtered."""
+    import numpy as np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(20)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    out = sim.random_projection(emb)
+    proj = {}
+    for r in out.collect():
+        proj.setdefault(r["key"], [0.0] * 16)[r["k"]] = r["proj"]
+    assert set(proj) == set(orig)
+    keys = sorted(orig)
+    ratios = []
+    for a in range(len(keys)):
+        for b in range(a + 1, len(keys)):
+            d0 = np.linalg.norm(orig[keys[a]] - orig[keys[b]])
+            d1 = np.linalg.norm(
+                np.array(proj[keys[a]]) - np.array(proj[keys[b]])
+            )
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    # ±1 JL at k=16: loose band, but catastrophic distortion would
+    # blow way past it (a sign bug collapses ratios toward 0)
+    assert 0.3 < min(ratios) and max(ratios) < 3.0
+
+
+def test_random_projection_filters_ragged(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.5] * 10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.random_projection(df)
+    assert sorted({r["key"] for r in out.collect()}) == [1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: fused into the scan
