@@ -3696,6 +3696,43 @@ def q145_random_projection(spark, sf_dir):
     return random_projection(_t(spark, sf_dir, "embeddings"))
 
 
+_CANARY_PHRASES = [
+    "table value",
+    "row fast",
+    "data column",
+    "the part",
+    "window spark",
+    "no such canary phrase",
+]
+
+
+def q146_phrase_contamination(spark, sf_dir):
+    """Exact-substring canary check (decontam.phrase_contamination):
+    per blocked phrase, how many documents contain it verbatim —
+    map-side instr probes from a literal list, no join/shuffle before
+    the K-row aggregate; zero-hit phrases still reported."""
+    from validate_spark.operators.decontam import phrase_contamination
+
+    return phrase_contamination(
+        _t(spark, sf_dir, "documents"), _CANARY_PHRASES
+    )
+
+
+def q147_group_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (stats.group_percentiles): n_chars
+    p25/p50/p75/p95 per (lang, source) — SQL-standard continuous
+    quantile, identical interpolation formula in both engines;
+    distinct-value-bounded aggregation state (sketches are the
+    unbounded-domain path, drift.py)."""
+    from validate_spark.operators.stats import group_percentiles
+
+    return group_percentiles(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang", "source"],
+        value_col="n_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3843,6 +3880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_bpe_merges": q143_bpe_merges,
         "q144_token_entropy": q144_token_entropy,
         "q145_random_projection": q145_random_projection,
+        "q146_phrase_contamination": q146_phrase_contamination,
+        "q147_group_percentiles": q147_group_percentiles,
     }
 
 
@@ -7382,4 +7421,26 @@ def oracle_sql() -> dict[str, str]:
         # source of truth); list_aggregate 'sum' == Spark left fold
         # bit-for-bit (round-3 gotcha), /4.0 is exact
         "q145_random_projection": _jl_oracle_sql(),
+        # canary phrase check: zero-hit phrases preserved (phrase list
+        # crossed with the corpus, not derived from matches)
+        "q146_phrase_contamination": f"""
+            WITH p AS (
+              SELECT unnest({_CANARY_PHRASES}) AS phrase
+            )
+            SELECT p.phrase,
+                   sum(CASE WHEN instr(coalesce(d.text, ''), p.phrase) > 0
+                            THEN 1 ELSE 0 END)::bigint AS n_docs
+            FROM p CROSS JOIN documents d
+            GROUP BY p.phrase
+        """,
+        # exact continuous quantiles: identical (n-1)*p interpolation
+        "q147_group_percentiles": """
+            SELECT lang, source,
+                   round(quantile_cont(n_chars::double, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars::double, 0.50), 6) AS p50,
+                   round(quantile_cont(n_chars::double, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars::double, 0.95), 6) AS p95,
+                   count(n_chars)::bigint AS n
+            FROM documents GROUP BY lang, source
+        """,
     }

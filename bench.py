@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q143_bpe_merges",
     "q144_token_entropy",
     "q145_random_projection",
+    "q146_phrase_contamination",
+    "q147_group_percentiles",
 ]
 
 

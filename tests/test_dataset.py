@@ -679,3 +679,31 @@ def test_latest_wins_compaction(spark):
     assert "Join" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_phrase_contamination_zero_hits_reported(spark):
+    from validate_spark.operators.decontam import phrase_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["phrase"]: r["n_docs"]
+           for r in phrase_contamination(
+               docs, ["beta", "gamma", "omega"]).collect()}
+    assert out == {"beta": 2, "gamma": 1, "omega": 0}
+
+
+def test_group_percentiles_interpolation(spark):
+    from validate_spark.operators.stats import group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10)],
+        "g string, v int",
+    )
+    rows = {r["g"]: r for r in group_percentiles(
+        df, group_cols=["g"], value_col="v").collect()}
+    # (n-1)*p positions over [1,2,3,4]: p25 -> 1.75, p50 -> 2.5
+    assert rows["a"]["p25"] == 1.75 and rows["a"]["p50"] == 2.5
+    assert rows["a"]["p75"] == 3.25 and rows["a"]["n"] == 4
+    assert rows["b"]["p50"] == 10.0 and rows["b"]["n"] == 1

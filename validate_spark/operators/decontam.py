@@ -215,3 +215,44 @@ def semantic_contamination(
             F.coalesce(F.array_max("_s") >= thr, F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def phrase_contamination(
+    corpus: DataFrame,
+    phrases: list[str],
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring benchmark contamination: for each blocked
+    phrase, how many documents contain it verbatim (case-sensitive
+    `instr` — the n-gram and semantic variants above handle fuzzier
+    matches; this is the "canary string" check a leak audit runs
+    first).
+
+    Plan: the phrase list is a LITERAL array evaluated per document —
+    a map-side scan of the corpus with K substring probes per row, no
+    join, no shuffle before the K-row aggregate. K is the blocked-list
+    size (thousands at most); at larger K the right tool is
+    contamination_report's hashed n-gram join, not substring probes.
+    Phrases with ZERO hits still appear (count 0) — a leak audit must
+    distinguish "checked, clean" from "not checked" (explode of the
+    static list, not of the matches).
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"),
+                (F.instr(F.coalesce(F.col(text_col), F.lit("")), p) > 0)
+                .cast("int")
+                .alias("hit"),
+            )
+            for p in phrases
+        ]
+    )
+    hits = fan_out(corpus).select(F.explode(probes).alias("p")).select(
+        F.col("p.phrase").alias("phrase"), F.col("p.hit").alias("hit")
+    )
+    return hits.groupBy("phrase").agg(
+        F.sum("hit").cast("long").alias("n_docs")
+    )

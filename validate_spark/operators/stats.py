@@ -357,3 +357,35 @@ def unpivot_wide(
         var_name,
         value_name,
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (the
+    SQL-standard continuous quantile: position (n-1)*p into the
+    sorted values, interpolating between neighbors — Spark
+    `percentile` and DuckDB `quantile_cont` implement the identical
+    formula, so integer inputs round-6 match).
+
+    Scale honesty: exact percentile state is a per-group map of
+    value→count, bounded by the group's DISTINCT-value cardinality,
+    not its row count — fine for bounded domains (lengths, scores,
+    ratings); for unbounded/continuous domains at 10^12 rows use
+    drift.py's fixed-size quantile sketches instead (documented
+    trade: sketches are mergeable and O(1), exactness is not). One
+    map-side-partial aggregate, one shuffle on the group key.
+    """
+    v = F.col(value_col).try_cast("double")
+    aggs = [
+        F.round(F.percentile(v, F.lit(float(p))), 6).alias(
+            f"p{int(round(p * 100)):02d}"
+        )
+        for p in percentiles
+    ]
+    aggs.append(F.count(v).cast("long").alias("n"))
+    return df.groupBy(*group_cols).agg(*aggs)
