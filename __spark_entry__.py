@@ -3733,6 +3733,109 @@ def q147_group_percentiles(spark, sf_dir):
     )
 
 
+def q148_stream_outer_interval_join(spark, sf_dir):
+    """STREAM-STREAM LEFT-OUTER interval join (temporal.interval_join
+    how='left_outer'): each error event joined to the same user's
+    clicks in the 6 h before it, errors with NO such click emitted
+    with NULL click columns — the state-EVICTION half of the
+    stream-stream join contract that q112's inner join never
+    exercises (an outer row may only emit once both watermarks prove
+    no future match can land in its interval).
+
+    Deterministic availableNow fixture: batch 1 carries ALL real rows
+    on both sides (every match forms in-batch; nothing can be
+    late-dropped), then two far-future SENTINEL chunks per side march
+    the 1 h watermark past the real data — batch 2's sentinel lifts
+    the watermark, batch 3 triggers the flush of every remaining
+    unmatched error. Sentinels (user_id −999) are filtered from the
+    output. The oracle is the direct SQL LEFT JOIN; hash match proves
+    streaming outer ≡ batch ≡ SQL."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from validate_spark.operators.temporal import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q148_")
+    name = f"q148_oivj_{uuid.uuid4().hex[:8]}"
+    # three sentinels: real rows fully flush as long as SOME batch runs
+    # after a batch whose watermark passed the real data — with 0.3 s
+    # mtime spacing at most two sentinel files can share a micro-batch,
+    # so the last sentinel batch always evicts with a post-sentinel
+    # watermark (the 2-sentinel variant was observed marginal: batch
+    # composition shifted with file-listing timing and withheld the
+    # final-hour outer rows)
+    sentinel_rows = [
+        (-1, "2226-01-01 00:00:00"),
+        (-2, "2236-01-01 00:00:00"),
+        (-3, "2246-01-01 00:00:00"),
+    ]
+    try:
+        srcs = {}
+        for kind in ("error", "click"):
+            src = f"{tmp}/{kind}"
+            cohort = events.filter(F.col("event_type") == kind)
+            cohort.coalesce(1).write.mode("append").parquet(src)
+            for eid, ts in sentinel_rows:
+                _time.sleep(0.3)  # file-source orders chunks by mtime
+                spark.createDataFrame(
+                    [(eid, ts, -999, kind, 0.0, None)],
+                    "event_id long, _ts string, user_id long, "
+                    "event_type string, value double, props string",
+                ).select(
+                    "event_id",
+                    F.to_timestamp("_ts").alias("ts"),
+                    "user_id", "event_type", "value", "props",
+                ).coalesce(1).write.mode("append").parquet(src)
+            srcs[kind] = src
+        err = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcs["error"])
+            .select("user_id", "ts", F.col("event_id").alias("err_id"))
+        )
+        clk = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcs["click"])
+            .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        )
+        joined = interval_join(
+            err, clk, "user_id", "ts", "ts",
+            lower_s=-6 * 3600, upper_s=0,
+            left_cols=["err_id"], right_cols=["click_id"],
+            watermark="1 hour", how="left_outer",
+        ).select(
+            "user_id", "ts_l", "ts_r", "err_id", "click_id",
+            F.expr("(unix_micros(ts_l) - unix_micros(ts_r)) div 1000000")
+            .alias("gap_s"),
+        )
+        # sentinels are filtered AFTER the sink: a pre-sink filter on
+        # user_id is pushed below the EventTimeWatermark node (it is a
+        # join-key predicate, so it lands on BOTH source legs), the
+        # sentinel rows never reach the watermark accumulator, and the
+        # final-hour outer rows are withheld forever — observed as a
+        # deterministic 7-row deficit before this fix
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:  # availableNow: drain EVERY micro-batch
+            q.awaitTermination(2)
+        out = spark.table(name).filter(F.col("user_id") != -999)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3882,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_random_projection": q145_random_projection,
         "q146_phrase_contamination": q146_phrase_contamination,
         "q147_group_percentiles": q147_group_percentiles,
+        "q148_stream_outer_interval_join": q148_stream_outer_interval_join,
     }
 
 
@@ -7442,5 +7546,24 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars::double, 0.95), 6) AS p95,
                    count(n_chars)::bigint AS n
             FROM documents GROUP BY lang, source
+        """,
+        # streaming LEFT-OUTER interval join == the direct SQL left
+        # join (unmatched errors carry NULL click columns / NULL gap)
+        "q148_stream_outer_interval_join": """
+            WITH err AS (
+              SELECT user_id, ts, event_id AS err_id FROM events
+              WHERE event_type = 'error'
+            ), clk AS (
+              SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT err.user_id, err.ts AS ts_l, clk.ts AS ts_r,
+                   err.err_id, clk.click_id,
+                   (epoch_us(err.ts) - epoch_us(clk.ts)) // 1000000
+                     AS gap_s
+            FROM err LEFT JOIN clk
+              ON err.user_id = clk.user_id
+             AND clk.ts >= err.ts - INTERVAL 6 HOUR
+             AND clk.ts <= err.ts
         """,
     }

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q145_random_projection",
     "q146_phrase_contamination",
     "q147_group_percentiles",
+    "q148_stream_outer_interval_join",
 ]
 
 

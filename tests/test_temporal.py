@@ -503,3 +503,82 @@ def test_densify_daily_zero_fills_gaps(spark):
         (1, "2024-01-03", 1, 3.0),
         (2, "2024-01-10", 1, 5.0),   # spans are PER KEY, not global
     }
+
+
+def test_interval_join_left_outer_batch(spark):
+    """Batch left-outer: unmatched left rows kept with NULL right
+    columns; matched semantics identical to inner."""
+    import datetime as dt
+
+    from validate_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 100), (1, t0 + dt.timedelta(hours=9), 101),
+         (2, t0, 102)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(hours=1), 200),   # 1h before lid=100: in
+         (2, t0 + dt.timedelta(seconds=1), 201)],  # after lid=102: out
+        "k long, ts timestamp, rid long",
+    )
+    out = interval_join(
+        left, right, "k", "ts", "ts",
+        lower_s=-6 * 3600, upper_s=0,
+        left_cols=["lid"], right_cols=["rid"], how="left_outer",
+    )
+    rows = {r["lid"]: r["rid"] for r in out.collect()}
+    assert rows == {100: 200, 101: None, 102: None}
+
+
+def test_interval_join_streaming_left_outer_equals_batch(spark, tmp_path):
+    """Streaming left-outer == batch left-outer once sentinels march
+    the watermark past the data (and the sentinel filter stays OUT of
+    the streaming query — a pre-sink key filter lands below the
+    watermark node and withholds outer rows; q148's bug)."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from validate_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    far1 = dt.datetime(2200, 1, 1)
+    far2 = dt.datetime(2210, 1, 1)
+    far3 = dt.datetime(2220, 1, 1)
+    lrows = [(1, t0, 100), (1, t0 + dt.timedelta(hours=9), 101),
+             (2, t0, 102)]
+    rrows = [(1, t0 - dt.timedelta(hours=1), 200),
+             (2, t0 + dt.timedelta(seconds=1), 201)]
+    schema = "k long, ts timestamp, pid long"
+    for side, rows in (("l", lrows), ("r", rrows)):
+        src = str(tmp_path / side)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for i, far in enumerate((far1, far2, far3)):
+            time.sleep(0.3)
+            spark.createDataFrame(
+                [(-999, far, -(i + 1))], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+    ls = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "l"))
+          .select("k", "ts", F.col("pid").alias("lid")))
+    rs = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "r"))
+          .select("k", "ts", F.col("pid").alias("rid")))
+    j = interval_join(
+        ls, rs, "k", "ts", "ts", lower_s=-6 * 3600, upper_s=0,
+        left_cols=["lid"], right_cols=["rid"],
+        watermark="1 hour", how="left_outer",
+    )
+    name = "t_ivj_outer"
+    q = (j.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    while q.isActive:
+        q.awaitTermination(2)
+    got = {r["lid"]: r["rid"]
+           for r in spark.table(name).filter(F.col("k") != -999).collect()}
+    assert got == {100: 200, 101: None, 102: None}

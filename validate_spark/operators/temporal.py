@@ -425,6 +425,7 @@ def interval_join(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Keyed event-time interval join: every (l, r) pair with
     ``l.key == r.key`` and ``r.ts ∈ [l.ts + lower_s, l.ts + upper_s]``
@@ -439,10 +440,21 @@ def interval_join(
     literals, the exact shape the state manager recognizes to evict
     rows once the other side's watermark passes their reach — state
     is bounded by (watermark + window span) × arrival rate, not by
-    stream length. NULL keys/timestamps drop (inner-join semantics).
+    stream length. NULL keys/timestamps drop from the MATCH condition
+    (and drop entirely under inner semantics).
+
+    ``how="left_outer"`` keeps unmatched left rows (right columns
+    NULL). Streaming left-outer is watermark-GATED: an unmatched left
+    row emits only once BOTH sides' watermarks prove no future right
+    row can land in its interval — so under availableNow the fixture
+    must push the final watermark past the real data (sentinel rows in
+    the last chunks) or trailing outer rows are withheld; that is
+    Spark's documented contract, not a quirk of this operator.
 
     Output: ``key``, ``{left_ts}_l``, ``{right_ts}_r``, then the
     passthrough columns (caller keeps names disjoint)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     lsel = [
         F.col(key).alias("_k"),
         _ts(left_ts).alias("_lts"),
@@ -458,14 +470,18 @@ def interval_join(
     if watermark is not None:
         lf = lf.withWatermark("_lts", watermark)
         rf = rf.withWatermark("_rts", watermark)
-    lo = F.make_interval(secs=F.lit(int(lower_s)))
-    hi = F.make_interval(secs=F.lit(int(upper_s)))
+    # day-time INTERVAL literals, NOT make_interval: CalendarIntervalType
+    # defeats StreamingJoinHelper's bound extraction (state stays
+    # unbounded for inner joins and left-outer is REFUSED outright);
+    # DayTimeIntervalType is the shape the state manager parses
+    lo = F.expr(f"INTERVAL '{int(lower_s)}' SECOND")
+    hi = F.expr(f"INTERVAL '{int(upper_s)}' SECOND")
     cond = (
         (F.col("_k") == F.col("_rk"))
         & (F.col("_rts") >= F.col("_lts") + lo)
         & (F.col("_rts") <= F.col("_lts") + hi)
     )
-    out = lf.join(rf, cond, "inner")
+    out = lf.join(rf, cond, how)
     return out.select(
         F.col("_k").alias(key),
         F.col("_lts").alias(f"{left_ts}_l"),
