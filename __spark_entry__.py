@@ -3836,6 +3836,77 @@ def q148_stream_outer_interval_join(spark, sf_dir):
             pass
 
 
+def q149_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join (sources/bucketed.py): lineitem
+    and orders persisted as bucketed+sorted tables on the order key,
+    then joined and rolled up per order status — the join plans with
+    ZERO Exchange (each task merges bucket i of both tables locally;
+    at 10^12 rows that is the entire join shuffle removed from every
+    downstream job that reuses the layout). Revenue int64-exact."""
+    import uuid
+
+    from validate_spark.sources.bucketed import (
+        bucketed_join, drop_bucketed, write_bucketed,
+    )
+
+    sfx = uuid.uuid4().hex[:8]
+    lt, rt = f"q149_li_{sfx}", f"q149_ord_{sfx}"
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        (
+            F.round(F.col("l_extendedprice") * 100).try_cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100)
+               .try_cast("long"))
+        ).alias("_rev_e4"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    try:
+        write_bucketed(li, lt, key="orderkey", n_buckets=8)
+        write_bucketed(o, rt, key="orderkey", n_buckets=8)
+        j = bucketed_join(spark, lt, rt, "orderkey")
+        out = j.groupBy("o_orderstatus").agg(
+            F.round(F.sum("_rev_e4").cast("double") / 10000, 6)
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        drop_bucketed(spark, lt, rt)
+
+
+def q150_schema_evolution(spark, sf_dir):
+    """Schema-evolution ingestion (sources/csvsrc.read_evolved_parquet
+    + evolution_profile): snapshot A (doc_id, lang, n_chars) and
+    snapshot B (doc_id, lang, quality_tier — n_chars dropped, a column
+    added) merged with mergeSchema; absent columns NULL-fill per file,
+    column pruning still reaches each file's own physical schema. The
+    profile answers 'how much of the corpus HAS each column' in one
+    aggregate."""
+    import tempfile
+
+    from validate_spark.sources.csvsrc import (
+        evolution_profile, read_evolved_parquet,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="vs_evo_q150_")
+    a_dir, b_dir = f"{tmp}/snap_a", f"{tmp}/snap_b"
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(a_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_chars") >= 400, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("quality_tier"),
+    ).write.mode("overwrite").parquet(b_dir)
+    return evolution_profile(read_evolved_parquet(spark, [a_dir, b_dir]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -3986,6 +4057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_phrase_contamination": q146_phrase_contamination,
         "q147_group_percentiles": q147_group_percentiles,
         "q148_stream_outer_interval_join": q148_stream_outer_interval_join,
+        "q149_bucketed_join": q149_bucketed_join,
+        "q150_schema_evolution": q150_schema_evolution,
     }
 
 
@@ -7565,5 +7638,52 @@ def oracle_sql() -> dict[str, str]:
               ON err.user_id = clk.user_id
              AND clk.ts >= err.ts - INTERVAL 6 HOUR
              AND clk.ts <= err.ts
+        """,
+        # bucketed co-located join == the plain join (bucketing is a
+        # LAYOUT property; results must be identical)
+        "q149_bucketed_join": """
+            SELECT o.o_orderstatus,
+                   round(sum(round(l.l_extendedprice * 100)::bigint
+                         * (100 - round(l.l_discount * 100)::bigint)
+                       )::double / 10000, 6) AS revenue,
+                   count(*)::bigint AS n_lines
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        # mergeSchema union profile: per-column presence of the
+        # evolved corpus (A: doc_id,lang,n_chars; B: doc_id,lang,tier)
+        "q150_schema_evolution": """
+            WITH a AS (
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id % 2 = 0
+            ), b AS (
+              SELECT doc_id, lang,
+                     CASE WHEN n_chars >= 400 THEN 'long'
+                          ELSE 'short' END AS quality_tier
+              FROM documents WHERE doc_id % 2 = 1
+            ), u AS (
+              SELECT doc_id, lang, n_chars,
+                     NULL::varchar AS quality_tier FROM a
+              UNION ALL
+              SELECT doc_id, lang, NULL::bigint, quality_tier FROM b
+            ), counts AS (
+              SELECT count(*)::bigint AS n_rows,
+                     count(doc_id)::bigint AS nn_doc_id,
+                     count(lang)::bigint AS nn_lang,
+                     count(n_chars)::bigint AS nn_n_chars,
+                     count(quality_tier)::bigint AS nn_quality_tier
+              FROM u
+            )
+            SELECT 'doc_id' AS column, n_rows, nn_doc_id AS n_nonnull,
+                   n_rows - nn_doc_id AS n_null FROM counts
+            UNION ALL
+            SELECT 'lang', n_rows, nn_lang, n_rows - nn_lang FROM counts
+            UNION ALL
+            SELECT 'n_chars', n_rows, nn_n_chars, n_rows - nn_n_chars
+            FROM counts
+            UNION ALL
+            SELECT 'quality_tier', n_rows, nn_quality_tier,
+                   n_rows - nn_quality_tier FROM counts
         """,
     }

@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "q146_phrase_contamination",
     "q147_group_percentiles",
     "q148_stream_outer_interval_join",
+    "q149_bucketed_join",
+    "q150_schema_evolution",
 ]
 
 

@@ -358,3 +358,71 @@ def test_csv_permissive_quarantine(spark, tmp_path):
 
     with _pt.raises(Exception, match="corrupt"):
         bad.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The co-located join contract: both sides bucketed+sorted on the
+    join key -> the join plans with ZERO Exchange and zero explicit
+    Sort (bucket files are key-ordered); results identical to the
+    plain join."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from validate_spark.sources.bucketed import (
+        bucketed_join, drop_bucketed, write_bucketed,
+    )
+
+    sfx = uuid.uuid4().hex[:8]
+    lt, rt = f"t_bj_l_{sfx}", f"t_bj_r_{sfx}"
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # pin sort-merge: a broadcast join would sidestep the layout
+        # (and the planner disables bucketing for it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(left, lt, key="k", n_buckets=4)
+        write_bucketed(right, rt, key="k", n_buckets=4)
+        j = bucketed_join(spark, lt, rt, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        agg = j.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+        ).collect()[0]
+        assert agg["n"] == 1000
+        expected = left.join(right, "k").agg(F.sum("w")).collect()[0][0]
+        assert agg["sw"] == expected
+        # groupBy on the bucket key ALSO rides the layout: no Exchange
+        g = spark.table(lt).groupBy("k").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        drop_bucketed(spark, lt, rt)
+
+
+def test_evolved_read_nullfills_and_profiles(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from validate_spark.sources.csvsrc import (
+        evolution_profile, read_evolved_parquet,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "id long, s string, old int"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(3, "z", 1.5)], "id long, s string, fresh double"
+    ).write.parquet(b)
+    df = read_evolved_parquet(spark, [a, b])
+    assert set(df.columns) == {"id", "s", "old", "fresh"}
+    rows = {r["column"]: r for r in evolution_profile(df).collect()}
+    assert rows["old"]["n_nonnull"] == 2 and rows["old"]["n_null"] == 1
+    assert rows["fresh"]["n_nonnull"] == 1 and rows["fresh"]["n_null"] == 2
+    assert all(r["n_rows"] == 3 for r in rows.values())

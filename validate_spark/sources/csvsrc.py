@@ -72,3 +72,52 @@ def quarantine_split(
     good = df.filter(~F.col("is_corrupt")).drop(corrupt_col, "is_corrupt")
     bad = df.filter(F.col("is_corrupt"))
     return good, bad
+
+
+def read_evolved_parquet(spark, paths: list[str]):
+    """Schema-evolution ingestion: union N parquet snapshot
+    directories whose schemas DRIFTED (columns added/dropped between
+    snapshots) into one frame via ``mergeSchema`` — absent columns
+    surface as NULL, never as a read error. This is the ingestion-side
+    sibling of drift.schema_profile_drift (which DETECTS the drift;
+    this op survives it).
+
+    Scale: mergeSchema's cost is footer-only (one schema per file
+    merged on the driver) — row data is never rewritten; each file's
+    scan projects its own physical columns and fills the rest with
+    NULL, so column pruning still reaches every individual file."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
+
+
+def evolution_profile(df):
+    """Per-column presence profile of an evolved read, LONG format
+    (column, n_rows, n_nonnull, n_null) — the first question after a
+    schema merge ('how much of the corpus actually HAS the new
+    column?'). ONE map-side-partial aggregate over the whole frame
+    (never a per-column scan), melted from the 1-row wide result by a
+    literal struct explode — zero extra shuffle."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.count(F.col(c)).cast("long").alias(f"nn_{c}") for c in df.columns
+    ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+            )
+            for c in df.columns
+        ]
+    )
+    return wide.select(
+        F.explode(entries).alias("e"), F.col("n_rows")
+    ).select(
+        F.col("e.column").alias("column"),
+        "n_rows",
+        F.col("e.n_nonnull").alias("n_nonnull"),
+        (F.col("n_rows") - F.col("e.n_nonnull")).alias("n_null"),
+    )
