@@ -3907,6 +3907,38 @@ def q150_schema_evolution(spark, sf_dir):
     return evolution_profile(read_evolved_parquet(spark, [a_dir, b_dir]))
 
 
+def q151_partition_pruning(spark, sf_dir):
+    """Partition-pruned lake read (sources/bucketed.write_partitioned):
+    events written as a day-partitioned directory tree, then a
+    one-week window queried back — the day predicate prunes at FILE
+    LISTING time (PartitionFilters, plan-asserted in test_sources),
+    so the scan never opens out-of-window files. Output: per-day,
+    per-type counts + value sums for the week."""
+    import tempfile
+
+    from validate_spark.sources.bucketed import (
+        read_partitioned, write_partitioned,
+    )
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "d", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_part_q151_")
+    lake = f"{tmp}/events_by_day"
+    write_partitioned(events, lake, partition_cols=["d"])
+    df = read_partitioned(spark, lake).filter(
+        (F.col("d") >= "2024-01-08") & (F.col("d") <= "2024-01-14")
+    )
+    # directory-name type inference may read d back as DATE — pin the
+    # cross-engine output type to string
+    return df.groupBy(
+        F.col("d").cast("string").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4059,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_stream_outer_interval_join": q148_stream_outer_interval_join,
         "q149_bucketed_join": q149_bucketed_join,
         "q150_schema_evolution": q150_schema_evolution,
+        "q151_partition_pruning": q151_partition_pruning,
     }
 
 
@@ -7685,5 +7718,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'quality_tier', n_rows, nn_quality_tier,
                    n_rows - nn_quality_tier FROM counts
+        """,
+        # partition-pruned week rollup == plain filtered rollup (the
+        # layout changes the SCAN, never the result); per-group fp sum
+        # is round-6 safe at bounded group cardinality
+        "q151_partition_pruning": """
+            SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+                   count(*)::bigint AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08'
+                                               AND '2024-01-14'
+            GROUP BY 1, 2
         """,
     }

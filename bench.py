@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "q148_stream_outer_interval_join",
     "q149_bucketed_join",
     "q150_schema_evolution",
+    "q151_partition_pruning",
 ]
 
 

@@ -426,3 +426,30 @@ def test_evolved_read_nullfills_and_profiles(spark, tmp_path):
     assert rows["old"]["n_nonnull"] == 2 and rows["old"]["n_null"] == 1
     assert rows["fresh"]["n_nonnull"] == 1 and rows["fresh"]["n_null"] == 2
     assert all(r["n_rows"] == 3 for r in rows.values())
+
+
+def test_partitioned_write_prunes_at_listing(spark, tmp_path):
+    """A filter on the partition column lands in PartitionFilters
+    (listing-time pruning) and the scan's file selection shrinks; the
+    result is identical to the unpartitioned filter."""
+    from pyspark.sql import functions as F
+
+    from validate_spark.sources.bucketed import (
+        read_partitioned, write_partitioned,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).cast("string").alias("shard")
+    )
+    lake = str(tmp_path / "lake")
+    write_partitioned(df, lake, partition_cols=["shard"])
+    got = read_partitioned(spark, lake).filter(F.col("shard") == "3")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # partition predicate must NOT degrade to a row-level pushed filter
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "shard" not in pushed
+    assert got.count() == 100
+    assert [r["id"] % 10 for r in got.collect()] == [3] * 100

@@ -65,3 +65,30 @@ def bucketed_join(
 def drop_bucketed(spark: SparkSession, *tables: str) -> None:
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a Hive-layout partitioned directory tree
+    (``path/col=value/...``). The partition columns move OUT of the
+    data files and into directory names — a filter on them prunes at
+    the FILE LISTING stage (`PartitionFilters` in the scan), so a
+    one-day query over a 10^12-row, 3-year lake reads ~0.1% of the
+    files without opening the rest. Keep partition cardinality
+    directory-sane (dates, sources, type tags — never high-cardinality
+    keys: one directory per value)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned tree; partition columns come back as
+    regular columns (typed by directory-name inference). Apply the
+    partition-column filter DIRECTLY on this frame — Catalyst routes
+    it to PartitionFilters (listing-time pruning), everything else to
+    PushedFilters (row-group pruning)."""
+    return spark.read.parquet(path)
