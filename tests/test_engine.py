@@ -704,3 +704,31 @@ def test_cross_field_ref_to_missing_nested_field(spark):
     )
     got = {r["k"]: r["pass"] for r in res.verdicts().collect()}
     assert got == {"x": True}
+
+
+def test_observed_counters_free_with_the_action(spark):
+    """observe() delivers (rows, pass, violations) from the CALLER's
+    action — no second scan; numbers match the explicit aggregates."""
+    import validate_spark as vs
+    from validate_spark.operators.engine import observed_counters
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, ""), (3, "xy")],
+        "doc_id long, text string",
+    )
+    res = vs.validate(
+        docs, vs.RuleSet(rules={"text": "required|minLen:3"}),
+        key_cols=["doc_id"],
+    )
+    df, obs = observed_counters(res.annotated)
+    n_written = df.count()  # the caller's own action
+    got = obs.get
+    assert n_written == 3
+    assert got["n_rows"] == 3
+    assert got["n_pass"] == 1       # only doc 1 passes both rules
+    assert got["n_violations"] >= 2  # '' fails required(+minLen), xy fails minLen
+    ref = res.annotated.agg(
+        F.sum(F.col("_vs_pass").cast("long")).alias("p"),
+        F.sum(F.size("_vs_failed").cast("long")).alias("v"),
+    ).collect()[0]
+    assert got["n_pass"] == ref["p"] and got["n_violations"] == ref["v"]

@@ -521,3 +521,58 @@ def test_top_spans_is_take_ordered_not_global_sort(spark):
     docs = spark.read.parquet(DOCS)
     plan = physical(dd.top_duplicated_spans(docs, top_n=20))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling — the complement of the engine's
+    static salting (uniq.py): a join whose shuffle has one hot key is
+    re-planned at runtime with the skewed partition split across
+    tasks (OptimizeSkewedJoin marks the SMJ with skew=true). This is
+    the documented backstop for skew we did NOT predict; predicted
+    skew still uses salting (bounded by construction)."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # tiny thresholds so the test's hot key counts as skew
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "20KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # one hot key (0) with 200k rows + long uniform tail
+        left = spark.range(0, 260_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise(F.col("id") - 200_000 + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 60_001).select(
+            F.col("id").alias("k"), F.lit(1).alias("w")
+        )
+        j = left.join(right, "k")
+        # collect j ITSELF so ITS QueryExecution runs to the final
+        # adaptive plan (count() would plan a separate query and leave
+        # j's plan at isFinalPlan=false)
+        assert len(j.collect()) == 260_000  # runtime re-plan, same answer
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

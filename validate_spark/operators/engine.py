@@ -340,3 +340,29 @@ def validate(
     out = out.withColumn(PASS_COL, F.size(F.col(FAILED_COL)) == 0)
 
     return ValidationResult(annotated=out, plan=plan, key_cols=key_cols)
+
+
+def observed_counters(annotated: DataFrame, name: str = "vs_metrics"):
+    """Attach validation counters to the annotated frame via
+    ``DataFrame.observe`` — Spark's metric side-channel. The FIRST
+    action the caller runs on the returned frame (their own write,
+    count, whatever) also delivers (n_rows, n_pass, n_violations) on
+    the returned ``Observation`` — ZERO extra scan, zero extra jobs: a
+    pipeline that writes safe rows gets its quality counters from the
+    same pass (Deequ publishes metrics the same way; at 10^12 rows a
+    second counting scan is a real bill).
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action. Works on batch frames; for streams use the same call — the
+    metrics surface per micro-batch through the streaming listener.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    df = annotated.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(PASS_COL).cast("long")).alias("n_pass"),
+        F.sum(F.size(FAILED_COL).cast("long")).alias("n_violations"),
+    )
+    return df, obs
