@@ -3939,6 +3939,29 @@ def q151_partition_pruning(spark, sf_dir):
     )
 
 
+def q152_nfc_normalization(spark, sf_dir):
+    """Unicode NFC normalization (textstats.nfc_report): documents
+    salted with DECOMPOSED sequences (doc_id%5==0 rows get
+    'e'+U+0301 appended; %7==2 rows a precomposed 'é' — the two forms
+    md5-collide only AFTER normalization) — Arrow-batched
+    unicodedata.normalize vs DuckDB's built-in nfc_normalize, byte
+    equality proven through md5."""
+    from validate_spark.operators.textstats import nfc_report
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    decomposed = "cafe\u0301"   # e + COMBINING ACUTE (changes under NFC)
+    precomposed = "caf\u00e9"   # precomposed: NFC fixed point
+    salted = docs.select(
+        "doc_id",
+        F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(decomposed)))
+        .when(d % 7 == 2, F.concat(F.col("text"), F.lit(precomposed)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return nfc_report(salted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4092,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_bucketed_join": q149_bucketed_join,
         "q150_schema_evolution": q150_schema_evolution,
         "q151_partition_pruning": q151_partition_pruning,
+        "q152_nfc_normalization": q152_nfc_normalization,
     }
 
 
@@ -7730,5 +7754,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08'
                                                AND '2024-01-14'
             GROUP BY 1, 2
+        """,
+        # NFC normalization: unicodedata.normalize (Spark pandas UDF)
+        # vs DuckDB nfc_normalize, byte equality via md5; chr(769) is
+        # the combining acute, chr(233) the precomposed e-acute
+        "q152_nfc_normalization": """
+            WITH salted AS (
+              SELECT doc_id AS key,
+                     CASE WHEN doc_id % 5 = 0
+                            THEN text || 'cafe' || chr(769)
+                          WHEN doc_id % 7 = 2
+                            THEN text || 'caf' || chr(233)
+                          ELSE text END AS t
+              FROM documents
+            )
+            SELECT key,
+                   md5(coalesce(nfc_normalize(t), '')) AS nfc_fp,
+                   (nfc_normalize(t) <> t) AS changed
+            FROM salted
         """,
     }

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q149_bucketed_join",
     "q150_schema_evolution",
     "q151_partition_pruning",
+    "q152_nfc_normalization",
 ]
 
 

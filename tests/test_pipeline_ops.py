@@ -1446,3 +1446,19 @@ def test_random_projection_filters_ragged(spark):
     assert sorted({r["key"] for r in out.collect()}) == [1]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: fused into the scan
+
+
+def test_nfc_normalization_composes_and_flags(spark):
+    decomposed = "café"
+    precomposed = "café"
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, precomposed), (3, "plain"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["key"]: r for r in ts.nfc_report(docs).collect()}
+    # decomposed doc changed; its fp now equals the precomposed doc's
+    assert rows[1]["changed"] is True
+    assert rows[2]["changed"] is False
+    assert rows[1]["nfc_fp"] == rows[2]["nfc_fp"]
+    assert rows[3]["changed"] is False
+    assert rows[4]["changed"] is None  # NULL text stays NULL-flagged

@@ -1009,3 +1009,54 @@ def token_entropy(
         "n_distinct",
         F.round(F.log(n) - F.col("_clogc") / n, 6).alias("entropy_nats"),
     )
+
+
+def nfc_normalize_column(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF —
+    composes decomposed sequences (e + U+0301 → é) so that
+    fingerprinting, dedup and length rules see ONE canonical form of
+    visually-identical text (a classic web-corpus hazard: the same
+    page crawled twice with different normalization forms defeats
+    exact dedup).
+
+    Spark has no native NFC function, so this is a justified Python
+    path: Arrow batch transfer, `unicodedata.normalize` per element
+    (C-implemented in CPython). The DuckDB oracle replays it with the
+    built-in ``nfc_normalize`` — both implement Unicode NFC, so
+    outputs match byte-for-byte. NULL stays NULL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints and pyspark cannot
+    # resolve 'pd.Series' in this closure's globals
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+    return _nfc(text)
+
+
+def nfc_report(
+    df: DataFrame, *, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document NFC normalization report: md5 of the normalized
+    text plus a changed flag (normalization altered the bytes). The
+    md5 crosses the engine boundary (repo hash rule); the flag feeds
+    an encoding-hygiene drill-down beside encoding_signals."""
+    from validate_spark.session import fan_out
+
+    t = F.col(text_col)
+    norm = nfc_normalize_column(t)
+    return fan_out(df).select(
+        F.col(key_col).alias("key"),
+        F.md5(F.coalesce(norm, F.lit(""))).alias("nfc_fp"),
+        (norm != t).alias("changed"),
+    )
