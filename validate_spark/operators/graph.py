@@ -22,9 +22,13 @@ nothing.) Truncation loses < outdeg * 1e-12 of mass per node per
 round — irrelevant for ranking, and both engines lose the IDENTICAL
 amount.
 
-Scale: each round is ONE shuffle of the edge-contribution stream on
-dst plus a co-partitioned left join back onto the node list (nodes
-with no in-links keep the teleport term — an inner join would
+Scale: the (src, dst, outdeg) edge stream is STAGED ONCE — joined,
+repartitioned on src and persisted before the loop (the edge table is
+the 10^12-scale object; re-shuffling it every round would dominate).
+Each round then costs: the rank join against that src-partitioned
+stream, one dst aggregation shuffle, and a left join back onto the
+node list whose contrib side reuses the aggregation's partitioning
+(nodes with no in-links keep the teleport term — an inner join would
 silently drop them). Lineage is truncated with localCheckpoint every
 round (CLAUDE.md round-3 gotcha: cache() does NOT stop the analyzer
 re-walking a join-per-round nest). For multi-executor runs prefer a
@@ -71,6 +75,15 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("_od_node")).agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
+    # loop-invariant edge stream: join out-degrees once, partition on
+    # src once, persist — every round reuses this layout instead of
+    # re-shuffling the (10^12-scale) edge table
+    eo = (
+        e.join(outdeg, e["src"] == F.col("_od_node"))
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .persist()
+    )
     # N and the teleport term: one-row aggregate, broadcast cross join
     # (free at any scale — never a driver-side collect)
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
@@ -89,8 +102,7 @@ def pagerank(
         # damped per-edge contribution: rank*85 DIV 100 DIV outdeg —
         # ints end to end; the edge stream shuffles once on dst
         contrib = (
-            e.join(outdeg, e["src"] == F.col("_od_node"))
-            .join(
+            eo.join(
                 ranks.select(
                     F.col("node").alias("_r_node"), "rank_e12"
                 ),
@@ -116,6 +128,7 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint()
+    eo.unpersist()
     return ranks.select(
         "node",
         "rank_e12",
