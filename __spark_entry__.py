@@ -3962,6 +3962,21 @@ def q152_nfc_normalization(spark, sf_dir):
     return nfc_report(salted)
 
 
+def q153_table_checksum(spark, sf_dir):
+    """Order-insensitive row-set checksum (stats.table_checksum): the
+    per-source migration-validation fingerprint — commutative md5-sum
+    over rows, so partitioning/order/parallelism cannot change it and
+    two copies of a table agree iff their row multisets agree. One
+    map-side-partial aggregate."""
+    from validate_spark.operators.stats import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "documents"),
+        cols=["doc_id", "lang", "n_chars", "text"],
+        group_cols=["source"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4116,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_schema_evolution": q150_schema_evolution,
         "q151_partition_pruning": q151_partition_pruning,
         "q152_nfc_normalization": q152_nfc_normalization,
+        "q153_table_checksum": q153_table_checksum,
     }
 
 
@@ -7772,5 +7788,19 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(nfc_normalize(t), '')) AS nfc_fp,
                    (nfc_normalize(t) <> t) AS changed
             FROM salted
+        """,
+        # order-insensitive row-set checksum: commutative sum of
+        # 56-bit md5 prefixes, exact decimal, emitted as string
+        "q153_table_checksum": """
+            SELECT source,
+                   sum(('0x' || substr(md5(concat_ws('|',
+                         coalesce(doc_id::varchar, chr(0) || 'null'),
+                         coalesce(lang, chr(0) || 'null'),
+                         coalesce(n_chars::varchar, chr(0) || 'null'),
+                         coalesce(text, chr(0) || 'null')
+                       )), 1, 14))::bigint)::decimal(38,0)::varchar
+                     AS checksum,
+                   count(*)::bigint AS n_rows
+            FROM documents GROUP BY source
         """,
     }

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q150_schema_evolution",
     "q151_partition_pruning",
     "q152_nfc_normalization",
+    "q153_table_checksum",
 ]
 
 

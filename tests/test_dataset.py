@@ -707,3 +707,30 @@ def test_group_percentiles_interpolation(spark):
     assert rows["a"]["p25"] == 1.75 and rows["a"]["p50"] == 2.5
     assert rows["a"]["p75"] == 3.25 and rows["a"]["n"] == 4
     assert rows["b"]["p50"] == 10.0 and rows["b"]["n"] == 1
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_rows(spark):
+    from validate_spark.operators.stats import table_checksum
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, s string"
+    )
+    b = spark.createDataFrame(  # same multiset, different order/partitioning
+        [(3, "z"), (1, "x"), (2, "y")], "id long, s string"
+    ).repartition(7)
+    ca = table_checksum(a).collect()[0]
+    cb = table_checksum(b).collect()[0]
+    assert ca["checksum"] == cb["checksum"] and ca["n_rows"] == 3
+    # one changed value changes the checksum
+    c = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "Z")], "id long, s string"
+    )
+    assert table_checksum(c).collect()[0]["checksum"] != ca["checksum"]
+    # NULL and the literal string sentinel collide nowhere obvious:
+    # NULL row-part hashes differently from 'null'
+    d1 = spark.createDataFrame([(1, None)], "id long, s string")
+    d2 = spark.createDataFrame([(1, "null")], "id long, s string")
+    assert (
+        table_checksum(d1).collect()[0]["checksum"]
+        != table_checksum(d2).collect()[0]["checksum"]
+    )

@@ -389,3 +389,44 @@ def group_percentiles(
     ]
     aggs.append(F.count(v).cast("long").alias("n"))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def table_checksum(
+    df: DataFrame,
+    *,
+    cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive row-set checksum — the cheap answer to "did
+    the copy/migration/rewrite preserve every row?" at 10^12 rows,
+    where a sort-and-diff is impossible and a join-based diff
+    (snapdiff.py) costs a full shuffle of both tables.
+
+    Each row hashes to md5(coalesced '|'-joined values) (md5: the
+    boundary-crossing hash rule); the first 14 hex chars become an
+    int64 and SUM as decimal(38,0) — commutative, so partition order,
+    file order and parallelism cannot change the result, and two
+    tables agree iff their row MULTISETS collide (md5 + 56-bit
+    truncation: a forged collision needs ~2^28 rows of adversarial
+    luck per group; for integrity checking, not security). NULL and
+    the string 'null' are kept distinct by a NUL-ish sentinel.
+
+    One map-side-partial aggregate; with ``group_cols`` the checksum
+    is per group (per-partition, per-day, per-source) so a mismatch
+    localizes without re-scanning everything.
+    """
+    use = cols or [c for c in df.columns if not (group_cols or []).count(c)]
+    parts = []
+    for c in use:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+    rowstr = F.concat_ws("|", *parts)
+    h64 = F.conv(F.substring(F.md5(rowstr), 1, 14), 16, 10).cast("long")
+    aggs = [
+        # decimal(38,0) sum is overflow-proof to ~10^21 rows; emitted
+        # as a string so both engines' exact integers compare verbatim
+        F.sum(h64.cast("decimal(38,0)")).cast("string").alias("checksum"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
