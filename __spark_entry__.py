@@ -4172,7 +4172,10 @@ _RULE_ORDER = [  # (violation key, field, validator) in declaration order
 
 def _jl_oracle_sql() -> str:
     """DuckDB replay of q145: the ±1 sign matrix comes from the SAME
-    jl_sign_matrix call the operator uses — inlined as VALUES rows."""
+    jl_sign_matrix call the operator uses — inlined as VALUES rows.
+    A NULL element must NULL the whole coordinate (Spark's fold
+    propagates NULL; plain list_aggregate 'sum' SKIPS it — round-3
+    gotcha), hence the explicit has-NULL CASE."""
     from validate_spark.operators.similarity import jl_sign_matrix
 
     signs = jl_sign_matrix(16, 64, 7)
@@ -4184,10 +4187,14 @@ def _jl_oracle_sql() -> str:
               SELECT * FROM (VALUES {rows}) AS t(k, s)
             )
             SELECT e.vec_id AS key, sm.k::bigint AS k,
-                   round(list_aggregate(
-                     list_transform(generate_series(1, 64),
-                                    i -> e.embedding[i]::double * sm.s[i]),
-                     'sum') / 4.0, 6) AS proj
+                   CASE WHEN len(list_filter(e.embedding,
+                                             x -> x IS NULL)) > 0
+                        THEN NULL
+                        ELSE round(list_aggregate(
+                          list_transform(generate_series(1, 64),
+                                         i -> e.embedding[i]::double
+                                                * sm.s[i]),
+                          'sum') / 4.0, 6) END AS proj
             FROM embeddings e, sm
             WHERE len(e.embedding) = 64
     """
@@ -7698,10 +7705,10 @@ def oracle_sql() -> dict[str, str]:
         "q148_stream_outer_interval_join": """
             WITH err AS (
               SELECT user_id, ts, event_id AS err_id FROM events
-              WHERE event_type = 'error'
+              WHERE event_type = 'error' AND ts IS NOT NULL
             ), clk AS (
               SELECT user_id, ts, event_id AS click_id FROM events
-              WHERE event_type = 'click'
+              WHERE event_type = 'click' AND ts IS NOT NULL
             )
             SELECT err.user_id, err.ts AS ts_l, clk.ts AS ts_r,
                    err.err_id, clk.click_id,
@@ -7794,10 +7801,14 @@ def oracle_sql() -> dict[str, str]:
         "q153_table_checksum": """
             SELECT source,
                    sum(('0x' || substr(md5(concat_ws('|',
-                         coalesce(doc_id::varchar, chr(0) || 'null'),
-                         coalesce(lang, chr(0) || 'null'),
-                         coalesce(n_chars::varchar, chr(0) || 'null'),
-                         coalesce(text, chr(0) || 'null')
+                         CASE WHEN doc_id IS NULL THEN 'N'
+                              ELSE md5(doc_id::varchar) END,
+                         CASE WHEN lang IS NULL THEN 'N'
+                              ELSE md5(lang) END,
+                         CASE WHEN n_chars IS NULL THEN 'N'
+                              ELSE md5(n_chars::varchar) END,
+                         CASE WHEN text IS NULL THEN 'N'
+                              ELSE md5(text) END
                        )), 1, 14))::bigint)::decimal(38,0)::varchar
                      AS checksum,
                    count(*)::bigint AS n_rows

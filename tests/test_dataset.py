@@ -726,11 +726,18 @@ def test_table_checksum_order_insensitive_and_sensitive_to_rows(spark):
         [(1, "x"), (2, "y"), (3, "Z")], "id long, s string"
     )
     assert table_checksum(c).collect()[0]["checksum"] != ca["checksum"]
-    # NULL and the literal string sentinel collide nowhere obvious:
-    # NULL row-part hashes differently from 'null'
+    # NULL vs the literal string 'null' stay distinct
     d1 = spark.createDataFrame([(1, None)], "id long, s string")
     d2 = spark.createDataFrame([(1, "null")], "id long, s string")
     assert (
         table_checksum(d1).collect()[0]["checksum"]
         != table_checksum(d2).collect()[0]["checksum"]
+    )
+    # delimiter injection: a separator shifting across a column
+    # boundary must NOT collide (per-column md5 tokens prevent it)
+    e1 = spark.createDataFrame([("x|y", "z")], "a string, b string")
+    e2 = spark.createDataFrame([("x", "y|z")], "a string, b string")
+    assert (
+        table_checksum(e1).collect()[0]["checksum"]
+        != table_checksum(e2).collect()[0]["checksum"]
     )

@@ -1445,7 +1445,9 @@ def test_random_projection_filters_ragged(spark):
     out = sim.random_projection(df)
     assert sorted({r["key"] for r in out.collect()}) == [1]
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # map-only: fused into the scan
+    # the only allowed exchange is fan_out's round-robin guard on an
+    # under-partitioned input; no hash/range shuffle, no join
+    assert "hashpartitioning" not in plan and "Join" not in plan
 
 
 def test_nfc_normalization_composes_and_flags(spark):

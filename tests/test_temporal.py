@@ -515,7 +515,10 @@ def test_interval_join_left_outer_batch(spark):
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     left = spark.createDataFrame(
         [(1, t0, 100), (1, t0 + dt.timedelta(hours=9), 101),
-         (2, t0, 102)],
+         (2, t0, 102),
+         # NULL event time: dropped in BOTH modes (cannot be
+         # watermark-resolved; batch mirrors streaming)
+         (2, None, 103)],
         "k long, ts timestamp, lid long",
     )
     right = spark.createDataFrame(

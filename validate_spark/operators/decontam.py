@@ -221,7 +221,6 @@ def phrase_contamination(
     corpus: DataFrame,
     phrases: list[str],
     *,
-    key_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Exact-substring benchmark contamination: for each blocked

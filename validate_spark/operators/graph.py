@@ -128,7 +128,12 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint()
-    eo.unpersist()
+    if checkpoint:
+        # every round's localCheckpoint already materialized through
+        # eo; with checkpoint=False the returned plan still references
+        # eo lazily, so unpersisting here would discard the staging
+        # before it was ever used — the caller's action drives it then
+        eo.unpersist()
     return ranks.select(
         "node",
         "rank_e12",

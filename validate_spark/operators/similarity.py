@@ -387,12 +387,15 @@ def random_projection(
     DuckDB — bit-identical per the round-3 gotcha), elements cast to
     double BEFORE multiply so no float-vs-double ladder diverges, and
     /sqrt(out_dim) with out_dim a perfect square divides by an exact
-    power of two (4 for out_dim=16). Vectors whose length ≠ in_dim
-    project to NULL (flagged, not dropped — validation's job to
-    catch).
+    power of two (4 for out_dim=16). Vectors whose length ≠ in_dim are
+    FILTERED — a projection of a ragged vector is meaningless; the
+    arrayDim validator is the advertised way to FLAG them first.
 
-    Scale: map-only — the projection fuses into the scan, zero
-    shuffle. The zip_with/aggregate HOFs are CodegenFallback
+    Scale: map-only on well-partitioned inputs — the projection fuses
+    into the scan. The input is fan_out-guarded (round-3 gotcha: sf
+    parquet scans as ONE partition; 1024 interpreted per-row lambda
+    multiplies on 1 of 32 cores was the q44 incident class), so an
+    under-partitioned source pays one cheap round-robin shuffle. The zip_with/aggregate HOFs are CodegenFallback
     (interpreted per element, D·K multiplies per row); at D·K beyond
     ~10⁴ per row the scale path is an Arrow-batched numpy matmul via
     mapInPandas — which this operator deliberately does NOT use
@@ -417,9 +420,11 @@ def random_projection(
             for row in signs
         ]
     )
+    from validate_spark.session import fan_out
+
     scale = float(out_dim) ** 0.5
     return (
-        df.filter(F.size(v) == in_dim)
+        fan_out(df.filter(F.size(v) == in_dim))
         .select(F.col(key_col).alias("key"), projs.alias("_p"))
         .select("key", F.posexplode("_p").alias("k", "_raw"))
         .select(

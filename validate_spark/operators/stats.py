@@ -402,14 +402,17 @@ def table_checksum(
     where a sort-and-diff is impossible and a join-based diff
     (snapdiff.py) costs a full shuffle of both tables.
 
-    Each row hashes to md5(coalesced '|'-joined values) (md5: the
-    boundary-crossing hash rule); the first 14 hex chars become an
-    int64 and SUM as decimal(38,0) — commutative, so partition order,
-    file order and parallelism cannot change the result, and two
-    tables agree iff their row MULTISETS collide (md5 + 56-bit
-    truncation: a forged collision needs ~2^28 rows of adversarial
-    luck per group; for integrity checking, not security). NULL and
-    the string 'null' are kept distinct by a NUL-ish sentinel.
+    Each COLUMN value hashes to its own md5 first ('N' for NULL) and
+    the row string joins those fixed-alphabet tokens — a raw '|' join
+    of values would let a delimiter shift across a column boundary
+    forge a collision (('x|y','z') vs ('x','y|z')), and a sentinel
+    could collide with real data; md5 tokens make the row encoding
+    uniquely decodable, so only an md5 collision forges equality. The
+    row md5's first 14 hex chars become an int64 and SUM as
+    decimal(38,0) — commutative, so partition order, file order and
+    parallelism cannot change the result, and two tables agree iff
+    their row MULTISETS agree (56-bit truncation: integrity checking,
+    not security).
 
     One map-side-partial aggregate; with ``group_cols`` the checksum
     is per group (per-partition, per-day, per-source) so a mismatch
@@ -418,7 +421,8 @@ def table_checksum(
     use = cols or [c for c in df.columns if not (group_cols or []).count(c)]
     parts = []
     for c in use:
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        v = F.col(c).cast("string")
+        parts.append(F.when(v.isNull(), F.lit("N")).otherwise(F.md5(v)))
     rowstr = F.concat_ws("|", *parts)
     h64 = F.conv(F.substring(F.md5(rowstr), 1, 14), 16, 10).cast("long")
     aggs = [

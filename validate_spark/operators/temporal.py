@@ -440,8 +440,12 @@ def interval_join(
     literals, the exact shape the state manager recognizes to evict
     rows once the other side's watermark passes their reach — state
     is bounded by (watermark + window span) × arrival rate, not by
-    stream length. NULL keys/timestamps drop from the MATCH condition
-    (and drop entirely under inner semantics).
+    stream length. Rows with a NULL event time drop on BOTH sides in
+    BOTH modes — an event-time join cannot watermark-resolve a row
+    that has no event time (this matches the streaming state
+    manager's contract, and the batch path mirrors it so batch ==
+    streaming). A NULL-KEY left row with a valid timestamp never
+    matches, and under left_outer it IS kept with NULL right columns.
 
     ``how="left_outer"`` keeps unmatched left rows (right columns
     NULL). Streaming left-outer is watermark-GATED: an unmatched left

@@ -100,24 +100,28 @@ def evolution_profile(df):
     literal struct explode — zero extra shuffle."""
     from pyspark.sql import functions as F
 
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
-        F.count(F.col(c)).cast("long").alias(f"nn_{c}") for c in df.columns
+    # POSITIONAL aliases: naming them nn_<column> would collide with
+    # an input column literally called n_rows (or an nn_* pair) —
+    # evolved schemas are exactly where weird names show up
+    aggs = [F.count(F.lit(1)).cast("long").alias("_ep_rows")] + [
+        F.count(F.col(c)).cast("long").alias(f"_ep_{i}")
+        for i, c in enumerate(df.columns)
     ]
     wide = df.agg(*aggs)
     entries = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"_ep_{i}").alias("n_nonnull"),
             )
-            for c in df.columns
+            for i, c in enumerate(df.columns)
         ]
     )
     return wide.select(
-        F.explode(entries).alias("e"), F.col("n_rows")
+        F.explode(entries).alias("e"), F.col("_ep_rows")
     ).select(
         F.col("e.column").alias("column"),
-        "n_rows",
+        F.col("_ep_rows").alias("n_rows"),
         F.col("e.n_nonnull").alias("n_nonnull"),
-        (F.col("n_rows") - F.col("e.n_nonnull")).alias("n_null"),
+        (F.col("_ep_rows") - F.col("e.n_nonnull")).alias("n_null"),
     )
