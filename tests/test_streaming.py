@@ -421,3 +421,33 @@ def test_stream_static_enrich_is_stateless_broadcast(spark, tmp_path):
         assert s == got
     finally:
         spark.catalog.dropTempView("enr_t")
+
+
+def test_foreachbatch_sink_idempotent_under_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: firing the SAME batch_id twice
+    (the post-failure re-delivery) must not duplicate sink rows —
+    dynamic partition overwrite rewrites only that batch's partition."""
+    from validate_spark.streaming.validate_stream import foreach_batch_validator
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "")], "doc_id long, text string"
+    )
+    vp = str(tmp_path / "verdicts")
+    mp = str(tmp_path / "manifest")
+    proc = foreach_batch_validator(
+        {"text": "required|minLen:3"},
+        docs.schema,
+        key_cols=["doc_id"],
+        verdicts_path=vp,
+        manifest_path=mp,
+    )
+    proc(docs, 7)
+    proc(docs, 8)
+    proc(docs, 7)  # replay of batch 7 after a simulated sink/commit gap
+    v = spark.read.parquet(vp)
+    assert v.count() == 4  # 2 rows x 2 batches, NOT 6
+    assert v.groupBy("batch_id").count().count() == 2
+    m = spark.read.parquet(mp)
+    assert m.count() == 2  # one manifest row per batch, replay folded
+    row7 = m.filter(F.col("batch_id") == 7).collect()[0]
+    assert row7["n_rows"] == 2 and row7["n_fail"] == 1
