@@ -3977,6 +3977,22 @@ def q153_table_checksum(spark, sf_dir):
     )
 
 
+def q154_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (sampling.mix_temperature_
+    weights): per-source natural share (exact ppm), alpha=0.7 target
+    share, and the sample rate a deterministic sampler should apply —
+    the GPT-3/XLM-R/LLaMA multi-source rebalance, one stratum hash
+    aggregate + two broadcast one-row joins."""
+    from validate_spark.operators.sampling import mix_temperature_weights
+
+    return mix_temperature_weights(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        size_col="n_chars",
+        alpha=0.7,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4132,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_partition_pruning": q151_partition_pruning,
         "q152_nfc_normalization": q152_nfc_normalization,
         "q153_table_checksum": q153_table_checksum,
+        "q154_mix_temperature": q154_mix_temperature,
     }
 
 
@@ -7813,5 +7830,26 @@ def oracle_sql() -> dict[str, str]:
                      AS checksum,
                    count(*)::bigint AS n_rows
             FROM documents GROUP BY source
+        """,
+        # temperature-scaled mix: integer ppm natural shares; the only
+        # floats are the p^alpha normalization over a bounded stratum
+        # count (round-6 safe)
+        "q154_mix_temperature": """
+            WITH sizes AS (
+              SELECT source, sum(n_chars)::bigint AS n_units
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT sum(n_units)::bigint AS t FROM sizes
+            ), powd AS (
+              SELECT source, n_units, t,
+                     (n_units * 1000000 // t)::bigint AS share_ppm,
+                     pow(n_units::double / t, 0.7) AS pa
+              FROM sizes, tot
+            ), z AS (SELECT sum(pa) AS z FROM powd)
+            SELECT source, n_units, share_ppm,
+                   round(pa / z, 6) AS target_share,
+                   round((pa / z) / (n_units::double / t), 6)
+                     AS sample_rate
+            FROM powd, z
         """,
     }

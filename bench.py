@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q151_partition_pruning",
     "q152_nfc_normalization",
     "q153_table_checksum",
+    "q154_mix_temperature",
 ]
 
 

@@ -1464,3 +1464,25 @@ def test_nfc_normalization_composes_and_flags(spark):
     assert rows[1]["nfc_fp"] == rows[2]["nfc_fp"]
     assert rows[3]["changed"] is False
     assert rows[4]["changed"] is None  # NULL text stays NULL-flagged
+
+
+def test_mix_temperature_weights_hand_checked(spark):
+    from validate_spark.operators.sampling import mix_temperature_weights
+
+    df = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "src string, n int"
+    )
+    rows = {r["src"]: r for r in mix_temperature_weights(
+        df, strata_col="src", size_col="n", alpha=0.5).collect()}
+    # natural shares 0.9/0.1; sqrt-scaled: .9487/.3162 -> norm .75/.25
+    assert rows["big"]["share_ppm"] == 900000
+    assert rows["small"]["share_ppm"] == 100000
+    assert abs(rows["big"]["target_share"] - 0.75) < 1e-6
+    assert abs(rows["small"]["target_share"] - 0.25) < 1e-6
+    # alpha<1 up-weights the small source (rate>1), down-weights big
+    assert rows["small"]["sample_rate"] > 1 > rows["big"]["sample_rate"]
+    # alpha=1 is the identity mix
+    ident = {r["src"]: r for r in mix_temperature_weights(
+        df, strata_col="src", size_col="n", alpha=1.0).collect()}
+    assert abs(ident["big"]["sample_rate"] - 1.0) < 1e-6
+    assert abs(ident["small"]["sample_rate"] - 1.0) < 1e-6

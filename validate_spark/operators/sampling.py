@@ -350,3 +350,61 @@ def stratum_quota(
         .filter(F.col(rank_col) <= quota)
         .drop("_h", "_pid", "_lr")
     )
+
+
+def mix_temperature_weights(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    size_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights — the standard
+    multilingual/multi-source rebalancing rule (GPT-3 App. A, XLM-R
+    §3.1, LLaMA): target share of stratum i ∝ p_i^alpha where p_i is
+    its natural share; alpha < 1 up-weights small sources without
+    letting any source dominate. Output per stratum:
+
+      n_units      exact int64 size (sum of ``size_col``)
+      share_ppm    exact integer natural share, parts-per-million
+      target_share alpha-scaled share, round-6
+      sample_rate  target/natural — the per-stratum inclusion rate a
+                   sampler (deterministic_sample) should apply, >1 =
+                   oversample with weighted_mix, round-6
+
+    The two one-row totals broadcast back (no driver action); the
+    only floats are the final p^alpha normalization — per-stratum
+    cardinality is the (small) stratum COUNT, so round-6 is
+    engine-stable (round-4 gotcha); selection stays integer.
+
+    Scale: one hash aggregate on the stratum key + two broadcast
+    one-row joins. Feed the rates to deterministic_sample /
+    weighted_mix for the actual row selection.
+    """
+    sizes = df.groupBy(strata_col).agg(
+        F.sum(F.col(size_col).try_cast("long")).alias("n_units")
+    )
+    tot = sizes.agg(F.sum("n_units").alias("_tot"))
+    with_share = sizes.crossJoin(F.broadcast(tot)).withColumn(
+        "share_ppm",
+        F.expr("n_units * 1000000 DIV _tot"),
+    )
+    powd = with_share.withColumn(
+        "_pa",
+        F.pow(F.col("n_units").cast("double") / F.col("_tot"), F.lit(alpha)),
+    )
+    z = powd.agg(F.sum("_pa").alias("_z"))
+    return (
+        powd.crossJoin(F.broadcast(z))
+        .select(
+            strata_col,
+            "n_units",
+            "share_ppm",
+            F.round(F.col("_pa") / F.col("_z"), 6).alias("target_share"),
+            F.round(
+                (F.col("_pa") / F.col("_z"))
+                / (F.col("n_units").cast("double") / F.col("_tot")),
+                6,
+            ).alias("sample_rate"),
+        )
+    )
