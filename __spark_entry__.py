@@ -3993,6 +3993,42 @@ def q154_mix_temperature(spark, sf_dir):
     )
 
 
+def q155_duplication_profile(spark, sf_dir):
+    """Corpus duplication topline (dedup.duplication_profile): exact-
+    duplicate cluster-size distribution — n_clusters and n_docs per
+    size, two stacked hash aggregates, nothing driver-side. The synth
+    corpus is duplicate-free, so every doc_id%5==0 row collapses onto
+    one of 7 templates (d%7) — a deterministic 7-cluster head plus a
+    unique tail, exercising both ends of the distribution."""
+    from validate_spark.operators.dedup import duplication_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    salted = docs.select(
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("boilerplate template "), (d % 7).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return duplication_profile(salted)
+
+
+def q156_debounce(spark, sf_dir):
+    """Burst suppression (temporal.debounce_first): keep the first
+    event of every rapid same-user burst (gap 2 min, true debounce
+    chaining — an event extends the burst relative to its PREVIOUS
+    event, kept or not), with the suppressed count per burst. Session
+    machinery, one key shuffle."""
+    from validate_spark.operators.temporal import debounce_first
+
+    return debounce_first(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        gap="2 minutes",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4149,6 +4185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_nfc_normalization": q152_nfc_normalization,
         "q153_table_checksum": q153_table_checksum,
         "q154_mix_temperature": q154_mix_temperature,
+        "q155_duplication_profile": q155_duplication_profile,
+        "q156_debounce": q156_debounce,
     }
 
 
@@ -7851,5 +7889,57 @@ def oracle_sql() -> dict[str, str]:
                    round((pa / z) / (n_units::double / t), 6)
                      AS sample_rate
             FROM powd, z
+        """,
+        # duplication topline: cluster-size distribution of exact dups
+        "q155_duplication_profile": f"""
+            WITH salted AS (
+              SELECT CASE WHEN doc_id % 5 = 0
+                          THEN 'boilerplate template ' ||
+                               (doc_id % 7)::varchar
+                          ELSE text END AS text
+              FROM documents
+            ), sizes AS (
+              SELECT md5({_NORM.replace("documents", "salted")}) AS fp,
+                     count(*)::bigint AS cluster_size
+              FROM salted GROUP BY 1
+            )
+            SELECT cluster_size, count(*)::bigint AS n_clusters,
+                   (count(*) * cluster_size)::bigint AS n_docs
+            FROM sizes GROUP BY cluster_size
+        """,
+        # debounce: gaps-and-islands with the SAME <= gap chain rule
+        # as q102; first-of-burst by (ts, event_id)
+        "q156_debounce": """
+            WITH e AS (
+              SELECT user_id AS key, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT key, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY key
+                                                  ORDER BY ts, event_id)
+                               > INTERVAL 2 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), g AS (
+              SELECT key, ts, event_id,
+                     sum(brk) OVER (PARTITION BY key
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS bid
+              FROM f
+            ), bursts AS (
+              SELECT key, bid, min(ts) AS kept_ts,
+                     count(*)::bigint - 1 AS n_folded
+              FROM g GROUP BY key, bid
+            ), first_ids AS (
+              SELECT key, bid, event_id AS kept_id FROM (
+                SELECT key, bid, event_id,
+                       row_number() OVER (PARTITION BY key, bid
+                                          ORDER BY ts, event_id) AS rn
+                FROM g)
+              WHERE rn = 1
+            )
+            SELECT b.key, b.kept_ts, fi.kept_id, b.n_folded
+            FROM bursts b JOIN first_ids fi
+              ON b.key = fi.key AND b.bid = fi.bid
         """,
     }

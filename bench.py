@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q152_nfc_normalization",
     "q153_table_checksum",
     "q154_mix_temperature",
+    "q155_duplication_profile",
+    "q156_debounce",
 ]
 
 

@@ -585,3 +585,29 @@ def test_interval_join_streaming_left_outer_equals_batch(spark, tmp_path):
     got = {r["lid"]: r["rid"]
            for r in spark.table(name).filter(F.col("k") != -999).collect()}
     assert got == {100: 200, 101: None, 102: None}
+
+
+def test_debounce_chains_to_previous_event_not_kept_one(spark):
+    """True debounce: event 3 of a long chain is suppressed because it
+    is within gap of event 2 (also suppressed), even though it is
+    beyond gap of the KEPT event — the naive lag-vs-kept filter gets
+    this wrong."""
+    import datetime as dt
+
+    from validate_spark.operators.temporal import debounce_first
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, s(0), 10), (1, s(90), 11), (1, s(180), 12),  # one chain
+         (1, s(500), 13),                                  # new burst
+         (2, s(0), 20)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    rows = {(r["key"], r["kept_id"]): r["n_folded"]
+            for r in debounce_first(
+                ev, "user_id", "ts", "event_id", gap="2 minutes"
+            ).collect()}
+    # chain 10->11->12 folds into one burst (12 is 180s from 10 but
+    # only 90s from 11); 13 starts fresh; user 2 independent
+    assert rows == {(1, 10): 2, (1, 13): 0, (2, 20): 0}

@@ -1757,3 +1757,35 @@ def dedup_retain_best(
         best, k == best["_keep"], "left_semi"
     )
     return unclustered.unionByName(kept_clustered)
+
+
+def duplication_profile(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Corpus duplication topline — the cluster-SIZE distribution of
+    exact duplicates: one row per cluster size with how many clusters
+    and how many documents sit at that size ("how duplicated is my
+    corpus, and is it one mega-template or a long tail?"). Size 1 =
+    unique documents; total docs = sum(n_docs).
+
+    Two stacked hash aggregates (fingerprint → size → distribution) —
+    the second input is |distinct fingerprints| and the third is
+    |distinct sizes| (tiny); nothing here is driver-side."""
+    from validate_spark.operators.textstats import fingerprint
+
+    sizes = (
+        df.select(fingerprint(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

@@ -598,3 +598,41 @@ def densify_daily(
         ),
     )
     return out
+
+
+def debounce_first(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    gap: str = "2 minutes",
+) -> DataFrame:
+    """Burst suppression — keep only the FIRST event of every rapid
+    burst per key (double-submits, retry storms, scroll spam). "Burst"
+    is true debounce semantics: an event chains into the burst when it
+    is within ``gap`` of the PREVIOUS event (kept or not), i.e. the
+    same merge rule as sessionize — NOT a naive lag filter, which
+    would re-admit the third event of a long chain.
+
+    Output per burst: (key, kept_ts, kept_id, n_folded) where
+    kept_id is the id of the burst's earliest event (id as tiebreak on
+    equal timestamps — deterministic) and n_folded counts suppressed
+    events. One shuffle (hash on key), session-window state; the same
+    expression streams under a watermark like sessionize.
+    """
+    ts = _ts(ts_col)
+    base = df.filter(F.col(key_col).isNotNull() & ts.isNotNull()).select(
+        F.col(key_col).alias("key"),
+        ts.alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    return (
+        base.groupBy(F.session_window("_ts", gap).alias("_w"), F.col("key"))
+        .agg(
+            F.min("_ts").alias("kept_ts"),
+            F.min_by("_id", F.struct("_ts", "_id")).alias("kept_id"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_folded"),
+        )
+        .drop("_w")
+    )
