@@ -4029,6 +4029,15 @@ def q156_debounce(spark, sf_dir):
     )
 
 
+def q157_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (olap.forecast_revenue_change): the canonical
+    zero-join scan-filter-aggregate — date/discount/quantity bands as
+    integer-cents comparisons, one map-side-partial exact int64 sum."""
+    from validate_spark.operators.olap import forecast_revenue_change
+
+    return forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4187,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_mix_temperature": q154_mix_temperature,
         "q155_duplication_profile": q155_duplication_profile,
         "q156_debounce": q156_debounce,
+        "q157_forecast_revenue": q157_forecast_revenue,
     }
 
 
@@ -7941,5 +7951,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.key, b.kept_ts, fi.kept_id, b.n_folded
             FROM bursts b JOIN first_ids fi
               ON b.key = fi.key AND b.bid = fi.bid
+        """,
+        # TPC-H Q6 shape: zero-join band-filtered exact revenue sum
+        "q157_forecast_revenue": """
+            SELECT round(sum(round(l_extendedprice * 100)::bigint
+                             * round(l_discount * 100)::bigint
+                         )::double / 10000, 6) AS revenue,
+                   count(*)::bigint AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND round(l_discount * 100)::bigint BETWEEN 2 AND 4
+              AND round(l_quantity * 100)::bigint < 2400
         """,
     }

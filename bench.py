@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q154_mix_temperature",
     "q155_duplication_profile",
     "q156_debounce",
+    "q157_forecast_revenue",
 ]
 
 

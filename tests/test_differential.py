@@ -448,3 +448,64 @@ def test_query_parser_matches_urllib(spark):
         form = parsed[str(i)]
         for f in fields:
             assert leaf(form, f) == exp[f], (i, f, rows[i][1], leaf(form, f), exp[f])
+
+
+def test_debounce_matches_python_reference(spark):
+    """debounce_first vs a direct single-threaded reference over a
+    deterministic pseudo-random event set (chained-gap semantics)."""
+    import datetime as dt
+    import hashlib
+
+    from validate_spark.operators.temporal import debounce_first
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        h = int(hashlib.md5(f"db:{i}".encode()).hexdigest()[:8], 16)
+        key = h % 5
+        sec = (h // 7) % 3600
+        rows.append((key, t0 + dt.timedelta(seconds=sec), i))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+    got = {(r["key"], r["kept_id"]): (r["kept_ts"], r["n_folded"])
+           for r in debounce_first(df, "k", "ts", "eid", gap="120 seconds").collect()}
+
+    ref = {}
+    by_key = {}
+    for k, ts, eid in rows:
+        by_key.setdefault(k, []).append((ts, eid))
+    for k, evs in by_key.items():
+        evs.sort()
+        burst = None
+        for ts, eid in evs:
+            if burst is None or (ts - prev_ts).total_seconds() > 120:
+                if burst is not None:
+                    ref[(k, burst[1])] = (burst[0], n - 1)
+                burst = (ts, eid)
+                n = 0
+            n += 1
+            prev_ts = ts
+        ref[(k, burst[1])] = (burst[0], n - 1)
+    assert got == ref
+
+
+def test_group_percentiles_match_numpy(spark):
+    """Spark percentile vs numpy linear interpolation on a
+    deterministic value set (the SQL-standard (n-1)*p formula)."""
+    import hashlib
+
+    import numpy as np
+
+    from validate_spark.operators.stats import group_percentiles
+
+    rows = []
+    for i in range(500):
+        h = int(hashlib.md5(f"gp:{i}".encode()).hexdigest()[:8], 16)
+        rows.append((h % 3, h % 1000))
+    df = spark.createDataFrame(rows, "g int, v int")
+    got = {r["g"]: r for r in group_percentiles(
+        df, group_cols=["g"], value_col="v").collect()}
+    for g in (0, 1, 2):
+        vals = np.array([v for gg, v in rows if gg == g], dtype=float)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+            expect = round(float(np.percentile(vals, p * 100)), 6)
+            assert got[g][col] == expect, (g, col)

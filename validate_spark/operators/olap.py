@@ -655,3 +655,41 @@ def waiting_suppliers(
         .limit(k)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    *,
+    start: str = "1997-01-01",
+    end: str = "1998-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.04,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue that WOULD have been earned by dropping
+    discounts in a band — a pure scan-filter-aggregate with zero joins,
+    the canonical pushdown benchmark (every predicate must reach the
+    parquet scan; the aggregate is one map-side-partial sum).
+
+    All three band predicates are INTEGER comparisons on cents (a
+    double BETWEEN on 0.02..0.04 invites representation-edge
+    disagreements between engines); revenue = price_cents *
+    disc_cents sums exactly in int64 (1e-4 units)."""
+    ts = F.col("l_shipdate").try_cast("timestamp")
+    d_c = _cents("l_discount")
+    q_c = _cents("l_quantity")
+    li = lineitem.filter(
+        (ts >= F.to_timestamp(F.lit(start)))
+        & (ts < F.to_timestamp(F.lit(end)))
+        & (d_c >= int(round(disc_lo * 100)))
+        & (d_c <= int(round(disc_hi * 100)))
+        & (q_c < int(round(max_qty * 100)))
+    )
+    g = li.agg(
+        F.sum(_cents("l_extendedprice") * d_c).alias("_rev_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return g.select(
+        F.round(F.col("_rev_e4").cast("double") / 10000, 6).alias("revenue"),
+        "n_lines",
+    )
