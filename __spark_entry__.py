@@ -4038,6 +4038,48 @@ def q157_forecast_revenue(spark, sf_dir):
     return forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
 
 
+def q158_span_annotate(spark, sf_dir):
+    """Nested-preserving span enrichment (textstats.annotate_spans):
+    every span of the interleaved table gains (n_chars, n_tokens,
+    has_ref) via transform+withField — the enrichment itself is a
+    map-side projection with ZERO explode/Exchange (plan-asserted in
+    tests); only the oracle-comparison view at the end flattens. A
+    clean 3-span fixture (q43's formulas, no violation cohorts)."""
+    from validate_spark.operators.textstats import annotate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
+
+    def span(i):
+        kind = F.get(kinds, F.pmod(d + i, F.lit(3)).cast("int"))
+        text = F.substring(F.coalesce(F.col("text"), F.lit("")), 1 + i * 10, 10)
+        mref = F.when(
+            kind != "text",
+            F.concat(F.lit("m-"),
+                     F.lpad(((d * 3 + i) % 100000000).cast("string"), 8, "0")),
+        )
+        return F.struct(
+            kind.alias("kind"), text.alias("text"),
+            mref.alias("media_ref"), F.lit(i).cast("int").alias("offset"),
+        )
+
+    inter = docs.select(
+        d.alias("doc_id"), F.array(span(0), span(1), span(2)).alias("spans")
+    )
+    ann = annotate_spans(inter)
+    return ann.select(
+        "doc_id", F.posexplode("spans").alias("idx", "s")
+    ).select(
+        "doc_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.n_chars").alias("n_chars"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.has_ref").alias("has_ref"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4197,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_duplication_profile": q155_duplication_profile,
         "q156_debounce": q156_debounce,
         "q157_forecast_revenue": q157_forecast_revenue,
+        "q158_span_annotate": q158_span_annotate,
     }
 
 
@@ -7963,5 +8006,24 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND round(l_discount * 100)::bigint BETWEEN 2 AND 4
               AND round(l_quantity * 100)::bigint < 2400
+        """,
+        # nested span enrichment replayed flat: same per-span formulas
+        # as q43's fixture, n_tokens = whitespace tokens of the slice
+        "q158_span_annotate": """
+            WITH base AS (
+              SELECT doc_id, i,
+                (['text','image','audio'])[((doc_id + i) % 3)::int + 1]
+                  AS kind,
+                substr(coalesce(text,''), 1 + i * 10, 10) AS t
+              FROM documents
+              CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+            )
+            SELECT doc_id, i::int AS idx, kind,
+                   strlen(t)::int AS n_chars,
+                   (CASE WHEN trim(t) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(t), '\s+'))
+                    END)::int AS n_tokens,
+                   (kind <> 'text') AS has_ref
+            FROM base
         """,
     }

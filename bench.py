@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q155_duplication_profile",
     "q156_debounce",
     "q157_forecast_revenue",
+    "q158_span_annotate",
 ]
 
 

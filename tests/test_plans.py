@@ -576,3 +576,30 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_annotate_spans_is_pure_projection(spark):
+    """Nested span enrichment must not explode or shuffle — the whole
+    point vs explode-and-regroup (which costs a doc_id shuffle plus
+    collect_list buffers holding the documents themselves)."""
+    import pyspark.sql.functions as F
+
+    from validate_spark.operators.textstats import annotate_spans
+    from validate_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 1000)
+    out = annotate_spans(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+    row = (
+        out.filter(F.size("spans") > 0)
+        .select(
+            F.get("spans", 0)["n_chars"].alias("nc"),
+            F.get("spans", 0)["n_tokens"].alias("nt"),
+            F.size("spans").alias("ns"),
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    assert row["nc"] is not None and row["nt"] is not None and row["ns"] >= 1

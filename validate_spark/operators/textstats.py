@@ -1060,3 +1060,34 @@ def nfc_report(
         F.md5(F.coalesce(norm, F.lit(""))).alias("nfc_fp"),
         (norm != t).alias("changed"),
     )
+
+
+def annotate_spans(
+    df: DataFrame, *, spans_col: str = "spans"
+) -> DataFrame:
+    """Per-span enrichment of the interleaved document schema WITHOUT
+    exploding: each element of ``spans`` gains (n_chars, n_tokens,
+    has_ref) via ``transform`` + ``withField``, preserving the nested
+    shape and span order exactly.
+
+    Scale rationale: explode-then-regroup is the naive route to
+    span-level work — at 10^12 docs that is a full shuffle on doc_id
+    plus a collect_list whose buffers are the documents themselves.
+    This operator is a pure map-side projection (zero Exchange, zero
+    Generate — plan-asserted in tests): the nested array never leaves
+    its row. Downstream span-level rollups then aggregate the
+    ANNOTATED array with `aggregate`/`filter` (still no explode) or
+    explode only the final projection when a flat view is required.
+    """
+    s = F.col(spans_col)
+    enriched = F.transform(
+        s,
+        lambda sp: sp.withField(
+            "n_chars", F.length(F.coalesce(sp["text"], F.lit(""))).cast("int")
+        )
+        .withField(
+            "n_tokens", whitespace_token_count(sp["text"]).cast("int")
+        )
+        .withField("has_ref", sp["media_ref"].isNotNull()),
+    )
+    return df.withColumn(spans_col, enriched)
