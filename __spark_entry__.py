@@ -4080,6 +4080,75 @@ def q158_span_annotate(spark, sf_dir):
     )
 
 
+def q159_stateful_sessionize(spark, sf_dir):
+    """TIMER-driven stateful sessionization (streaming/
+    stateful_session.py): applyInPandasWithState with an EVENT-TIME
+    TIMEOUT — open sessions live in keyed state (parallel arrays),
+    the watermark seals them, and idle keys flush via the timer
+    (state.hasTimedOut with an empty batch — the one custom-state
+    path q56/q105 never exercise). Fixture: 3 time-unordered real
+    chunks, then 3 far-future sentinel chunks marching the watermark
+    so every real session seals before availableNow terminates
+    (sentinel key filtered after the sink). Output set proven == the
+    q102 gaps-and-islands SQL."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from validate_spark.streaming.stateful_session import stateful_sessionize
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q159_")
+    src = f"{tmp}/events"
+    for i in range(3):
+        (
+            events.filter(
+                F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(0.3)
+    for eid, ts in [(-1, "2200-01-01"), (-2, "2210-01-01"),
+                    (-3, "2220-01-01")]:
+        spark.createDataFrame(
+            [(eid, ts, -999, "click", 0.0, None)],
+            "event_id long, _ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("_ts").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = stateful_sessionize(stream, key_col="user_id", ts_col="ts",
+                               gap_s=6 * 3600, watermark="3650 days")
+    name = f"q159_ss_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(2)
+        out = spark.table(name).filter(F.col("key") != -999)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4240,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_debounce": q156_debounce,
         "q157_forecast_revenue": q157_forecast_revenue,
         "q158_span_annotate": q158_span_annotate,
+        "q159_stateful_sessionize": q159_stateful_sessionize,
     }
 
 
@@ -8025,5 +8095,28 @@ def oracle_sql() -> dict[str, str]:
                     END)::int AS n_tokens,
                    (kind <> 'text') AS has_ref
             FROM base
+        """,
+        # timer-sealed stateful sessions == the q102 gaps-and-islands
+        # SQL (same <= gap chain rule; counts, min/max event times)
+        "q159_stateful_sessionize": """
+            WITH e AS (
+              SELECT user_id AS key, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT key, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY key
+                                                  ORDER BY ts)
+                               > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), g AS (
+              SELECT key, ts,
+                     sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+              FROM f
+            )
+            SELECT key, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::bigint AS n_events
+            FROM g GROUP BY key, sid
         """,
     }

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q156_debounce",
     "q157_forecast_revenue",
     "q158_span_annotate",
+    "q159_stateful_sessionize",
 ]
 
 

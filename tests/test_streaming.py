@@ -451,3 +451,56 @@ def test_foreachbatch_sink_idempotent_under_replay(spark, tmp_path):
     assert m.count() == 2  # one manifest row per batch, replay folded
     row7 = m.filter(F.col("batch_id") == 7).collect()[0]
     assert row7["n_rows"] == 2 and row7["n_fail"] == 1
+
+
+def test_stateful_sessionize_timer_flush_equals_batch(spark, tmp_path):
+    """Event-time-timeout path: the real key gets NO further data —
+    only the sentinel key advances the watermark, so every real
+    session must flush via state.hasTimedOut (timer firing on an
+    empty batch). Multi-island state: one batch deposits two islands
+    for the same key."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from validate_spark.operators.temporal import sessionize
+    from validate_spark.streaming.stateful_session import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+    schema = "user_id long, ts timestamp"
+    real = [(1, s(0)), (1, s(60)), (1, s(10_000)),   # two islands, gap 3600
+            (2, s(5))]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(real, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for i, year in enumerate((2200, 2210, 2220)):
+        time.sleep(0.3)
+        spark.createDataFrame(
+            [(-999, dt.datetime(year, 1, 1))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = stateful_sessionize(
+        stream, key_col="user_id", ts_col="ts",
+        gap_s=3600, watermark="3650 days",
+    )
+    q = (sess.writeStream.format("memory").queryName("t_ss159")
+         .outputMode("append").trigger(availableNow=True).start())
+    while q.isActive:
+        q.awaitTermination(2)
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_ss159").filter(F.col("key") != -999).collect()
+    }
+    batch = {
+        (r["user"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(
+            spark.createDataFrame(real, schema), "user_id", "ts",
+            gap="3600 seconds",
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == 3  # two islands for key 1, one for key 2
