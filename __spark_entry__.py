@@ -4149,6 +4149,32 @@ def q159_stateful_sessionize(spark, sf_dir):
             pass
 
 
+def q160_python_datasource(spark, sf_dir):
+    """Custom Python DataSource (sources/pysource.py, the Spark 4
+    pyspark.sql.datasource API): a deterministic md5-synthetic corpus
+    read through format('vs_synth_docs') with planned range
+    partitions (generation on executors, driver-free) — then a
+    per-category rollup. The oracle regenerates every row from the
+    same md5(seed:i) arithmetic over range(n)."""
+    from validate_spark.sources.pysource import SyntheticDocsSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("vs_synth_docs")
+        .option("n", "5000").option("seed", "7").option("n_partitions", "8")
+        .load()
+    )
+    return df.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("text"))))
+        .alias("texts_fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4310,6 +4336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_forecast_revenue": q157_forecast_revenue,
         "q158_span_annotate": q158_span_annotate,
         "q159_stateful_sessionize": q159_stateful_sessionize,
+        "q160_python_datasource": q160_python_datasource,
     }
 
 
@@ -8118,5 +8145,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, min(ts) AS session_start, max(ts) AS session_end,
                    count(*)::bigint AS n_events
             FROM g GROUP BY key, sid
+        """,
+        # custom Python DataSource replay: every row is md5('7:'||i)
+        # arithmetic over range(5000) — the source IS its own oracle
+        "q160_python_datasource": """
+            WITH rows_ AS (
+              SELECT i, md5('7:' || i::varchar) AS h
+              FROM (SELECT unnest(range(5000)) AS i)
+            ), r AS (
+              SELECT substr(h, 1, 1) AS cat,
+                     ('0x' || substr(h, 1, 6))::bigint AS value,
+                     'w' || substr(h, 1, 2) || ' w' || substr(h, 3, 2)
+                       || ' w' || substr(h, 5, 2) AS text
+              FROM rows_
+            )
+            SELECT cat, count(*)::bigint AS n,
+                   sum(value)::bigint AS sum_value,
+                   md5(string_agg(text, '|' ORDER BY text)) AS texts_fp
+            FROM r GROUP BY cat
         """,
     }

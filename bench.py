@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "q157_forecast_revenue",
     "q158_span_annotate",
     "q159_stateful_sessionize",
+    "q160_python_datasource",
 ]
 
 

@@ -453,3 +453,35 @@ def test_partitioned_write_prunes_at_listing(spark, tmp_path):
     assert "shard" not in pushed
     assert got.count() == 100
     assert [r["id"] % 10 for r in got.collect()] == [3] * 100
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """Custom Python DataSource: planned range partitions drive task
+    parallelism (generation executor-side), rows are deterministic
+    across reads, and options shape the output."""
+    from pyspark.sql import functions as F
+
+    from validate_spark.sources.pysource import SyntheticDocsSource, synth_row
+
+    try:
+        spark.dataSource.register(SyntheticDocsSource)
+    except Exception:
+        pass
+    df = (spark.read.format("vs_synth_docs")
+          .option("n", "1000").option("seed", "42")
+          .option("n_partitions", "5").load())
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    # executor rows == the pure-python generator (same md5 math)
+    got = {r["id"]: (r["cat"], r["value"], r["text"])
+           for r in df.filter(F.col("id") < 5).collect()}
+    for i in range(5):
+        _, cat, val, text = synth_row(42, i)
+        assert got[i] == (cat, val, text)
+    # two reads agree (no hidden nondeterminism)
+    a = df.agg(F.sum("value")).collect()[0][0]
+    b = (spark.read.format("vs_synth_docs")
+         .option("n", "1000").option("seed", "42")
+         .option("n_partitions", "5").load()
+         .agg(F.sum("value")).collect()[0][0])
+    assert a == b

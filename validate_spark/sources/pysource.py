@@ -1,0 +1,88 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the extension point for ingesting from systems Spark has no built-in
+connector for (internal document stores, proprietary APIs, seeded
+synthetic corpora). This engine ships one production-shaped example:
+a DETERMINISTIC synthetic document source whose rows are pure md5
+functions of (seed, row id), so any row is reproducible anywhere —
+including inside a DuckDB oracle.
+
+Why this matters at scale: the reader plans ``n_partitions``
+InputPartitions up front (each an [lo, hi) id range), so Spark
+schedules one task per partition and the source scales out exactly
+like a parquet scan — generation happens ON THE EXECUTORS, nothing
+flows through the driver. This is the pattern for wrapping any
+range-addressable external system (keyset-paginated APIs, id-sharded
+tables): partition by key range, read each range inside its task.
+
+Registration: ``spark.dataSource.register(SyntheticDocsSource)`` then
+``spark.read.format("vs_synth_docs").option(...).load()``.
+
+Reference seed: gookit/validate's FromMap/FromStruct creation surface
+(SURVEY §2.1) — lifted to a planned, partitioned Spark source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def synth_row(seed: int, i: int):
+    """One deterministic row — EXACTLY reproducible in SQL as
+    md5(seed || ':' || i) arithmetic (the oracle replays this):
+      cat      first hex char of the row md5
+      value    first 6 hex chars as int
+      text     'w<h0> w<h1> w<h2>' — three 2-hex-char words
+    """
+    h = _md5(f"{seed}:{i}")
+    return (
+        i,
+        h[0],
+        int(h[:6], 16),
+        f"w{h[0:2]} w{h[2:4]} w{h[4:6]}",
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class _SynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.seed = int(options.get("seed", "7"))
+        self.n_partitions = int(options.get("n_partitions", "8"))
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.n_partitions))
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        # runs on an executor; generates ONLY this partition's range
+        for i in range(partition.lo, partition.hi):
+            yield synth_row(self.seed, i)
+
+
+class SyntheticDocsSource(DataSource):
+    """``spark.read.format("vs_synth_docs")`` — options: n, seed,
+    n_partitions."""
+
+    @classmethod
+    def name(cls):
+        return "vs_synth_docs"
+
+    def schema(self):
+        return "id bigint, cat string, value bigint, text string"
+
+    def reader(self, schema):
+        return _SynthReader(self.options)
