@@ -4175,6 +4175,28 @@ def q160_python_datasource(spark, sf_dir):
     )
 
 
+def q161_ngram_udtf(spark, sf_dir):
+    """Python UDTF (validators.make_ngram_udtf): word bigrams of each
+    document emitted by a table function joined LATERALly in SQL —
+    the FROM-clause member of the §2.11 surface. Top-25 bigrams by
+    (count desc, gram) so the result is k-bounded; the oracle replays
+    the same normalization + windowed split in DuckDB."""
+    from validate_spark.functions.validators import make_ngram_udtf
+
+    spark.udtf.register("vs_bigrams", make_ngram_udtf(2))
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q161_docs")
+    return spark.sql(
+        """
+        SELECT g.gram, count(*) AS n
+        FROM q161_docs d, LATERAL vs_bigrams(d.text) g
+        GROUP BY g.gram
+        ORDER BY n DESC, g.gram
+        LIMIT 25
+        """
+    ).withColumn("n", F.col("n").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4337,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_span_annotate": q158_span_annotate,
         "q159_stateful_sessionize": q159_stateful_sessionize,
         "q160_python_datasource": q160_python_datasource,
+        "q161_ngram_udtf": q161_ngram_udtf,
     }
 
 
@@ -8163,5 +8186,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(value)::bigint AS sum_value,
                    md5(string_agg(text, '|' ORDER BY text)) AS texts_fp
             FROM r GROUP BY cat
+        """,
+        # UDTF replay: same normalize + adjacent word pairs, top-25
+        "q161_ngram_udtf": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split({_NORM}, ' ') AS ws
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM words WHERE len(ws) >= 2
+            ), grams AS (
+              SELECT ws[i] || ' ' || ws[i + 1] AS gram
+              FROM pos WHERE ws[i] <> '' AND ws[i + 1] <> ''
+            )
+            SELECT gram, count(*)::bigint AS n
+            FROM grams GROUP BY gram
+            ORDER BY n DESC, gram LIMIT 25
         """,
     }

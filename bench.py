@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q158_span_annotate",
     "q159_stateful_sessionize",
     "q160_python_datasource",
+    "q161_ngram_udtf",
 ]
 
 

@@ -505,3 +505,24 @@ def test_ruleset_json_roundtrip():
     back2 = RuleSet.from_json(payload, validators={"myCheck": my_validator})
     assert back2.hash() == rs2.hash()
     assert back2.validators["myCheck"] is my_validator
+
+
+def test_ngram_udtf_lateral_join(spark):
+    from pyspark.sql import functions as F
+
+    from validate_spark.functions.validators import make_ngram_udtf
+
+    spark.udtf.register("t_bigrams", make_ngram_udtf(2))
+    spark.createDataFrame(
+        [(1, "The quick, quick fox!"), (2, None), (3, "one")],
+        "id long, text string",
+    ).createOrReplaceTempView("t_udtf_docs")
+    rows = spark.sql(
+        "SELECT d.id, g.pos, g.gram FROM t_udtf_docs d, "
+        "LATERAL t_bigrams(d.text) g ORDER BY d.id, g.pos"
+    ).collect()
+    got = [(r["id"], r["pos"], r["gram"]) for r in rows]
+    # normalization: lowercase, punctuation stripped; NULL and
+    # single-word docs emit nothing
+    assert got == [(1, 0, "the quick"), (1, 1, "quick quick"),
+                   (1, 2, "quick fox")]

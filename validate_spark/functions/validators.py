@@ -1044,3 +1044,35 @@ def discover_validators(model) -> dict:
             continue
         out[name[0].lower() + name[1:]] = fn
     return out
+
+
+def make_ngram_udtf(n: int = 2):
+    """Python UDTF (Spark 4 ``pyspark.sql.functions.udtf``) emitting
+    one row per word n-gram of a text — the TABLE-function corner of
+    the §2.11 UDF/UDAF/UDTF surface (scalar UDFs: register_validator;
+    grouped: the drift sketches' applyInPandas; this is the FROM-clause
+    citizen, composable via LATERAL JOIN in SQL).
+
+    Each instance is per-row streaming (eval yields; no buffering);
+    normalization matches textstats.normalize_text so grams agree with
+    the n-gram dedup family. For bulk gram work prefer the native
+    array pipeline (dedup.word_ngram_frame — codegen, no Python); the
+    UDTF exists for ad-hoc SQL composition where a lateral explode of
+    Python logic is the convenient form, and as the registration
+    pattern for genuinely-Python tokenizers.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    norm_re = re.compile(r"[^a-z0-9]+")
+    k = int(n)
+
+    @udtf(returnType="pos int, gram string")
+    class NGramUDTF:
+        def eval(self, text: str):
+            words = [w for w in norm_re.sub(" ", (text or "").lower()).split() if w]
+            for i in range(len(words) - k + 1):
+                yield i, " ".join(words[i : i + k])
+
+    return NGramUDTF
