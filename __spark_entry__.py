@@ -4197,6 +4197,57 @@ def q161_ngram_udtf(spark, sf_dir):
     ).withColumn("n", F.col("n").cast("long"))
 
 
+def q162_python_stream_source(spark, sf_dir):
+    """Custom STREAMING Python DataSource (pysource._SynthStreamReader,
+    SimpleDataSourceStreamReader API): the same md5-deterministic
+    corpus as q160 read via readStream with offset-tracked batches —
+    offsets checkpoint as row ids and replay regenerates identical
+    rows (pure function of seed:i — the source-side idempotence
+    contract). availableNow falls back to single-batch execution for
+    Python stream sources (Spark-documented), so the fixture's chunk
+    covers the whole range in one batch; multi-batch offset
+    progression + readBetweenOffsets replay are exercised directly in
+    test_sources. Complete-mode rollup == q160's batch result == the
+    md5 SQL replay."""
+    from validate_spark.sources.pysource import SyntheticDocsSource
+    import uuid
+
+    try:
+        spark.dataSource.register(SyntheticDocsSource)
+    except Exception:
+        pass
+    st = (
+        spark.readStream.format("vs_synth_docs")
+        .option("n", "5000").option("seed", "7").option("chunk", "5000")
+        .load()
+    )
+    agg = st.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("text"))))
+        .alias("texts_fp"),
+    )
+    name = f"q162_pss_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(2)
+        out = spark.table(name)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4360,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_stateful_sessionize": q159_stateful_sessionize,
         "q160_python_datasource": q160_python_datasource,
         "q161_ngram_udtf": q161_ngram_udtf,
+        "q162_python_stream_source": q162_python_stream_source,
     }
 
 
@@ -8204,5 +8256,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*)::bigint AS n
             FROM grams GROUP BY gram
             ORDER BY n DESC, gram LIMIT 25
+        """,
+        # streaming custom source == the same md5 replay as q160
+        "q162_python_stream_source": """
+            WITH rows_ AS (
+              SELECT i, md5('7:' || i::varchar) AS h
+              FROM (SELECT unnest(range(5000)) AS i)
+            ), r AS (
+              SELECT substr(h, 1, 1) AS cat,
+                     ('0x' || substr(h, 1, 6))::bigint AS value,
+                     'w' || substr(h, 1, 2) || ' w' || substr(h, 3, 2)
+                       || ' w' || substr(h, 5, 2) AS text
+              FROM rows_
+            )
+            SELECT cat, count(*)::bigint AS n,
+                   sum(value)::bigint AS sum_value,
+                   md5(string_agg(text, '|' ORDER BY text)) AS texts_fp
+            FROM r GROUP BY cat
         """,
     }

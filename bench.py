@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "q159_stateful_sessionize",
     "q160_python_datasource",
     "q161_ngram_udtf",
+    "q162_python_stream_source",
 ]
 
 

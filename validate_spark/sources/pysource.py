@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _md5(s: str) -> str:
@@ -86,3 +91,42 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema):
         return _SynthReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SynthStreamReader(self.options)
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader: offsets are row ids; each
+    micro-batch advances by ``chunk`` rows until ``n`` — then empty
+    batches forever (a bounded replayable stream). ``read(start)``
+    must be SIDE-EFFECT-FREE relative to offsets: Spark checkpoints
+    the (start, end) pair and may replay via readBetweenOffsets after
+    a failure, which regenerates the identical rows because every row
+    is a pure function of (seed, i) — the same idempotence contract
+    as the foreachBatch sinks."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.seed = int(options.get("seed", "7"))
+        self.chunk = int(options.get("chunk", str(self.n)))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = int(start["i"])
+        hi = min(lo + self.chunk, self.n)
+        return (
+            iter([synth_row(self.seed, i) for i in range(lo, hi)]),
+            {"i": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [synth_row(self.seed, i)
+             for i in range(int(start["i"]), int(end["i"]))]
+        )
+
+    def commit(self, end):
+        pass
