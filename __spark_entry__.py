@@ -4248,6 +4248,40 @@ def q162_python_stream_source(spark, sf_dir):
             pass
 
 
+def q163_variant_extraction(spark, sf_dir):
+    """VARIANT semi-structured ingestion (jsonsrc.variant_fields,
+    Spark 4): deterministic JSON built from documents (doc_id%13==6
+    rows truncated → malformed), parsed ONCE with try_parse_json and
+    probed with typed try_variant_get paths — malformed/missing paths
+    are NULL + a valid flag, never an abort. Oracle replays with
+    DuckDB's json functions behind a json-valid guard."""
+    from validate_spark.sources.jsonsrc import variant_fields
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    j = F.concat(
+        F.lit('{"id": '), d.cast("string"),
+        F.lit(', "meta": {"lang": "'), F.col("lang"),
+        F.lit('", "n": '), F.col("n_chars").cast("string"),
+        F.lit('}, "tags": ["t'), (d % 5).cast("string"),
+        F.lit('", "t'), (d % 3).cast("string"), F.lit('"]}'),
+    )
+    j = F.when(d % 13 == 6, F.substring(j, 1, 20)).otherwise(j)
+    return variant_fields(
+        docs.select(d.alias("doc_id"), j.alias("payload")),
+        "payload",
+        {
+            "vid": ("$.id", "long"),
+            "vlang": ("$.meta.lang", "string"),
+            "vn": ("$.meta.n", "long"),
+            "tag0": ("$.tags[0]", "string"),
+            # mistyped probe: string path read as long -> NULL
+            "lang_as_long": ("$.meta.lang", "long"),
+        },
+        keep=["doc_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4412,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_python_datasource": q160_python_datasource,
         "q161_ngram_udtf": q161_ngram_udtf,
         "q162_python_stream_source": q162_python_stream_source,
+        "q163_variant_extraction": q163_variant_extraction,
     }
 
 
@@ -8273,5 +8308,39 @@ def oracle_sql() -> dict[str, str]:
                    sum(value)::bigint AS sum_value,
                    md5(string_agg(text, '|' ORDER BY text)) AS texts_fp
             FROM r GROUP BY cat
+        """,
+        # VARIANT replay: same JSON fixture; extraction behind a
+        # json-valid guard (DuckDB json_extract THROWS on bad json)
+        "q163_variant_extraction": """
+            WITH built AS (
+              SELECT doc_id,
+                     '{"id": ' || doc_id::varchar
+                     || ', "meta": {"lang": "' || lang
+                     || '", "n": ' || n_chars::varchar
+                     || '}, "tags": ["t' || (doc_id % 5)::varchar
+                     || '", "t' || (doc_id % 3)::varchar || '"]}' AS j
+              FROM documents
+            ), payloads AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 6 THEN substr(j, 1, 20)
+                          ELSE j END AS payload
+              FROM built
+            )
+            SELECT doc_id,
+                   json_valid(payload) AS json_valid,
+                   CASE WHEN json_valid(payload)
+                        THEN json_extract(payload, '$.id')::bigint END
+                     AS vid,
+                   CASE WHEN json_valid(payload)
+                        THEN json_extract_string(payload, '$.meta.lang')
+                     END AS vlang,
+                   CASE WHEN json_valid(payload)
+                        THEN json_extract(payload, '$.meta.n')::bigint END
+                     AS vn,
+                   CASE WHEN json_valid(payload)
+                        THEN json_extract_string(payload, '$.tags[0]')
+                     END AS tag0,
+                   NULL::bigint AS lang_as_long
+            FROM payloads
         """,
     }

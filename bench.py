@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "q160_python_datasource",
     "q161_ngram_udtf",
     "q162_python_stream_source",
+    "q163_variant_extraction",
 ]
 
 

@@ -508,3 +508,28 @@ def test_python_stream_source_offsets_and_replay():
     # replay of the checkpointed second batch regenerates identically
     replay = list(r.readBetweenOffsets(offs[1], offs[2]))
     assert replay == seen[4:8]
+
+
+def test_variant_fields_typed_probes(spark):
+    from pyspark.sql import functions as F
+
+    from validate_spark.sources.jsonsrc import variant_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 3}, "t": ["x"], "s": "hi"}'),
+         (2, "not json"),
+         (3, '{"a": {}}')],
+        "id long, payload string",
+    )
+    rows = {r["id"]: r for r in variant_fields(
+        df, "payload",
+        {"ab": ("$.a.b", "long"), "s": ("$.s", "string"),
+         "t0": ("$.t[0]", "string"), "s_as_long": ("$.s", "long")},
+        keep=["id"],
+    ).collect()}
+    assert rows[1]["json_valid"] and rows[1]["ab"] == 3
+    assert rows[1]["s"] == "hi" and rows[1]["t0"] == "x"
+    assert rows[1]["s_as_long"] is None        # mistyped probe -> NULL
+    assert rows[2]["json_valid"] is False      # malformed -> flagged
+    assert rows[2]["ab"] is None
+    assert rows[3]["json_valid"] and rows[3]["ab"] is None  # missing path

@@ -39,3 +39,32 @@ def validate_json(
     parsed = parse_json_column(df, json_col, ddl_schema, out_col="_doc")
     rs = rules if isinstance(rules, RuleSet) else RuleSet(rules=dict(rules))
     return validate(parsed, rs.prefixed("_doc."), key_cols=key_cols, scene=scene)
+
+
+def variant_fields(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, tuple[str, str]],
+    *,
+    keep: list[str] | None = None,
+    valid_col: str = "json_valid",
+) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    ``try_parse_json`` once per row, then one ``try_variant_get`` per
+    requested (path, type) — malformed JSON and missing/mistyped paths
+    become NULL, never a job abort (the ANSI rule), and ``valid_col``
+    flags parse failures for quarantine routing.
+
+    Why VARIANT over from_json at 10^12 rows: from_json re-parses the
+    string per schema change and forces a FULL struct schema up front;
+    a variant parses ONCE into a binary-encoded tree that any number
+    of downstream extractions share, and schema drift in ignored
+    subtrees costs nothing. The extraction is JVM columnar — no
+    Python.
+    """
+    v = F.try_parse_json(F.col(json_col))
+    cols = [*(F.col(c) for c in (keep or []))]
+    cols.append(v.isNotNull().alias(valid_col))
+    for name, (path, dtype) in fields.items():
+        cols.append(F.try_variant_get(v, path, dtype).alias(name))
+    return df.select(*cols)
