@@ -4282,6 +4282,20 @@ def q163_variant_extraction(spark, sf_dir):
     )
 
 
+def q164_group_mad(spark, sf_dir):
+    """Grouped-agg pandas UDAF (stats.group_mad): per-(lang, source)
+    median absolute deviation of n_chars — the robust dispersion
+    statistic a single native aggregate cannot express (two nested
+    medians); Arrow-batched per group, round-6 == DuckDB's mad()."""
+    from validate_spark.operators.stats import group_mad
+
+    return group_mad(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang", "source"],
+        value_col="n_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4447,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_ngram_udtf": q161_ngram_udtf,
         "q162_python_stream_source": q162_python_stream_source,
         "q163_variant_extraction": q163_variant_extraction,
+        "q164_group_mad": q164_group_mad,
     }
 
 
@@ -8342,5 +8357,13 @@ def oracle_sql() -> dict[str, str]:
                      END AS tag0,
                    NULL::bigint AS lang_as_long
             FROM payloads
+        """,
+        # pandas UDAF replay: DuckDB's mad() is the same
+        # median-of-absolute-deviations with interpolated medians
+        "q164_group_mad": """
+            SELECT lang, source,
+                   round(mad(n_chars::double), 6) AS mad,
+                   count(n_chars)::bigint AS n
+            FROM documents GROUP BY lang, source
         """,
     }

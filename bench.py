@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "q161_ngram_udtf",
     "q162_python_stream_source",
     "q163_variant_extraction",
+    "q164_group_mad",
 ]
 
 

@@ -741,3 +741,19 @@ def test_table_checksum_order_insensitive_and_sensitive_to_rows(spark):
         table_checksum(e1).collect()[0]["checksum"]
         != table_checksum(e2).collect()[0]["checksum"]
     )
+
+
+def test_group_mad_robust_to_outliers(spark):
+    from validate_spark.operators.stats import group_mad
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 4), ("a", 10),
+         ("b", 5), ("b", 5), ("b", 1_000_000),   # outlier barely moves MAD
+         ("c", None)],
+        "g string, v int",
+    )
+    rows = {r["g"]: r for r in group_mad(
+        df, group_cols=["g"], value_col="v").collect()}
+    assert rows["a"]["mad"] == 1.5 and rows["a"]["n"] == 4
+    assert rows["b"]["mad"] == 0.0 and rows["b"]["n"] == 3
+    assert rows["c"]["mad"] is None and rows["c"]["n"] == 0

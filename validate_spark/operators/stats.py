@@ -434,3 +434,52 @@ def table_checksum(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def group_mad(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure (outlier-immune, unlike stddev) — via a GROUPED-AGG pandas
+    UDF, the UDAF member of the extension surface (scalar UDFs:
+    register_validator; table: the UDTF; grouped-map: the drift
+    sketches). MAD is a genuinely two-pass statistic
+    (median(|x - median(x)|)), inexpressible as a single native
+    aggregate — exactly when a pandas UDAF earns its Arrow transfer.
+
+    State honesty (same contract as group_percentiles): the UDAF
+    buffers each GROUP's values on one executor — right for
+    bounded-size groups (per-language, per-source); at unbounded group
+    sizes use the approx sketches. Output round-6 (numpy median ==
+    DuckDB mad interpolation on the same values).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    def _mad_fn(v):
+        import numpy as np
+
+        x = v.dropna().to_numpy(dtype=float)
+        if len(x) == 0:
+            return None
+        return float(np.median(np.abs(x - np.median(x))))
+
+    _mad_fn.__annotations__ = {"v": pd.Series, "return": float}
+    _mad = pandas_udf(_mad_fn, "double")
+
+    # Spark refuses to mix a grouped-agg pandas UDF with NATIVE
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the
+    # count rides along as a second pandas UDAF instead of a join
+    def _n_fn(v):
+        return len(v.dropna())
+
+    _n_fn.__annotations__ = {"v": pd.Series, "return": int}
+    _n = pandas_udf(_n_fn, "long")
+    vc = F.col(value_col).try_cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.round(_mad(vc), 6).alias("mad"),
+        _n(vc).alias("n"),
+    )
