@@ -4296,6 +4296,32 @@ def q164_group_mad(spark, sf_dir):
     )
 
 
+def q165_pii_spans(spark, sf_dir):
+    """PII span extraction report (textstats.pii_spans — audit twin of
+    the scrub filters, same patterns one-source-of-truth): documents
+    salted with deterministic emails/urls/ips per modulus cohort, one
+    row per match in (key, kind, pos, span) long form. Map-side
+    regexp_extract_all + posexplode per kind."""
+    from validate_spark.operators.textstats import pii_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    salted = (
+        F.when(d % 4 == 1, F.concat(t, F.lit(" contact u"),
+                                    d.cast("string"),
+                                    F.lit("@example.com now")))
+        .when(d % 6 == 2, F.concat(t, F.lit(" see https://ex.com/p"),
+                                   d.cast("string"), F.lit(" ok")))
+        .when(d % 9 == 4, F.concat(t, F.lit(" from 10.0."),
+                                   (d % 256).cast("string"), F.lit("."),
+                                   (d % 200).cast("string"),
+                                   F.lit(" logged")))
+        .otherwise(t)
+    )
+    return pii_spans(docs.select("doc_id", salted.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4462,6 +4488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_python_stream_source": q162_python_stream_source,
         "q163_variant_extraction": q163_variant_extraction,
         "q164_group_mad": q164_group_mad,
+        "q165_pii_spans": q165_pii_spans,
     }
 
 
@@ -4527,6 +4554,48 @@ def _jl_oracle_sql() -> str:
                           'sum') / 4.0, 6) END AS proj
             FROM embeddings e, sm
             WHERE len(e.embedding) = 64
+    """
+
+
+def _pii_spans_oracle_sql() -> str:
+    """DuckDB replay of q165: the SAME pattern constants the scrub
+    filters and pii_spans use (one source of truth), one
+    regexp_extract_all + per-element unnest per kind."""
+    from validate_spark.functions.filters import _PII_PATTERNS
+
+    pats = {
+        "email": _PII_PATTERNS["scrubEmail"][0],
+        "url": _PII_PATTERNS["scrubUrl"][0],
+        "ip": _PII_PATTERNS["scrubIp"][0],
+    }
+    parts = []
+    for kind, pat in pats.items():
+        p = pat.replace("'", "''")
+        parts.append(f"""
+              SELECT doc_id AS key, '{kind}' AS kind,
+                     unnest(generate_series(1, len(ms))) AS i1, ms
+              FROM (SELECT doc_id,
+                           regexp_extract_all(t, '{p}', 0) AS ms
+                    FROM salted)""")
+    un = "\n              UNION ALL".join(parts)
+    return f"""
+            WITH salted AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 4 = 1 THEN text || ' contact u'
+                            || doc_id::varchar || '@example.com now'
+                       WHEN doc_id % 6 = 2 THEN text
+                            || ' see https://ex.com/p'
+                            || doc_id::varchar || ' ok'
+                       WHEN doc_id % 9 = 4 THEN text || ' from 10.0.'
+                            || (doc_id % 256)::varchar || '.'
+                            || (doc_id % 200)::varchar || ' logged'
+                       ELSE text END AS t
+              FROM documents
+            ), matches AS ({un}
+            )
+            SELECT key, kind, (i1 - 1)::int AS pos, ms[i1] AS span
+            FROM matches
     """
 
 
@@ -8366,4 +8435,7 @@ def oracle_sql() -> dict[str, str]:
                    count(n_chars)::bigint AS n
             FROM documents GROUP BY lang, source
         """,
+        # PII span replay: same salts, same Java-AND-RE2 patterns as
+        # the scrub filters (imported one-source-of-truth below)
+        "q165_pii_spans": _pii_spans_oracle_sql(),
     }

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q162_python_stream_source",
     "q163_variant_extraction",
     "q164_group_mad",
+    "q165_pii_spans",
 ]
 
 

@@ -1486,3 +1486,21 @@ def test_mix_temperature_weights_hand_checked(spark):
         df, strata_col="src", size_col="n", alpha=1.0).collect()}
     assert abs(ident["big"]["sample_rate"] - 1.0) < 1e-6
     assert abs(ident["small"]["sample_rate"] - 1.0) < 1e-6
+
+
+def test_pii_spans_extraction_matches_scrub_patterns(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co and c@d.org, ip 10.0.0.1, bad 999.1.1.1"),
+         (2, "https://x.io/a then http://y.z/b"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {(r["key"], r["kind"], r["pos"]): r["span"]
+            for r in ts.pii_spans(docs).collect()}
+    assert rows[(1, "email", 0)] == "a@b.co"
+    assert rows[(1, "email", 1)] == "c@d.org"
+    assert rows[(1, "ip", 0)] == "10.0.0.1"
+    assert (1, "ip", 1) not in rows  # 999.x is not an IP (octet bound)
+    assert rows[(2, "url", 0)] == "https://x.io/a"
+    assert rows[(2, "url", 1)] == "http://y.z/b"
+    assert not any(k[0] == 3 for k in rows)  # NULL text: no spans

@@ -1091,3 +1091,46 @@ def annotate_spans(
         .withField("has_ref", sp["media_ref"].isNotNull()),
     )
     return df.withColumn(spans_col, enriched)
+
+
+def pii_spans(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "url", "ip"),
+) -> DataFrame:
+    """PII span EXTRACTION report — the audit-side twin of the scrub
+    filters (functions/filters.py shares the exact same Java∩RE2
+    patterns, one source of truth): long format (key, kind, span,
+    pos) with one row per match, so a privacy review can see WHAT
+    would be scrubbed before committing to destruction, route docs by
+    PII density, or diff scrub configs.
+
+    Plan: regexp_extract_all per kind into arrays on the scan, one
+    posexplode per kind unioned — map-side only until the caller
+    aggregates; fan_out-guarded (regex-heavy per-row work, the
+    1-partition gotcha)."""
+    from validate_spark.functions.filters import _PII_PATTERNS
+    from validate_spark.session import fan_out
+
+    name_map = {"email": "scrubEmail", "url": "scrubUrl",
+                "phone": "scrubPhone", "ip": "scrubIp"}
+    src = fan_out(df)
+    parts = []
+    for kind in kinds:
+        pat, _ = _PII_PATTERNS[name_map[kind]]
+        arr = F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(pat), 0
+        )
+        parts.append(
+            src.select(
+                F.col(key_col).alias("key"),
+                F.lit(kind).alias("kind"),
+                F.posexplode(arr).alias("pos", "span"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select("key", "kind", F.col("pos").cast("int"), "span")
