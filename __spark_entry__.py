@@ -4322,6 +4322,28 @@ def q165_pii_spans(spark, sf_dir):
     return pii_spans(docs.select("doc_id", salted.alias("text")))
 
 
+def q166_top_sources_with_ties(spark, sf_dir):
+    """Rank-with-ties per group: the top-2 sources per language by
+    document count, KEEPING ties — dense_rank over the aggregated
+    frame (row_number would break ties arbitrarily and non-
+    deterministically across engines; rank/dense_rank are the
+    tie-safe citizens, and the window runs over the (lang, source)
+    AGGREGATE — |groups| rows — never the raw corpus)."""
+    from pyspark.sql import Window
+
+    g = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_docs").desc())
+    return (
+        g.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("lang", "source", "n_docs", "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -4489,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_variant_extraction": q163_variant_extraction,
         "q164_group_mad": q164_group_mad,
         "q165_pii_spans": q165_pii_spans,
+        "q166_top_sources_with_ties": q166_top_sources_with_ties,
     }
 
 
@@ -8438,4 +8461,18 @@ def oracle_sql() -> dict[str, str]:
         # PII span replay: same salts, same Java-AND-RE2 patterns as
         # the scrub filters (imported one-source-of-truth below)
         "q165_pii_spans": _pii_spans_oracle_sql(),
+        # tie-safe grouped top-k: dense_rank over the aggregate
+        "q166_top_sources_with_ties": """
+            WITH g AS (
+              SELECT lang, source, count(*)::bigint AS n_docs
+              FROM documents GROUP BY lang, source
+            )
+            SELECT lang, source, n_docs, rnk FROM (
+              SELECT lang, source, n_docs,
+                     dense_rank() OVER (PARTITION BY lang
+                                        ORDER BY n_docs DESC)::bigint
+                       AS rnk
+              FROM g)
+            WHERE rnk <= 2
+        """,
     }

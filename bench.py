@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q163_variant_extraction",
     "q164_group_mad",
     "q165_pii_spans",
+    "q166_top_sources_with_ties",
 ]
 
 
