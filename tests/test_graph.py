@@ -45,6 +45,19 @@ def test_parallel_edges_split_outdegree(spark):
     assert r[3] == base + third
 
 
+def test_pagerank_reliable_checkpoint(spark, tmp_path):
+    # reliable=True rounds truncate into the reliable checkpoint dir
+    # (executor-loss-survivable at cluster scale) and must replay the
+    # exact same integer fixed point as the local default
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {
+        row["node"]: row["rank_e12"]
+        for row in pagerank(e, n_iters=2, reliable=True).collect()
+    }
+    assert r == {1: SCALE // 2, 2: SCALE // 2}
+
+
 def test_total_mass_is_bounded_and_positive(spark):
     docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
     e = synthetic_doc_links(docs)

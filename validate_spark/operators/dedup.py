@@ -45,6 +45,54 @@ from validate_spark.operators.textstats import fingerprint, normalize_text
 from validate_spark.session import fan_out as _fan_out
 
 
+def _two_phase_buckets(
+    df: DataFrame,
+    group_cols: list[str],
+    member: Column,
+    max_bucket: int,
+) -> DataFrame:
+    """Bounded LSH-bucket collection: (group_cols..., ms) where ``ms``
+    is the sorted member array of every bucket with 2..max_bucket
+    members.
+
+    A single-stage ``groupBy(bucket).collect_set`` buffers EVERY member
+    of a hot bucket before the size filter can drop it — collect_*
+    partial aggregation does NOT bound shuffle bytes (CLAUDE.md r2), so
+    one boilerplate band signature / sign-bucket shared by 10^8 docs
+    builds a multi-GB aggregation buffer on ONE task, then gets
+    discarded. This is the exact_duplicates two-phase pattern: stage 1
+    groups by (spark_partition_id, bucket) so each buffer holds at most
+    one task's members, sliced to ``max_bucket + 1``; stage 2 merges
+    the capped locals. ``total`` (summed exact per-task counts) detects
+    overflow even when every local slice truncated — callers must feed
+    rows UNIQUE per (bucket, member) so the count equals the member
+    count (true for all four LSH paths: one row per (doc, band/chunk/
+    prefix-gram/sign-bucket)). For any KEPT bucket (total <= max_bucket)
+    no local slice dropped anything, so ``ms`` is provably complete —
+    output identical to the single-stage plan, buffers bounded by task
+    input size. ``member`` structs must order on a unique leading field
+    (the doc key) so array_sort never compares heavy trailing fields
+    (e.g. embedding vectors)."""
+    cap = max_bucket + 1
+    local = df.groupBy(
+        F.spark_partition_id().alias("_p"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.slice(F.array_sort(F.collect_set(member)), 1, cap).alias("ms"),
+    )
+    return (
+        local.groupBy(*group_cols)
+        .agg(
+            F.sum("c").alias("total"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("ms"))), 1, cap
+            ).alias("ms"),
+        )
+        .filter((F.col("total") > 1) & (F.col("total") <= max_bucket))
+        .select(*group_cols, "ms")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------
@@ -407,10 +455,9 @@ def minhash_candidates_from_sets(
         "k", "n", band_signatures(F.col("sig"), n_bands, rows_per_band).alias("bands")
     )
     exploded = banded.select("k", "n", F.posexplode("bands").alias("band", "bsig"))
-    buckets = (
-        exploded.groupBy("band", "bsig")
-        .agg(F.array_sort(F.collect_set(F.struct("k", "n"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    # bounded hot-bucket collection — one row per (k, band), unique
+    buckets = _two_phase_buckets(
+        exploded, ["band", "bsig"], F.struct("k", "n"), max_bucket
     )
 
     def pair_ok(x, y):
@@ -665,10 +712,10 @@ def ngram_jaccard_pairs(
         .select("k", "n", F.explode(F.slice(F.col("sg"), F.lit(1), plen)).alias("pg"))
         .select("k", "n", F.col("pg.g").alias("g"))
     )
-    buckets = (
-        prefixed.groupBy("g")
-        .agg(F.array_sort(F.collect_set(F.struct("k", "n"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    # bounded hot-bucket collection — a stop-word-grade gram that
+    # survives prefix selection must not buffer single-stage
+    buckets = _two_phase_buckets(
+        prefixed, ["g"], F.struct("k", "n"), max_bucket
     )
     ratio_min = threshold - 1e-6
 
@@ -877,10 +924,10 @@ def simhash_candidates(
             )
         ).alias("cv"),
     ).select("k", "sig", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
-    buckets = (
-        chunks.groupBy("chunk", "val")
-        .agg(F.array_sort(F.collect_set(F.struct("k", "sig"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    # bounded hot-bucket collection — a degenerate chunk value (e.g.
+    # the all-zeros chunk of short docs) must not buffer single-stage
+    buckets = _two_phase_buckets(
+        chunks, ["chunk", "val"], F.struct("k", "sig"), max_bucket
     )
     pairs = buckets.select(
         F.explode(
@@ -990,10 +1037,13 @@ def embedding_neardup_lsh(
     bucket = sum(bits[1:], bits[0])
 
     tagged = df.select(F.col(key_col).alias("k"), v.alias("vec"), bucket.alias("bucket"))
-    grouped = (
-        tagged.groupBy("bucket")
-        .agg(F.collect_list(F.struct("k", "vec")).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    # bounded hot-bucket collection — heavier than the minhash case
+    # (each member carries a FULL vector: one hot sign-bucket, e.g. an
+    # all-zeros vector class, is dim×8 bytes × members on one task
+    # single-stage); the unique leading k means vectors are never
+    # compared by the sort
+    grouped = _two_phase_buckets(
+        tagged, ["bucket"], F.struct("k", "vec"), max_bucket
     )
     pairs = grouped.select(
         F.explode(

@@ -50,6 +50,7 @@ def pagerank(
     n_iters: int = 3,
     damping_pct: int = 85,
     checkpoint: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over an edge list. Nodes are the union
     of sources and destinations; parallel edges count once each (a
@@ -60,6 +61,14 @@ def pagerank(
 
     ``damping_pct`` is an integer percentage (85 = the classic 0.85)
     so the contribution arithmetic stays in int64.
+
+    ``reliable=True`` (mirrors ``dedup.dedup_clusters``) truncates each
+    round with ``checkpoint()`` into ``sc.setCheckpointDir``'s storage
+    instead of ``localCheckpoint()``: local checkpoints live in
+    executor block storage, so losing ONE executor mid-loop kills the
+    whole multi-hour job at cluster scale (truncated lineage is
+    unrecoverable by design). The right setting for real cluster runs;
+    the local default keeps tests and single-node runs dependency-free.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -96,8 +105,11 @@ def pagerank(
             base_expr.alias("_base"),
         )
     )
+    ckpt = (lambda d: d.checkpoint()) if reliable else (
+        lambda d: d.localCheckpoint()
+    )
     if checkpoint:
-        ranks = ranks.localCheckpoint()
+        ranks = ckpt(ranks)
     for _ in range(n_iters):
         # damped per-edge contribution: rank*85 DIV 100 DIV outdeg —
         # ints end to end; the edge stream shuffles once on dst
@@ -127,7 +139,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = ckpt(ranks)
     if checkpoint:
         # every round's localCheckpoint already materialized through
         # eo; with checkpoint=False the returned plan still references
