@@ -504,3 +504,62 @@ def test_stateful_sessionize_timer_flush_equals_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == 3  # two islands for key 1, one for key 2
+
+
+def test_stateful_sessionize_rocksdb_provider(spark, tmp_path):
+    """The same custom stateful operator under the RocksDB state-store
+    provider — the production setting for large keyed state at 100-TB
+    scale (sessionization / stream-stream joins hold state far beyond
+    executor heap; the default HDFS-backed store keeps every version
+    in memory). The provider is a query-start conf, so setting it
+    around .start() is enough; output must be byte-identical to the
+    default provider's."""
+    import datetime as dt
+    import time
+
+    from validate_spark.streaming.stateful_session import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+    schema = "user_id long, ts timestamp"
+    real = [(1, s(0)), (1, s(60)), (1, s(10_000)), (2, s(5))]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(real, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for year in (2200, 2210, 2220):
+        time.sleep(0.3)
+        spark.createDataFrame(
+            [(-999, dt.datetime(year, 1, 1))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sess = stateful_sessionize(
+            stream, key_col="user_id", ts_col="ts",
+            gap_s=3600, watermark="3650 days",
+        )
+        q = (sess.writeStream.format("memory").queryName("t_ss_rocks")
+             .outputMode("append").trigger(availableNow=True).start())
+        while q.isActive:
+            q.awaitTermination(2)
+    finally:
+        spark.conf.set(key, old)
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_ss_rocks").filter(F.col("key") != -999).collect()
+    }
+    expected = {
+        (1, s(0), s(60), 2),
+        (1, s(10_000), s(10_000), 1),
+        (2, s(5), s(5), 1),
+    }
+    assert got == expected

@@ -63,6 +63,23 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """Build the tuned session. ``extra_conf`` lets a deployment add
+    cluster-specific settings; the one that matters for PRODUCTION
+    Structured Streaming with large keyed state (sessionization,
+    stream-stream joins) is the RocksDB state store::
+
+        get_spark(extra_conf={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+        })
+
+    The default HDFS-backed provider keeps every store version on the
+    executor HEAP — fine for fixtures, an OOM at 10^9 live sessions.
+    RocksDB spills state to local disk with incremental checkpointing.
+    Output semantics are identical (asserted by
+    tests/test_streaming.py::test_stateful_sessionize_rocksdb_provider);
+    it is also a per-query conf, settable before ``.start()``."""
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"

@@ -17,6 +17,17 @@ tables): partition by key range, read each range inside its task.
 Registration: ``spark.dataSource.register(SyntheticDocsSource)`` then
 ``spark.read.format("vs_synth_docs").option(...).load()``.
 
+COST BOUNDARY (read this before reaching for the API): a Python
+DataSource is per-row Python — every row crosses the JVM↔Python
+boundary through a worker process, ~100× the throughput cost of a
+columnar scan, and that is inherent to the API, not to this example
+(q160/q162 cells in BENCH.md state the measured cost). It is the
+right tool ONLY when the upstream system is reachable exclusively
+from Python. For bulk synthetic data use the native column-expression
+generator beside it (``sources/synth.synth_documents`` — whole-stage
+codegen, zero Python) and for anything already on disk use the real
+parquet/CSV/JSON readers. Never make this the bulk-generation path.
+
 Reference seed: gookit/validate's FromMap/FromStruct creation surface
 (SURVEY §2.1) — lifted to a planned, partitioned Spark source.
 """
