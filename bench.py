@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "q164_group_mad",
     "q165_pii_spans",
     "q166_top_sources_with_ties",
+    # round-5 surfaces
+    "q167_optional_parent_gate",
+    "q168_typed_validator_discovery",
 ]
 
 
