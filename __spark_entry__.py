@@ -4482,6 +4482,108 @@ def q168_typed_validator_discovery(spark, sf_dir):
     )
 
 
+def q169_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (olap.min_cost_supplier): region's min-cost
+    supplier per part over the DERIVED partsupp (arithmetic, spec
+    4.2.3-in-kind — olap.derived_partsupp). The correlated min
+    subquery is a groupBy(partkey).min joined back on (partkey,
+    cost); dims broadcast; total-order k-cut."""
+    from validate_spark.operators.olap import min_cost_supplier
+
+    return min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q170_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (olap.national_market_share): one supplier
+    nation's share of AMERICA's yearly ECONOMY-part revenue — exact
+    int64 1e-4 volume sums, single final double division round-6."""
+    from validate_spark.operators.olap import national_market_share
+
+    return national_market_share(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q171_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (olap.product_type_profit): profit per
+    (supplier nation, order year) on '%bolt%' parts — revenue and
+    supply cost both exact 1e-4 int64; partsupp derived
+    dimension-sized and broadcast."""
+    from validate_spark.operators.olap import product_type_profit
+
+    return product_type_profit(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q172_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (olap.important_stock): parts whose ASIA stock
+    value exceeds 0.2% of the regional total — integer
+    cross-multiplied HAVING, total as a broadcast 1-row aggregate."""
+    from validate_spark.operators.olap import important_stock
+
+    return important_stock(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q173_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape, adapted (olap.late_priority_lines): lateness
+    bucket x priority-class conditional counts (schema has no
+    commit/receipt dates or shipmode — adaptation stated)."""
+    from validate_spark.operators.olap import late_priority_lines
+
+    return late_priority_lines(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q174_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (olap.supplier_part_counts): distinct
+    suppliers per (brand, type, size) with brand/type/size and
+    supplier exclusions — two stacked aggregates, never a
+    count_distinct Expand."""
+    from validate_spark.operators.olap import supplier_part_counts
+
+    return supplier_part_counts(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q175_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (olap.promotion_stock_suppliers): EUROPE
+    suppliers holding excess 'red%' stock vs half of 1996 shipments —
+    correlated sum re-expressed as one pre-aggregate + integer
+    compare."""
+    from validate_spark.operators.olap import promotion_stock_suppliers
+
+    return promotion_stock_suppliers(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -4717,6 +4819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_top_sources_with_ties": q166_top_sources_with_ties,
         "q167_optional_parent_gate": q167_optional_parent_gate,
         "q168_typed_validator_discovery": q168_typed_validator_discovery,
+        "q169_min_cost_supplier": q169_min_cost_supplier,
+        "q170_market_share": q170_market_share,
+        "q171_product_profit": q171_product_profit,
+        "q172_important_stock": q172_important_stock,
+        "q173_late_priority": q173_late_priority,
+        "q174_supplier_part_counts": q174_supplier_part_counts,
+        "q175_excess_stock_suppliers": q175_excess_stock_suppliers,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -5328,6 +5437,27 @@ def _q97_sql() -> str:
         """
         + " UNION ALL ".join(parts)
     )
+
+
+# Shared CTE prefix replaying olap.derived_partsupp's arithmetic
+# partsupp (spec-4.2.3-in-kind derivation; all-integer, so DuckDB
+# matches Spark bit-for-bit). Spliced into the q169/q171/q172/q174/
+# q175 oracles — each continues the WITH chain after it.
+_PS_SQL = """
+            WITH nn AS (SELECT count(*)::bigint AS n FROM supplier),
+            ps0 AS (
+              SELECT p_partkey::bigint AS ps_partkey,
+                     (p_partkey + i.i * (nn.n // 4 + 1)) % nn.n AS ps_suppkey
+              FROM part, nn, (VALUES (0),(1),(2),(3)) AS i(i)
+            ),
+            ps AS (
+              SELECT ps_partkey, ps_suppkey,
+                     (ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1
+                       AS ps_availqty,
+                     (ps_partkey * 131 + ps_suppkey * 17) % 90000 + 10000
+                       AS ps_supplycost_c
+              FROM ps0
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8733,5 +8863,178 @@ def oracle_sql() -> dict[str, str]:
               WHERE nc2 IS NOT NULL
                 AND (text IS NULL OR nc2 <> length(text))
             ) WHERE n > 0
+        """,
+        # TPC-H Q2 shape over the derived partsupp (see _PS_SQL)
+        "q169_min_cost_supplier": _PS_SQL + """,
+            sup_r AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            ),
+            eligible AS (
+              SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_c,
+                     u.s_name, u.s_acctbal, u.n_name
+              FROM ps JOIN sup_r u ON ps.ps_suppkey = u.s_suppkey
+            ),
+            mc AS (
+              SELECT ps_partkey, min(ps_supplycost_c) AS min_c
+              FROM eligible GROUP BY ps_partkey
+            )
+            SELECT e.s_acctbal, e.s_name, e.n_name,
+                   e.ps_partkey AS p_partkey, p.p_type,
+                   round(e.ps_supplycost_c / 100.0, 6) AS supplycost
+            FROM eligible e
+            JOIN mc ON e.ps_partkey = mc.ps_partkey
+                   AND e.ps_supplycost_c = mc.min_c
+            JOIN part p ON e.ps_partkey = p.p_partkey
+            WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 25
+            ORDER BY e.s_acctbal DESC, e.n_name, e.s_name,
+                     e.ps_partkey, e.ps_suppkey
+            LIMIT 100
+        """,
+        # TPC-H Q8 shape: exact int64 1e-4 volume, one final division
+        "q170_market_share": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, year(o_orderdate)::int AS o_year
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01'
+            ), j AS (
+              SELECT o.o_year,
+                     round(l.l_extendedprice * 100)::bigint
+                       * (100 - round(l.l_discount * 100)::bigint) AS v,
+                     sn.n_name AS supp_nation
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+                         AND p.p_type = 'ECONOMY'
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              JOIN o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN region r ON cn.n_regionkey = r.r_regionkey
+                           AND r.r_name = 'AMERICA'
+            )
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN v ELSE 0 END)::double
+                         / sum(v)::double, 6) AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        # TPC-H Q9 shape over the derived partsupp
+        "q171_product_profit": _PS_SQL + """,
+            pn AS (SELECT p_partkey::bigint AS pk FROM part
+                   WHERE p_name LIKE '%bolt%'),
+            psx AS (SELECT ps.* FROM ps
+                    JOIN pn ON ps.ps_partkey = pn.pk),
+            j AS (
+              SELECT n.n_name AS nation,
+                     year(o.o_orderdate)::int AS o_year,
+                     round(l.l_extendedprice * 100)::bigint
+                       * (100 - round(l.l_discount * 100)::bigint)
+                     - x.ps_supplycost_c
+                       * round(l.l_quantity * 100)::bigint AS a
+              FROM lineitem l
+              JOIN psx x ON l.l_partkey = x.ps_partkey
+                        AND l.l_suppkey = x.ps_suppkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT nation, o_year, round(sum(a)::double / 10000, 6) AS profit
+            FROM j GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        # TPC-H Q11 shape: integer cross-multiplied HAVING
+        "q172_important_stock": _PS_SQL + """,
+            sup_r AS (
+              SELECT s.s_suppkey FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'
+            ),
+            val AS (
+              SELECT ps.ps_partkey,
+                     ps.ps_supplycost_c * ps.ps_availqty AS v
+              FROM ps JOIN sup_r u ON ps.ps_suppkey = u.s_suppkey
+            ),
+            per_part AS (
+              SELECT ps_partkey, sum(v)::bigint AS pv
+              FROM val GROUP BY ps_partkey
+            ),
+            total AS (SELECT sum(v)::bigint AS tv FROM val)
+            SELECT ps_partkey,
+                   round(pv::double / 100, 6) AS stock_value
+            FROM per_part, total
+            WHERE pv * 1000 > 2 * tv
+            ORDER BY stock_value DESC, ps_partkey
+        """,
+        # TPC-H Q12 shape (adapted: lateness bucket x priority class)
+        "q173_late_priority": """
+            SELECT CASE WHEN l.l_shipdate
+                             > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 'late' ELSE 'ontime' END AS ship_bucket,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::bigint AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END)::bigint AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q16 shape: distinct via stacked GROUP BYs
+        "q174_supplier_part_counts": _PS_SQL + """,
+            p AS (
+              SELECT p_partkey::bigint AS pk, p_brand, p_type, p_size
+              FROM part
+              WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+                AND p_size IN (1,4,7,10,14,19,23,45)
+            ),
+            ok_sup AS (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000.0
+            ),
+            per_supp AS (
+              SELECT p.p_brand, p.p_type, p.p_size, ps.ps_suppkey
+              FROM ps
+              JOIN p ON ps.ps_partkey = p.pk
+              WHERE ps.ps_suppkey IN (SELECT s_suppkey FROM ok_sup)
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(*)::bigint AS supplier_cnt
+            FROM per_supp GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # TPC-H Q20 shape: correlated half-sum as pre-aggregate + int cmp
+        "q175_excess_stock_suppliers": _PS_SQL + """,
+            pn AS (SELECT p_partkey::bigint AS pk FROM part
+                   WHERE p_name LIKE 'red%'),
+            psx AS (SELECT ps.* FROM ps JOIN pn ON ps.ps_partkey = pn.pk),
+            shipped AS (
+              SELECT l_partkey::bigint AS lpk, l_suppkey::bigint AS lsk,
+                     sum(round(l_quantity * 100)::bigint)::bigint AS sq_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            ),
+            excess AS (
+              SELECT x.ps_suppkey
+              FROM psx x
+              LEFT JOIN shipped sh ON x.ps_partkey = sh.lpk
+                                  AND x.ps_suppkey = sh.lsk
+              WHERE x.ps_availqty * 200 > coalesce(sh.sq_c, 0)
+              GROUP BY x.ps_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM excess e
+            JOIN supplier s ON e.ps_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+            ORDER BY s.s_name, s.s_suppkey
         """,
     }

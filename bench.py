@@ -174,6 +174,14 @@ BENCH_QUERIES = [
     # round-5 surfaces
     "q167_optional_parent_gate",
     "q168_typed_validator_discovery",
+    # round-5: the seven remaining TPC-H shapes (full 22-query suite)
+    "q169_min_cost_supplier",
+    "q170_market_share",
+    "q171_product_profit",
+    "q172_important_stock",
+    "q173_late_priority",
+    "q174_supplier_part_counts",
+    "q175_excess_stock_suppliers",
 ]
 
 

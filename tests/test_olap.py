@@ -285,3 +285,90 @@ def test_disjunctive_join_is_broadcast_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     row = out.collect()[0]
     assert row["n_lines"] > 0 and row["revenue"] > 0
+
+
+def test_derived_partsupp_invariants(spark):
+    """4 rows per part, distinct (partkey, suppkey) pairs, suppkeys in
+    range, cost in [10000, 99999] cents — the arithmetic contract the
+    five partsupp oracles replay."""
+    from validate_spark.operators.olap import derived_partsupp
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    supplier = spark.read.parquet(f"{SF}/supplier.parquet")
+    ps = derived_partsupp(part, supplier)
+    n_part = part.count()
+    n_supp = supplier.count()
+    rows = ps.collect()
+    assert len(rows) == 4 * n_part
+    assert len({(r["ps_partkey"], r["ps_suppkey"]) for r in rows}) == len(rows)
+    assert all(0 <= r["ps_suppkey"] < n_supp for r in rows)
+    assert all(10000 <= r["ps_supplycost_c"] <= 99999 for r in rows)
+    assert all(1 <= r["ps_availqty"] <= 9999 for r in rows)
+    # map-only derivation: no Exchange in the plan (the 1-row supplier
+    # count rides a broadcast, part explodes in place)
+    plan = ps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_min_cost_supplier_keeps_min_ties_only(spark):
+    """Q2 shape: only min-cost (part, supplier) rows survive, all ties
+    kept — checked against a driver-side replay of the arithmetic."""
+    from validate_spark.operators.olap import min_cost_supplier
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    supplier = spark.read.parquet(f"{SF}/supplier.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    region = spark.read.parquet(f"{SF}/region.parquet")
+    out = min_cost_supplier(
+        part, supplier, nation, region,
+        region_name="EUROPE", p_type="STANDARD", size_lo=10, size_hi=25,
+    ).collect()
+    # replay: region suppliers, arithmetic partsupp, min per part
+    eur = {
+        r["s_suppkey"]
+        for r in supplier.join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .collect()
+    }
+    n = supplier.count()
+    stride = n // 4 + 1
+    pks = {
+        r["p_partkey"]
+        for r in part.filter(
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").between(10, 25)
+        ).collect()
+    }
+    expect = {}
+    for pk in pks:
+        cands = [
+            ((pk + i * stride) % n, (pk * 131 + ((pk + i * stride) % n) * 17) % 90000 + 10000)
+            for i in range(4)
+        ]
+        cands = [(sk, c) for sk, c in cands if sk in eur]
+        if cands:
+            mc = min(c for _, c in cands)
+            expect[pk] = {(sk, c) for sk, c in cands if c == mc}
+    got = {}
+    for r in out:
+        got.setdefault(r["p_partkey"], set()).add(
+            (None, int(round(r["supplycost"] * 100)))
+        )
+    assert {pk: {c for _, c in v} for pk, v in got.items()} == {
+        pk: {c for _, c in v} for pk, v in expect.items()
+    }
+
+
+def test_supplier_part_counts_no_expand(spark):
+    """Q16 shape: the distinct supplier count must be two stacked
+    aggregates, never a count_distinct Expand."""
+    from validate_spark.operators.olap import supplier_part_counts
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    supplier = spark.read.parquet(f"{SF}/supplier.parquet")
+    out = supplier_part_counts(part, supplier)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

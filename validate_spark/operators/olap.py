@@ -693,3 +693,469 @@ def forecast_revenue_change(
         F.round(F.col("_rev_e4").cast("double") / 10000, 6).alias("revenue"),
         "n_lines",
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp + the seven remaining TPC-H shapes (Q2, Q8, Q9, Q11,
+# Q12-adapted, Q16, Q20) — completes the 22-query suite.
+# ---------------------------------------------------------------------------
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Deterministic ``partsupp`` derived from ``part`` x ``supplier``
+    by key arithmetic — the testdata star schema has no partsupp
+    table, and TPC-H itself DERIVES ps_suppkey from ps_partkey (spec
+    4.2.3's permutation), so an arithmetic derivation is in-kind, not
+    a shortcut. Four supplier rows per part::
+
+        stride          = n_supp DIV 4 + 1
+        ps_suppkey      = (p_partkey + i * stride) % n_supp,  i in 0..3
+        ps_availqty     = (p_partkey*7  + ps_suppkey*3)  % 9999  + 1
+        ps_supplycost_c = (p_partkey*131 + ps_suppkey*17) % 90000 + 10000
+
+    (cost in integer CENTS, 100.00..999.99). The four suppkeys are
+    distinct whenever n_supp >= 8 (i*stride spans < n for i <= 3).
+    All-integer so the DuckDB oracle replays it bit-for-bit.
+
+    Plan: map-only — a 4-way posexplode of ``part`` crossJoined with
+    the BROADCAST 1-row supplier count (no driver collect, no
+    shuffle); at 10^12-row fact scale partsupp stays dimension-sized
+    (4x|part|) and rides broadcast joins like any other dim."""
+    n = supplier.agg(F.count(F.lit(1)).cast("long").alias("_n_supp"))
+    stride = F.expr("_n_supp DIV 4") + F.lit(1)
+    pk = F.col("p_partkey").cast("long")
+    sk = (pk + F.col("_i") * stride) % F.col("_n_supp")
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_partkey",
+            "_n_supp",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+        )
+        .select(
+            pk.alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((pk * 7 + sk * 3) % 9999 + 1).alias("ps_availqty"),
+            ((pk * 131 + sk * 17) % 90000 + 10000).alias("ps_supplycost_c"),
+        )
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    p_type: str = "STANDARD",
+    size_lo: int = 10,
+    size_hi: int = 25,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of a type/size band, the
+    region's supplier(s) offering it at MINIMUM cost, richest first.
+
+    The reference's correlated ``= (SELECT min(ps_supplycost) ...)``
+    subquery is re-expressed as a groupBy(partkey).min over the
+    ALREADY region-filtered partsupp, joined back on
+    (partkey, cost) — both sides hash on ps_partkey, so AQE plans the
+    min-frame side broadcast or co-partitioned with no extra
+    exchange; no correlated re-scan per part. Ties (several suppliers
+    at the min cost) all survive, as in the spec; the k-cut sort is a
+    TOTAL order (acctbal desc, nation, name, partkey, suppkey) so
+    top-k is deterministic for the oracle hash."""
+    sup_r = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = derived_partsupp(part, supplier)
+    eligible = ps.join(
+        F.broadcast(sup_r),
+        ps["ps_suppkey"] == sup_r["s_suppkey"],
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost_c",
+             "s_name", "s_acctbal", "n_name")
+    min_cost = (
+        eligible.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_c").alias("_min_c"))
+        .select(F.col("ps_partkey").alias("_mpk"), "_min_c")
+    )
+    p = part.filter(
+        (F.col("p_type") == p_type)
+        & (F.col("p_size") >= size_lo)
+        & (F.col("p_size") <= size_hi)
+    ).select(F.col("p_partkey").cast("long").alias("_pk"), "p_type")
+    out = (
+        eligible.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mpk"))
+            & (F.col("ps_supplycost_c") == F.col("_min_c")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("_pk"))
+    )
+    return (
+        out.orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("ps_partkey").asc(),
+            F.col("ps_suppkey").asc(),
+        )
+        .limit(k)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_type",
+            F.round(F.col("ps_supplycost_c").cast("double") / 100, 6)
+            .alias("supplycost"),
+        )
+    )
+
+
+def national_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    p_type: str = "ECONOMY",
+    region_name: str = "AMERICA",
+    target_nation: str = "NATION_5",
+    start: str = "1995-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of a region's
+    yearly revenue in one part type. share = sum(vol | supp nation =
+    target) / sum(vol), both EXACT int64 1e-4 sums; the single final
+    double division is identical cross-engine, then round-6.
+
+    Plan: the fact scans once; part / supplier->nation /
+    customer->nation->region are all broadcast dims; one map-side
+    partial aggregate on year. No conditional-aggregate Expand —
+    the numerator is a CASE sum beside the denominator sum."""
+    pt = part.filter(F.col("p_type") == p_type).select(
+        F.col("p_partkey").alias("_pk")
+    )
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("_sn"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("_sk"), "_sn")
+    cr = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select(F.col("n_nationkey").alias("_cnk"))
+        ),
+        F.col("c_nationkey") == F.col("_cnk"),
+    ).select(F.col("c_custkey").alias("_ck"))
+    ots = F.col("o_orderdate").try_cast("timestamp")
+    o = orders.filter(
+        (ots >= F.to_timestamp(F.lit(start))) & (ots < F.to_timestamp(F.lit(end)))
+    ).select("o_orderkey", "o_custkey", F.year(ots).alias("o_year"))
+    vol_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    j = (
+        lineitem.join(F.broadcast(pt), F.col("l_partkey") == F.col("_pk"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("_sk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cr), F.col("o_custkey") == F.col("_ck"))
+        .select("o_year", vol_e4.alias("_v"), F.col("_sn"))
+    )
+    g = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("_sn") == target_nation, F.col("_v")).otherwise(F.lit(0)))
+        .alias("_num"),
+        F.sum("_v").alias("_den"),
+    )
+    return g.select(
+        "o_year",
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6)
+        .alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    *,
+    name_like: str = "bolt",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) on
+    parts whose name contains a word — profit = disc revenue minus
+    supply cost, BOTH in exact 1e-4 int64 units::
+
+        disc_price_e4 = price_c * (100 - disc_c)
+        cost_e4       = ps_supplycost_c * qty_c       (cents x cents)
+
+    so the sum is exact and the final /1e4 double + round-6 is
+    cross-engine identical.
+
+    Plan: fact scans once; the name-filtered part, the derived
+    partsupp (dimension-sized, see derived_partsupp) and
+    supplier->nation are broadcast; orders joins on the order key for
+    the year; one map-side partial aggregate on (nation, year)."""
+    pn = part.filter(F.col("p_name").contains(name_like)).select(
+        F.col("p_partkey").cast("long").alias("_pk")
+    )
+    ps = derived_partsupp(part, supplier).join(
+        F.broadcast(pn), F.col("ps_partkey") == F.col("_pk")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost_c")
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("_sk"), "n_name")
+    o = orders.select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").try_cast("timestamp")).alias("o_year"),
+    )
+    amount_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")) - (
+        F.col("ps_supplycost_c") * _cents("l_quantity")
+    )
+    j = (
+        lineitem.join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("_sk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("n_name", "o_year", amount_e4.alias("_a"))
+    )
+    g = j.groupBy(F.col("n_name").alias("nation"), "o_year").agg(
+        F.sum("_a").alias("_p")
+    )
+    return g.select(
+        "nation",
+        "o_year",
+        F.round(F.col("_p").cast("double") / 10000, 6).alias("profit"),
+    ).orderBy(F.col("nation").asc(), F.col("o_year").desc())
+
+
+def important_stock(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    fraction_num: int = 2,
+    fraction_den: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value held by one region's
+    suppliers exceeds a fraction of that region's TOTAL stock value
+    (spec uses one nation; a region keeps the group non-degenerate on
+    the small test scales — stated, not silent).
+
+    value is exact int64 1e-2 units (cost_cents x availqty); the
+    HAVING compares INTEGER cross-multiplications
+    (value * den > num * total), never a double threshold — the
+    round-2 rule: cross-engine SELECTION stays integer-only.
+
+    Plan: partsupp is dimension-sized; the global total is a 1-row
+    aggregate crossJoined back as a BROADCAST (no driver collect, no
+    second scan of a big fact — partsupp is re-derived map-only)."""
+    sup_r = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("_sk"))
+    ps = derived_partsupp(part, supplier).join(
+        F.broadcast(sup_r), F.col("ps_suppkey") == F.col("_sk")
+    )
+    val = ps.select(
+        "ps_partkey",
+        (F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("_v"),
+    )
+    per_part = val.groupBy("ps_partkey").agg(F.sum("_v").alias("_pv"))
+    total = val.agg(F.sum("_v").alias("_tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_pv") * fraction_den > F.lit(fraction_num) * F.col("_tv"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("_pv").cast("double") / 100, 6).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+def late_priority_lines(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 shape, adapted: the schema has no
+    commitdate/receiptdate/shipmode, so the cross-tab is lateness
+    bucket (shipped more than ``late_days`` after the order date) x
+    order priority class — stated, not silent. Same plan shape as the
+    spec's: one fact-fact join on the order key, then conditional
+    counts in a single map-side-partial aggregate (no Expand)."""
+    sts = F.col("l_shipdate").try_cast("timestamp")
+    li = lineitem.filter(
+        (sts >= F.to_timestamp(F.lit(start))) & (sts < F.to_timestamp(F.lit(end)))
+    ).select("l_orderkey", "l_shipdate")
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    bucket = F.when(
+        F.col("l_shipdate").try_cast("timestamp")
+        > F.col("o_orderdate").try_cast("timestamp")
+        + F.expr(f"INTERVAL {int(late_days)} DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        j.select(bucket.alias("ship_bucket"), hi.alias("_hi"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("_hi").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("_hi")).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def supplier_part_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    *,
+    exclude_brand: str = "Brand#5",
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 4, 7, 10, 14, 19, 23, 45),
+    min_acctbal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    (brand, type, size) — excluding one brand, one type, and
+    "complaint" suppliers (adapted: balance below ``min_acctbal``;
+    the schema has no s_comment — stated, not silent).
+
+    The distinct count is TWO STACKED AGGREGATES — groupBy(brand,
+    type, size, suppkey) then count — never a count_distinct beside
+    another aggregate (the round-4 Expand gotcha); both shuffles are
+    key-local and the first one IS the dedup."""
+    p = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & (F.col("p_type") != exclude_type)
+        & (F.col("p_size").isin(*[int(s) for s in sizes]))
+    ).select(
+        F.col("p_partkey").cast("long").alias("_pk"),
+        "p_brand",
+        "p_type",
+        "p_size",
+    )
+    ok_sup = supplier.filter(F.col("s_acctbal") >= min_acctbal).select(
+        F.col("s_suppkey").alias("_ok_sk")
+    )
+    ps = (
+        derived_partsupp(part, supplier)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("_pk"))
+        .join(F.broadcast(ok_sup), F.col("ps_suppkey") == F.col("_ok_sk"), "left_semi")
+    )
+    per_supp = ps.groupBy("p_brand", "p_type", "p_size", "ps_suppkey").agg(
+        F.lit(1).alias("_one")
+    )
+    return (
+        per_supp.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def promotion_stock_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    name_prefix: str = "red",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: one region's suppliers holding EXCESS stock
+    (availqty > half the year's shipped quantity) of a named part
+    family (spec: one nation + 'forest%'; region + a color prefix
+    here — stated, not silent).
+
+    The spec's nested correlated ``> 0.5 * (SELECT sum(l_quantity)
+    ...)`` is re-expressed: pre-aggregate lineitem once per
+    (partkey, suppkey) — ONE key-local shuffle of the fact — then an
+    INNER join to the (already name-filtered, dimension-sized)
+    partsupp and an INTEGER comparison availqty*200 > sum_qty_c
+    (availqty units vs quantity cents; x2 for the half). A part+supp
+    pair with NO shipments is excess by definition in the spec's
+    NOT-EXISTS reading — kept via a LEFT join with sum coalesced to
+    0. Output dedups suppkeys through groupBy (not distinct beside
+    an agg)."""
+    pn = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        F.col("p_partkey").cast("long").alias("_pk")
+    )
+    ps = derived_partsupp(part, supplier).join(
+        F.broadcast(pn), F.col("ps_partkey") == F.col("_pk")
+    ).select("ps_partkey", "ps_suppkey", "ps_availqty")
+    sts = F.col("l_shipdate").try_cast("timestamp")
+    shipped = (
+        lineitem.filter(
+            (sts >= F.to_timestamp(F.lit(start)))
+            & (sts < F.to_timestamp(F.lit(end)))
+        )
+        .groupBy(
+            F.col("l_partkey").cast("long").alias("_lpk"),
+            F.col("l_suppkey").cast("long").alias("_lsk"),
+        )
+        .agg(F.sum(_cents("l_quantity")).alias("_sq_c"))
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("_lpk"))
+            & (F.col("ps_suppkey") == F.col("_lsk")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty") * 200 > F.coalesce(F.col("_sq_c"), F.lit(0))
+        )
+        .groupBy("ps_suppkey")
+        .agg(F.lit(1).alias("_one"))
+    )
+    sup_r = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        excess.join(F.broadcast(sup_r), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
