@@ -4584,6 +4584,18 @@ def q175_excess_stock_suppliers(spark, sf_dir):
     )
 
 
+def q176_dsir_selection(spark, sf_dir):
+    """DSIR-style importance selection (sampling.dsir_weights — Xie
+    et al. 2023): top-50 docs by hashed-unigram importance of the
+    English slice vs the raw corpus. Per-bucket log-ratios frozen to
+    integer 1e-6 nats, per-doc weights exact int64, md5 bucket hash
+    portable to the oracle."""
+    from validate_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -4826,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_late_priority": q173_late_priority,
         "q174_supplier_part_counts": q174_supplier_part_counts,
         "q175_excess_stock_suppliers": q175_excess_stock_suppliers,
+        "q176_dsir_selection": q176_dsir_selection,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9036,5 +9049,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'EUROPE'
             ORDER BY s.s_name, s.s_suppkey
+        """,
+        # DSIR importance selection: integer 1e-6-nat per-bucket
+        # log-ratios (ln stable cross-engine at the tick — q68's
+        # contract), exact int64 doc weights, md5 bucket gate
+        "q176_dsir_selection": f"""
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en')::int AS is_t,
+                     unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+              FROM documents WHERE length({_NORM}) > 0
+            ), tb AS (
+              SELECT doc_id, is_t,
+                     CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS b
+              FROM toks
+            ), bs AS (
+              SELECT b, sum(is_t)::bigint AS t_cnt,
+                     count(*)::bigint AS r_cnt
+              FROM tb GROUP BY b
+            ), tot AS (
+              SELECT sum(t_cnt)::double AS tt, sum(r_cnt)::double AS rr
+              FROM bs
+            ), lam AS (
+              SELECT b,
+                     CAST(round(1000000.0 *
+                       (ln((t_cnt + 1.0) / (tt + 256.0))
+                        - ln((r_cnt + 1.0) / (rr + 256.0)))) AS BIGINT) AS l
+              FROM bs, tot
+            ), dw AS (
+              SELECT tb.doc_id, count(*)::bigint AS n_tok,
+                     sum(lam.l)::bigint AS w_e6
+              FROM tb JOIN lam ON tb.b = lam.b
+              GROUP BY tb.doc_id
+            )
+            SELECT doc_id::varchar AS doc_id, n_tok,
+                   round(w_e6 / 1000000.0, 6) AS dsir_weight
+            FROM dw ORDER BY w_e6 DESC, doc_id LIMIT 50
         """,
     }

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "q173_late_priority",
     "q174_supplier_part_counts",
     "q175_excess_stock_suppliers",
+    "q176_dsir_selection",
 ]
 
 

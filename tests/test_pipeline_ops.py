@@ -1504,3 +1504,53 @@ def test_pii_spans_extraction_matches_scrub_patterns(spark):
     assert rows[(2, "url", 0)] == "https://x.io/a"
     assert rows[(2, "url", 1)] == "http://y.z/b"
     assert not any(k[0] == 3 for k in rows)  # NULL text: no spans
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_prefers_target_distribution(spark):
+    """Docs written in the target's token distribution must outscore
+    docs from a disjoint distribution, and the weight of a doc made
+    ONLY of target-exclusive tokens must be positive (its buckets'
+    target ratio exceeds the raw ratio)."""
+    from validate_spark.operators.sampling import dsir_weights
+
+    rows = []
+    # 20 target docs over vocabulary A, 20 raw-only docs over vocab B
+    for i in range(20):
+        rows.append((f"t{i:02d}", "alpha beta gamma delta " * 5, 1))
+        rows.append((f"r{i:02d}", "omega psi chi phi " * 5, 0))
+    df = spark.createDataFrame(rows, "doc_id string, text string, is_t int")
+    out = dsir_weights(
+        df, F.col("is_t") == 1, key_col="doc_id", text_col="text", k=40
+    ).collect()
+    w = {r["doc_id"]: r["dsir_weight"] for r in out}
+    assert all(w[f"t{i:02d}"] > w[f"r{i:02d}"] for i in range(20))
+    assert all(w[f"t{i:02d}"] > 0 for i in range(20))
+    assert all(w[f"r{i:02d}"] < 0 for i in range(20))
+    # deterministic: a rerun returns identical weights
+    out2 = dsir_weights(
+        df, F.col("is_t") == 1, key_col="doc_id", text_col="text", k=40
+    ).collect()
+    assert {r["doc_id"]: r["dsir_weight"] for r in out2} == w
+
+
+def test_dsir_single_staged_scan(spark):
+    """The token explode is persisted and SHARED by the bucket-stats
+    branch and the per-doc branch — the plan must read the
+    InMemoryRelation, not scan the parquet twice (r4 two-branch
+    rule)."""
+    from validate_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_weights(docs, F.col("lang") == "en")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both consumers (bucket stats and per-doc rollup) must read the
+    # cache; FileScan appears only inside the InMemoryRelation recipe
+    assert plan.count("InMemoryTableScan") >= 2
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            assert "InMemoryRelation" in plan  # scan lives in the cache recipe
+    spark.catalog.clearCache()

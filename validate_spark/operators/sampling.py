@@ -408,3 +408,109 @@ def mix_temperature_weights(
             ).alias("sample_rate"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc
+    by how much more likely its hashed-unigram bag is under the
+    TARGET distribution (rows matching ``target_pred``) than under
+    the RAW corpus, and return the top-``k``.
+
+    Per bucket b the log-ratio is frozen to an INTEGER in 1e-6 nats::
+
+        lam[b] = round(1e6 * (ln((t_cnt+s)/(T+s*B)) - ln((r_cnt+s)/(R+s*B))))
+
+    so each doc's weight is an EXACT int64 sum of its tokens'
+    lam values — selection and ordering stay integer-only (the
+    round-3 cross-engine rule); only the display column divides back
+    to nats. Token -> bucket is the portable md5 gate (first 8 hex
+    chars -> int, mod B) so the DuckDB oracle replays bit-for-bit;
+    the ln itself is cross-engine-stable at the 1e-6 tick (same
+    contract as unigram_logprob_scores' round-6 mean_logp).
+
+    Scale shape: ONE token-explode scan staged and shared by both
+    consumers (persisted — the r4 two-branch rule); bucket stats are
+    a B-row aggregate broadcast back; the per-doc rollup is the only
+    key shuffle (map-side partial sums); the k-cut is
+    TakeOrderedAndProject on the exact integer. The explode rides
+    fan_out so a single-file parquet scan still uses every core."""
+    from validate_spark.operators.textstats import normalize_text
+    from validate_spark.session import fan_out
+
+    s = float(smoothing)
+    B = int(n_buckets)
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(key_col).cast("string").alias("k"),
+            target_pred.cast("int").alias("_is_t"),
+            normalize_text(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.length("_t") > 0)
+        .select("k", "_is_t", F.explode(F.split("_t", " ")).alias("_tok"))
+        .select(
+            "k",
+            "_is_t",
+            (
+                F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+                % F.lit(B)
+            ).alias("_b"),
+        )
+        .persist()
+    )
+    bs = toks.groupBy("_b").agg(
+        F.sum("_is_t").cast("long").alias("_t_cnt"),
+        F.count(F.lit(1)).cast("long").alias("_r_cnt"),
+    )
+    tot = bs.agg(
+        F.sum("_t_cnt").cast("double").alias("_T"),
+        F.sum("_r_cnt").cast("double").alias("_R"),
+    )
+    lam = (
+        bs.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.col("_t_cnt").cast("double") + F.lit(s))
+                        / (F.col("_T") + F.lit(s * B))
+                    )
+                    - F.log(
+                        (F.col("_r_cnt").cast("double") + F.lit(s))
+                        / (F.col("_R") + F.lit(s * B))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("_lam"),
+        )
+    )
+    dw = (
+        toks.join(F.broadcast(lam), "_b")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("_lam").cast("long").alias("_w_e6"),
+        )
+    )
+    return (
+        dw.orderBy(F.col("_w_e6").desc(), F.col("k").asc())
+        .limit(int(k))
+        .select(
+            F.col("k").alias(key_col),
+            "n_tok",
+            F.round(F.col("_w_e6").cast("double") / 1e6, 6).alias("dsir_weight"),
+        )
+    )
