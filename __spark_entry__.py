@@ -4596,6 +4596,21 @@ def q176_dsir_selection(spark, sf_dir):
     return dsir_weights(docs, F.col("lang") == "en")
 
 
+def q177_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter contamination screen (decontam.bloom_contamination):
+    2048x63-bit filter over the benchmark trigrams (same d%37 bench
+    slice as q49's exact screen), two md5 probe positions per gram,
+    probed via two broadcast joins — the membership path that stays
+    broadcastable when the exact gram set (10^9+ at 100 TB) is not.
+    Conservative: no false negatives vs q49, bounded false-positive
+    inflation."""
+    from validate_spark.operators.decontam import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return bloom_contamination(docs, bench)
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -4839,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_supplier_part_counts": q174_supplier_part_counts,
         "q175_excess_stock_suppliers": q175_excess_stock_suppliers,
         "q176_dsir_selection": q176_dsir_selection,
+        "q177_bloom_decontamination": q177_bloom_decontamination,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9084,5 +9100,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::varchar AS doc_id, n_tok,
                    round(w_e6 / 1000000.0, 6) AS dsir_weight
             FROM dw ORDER BY w_e6 DESC, doc_id LIMIT 50
+        """,
+        # Bloom decontamination: the oracle REBUILDS the identical
+        # 2048x63-bit filter (md5 positions, bit_or words) and probes
+        # it — integer-only end to end
+        "q177_bloom_decontamination": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, doc_id AS d, {_NORM} AS t
+              FROM documents
+            ), tk AS (
+              SELECT k, d, regexp_split_to_array(t, ' ') AS w
+              FROM c WHERE length(t) > 0
+            ), g AS (
+              SELECT k, d, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS grams
+              FROM tk
+            ), bg AS (
+              SELECT DISTINCT unnest(grams) AS bgram FROM g WHERE d % 37 = 0
+            ), bp AS (
+              SELECT CAST('0x' || substr(md5(bgram || ';0'), 1, 12) AS BIGINT)
+                       % 129024 AS p FROM bg
+              UNION ALL
+              SELECT CAST('0x' || substr(md5(bgram || ';1'), 1, 12) AS BIGINT)
+                       % 129024 AS p FROM bg
+            ), bloom AS (
+              SELECT p // 63 AS bw,
+                     bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+              FROM bp GROUP BY 1
+            ), x AS (
+              SELECT k, len(grams) AS n_grams, unnest(grams) AS gg FROM g
+            ), xp AS (
+              SELECT k, n_grams,
+                CAST('0x' || substr(md5(gg || ';0'), 1, 12) AS BIGINT)
+                  % 129024 AS p0,
+                CAST('0x' || substr(md5(gg || ';1'), 1, 12) AS BIGINT)
+                  % 129024 AS p1
+              FROM x
+            ), probed AS (
+              SELECT xp.k, xp.n_grams,
+                CASE WHEN (coalesce(b0.bits, 0)
+                           & (1::BIGINT << CAST(p0 % 63 AS INT)))
+                          = (1::BIGINT << CAST(p0 % 63 AS INT))
+                      AND (coalesce(b1.bits, 0)
+                           & (1::BIGINT << CAST(p1 % 63 AS INT)))
+                          = (1::BIGINT << CAST(p1 % 63 AS INT))
+                     THEN 1 ELSE 0 END AS maybe
+              FROM xp
+              LEFT JOIN bloom b0 ON xp.p0 // 63 = b0.bw
+              LEFT JOIN bloom b1 ON xp.p1 // 63 = b1.bw
+            ), hit AS (
+              SELECT k, n_grams, sum(maybe)::bigint AS n_maybe
+              FROM probed GROUP BY k, n_grams
+            )
+            SELECT k, n_grams::int AS n_grams, n_maybe,
+                   round(n_maybe::double / n_grams::double, 6) AS maybe_rate,
+                   (round(n_maybe::double / n_grams::double, 6) >= 0.5)
+                     AS flagged
+            FROM hit
         """,
     }

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "q174_supplier_part_counts",
     "q175_excess_stock_suppliers",
     "q176_dsir_selection",
+    "q177_bloom_decontamination",
 ]
 
 

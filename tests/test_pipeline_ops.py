@@ -1554,3 +1554,28 @@ def test_dsir_single_staged_scan(spark):
         if "FileScan parquet" in line:
             assert "InMemoryRelation" in plan  # scan lives in the cache recipe
     spark.catalog.clearCache()
+
+
+def test_bloom_contamination_conservative_and_broadcast(spark):
+    """Bloom screen must have ZERO false negatives vs the exact
+    report (per-doc n_maybe >= n_hit), and the probe must ride
+    broadcast joins — no shuffle of the corpus gram stream besides
+    the per-doc rollup."""
+    from validate_spark.operators.decontam import (
+        bloom_contamination,
+        contamination_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    rep = bloom_contamination(docs, bench)
+    exact = {r["k"]: r["n_hit"]
+             for r in contamination_report(docs, bench).collect()}
+    maybe = {r["k"]: r["n_maybe"] for r in rep.collect()}
+    assert set(maybe) == set(exact)
+    assert all(maybe[k] >= exact[k] for k in exact)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    # only corpus-side shuffle: the (k, n_grams) rollup
+    probe_side = plan.split("BroadcastExchange", 1)[0]
+    assert probe_side.count("Exchange hashpartitioning") <= 1

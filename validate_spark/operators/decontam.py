@@ -255,3 +255,109 @@ def phrase_contamination(
     return hits.groupBy("phrase").agg(
         F.sum("hit").cast("long").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination screen (the 100-TB membership path)
+# ---------------------------------------------------------------------------
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    n: int = 3,
+    n_words: int = 2048,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination_report` for when
+    the benchmark gram set is too big to broadcast EXACTLY (10^9+
+    grams at 100 TB): build a ``n_words x 63``-bit Bloom filter over
+    the benchmark's word n-grams (two md5-derived probe positions per
+    gram) and screen the corpus against it. NO false negatives —
+    every true collision is counted; false positives inflate
+    ``n_maybe`` by ~(1-e^(-2B/M))^2, so the report is a conservative
+    UPPER BOUND screen (``maybe_rate >= `` the exact overlap; route
+    flagged docs to the exact probe).
+
+    63 bits per int64 word, never 64: DuckDB overflow-checks
+    ``1::bigint << 63``, and the sign bit buys nothing. Positions are
+    the portable md5 gate (12 hex chars -> int < 2^48), so the oracle
+    rebuilds the IDENTICAL filter and the report hash-matches.
+
+    Scale shape: the filter build is a ``n_words``-row aggregate
+    (bit_or of masks — partial-aggregated map-side); the corpus gram
+    stream probes it through TWO BROADCAST joins (one per hash
+    position — never a groupBy over (doc, gram)); the per-doc rollup
+    is the only corpus shuffle, count-state only. Filter size is
+    ``n_words`` int64s regardless of benchmark size — THE property
+    that keeps this broadcastable when the exact gram set is not."""
+    m_bits = int(n_words) * 63
+
+    def _pos(g, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(g, F.lit(f";{j}"))), 1, 12), 16, 10
+            ).cast("long")
+            % F.lit(m_bits)
+        )
+
+    bench_g = (
+        word_ngram_frame(bench, text_col, key_col, n=n)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    bloom = (
+        bench_g.select(
+            F.explode(F.array(_pos(F.col("g"), 0), _pos(F.col("g"), 1))).alias(
+                "_p"
+            )
+        )
+        .select(
+            F.expr("_p DIV 63").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 63 AS INT))").alias(
+                "_m"
+            ),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    b0 = F.broadcast(
+        bloom.select(F.col("_w").alias("_w0"), F.col("_bits").alias("_bits0"))
+    )
+    b1 = F.broadcast(
+        bloom.select(F.col("_w").alias("_w1"), F.col("_bits").alias("_bits1"))
+    )
+    corpus_g = word_ngram_frame(corpus, text_col, key_col, n=n)
+    probed = (
+        corpus_g.select(
+            "k", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+        )
+        .withColumn("_p0", _pos(F.col("g"), 0))
+        .withColumn("_p1", _pos(F.col("g"), 1))
+        .withColumn("_m0", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p0 % 63 AS INT))"))
+        .withColumn("_m1", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p1 % 63 AS INT))"))
+        .join(b0, F.expr("_p0 DIV 63") == F.col("_w0"), "left")
+        .join(b1, F.expr("_p1 DIV 63") == F.col("_w1"), "left")
+        .select(
+            "k",
+            "n_grams",
+            (
+                (F.coalesce(F.col("_bits0"), F.lit(0)).bitwiseAND(F.col("_m0")) == F.col("_m0"))
+                & (F.coalesce(F.col("_bits1"), F.lit(0)).bitwiseAND(F.col("_m1")) == F.col("_m1"))
+            )
+            .cast("long")
+            .alias("_maybe"),
+        )
+    )
+    rep = probed.groupBy("k", "n_grams").agg(F.sum("_maybe").alias("n_maybe"))
+    rate = F.round(F.col("n_maybe") / F.col("n_grams"), 6)
+    return rep.select(
+        "k",
+        "n_grams",
+        F.col("n_maybe").cast("long").alias("n_maybe"),
+        rate.alias("maybe_rate"),
+        (rate >= F.lit(float(threshold))).alias("flagged"),
+    )
