@@ -46,24 +46,32 @@ def main() -> None:
         "boilerplate footer repeats verbatim across the entire crawl "
         "segment contact us terms of service privacy policy sitemap"
     )
-    # 1M hot copies + 1M unique docs; every 100th unique doc gets a
-    # planted neighbor (suffix-perturbed copy of its predecessor)
+    # 1M hot copies + 1M unique docs; every 100th unique doc past the
+    # first 100k is a TRUE near-dup of the doc 100k ids earlier (same
+    # body + a 3-word revision suffix: ~14 shared 3-shingles of ~17 →
+    # J ≈ 0.82 > 0.7), so the probe also proves recall survives the
+    # hot-bucket cap: the planted pairs MUST come out while the
+    # template cluster is dropped.
+    planted = (
+        (F.col("id") % 100 == 0) & (F.col("id") >= n_hot + 100_000)
+    )
+    base = F.when(planted, F.col("id") - 100_000).otherwise(F.col("id"))
     docs = spark.range(n_total).select(
         F.col("id").cast("string").alias("doc_id"),
         F.when(F.col("id") < n_hot, F.lit(template))
         .otherwise(
             F.concat(
                 F.lit("unique document body number "),
-                F.col("id"),
+                base,
                 F.lit(" with distinct content padding "),
-                F.md5(F.col("id").cast("string")),
+                F.md5(base.cast("string")),
                 F.lit(" "),
-                F.md5((F.col("id") * 7).cast("string")),
-                # ~1% near-dup neighbors: ids 100k apart share a body
+                F.md5((base * 7).cast("string")),
+                F.lit(" "),
+                F.md5((base * 13).cast("string")),
                 F.when(
-                    (F.col("id") % 100) == 0,
-                    F.md5(((F.col("id") - n_hot) % 100_000).cast("string")),
-                ).otherwise(F.md5((F.col("id") * 13).cast("string"))),
+                    planted, F.lit(" trailing revision marker appended")
+                ).otherwise(F.lit("")),
             )
         )
         .alias("text"),
