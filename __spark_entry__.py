@@ -4611,6 +4611,71 @@ def q177_bloom_decontamination(spark, sf_dir):
     return bloom_contamination(docs, bench)
 
 
+def q178_global_row_index(spark, sf_dir):
+    """Scalable global row numbering (indexing.global_index): exact
+    1-based index over documents ordered by doc_id, built two-phase
+    (range exchange + per-partition offsets) instead of the one-task
+    ``row_number() OVER (ORDER BY ...)`` window the oracle uses — the
+    oracle form is the semantics, not the plan."""
+    from validate_spark.operators.indexing import global_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_index(docs, "doc_id", num_partitions=8).select(
+        "doc_id", "n_chars", "global_idx"
+    )
+
+
+def q179_zorder_layout(spark, sf_dir):
+    """Z-order lake-layout audit (indexing.zorder_bucket_profile):
+    Morton-interleave (user bucket, day-of-year) over events and
+    profile each 6-bit z-prefix bucket's per-dimension extent — the
+    min/max-statistics evidence that a Z-order rewrite prunes BOTH
+    dimensions. Key is a chain of native bitwise ops (codegen'd)."""
+    from validate_spark.operators.indexing import zorder_bucket_profile
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return zorder_bucket_profile(
+        ev,
+        F.abs(F.col("user_id")) % 1024,
+        F.dayofyear(F.col("ts")),
+        bits=10,
+        prefix_bits=6,
+    )
+
+
+def q180_blocked_fuzzy_pairs(spark, sf_dir):
+    """Blocked entity-resolution candidate pairs
+    (dedup.blocked_fuzzy_pairs): customer names within 1 Levenshtein
+    edit inside 7-digit-prefix blocks — block sizes via streaming hash
+    agg (never a window count), oversized blocks dropped BEFORE the
+    self-join, pair space bounded by max_block^2/2 per block."""
+    from validate_spark.operators.dedup import blocked_fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        F.substring(F.col("c_name"), 10, 7),
+        max_dist=1,
+        max_block=128,
+    )
+
+
+def q181_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point screen (drift.cusum_changepoint): per
+    event_type, the day with the largest integer-exact cumulative
+    deviation |n*cum_k - k*T| over daily counts — rate-shift detection
+    with all windows running on the collapsed (group, day) frame,
+    never raw events."""
+    from validate_spark.operators.drift import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return cusum_changepoint(ev, "ts", "event_type", min_days=4)
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -4855,6 +4920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_excess_stock_suppliers": q175_excess_stock_suppliers,
         "q176_dsir_selection": q176_dsir_selection,
         "q177_bloom_decontamination": q177_bloom_decontamination,
+        "q178_global_row_index": q178_global_row_index,
+        "q179_zorder_layout": q179_zorder_layout,
+        "q180_blocked_fuzzy_pairs": q180_blocked_fuzzy_pairs,
+        "q181_cusum_changepoint": q181_cusum_changepoint,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9158,5 +9227,82 @@ def oracle_sql() -> dict[str, str]:
                    (round(n_maybe::double / n_grams::double, 6) >= 0.5)
                      AS flagged
             FROM hit
+        """,
+        # q178: the one-task global window IS the correct semantics at
+        # oracle scale; the Spark side computes the same index two-phase.
+        "q178_global_row_index": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY doc_id) AS global_idx
+            FROM documents
+        """,
+        "q179_zorder_layout": f"""
+            WITH e AS (
+              SELECT (abs(user_id) % 1024)::bigint AS x,
+                     dayofyear(ts)::bigint AS y
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), z AS (
+              SELECT x, y,
+                     ({" | ".join(
+                         f"(((x >> {i}) & 1) << {2 * i})"
+                         f" | (((y >> {i}) & 1) << {2 * i + 1})"
+                         for i in range(10)
+                     )}) AS zk
+              FROM e
+            )
+            SELECT zk >> 14 AS z_bucket,
+                   count(*)::bigint AS n_rows,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max,
+                   max(x) - min(x) AS x_span,
+                   max(y) - min(y) AS y_span
+            FROM z GROUP BY 1
+        """,
+        "q180_blocked_fuzzy_pairs": """
+            WITH b AS (
+              SELECT c_custkey::bigint AS k, c_name AS nm,
+                     substr(c_name, 10, 7) AS blk
+              FROM customer
+            ), good AS (
+              SELECT blk FROM b GROUP BY blk
+              HAVING count(*) BETWEEN 2 AND 128
+            ), kept AS (
+              SELECT b.* FROM b JOIN good USING (blk)
+            )
+            SELECT a.k AS k1, a.nm AS name_1,
+                   c.k AS k2, c.nm AS name_2,
+                   levenshtein(a.nm, c.nm)::int AS dist
+            FROM kept a JOIN kept c
+              ON a.blk = c.blk AND a.k < c.k
+            WHERE levenshtein(a.nm, c.nm) <= 1
+        """,
+        "q181_cusum_changepoint": """
+            WITH daily AS (
+              SELECT event_type AS grp, ts::date AS d,
+                     count(*)::bigint AS c
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ), s AS (
+              SELECT grp, d,
+                count(*) OVER (PARTITION BY grp) AS n_days,
+                sum(c) OVER (PARTITION BY grp) AS total,
+                sum(c) OVER (PARTITION BY grp ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                row_number() OVER (PARTITION BY grp ORDER BY d) AS k
+              FROM daily
+            ), sc AS (
+              SELECT grp, n_days, total, d,
+                     abs(n_days * cum - k * total)::bigint AS stat
+              FROM s WHERE n_days >= 4
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY stat DESC, d ASC) AS rn
+              FROM sc
+            )
+            SELECT grp AS event_type, n_days::bigint AS n_days,
+                   total::bigint AS total_events, d AS change_day,
+                   stat AS cusum_stat
+            FROM r WHERE rn = 1
         """,
     }

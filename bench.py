@@ -184,6 +184,10 @@ BENCH_QUERIES = [
     "q175_excess_stock_suppliers",
     "q176_dsir_selection",
     "q177_bloom_decontamination",
+    "q178_global_row_index",
+    "q179_zorder_layout",
+    "q180_blocked_fuzzy_pairs",
+    "q181_cusum_changepoint",
 ]
 
 

@@ -1839,3 +1839,73 @@ def duplication_profile(
             .alias("n_docs"),
         )
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block: Column,
+    *,
+    max_dist: int = 1,
+    max_block: int = 128,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: records whose ``name_col``
+    values are within ``max_dist`` Levenshtein edits, restricted to a
+    blocking key (classic blocked record linkage — all-pairs edit
+    distance over 10^12 rows is impossible; blocking makes the pair
+    space sum-of-block^2, and the block cap makes each term bounded).
+
+    Plan shape (the whole point at scale):
+      - block sizes via a streaming hash aggregate (NOT a window count:
+        ``count() OVER (PARTITION BY block)`` buffers an entire hot
+        block's rows on one window task before the cap can drop it —
+        the same pre-filter-buffer failure the LSH paths fixed);
+      - blocks with 2..max_block members survive; singletons carry no
+        pairs, oversized blocks are non-discriminative boilerplate
+        (reported upstream by the caller if needed);
+      - the pair join self-joins ONLY surviving blocks, co-partitioned
+        on the block key (one exchange feeds both the size join and
+        the pair join), ``k1 < k2`` halves the square;
+      - ``F.levenshtein`` is a JVM builtin (same unit-cost DP as
+        DuckDB's levenshtein, so oracle parity is exact).
+
+    Output: (k1, k2, name_1, name_2, dist), one row per unordered
+    candidate pair.  Worst-case rows per block = max_block^2/2 —
+    bounded by construction, never by luck.
+    """
+    base = df.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(name_col).alias("_nm"),
+        block.alias("_blk"),
+    )
+    n_parts = base.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(n_parts, "_blk")
+
+    good = (
+        base.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_block))
+        .select("_blk")
+    )
+    kept = base.join(good, "_blk")
+
+    a = kept.select(
+        F.col("_blk"),
+        F.col("_k").alias("k1"),
+        F.col("_nm").alias("name_1"),
+    )
+    b = kept.select(
+        F.col("_blk"),
+        F.col("_k").alias("k2"),
+        F.col("_nm").alias("name_2"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_1"), F.col("name_2"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .drop("_blk")
+    )

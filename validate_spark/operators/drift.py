@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from validate_spark.operators.stats import numeric_histogram, length_histogram
 
@@ -651,5 +651,73 @@ def benford_audit(
             expected.cast("long").alias("expected_ppm"),
             (F.expr("(n * 1000000L) div total") - expected).cast("long")
             .alias("excess_ppm"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    *,
+    min_days: int = 4,
+) -> DataFrame:
+    """CUSUM change-point screen over daily event counts, per group:
+    for each group's day series c_1..c_n (calendar-ordered), the
+    cumulative deviation from a flat rate is
+
+        S_k = n * (c_1 + ... + c_k) - k * T        (T = total count)
+
+    i.e. the classic CUSUM statistic cross-multiplied by ``n`` so it
+    stays EXACT int64 (no mean, no division — the repo's standard
+    trick for hash-stable cross-engine thresholds).  The reported
+    change point is the day with the largest |S_k| (ties → earliest
+    day), the canonical single-change-point estimator; a flat series
+    scores near 0, a step change scores ~ n * k * |delta|.
+
+    Scale shape: one groupBy (group, day) hash aggregate collapses
+    10^12 events to |groups| * |days| rows; everything after runs on
+    that collapsed frame — a per-group cumulative-sum window (ROWS
+    frame stated explicitly; each window task buffers one group's
+    ≤ n_days rows) and a rank-1 filter.  No window ever touches raw
+    events.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    gw = Window.partitionBy("grp")
+    cum_w = (
+        Window.partitionBy("grp")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        daily.withColumn("n_days", F.count(F.lit(1)).over(gw))
+        .withColumn("total", F.sum("c").over(gw))
+        .withColumn("k", F.row_number().over(Window.partitionBy("grp").orderBy("d")))
+        .withColumn("cum", F.sum("c").over(cum_w))
+        .withColumn(
+            "s_k",
+            (F.col("n_days") * F.col("cum") - F.col("k") * F.col("total"))
+            .cast("long"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )
+    pick = Window.partitionBy("grp").orderBy(
+        F.abs(F.col("s_k")).desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").alias("total_events"),
+            F.col("d").alias("change_day"),
+            F.abs(F.col("s_k")).alias("cusum_stat"),
         )
     )

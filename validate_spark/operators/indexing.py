@@ -1,0 +1,147 @@
+"""Layout / indexing operators: scalable global row numbering and
+Z-order (Morton) clustering keys.
+
+These are lake-layout primitives a validation+curation pipeline needs
+around the reference's surface (gookit/validate has no dataset layer;
+SURVEY.md §2.9 extends it): assigning a stable global index to 10^12
+rows without a single-task global sort, and computing interleaved-bit
+clustering keys so multi-dimensional range predicates prune files.
+
+Scale notes are inline per function; both operators are pure
+DataFrame plans (no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def global_index(
+    df: DataFrame,
+    key: str,
+    *,
+    num_partitions: int | None = None,
+    index_col: str = "global_idx",
+) -> DataFrame:
+    """Exact 1-based global row index ordered by ``key`` — WITHOUT the
+    classic scale-killer ``row_number() OVER (ORDER BY key)`` (an empty
+    PARTITION BY collapses the whole table onto ONE window task).
+
+    Standard two-phase construction:
+
+      1. ``repartitionByRange(key)`` + in-partition sort — one range
+         exchange; partition p holds a contiguous key range and every
+         partition < p holds strictly smaller keys.
+      2. per-partition counts (tiny: one row per partition) → exclusive
+         prefix sums → broadcast back; the final index is
+         ``offset[pid] + local row_number`` where the row_number window
+         partitions BY pid, so every window task handles exactly one
+         partition's rows.
+
+    The frame is persisted between the counts pass and the index pass:
+    range boundaries are picked by sampling, so two independent
+    evaluations of the same plan may split differently — the persisted
+    frame pins one layout for both.  The tiny offsets window
+    (``orderBy(_pid)`` with no partitionBy) runs over exactly
+    ``num_partitions`` rows, never data rows.
+
+    ``key`` values must be unique (the usual contract for a stable
+    index); ties would make the index nondeterministic across layouts.
+    Result = input columns + ``index_col``; caller unpersists via
+    ``result.sparkSession.catalog.clearCache()`` or ignores (persist is
+    MEMORY_AND_DISK on the ranged frame only).
+    """
+    sc = df.sparkSession.sparkContext
+    n_parts = num_partitions or sc.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(key))
+        .sortWithinPartitions(key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    ranged.count()  # fix the sampled range boundaries before both passes
+
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    )
+
+    local_w = Window.partitionBy("_pid").orderBy(key)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            index_col,
+            (F.col("_off") + F.row_number().over(local_w)).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def zorder_key(x: Column, y: Column, *, bits: int = 10) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints of ``bits``
+    bits each: bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    Built as a chain of 2*bits NATIVE bitwise column ops (a Python-side
+    loop emitting ``((v >> i) & 1) << pos`` terms OR-ed together) — the
+    whole key stays inside whole-stage codegen; no higher-order
+    function, no UDF.  Values are masked to ``bits`` bits first so
+    out-of-range inputs can't silently collide across buckets.
+    """
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_bucket_profile(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    *,
+    bits: int = 10,
+    prefix_bits: int = 6,
+) -> DataFrame:
+    """Z-order layout audit: bucket rows by the top ``prefix_bits`` of
+    their Morton key and profile each bucket's per-dimension extent.
+
+    This is the evidence a lake optimizer wants before rewriting files
+    in Z-order: if each bucket's (x_span, y_span) is small relative to
+    the domain, min/max file statistics prune BOTH dimensions for range
+    predicates — the point of Z-ordering (a single-column sort gives
+    perfect pruning on one dimension and none on the other).
+
+    One groupBy over 2^prefix_bits keys (map-side combine does the
+    heavy lifting; output is bucket-count-sized).  The key itself is
+    map-side codegen (see :func:`zorder_key`).
+    """
+    z = zorder_key(x, y, bits=bits)
+    bucket = F.shiftright(z, 2 * bits - prefix_bits).alias("z_bucket")
+    return (
+        df.select(
+            bucket,
+            x.cast("long").alias("_x"),
+            y.cast("long").alias("_y"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_x").alias("x_min"),
+            F.max("_x").alias("x_max"),
+            F.min("_y").alias("y_min"),
+            F.max("_y").alias("y_max"),
+        )
+        .withColumn("x_span", F.col("x_max") - F.col("x_min"))
+        .withColumn("y_span", F.col("y_max") - F.col("y_min"))
+    )
