@@ -4676,6 +4676,96 @@ def q181_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(ev, "ts", "event_type", min_days=4)
 
 
+def q182_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count): degree-ordered
+    orientation (Suri-Vassilvitskii) over the q142 deterministic link
+    fixture — wedge expansion capped at O(sqrt(m)) per node, the
+    100-TB-safe shape; the oracle replays the identical orientation and
+    joins in SQL."""
+    from validate_spark.operators.graph import synthetic_doc_links, triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_doc_links(docs, fan_out=3)
+    out = triangle_count(edges)
+    spark.catalog.clearCache()
+    return out
+
+
+def q183_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (dedup.canonicalize_url + url_dedup): messy
+    deterministic URL variants (case-shifted scheme/host, default
+    ports, trailing slashes, utm params, fragments, shuffled query
+    order) collapse to canonical groups; one hash-agg shuffle."""
+    from validate_spark.operators.dedup import url_dedup
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("HTTP://"))
+        .when(d % 4 == 1, F.lit("http://"))
+        .when(d % 4 == 2, F.lit("https://"))
+        .otherwise(F.lit("HTTPS://")),
+        F.lit("WWW.Site"),
+        (d % 5).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 2, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/articles/item"),
+        F.expr("doc_id DIV 50").cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_dedup(docs, "url", "doc_id")
+
+
+def q184_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    the md5 gate draws on the exact-dedup FINGERPRINT, so duplicate
+    documents can never straddle splits — contamination prevented by
+    construction, map-side only."""
+    from validate_spark.operators.sampling import leakage_safe_split
+    from validate_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    return leakage_safe_split(
+        docs, "fp", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "fp", "split")
+
+
+def q185_compaction_plan(spark, sf_dir):
+    """Small-file compaction batches (indexing.compaction_plan): a
+    synthetic per-source file manifest (path from doc_id, bytes from
+    n_chars) packed next-fit-decreasing into ~5000-byte rewrite
+    batches — one running-sum window per partition, integer DIV."""
+    from validate_spark.operators.indexing import compaction_plan
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("part"),
+        F.concat(
+            F.lit("f"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("path"),
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=5000)
+
+
+def q186_daily_trend(spark, sf_dir):
+    """Integer-exact per-type OLS trend over daily event counts
+    (drift.cusum_changepoint's ramp-detecting sibling drift.daily_trend):
+    unreduced int64 slope numerator/denominator, sign as direction —
+    no float crosses the engine boundary."""
+    from validate_spark.operators.drift import daily_trend
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return daily_trend(ev, "ts", "event_type", min_days=3)
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -4924,6 +5014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_zorder_layout": q179_zorder_layout,
         "q180_blocked_fuzzy_pairs": q180_blocked_fuzzy_pairs,
         "q181_cusum_changepoint": q181_cusum_changepoint,
+        "q182_triangle_count": q182_triangle_count,
+        "q183_url_dedup": q183_url_dedup,
+        "q184_leakage_safe_split": q184_leakage_safe_split,
+        "q185_compaction_plan": q185_compaction_plan,
+        "q186_daily_trend": q186_daily_trend,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9304,5 +9399,161 @@ def oracle_sql() -> dict[str, str]:
                    total::bigint AS total_events, d AS change_day,
                    stat AS cusum_stat
             FROM r WHERE rn = 1
+        """,
+        "q182_triangle_count": """
+            WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+            e0 AS (
+              SELECT doc_id::bigint AS src,
+                     (doc_id::bigint * 7 + 1) % nn.n AS dst
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id::bigint, (doc_id::bigint * 13 + 3) % nn.n
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id::bigint, (doc_id::bigint * 31 + 7) % nn.n
+              FROM documents, nn
+            ), und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e0 WHERE src <> dst
+            ), deg AS (
+              SELECT node, count(*)::bigint AS degree FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ), orient AS (
+              SELECT CASE WHEN du.degree < dv.degree
+                            OR (du.degree = dv.degree AND und.u < und.v)
+                          THEN und.u ELSE und.v END AS a,
+                     CASE WHEN du.degree < dv.degree
+                            OR (du.degree = dv.degree AND und.u < und.v)
+                          THEN und.v ELSE und.u END AS b
+              FROM und
+              JOIN deg du ON und.u = du.node
+              JOIN deg dv ON und.v = dv.node
+            ), wedge AS (
+              SELECT w1.a AS a, w1.b AS x, w2.b AS y
+              FROM orient w1 JOIN orient w2
+                ON w1.a = w2.a AND w1.b < w2.b
+            ), tri AS (
+              SELECT wedge.a, wedge.x, wedge.y
+              FROM wedge JOIN und ON wedge.x = und.u AND wedge.y = und.v
+            ), pn AS (
+              SELECT node, count(*)::bigint AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT x AS node FROM tri
+                UNION ALL SELECT y AS node FROM tri
+              ) GROUP BY node
+            )
+            SELECT deg.node, deg.degree,
+                   coalesce(pn.n_triangles, 0)::bigint AS n_triangles,
+                   (deg.degree * (deg.degree - 1) // 2)::bigint AS n_wedges
+            FROM deg LEFT JOIN pn ON deg.node = pn.node
+        """,
+        "q183_url_dedup": """
+            WITH u0 AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+                     WHEN doc_id % 4 = 1 THEN 'http://'
+                     WHEN doc_id % 4 = 2 THEN 'https://'
+                     ELSE 'HTTPS://' END
+                || 'WWW.Site' || (doc_id % 5)::varchar || '.COM'
+                || CASE WHEN doc_id % 4 = 0 THEN ':80'
+                        WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END
+                || '/articles/item' || (doc_id // 50)::varchar
+                || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                        ELSE '?a=1&b=2' END
+                || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+                AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                regexp_replace(url, '#.*$', '') AS u
+              FROM u0
+            ), comp AS (
+              SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                  AS scheme,
+                lower(regexp_extract(u,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(u,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                regexp_extract(u, '\\?([^#]*)', 1) AS q
+              FROM parts
+            ), canon AS (
+              SELECT doc_id,
+                scheme || '://'
+                || CASE WHEN scheme = 'http'
+                          THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                          THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END
+                || CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                        ELSE regexp_replace(path0, '/+$', '') END
+                || CASE WHEN array_to_string(list_sort(list_filter(
+                          string_split(q, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                          '&') = '' THEN ''
+                        ELSE '?' || array_to_string(list_sort(list_filter(
+                          string_split(q, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                          '&') END
+                AS canon_url
+              FROM comp
+            )
+            SELECT canon_url, count(*)::bigint AS n_docs,
+                   min(doc_id)::bigint AS keeper
+            FROM canon GROUP BY canon_url
+        """,
+        "q184_leakage_safe_split": f"""
+            WITH c AS (
+              SELECT doc_id, {_FP} AS fp FROM documents
+            )
+            SELECT doc_id, fp,
+              CASE WHEN CAST('0x' || substr(md5(fp || chr(31) || '0'), 1, 8)
+                        AS BIGINT) % 1000000 < 800000 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(fp || chr(31) || '0'), 1, 8)
+                        AS BIGINT) % 1000000 < 900000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM c
+        """,
+        "q185_compaction_plan": """
+            WITH f AS (
+              SELECT source AS part,
+                     'f' || lpad(doc_id::varchar, 8, '0') AS path,
+                     greatest(n_chars, 1)::bigint AS bytes
+              FROM documents
+            )
+            SELECT part, path, bytes,
+              ((sum(bytes) OVER (PARTITION BY part
+                  ORDER BY bytes DESC, path ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - 1) // 5000)::bigint AS batch
+            FROM f
+        """,
+        "q186_daily_trend": """
+            WITH daily AS (
+              SELECT event_type AS grp, ts::date AS d,
+                     count(*)::bigint AS c
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ), kd AS (
+              SELECT grp, c,
+                row_number() OVER (PARTITION BY grp ORDER BY d)::bigint AS k
+              FROM daily
+            ), agg AS (
+              SELECT grp,
+                count(*)::bigint AS n_days,
+                sum(c)::bigint AS total_events,
+                sum(k * c)::bigint AS skc,
+                sum(k)::bigint AS sk,
+                sum(k * k)::bigint AS skk
+              FROM kd GROUP BY grp
+            )
+            SELECT grp AS event_type, n_days, total_events,
+                   (n_days * skc - sk * total_events)::bigint AS trend_num,
+                   (n_days * skk - sk * sk)::bigint AS trend_den,
+                   sign(n_days * skc - sk * total_events)::int AS direction
+            FROM agg WHERE n_days >= 3
         """,
     }

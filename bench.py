@@ -188,6 +188,11 @@ BENCH_QUERIES = [
     "q179_zorder_layout",
     "q180_blocked_fuzzy_pairs",
     "q181_cusum_changepoint",
+    "q182_triangle_count",
+    "q183_url_dedup",
+    "q184_leakage_safe_split",
+    "q185_compaction_plan",
+    "q186_daily_trend",
 ]
 
 

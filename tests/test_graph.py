@@ -98,3 +98,42 @@ def test_token_entropy_uniform_and_degenerate(spark):
     assert rows[1]["entropy_nats"] == round(math.log(4), 6)
     assert rows[2]["n_tokens"] == 4 and rows[2]["n_distinct"] == 1
     assert rows[2]["entropy_nats"] == 0.0
+
+
+# ---------------------------------------------------------------- triangles
+
+def _tri(spark, edges):
+    from validate_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: (r["degree"], r["n_triangles"], r["n_wedges"])
+        for r in triangle_count(e).collect()
+    }
+    spark.catalog.clearCache()
+    return out
+
+
+def test_triangle_k4_counts(spark):
+    # complete graph on 4 nodes: every node sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = _tri(spark, k4)
+    assert out == {i: (3, 3, 3) for i in range(4)}
+
+
+def test_triangle_normalization(spark):
+    # duplicates, reversed direction, self-loop: one triangle 1-2-3,
+    # node 4 dangling off node 1 with zero triangles
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 4)]
+    out = _tri(spark, edges)
+    assert out[1] == (3, 1, 3)
+    assert out[2] == (2, 1, 1)
+    assert out[3] == (2, 1, 1)
+    assert out[4] == (1, 0, 0)
+
+
+def test_triangle_free_graph(spark):
+    # 4-cycle: wedges exist, triangles don't
+    out = _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert all(t == 0 for _, t, _ in out.values())
+    assert all(w == 1 for _, _, w in out.values())

@@ -193,3 +193,150 @@ def test_cusum_min_days_gate_and_tie_rule(spark):
     ).select(F.col("t").cast("timestamp").alias("ts"), F.col("g"))
     (r,) = cusum_changepoint(flat, "ts", "g", min_days=2).collect()
     assert str(r["change_day"]) == "2024-02-01"
+
+
+# ---------------------------------------------------------------- url canon
+
+def test_canonicalize_url_variants_collapse(spark):
+    from validate_spark.operators.dedup import canonicalize_url
+
+    variants = [
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://www.example.com/a/b?a=1&b=2",
+        "http://www.example.com/a/b/?b=2&a=1&utm_medium=y",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "u string")
+    out = df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+    assert {r["c"] for r in out} == {"http://www.example.com/a/b?a=1&b=2"}
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from validate_spark.operators.dedup import canonicalize_url
+
+    cases = {
+        # https default port stripped, root path normalized
+        "HTTPS://Host.io:443": "https://host.io/",
+        # non-default port kept
+        "http://h.io:8080/x": "http://h.io:8080/x",
+        # all params utm -> no query marker
+        "http://h.io/x?utm_a=1&utm_b=2": "http://h.io/x",
+        # empty-string degrade, no abort (empty path still -> '/')
+        "": ":///",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_url_dedup_groups(spark):
+    from validate_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "http://a.io/x?b=2&a=1"),
+        (2, "HTTP://A.IO:80/x/?a=1&b=2&utm_k=9"),
+        (3, "https://a.io/x?a=1&b=2"),  # different scheme -> own group
+    ]
+    df = spark.createDataFrame(rows, "k long, url string")
+    out = {r["canon_url"]: (r["n_docs"], r["keeper"]) for r in url_dedup(df, "url", "k").collect()}
+    assert out == {
+        "http://a.io/x?a=1&b=2": (2, 1),
+        "https://a.io/x?a=1&b=2": (1, 3),
+    }
+
+
+# ---------------------------------------------------------------- split
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from validate_spark.operators.sampling import leakage_safe_split
+
+    # 300 rows in 100 groups of 3 — every group must land whole
+    rows = [(i, f"g{i % 100}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = leakage_safe_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_group = (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    splits = {r["split"] for r in out.collect()}
+    assert splits <= {"train", "val", "test"}
+    # deterministic across invocations
+    again = leakage_safe_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.collect() == again.collect()
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    import pytest as _pt
+    from validate_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "a")], "k long, grp string")
+    with _pt.raises(ValueError):
+        leakage_safe_split(df, "grp", {"train": 0.5, "val": 0.4})
+    with _pt.raises(ValueError):
+        leakage_safe_split(df, "grp", {"all": 1.0})
+
+
+# ---------------------------------------------------------------- compaction
+
+def test_compaction_plan_batches(spark):
+    from validate_spark.operators.indexing import compaction_plan
+
+    files = [
+        ("p1", "a", 600), ("p1", "b", 500), ("p1", "c", 400), ("p1", "d", 100),
+        ("p2", "big", 5000),  # oversize -> own batch
+        ("p2", "tiny", 10),
+    ]
+    df = spark.createDataFrame(files, "part string, path string, bytes long")
+    out = {
+        (r["part"], r["path"]): r["batch"]
+        for r in compaction_plan(df, target_bytes=1000).collect()
+    }
+    # p1 ordered 600,500,400,100 -> cum 600,1100,1500,1600 -> batches 0,1,1,1
+    assert out[("p1", "a")] == 0
+    assert out[("p1", "b")] == 1
+    assert out[("p1", "c")] == 1
+    assert out[("p1", "d")] == 1
+    # p2: 5000 fills batches 0-4 alone; tiny lands in batch 5
+    assert out[("p2", "big")] == 4
+    assert out[("p2", "tiny")] == 5
+
+
+def test_compaction_batch_sizes_reach_target(spark):
+    from validate_spark.operators.indexing import compaction_plan
+
+    files = [("p", f"f{i:03d}", 50 + i) for i in range(40)]
+    df = spark.createDataFrame(files, "part string, path string, bytes long")
+    out = compaction_plan(df, target_bytes=500)
+    sizes = (
+        out.groupBy("part", "batch").agg(F.sum("bytes").alias("b")).collect()
+    )
+    last = max(r["batch"] for r in sizes)
+    for r in sizes:
+        if r["batch"] != last:
+            assert r["b"] >= 500 - max(f[2] for f in files)
+
+
+# ---------------------------------------------------------------- trend
+
+def test_daily_trend_signs(spark):
+    from validate_spark.operators.drift import daily_trend
+
+    rows = []
+    # "up": counts 1,2,3,4 over 4 days; "down": 4,3,2,1; "flat": 2,2,2,2
+    for day, (a, b, c) in enumerate([(1, 4, 2), (2, 3, 2), (3, 2, 2), (4, 1, 2)], 1):
+        rows += [(f"2024-03-0{day} 12:00:00", "up")] * a
+        rows += [(f"2024-03-0{day} 12:00:00", "down")] * b
+        rows += [(f"2024-03-0{day} 12:00:00", "flat")] * c
+    df = spark.createDataFrame(rows, "t string, g string").select(
+        F.col("t").cast("timestamp").alias("ts"), "g"
+    )
+    out = {r["g"]: r for r in daily_trend(df, "ts", "g").collect()}
+    # num = n*Σkc − Σk*Σc: up -> 4*30-10*10=20, down -> 4*20-10*10=-20
+    assert (out["up"]["trend_num"], out["up"]["direction"]) == (20, 1)
+    assert (out["down"]["trend_num"], out["down"]["direction"]) == (-20, -1)
+    assert (out["flat"]["trend_num"], out["flat"]["direction"]) == (0, 0)
+    # den = n*Σk² − (Σk)² = 4*30-100 = 20 for all
+    assert {r["trend_den"] for r in out.values()} == {20}
+    assert out["up"]["total_events"] == 10 and out["up"]["n_days"] == 4

@@ -1909,3 +1909,73 @@ def blocked_fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .drop("_blk")
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, entirely in native
+    (codegen'd) string/array functions — the first dedup tier for web
+    crawls, where the same page is fetched under utm-tagged, fragment-
+    suffixed, case-shifted, default-ported variants:
+
+      - scheme and host lowercased; default port stripped (:80 for
+        http, :443 for https);
+      - fragment dropped; trailing slashes collapsed ('' path -> '/');
+      - query params split, empties and ``utm_*`` tracking params
+        dropped, the rest SORTED and rejoined (param order never
+        distinguishes pages).
+
+    Portability: every regex is RE2-safe (no lookaround) so the DuckDB
+    oracle canonicalizes byte-identically; the array filter lambda is
+    CodegenFallback but trivial (CLAUDE.md r2 gotcha: a trivial lambda
+    beats the native rewrite — measured there). Non-http(s) or
+    schemeless inputs degrade gracefully (empty scheme/host components)
+    rather than erroring — one bad row in 10^12 must never abort.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, key_col: str) -> DataFrame:
+    """Canonical-URL duplicate groups: (canon_url, n_docs, keeper) with
+    keeper = min key. ONE hash-aggregate shuffle on the canonical form;
+    the canonicalization itself is map-side and fuses into the scan —
+    at crawl scale this is the cheapest dedup pass and runs first,
+    before any content hashing touches the text bytes.
+    """
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+            F.col(key_col).cast("long").alias("_k"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("_k").alias("keeper"),
+        )
+    )

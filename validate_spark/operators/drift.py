@@ -721,3 +721,66 @@ def cusum_changepoint(
             F.abs(F.col("s_k")).alias("cusum_stat"),
         )
     )
+
+
+def daily_trend(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    *,
+    min_days: int = 3,
+) -> DataFrame:
+    """Integer-exact per-group OLS trend over daily event counts — the
+    monotone-rate complement to :func:`cusum_changepoint` (CUSUM finds
+    a step; this finds a steady ramp-up/bleed-out). For day indexes
+    k = 1..n (calendar order) and counts c_k, the least-squares slope
+    is num/den with
+
+        num = n * Σ(k·c_k) − Σk · Σc_k
+        den = n * Σk²      − (Σk)²        (> 0 whenever n ≥ 2)
+
+    Both are kept as UNREDUCED int64s (the repo's integer
+    cross-multiplication rule: cross-engine selection must never ride
+    a float) and the headline ``direction`` is sign(num).
+
+    Scale: one (group, day) hash aggregate collapses the raw events;
+    the day-index window and the final per-group aggregate both run on
+    the collapsed |groups|·|days| frame. Overflow headroom: num ≤
+    n²·total — at n = 3650 days and 10^12 events/group that is ~10^19,
+    past int64; production callers bucket by (group, year). Stated,
+    not hidden.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    k_w = Window.partitionBy("grp").orderBy("d")
+    kd = daily.withColumn("k", F.row_number().over(k_w).cast("long"))
+    return (
+        kd.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").alias("total_events"),
+            F.sum(F.col("k") * F.col("c")).alias("_skc"),
+            F.sum("k").alias("_sk"),
+            F.sum(F.col("k") * F.col("k")).alias("_skk"),
+        )
+        .filter(F.col("n_days") >= min_days)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            "total_events",
+            (F.col("n_days") * F.col("_skc") - F.col("_sk") * F.col("total_events"))
+            .cast("long")
+            .alias("trend_num"),
+            (F.col("n_days") * F.col("_skk") - F.col("_sk") * F.col("_sk"))
+            .cast("long")
+            .alias("trend_den"),
+            F.signum(
+                F.col("n_days") * F.col("_skc") - F.col("_sk") * F.col("total_events")
+            ).cast("int").alias("direction"),
+        )
+    )

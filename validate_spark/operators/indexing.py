@@ -145,3 +145,51 @@ def zorder_bucket_profile(
         .withColumn("x_span", F.col("x_max") - F.col("x_min"))
         .withColumn("y_span", F.col("y_max") - F.col("y_min"))
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    target_bytes: int,
+    partition_col: str = "part",
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction assignment: group each partition's files
+    into rewrite batches of ~``target_bytes`` — the standing lake chore
+    (streaming sinks and per-executor writers leave thousands of tiny
+    files per partition; scans then pay one task + one open per file).
+
+    Assignment is next-fit over files ordered (bytes DESC, path): a
+    running ROWS-frame byte sum per partition, batch id =
+    ``(cum - 1) DIV target`` — so every batch except a partition's last
+    reaches the target, a file larger than the target gets its own
+    batch, and the whole plan is ONE window whose state is a single
+    long (never a buffered file list). Parallelism unit = table
+    partition; file manifests are metadata-sized (10^6 files, not
+    10^12 rows), so even a skewed partition's window is cheap. The
+    DESC order packs big files first, which minimizes the tail batch's
+    deficit. Deterministic: ties broken by path.
+
+    Output: one row per file — (part, path, bytes, batch) with batch
+    0-based per partition.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(bytes_col).desc(), F.col(path_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return files.select(
+        F.col(partition_col).alias("part"),
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.sum(F.col(bytes_col).cast("long")).over(w).alias("_cum"),
+    ).select(
+        "part",
+        "path",
+        "bytes",
+        # integer DIV (≡ DuckDB //): exact at any byte total, no float
+        F.expr(f"(_cum - 1) DIV {int(target_bytes)}").alias("batch"),
+    )

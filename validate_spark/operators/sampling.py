@@ -514,3 +514,50 @@ def dsir_weights(
             F.round(F.col("_w_e6").cast("double") / 1e6, 6).alias("dsir_weight"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, float],
+    *,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: the md5 gate draws on a GROUP key — the exact-dedup
+    fingerprint (textstats.fingerprint) or a near-dup cluster id —
+    so every member of a group lands in the same split BY CONSTRUCTION,
+    not by post-hoc checking. (Splitting on the row key and then
+    deduplicating per split is the classic contamination bug: two
+    near-identical documents straddle train/test and the eval is
+    polluted.)
+
+    ``splits`` maps name -> fraction (must sum to 1); assignment is the
+    usual portable gate (md5 first-8-hex of ``group \\x1f seed``) cut at
+    cumulative integer thresholds, first match wins, the last split
+    takes the remainder so threshold rounding never drops a row.
+
+    Map-side only: no shuffle, no join — the split column fuses into
+    the scan; fractions hold in expectation per GROUP (the correct unit
+    of independence once groups exist).
+    """
+    fracs = list(splits.items())
+    if len(fracs) < 2:
+        raise ValueError("need at least two splits")
+    if any(f < 0 for _, f in fracs):
+        raise ValueError("split fractions must be >= 0")
+    if abs(sum(f for _, f in fracs) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    g = _gate(group_col, seed)
+    expr = None
+    acc = 0.0
+    for name, f in fracs[:-1]:
+        acc += f
+        cond = g < int(acc * _M)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(split_col, expr.otherwise(F.lit(fracs[-1][0])))
