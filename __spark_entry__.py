@@ -4766,6 +4766,41 @@ def q186_daily_trend(spark, sf_dir):
     return daily_trend(ev, "ts", "event_type", min_days=3)
 
 
+def q187_sq8_ann(spark, sf_dir):
+    """Scalar-quantized (int8-style) ANN (similarity.sq8_topk):
+    candidates by EXACT int64 dot product over per-dim 8-bit codes
+    (4x less vector traffic, integer SIMD at scale), exact-cosine
+    rerank of the top 32 — same (query_id, neighbor_id, rank) contract
+    as q19; the oracle replays fit, encode, candidate cut, rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.sq8_topk(emb, q, k=10, rerank=32)
+
+
+def q188_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two quality signals (indexing.
+    rrf_fusion): global per-signal ranks via the two-phase range index
+    (never a one-task window), fused as int64 10^12 DIV (60 + rank) —
+    the standard unsupervised ensemble for data-selection scores."""
+    from validate_spark.operators.indexing import rrf_fusion
+    from validate_spark.operators.textstats import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("chars_sig"),
+        whitespace_token_count(F.col("text")).alias("tokens_sig"),
+    )
+    out = rrf_fusion(
+        docs, "doc_id", {"chars": "chars_sig", "tokens": "tokens_sig"}
+    ).select(
+        F.col("key").alias("doc_id"), "rank_chars", "rank_tokens", "rrf_score"
+    )
+    spark.catalog.clearCache()
+    return out
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5019,6 +5054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_leakage_safe_split": q184_leakage_safe_split,
         "q185_compaction_plan": q185_compaction_plan,
         "q186_daily_trend": q186_daily_trend,
+        "q187_sq8_ann": q187_sq8_ann,
+        "q188_rrf_fusion": q188_rrf_fusion,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9555,5 +9592,79 @@ def oracle_sql() -> dict[str, str]:
                    (n_days * skk - sk * sk)::bigint AS trend_den,
                    sign(n_days * skc - sk * total_events)::int AS direction
             FROM agg WHERE n_days >= 3
+        """,
+        "q187_sq8_ann": """
+            WITH ex AS (
+              SELECT unnest(list_transform(embedding,
+                       (x, i) -> {'p': i, 'x': CAST(x AS DOUBLE)})) AS s
+              FROM embeddings
+            ), d AS (
+              SELECT s.p AS p, min(s.x) AS lo, max(s.x) AS hi
+              FROM ex GROUP BY 1
+            ), ds AS (
+              SELECT {'p': p, 'lo': lo, 'hi': hi} AS t FROM d
+            ), b AS (
+              SELECT list_transform(list_sort(list(t)), u -> u.lo) AS lo_arr,
+                     list_transform(list_sort(list(t)), u -> u.hi) AS hi_arr
+              FROM ds
+            ), enc AS (
+              SELECT e.vec_id, e.embedding,
+                list_transform(e.embedding, (x, i) ->
+                  CASE WHEN b.hi_arr[i] = b.lo_arr[i] THEN 0
+                       ELSE CAST(least(greatest(floor(
+                              (CAST(x AS DOUBLE)
+                               - (b.lo_arr[i] + b.hi_arr[i]) / 2.0) * 256.0
+                              / (b.hi_arr[i] - b.lo_arr[i])), -128), 127)
+                            AS INT) END) AS code
+              FROM embeddings e, b
+            ), qs AS (
+              SELECT vec_id AS query_id, embedding AS qv, code AS qcode
+              FROM enc WHERE vec_id < 8
+            ), s AS (
+              SELECT qs.query_id, enc.vec_id AS neighbor_id,
+                     CAST(list_dot_product(enc.code, qs.qcode) AS BIGINT)
+                       AS dot
+              FROM enc, qs WHERE enc.vec_id <> qs.query_id
+            ), cr AS (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dot DESC, neighbor_id ASC) AS crk
+              FROM s
+            ), cand AS (
+              SELECT query_id, neighbor_id FROM cr WHERE crk <= 32
+            ), rr AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(e.embedding, q.qv), 9)
+                       AS cos
+              FROM cand c
+              JOIN embeddings e ON c.neighbor_id = e.vec_id
+              JOIN qs q ON c.query_id = q.query_id
+            ), r AS (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS rk
+              FROM rr
+            )
+            SELECT query_id, neighbor_id, rk::int AS rank
+            FROM r WHERE rk <= 10
+        """,
+        "q188_rrf_fusion": f"""
+            WITH c AS (
+              SELECT doc_id, n_chars::double AS ch,
+                     ({_NTOK})::double AS tok
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                row_number() OVER (ORDER BY ch DESC, doc_id ASC)::bigint
+                  AS rank_chars,
+                row_number() OVER (ORDER BY tok DESC, doc_id ASC)::bigint
+                  AS rank_tokens
+              FROM c
+            )
+            SELECT doc_id, rank_chars, rank_tokens,
+                   (1000000000000 // (60 + rank_chars)
+                    + 1000000000000 // (60 + rank_tokens))::bigint
+                     AS rrf_score
+            FROM r
         """,
     }

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "q184_leakage_safe_split",
     "q185_compaction_plan",
     "q186_daily_trend",
+    "q187_sq8_ann",
+    "q188_rrf_fusion",
 ]
 
 

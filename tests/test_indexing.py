@@ -340,3 +340,107 @@ def test_daily_trend_signs(spark):
     # den = n*Σk² − (Σk)² = 4*30-100 = 20 for all
     assert {r["trend_den"] for r in out.values()} == {20}
     assert out["up"]["total_events"] == 10 and out["up"]["n_days"] == 4
+
+
+# ---------------------------------------------------------------- sq8 ANN
+
+def test_sq8_full_rerank_equals_exact(spark):
+    # with rerank >= corpus size the candidate cut keeps everything, so
+    # sq8_topk must equal brute-force exact top-k row for row
+    import random
+
+    from validate_spark.operators.similarity import brute_force_topk, sq8_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = sq8_topk(emb, q, k=5, rerank=40)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(exact.collect(), key=key) == sorted(approx.collect(), key=key)
+
+
+def test_sq8_recall_with_narrow_rerank(spark):
+    # clustered data: 8-bit codes keep enough signal that a 10-candidate
+    # cut still recalls the exact top-3 perfectly
+    import random
+
+    from validate_spark.operators.similarity import (
+        brute_force_topk,
+        recall_at_k,
+        sq8_topk,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        center = [1.0 if (i % 3) == d % 3 else -1.0 for d in range(8)]
+        rows.append((i, [c + rng.uniform(-0.05, 0.05) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # rerank = cluster size: centered codes separate classes by a wide
+    # integer margin, so the candidate cut recalls the whole class and
+    # the rerank recovers the exact answer. (A cut SMALLER than the
+    # cluster can't order near-ties inside a tight cluster — within-
+    # cluster cosines differ only in the 4th decimal; that's inherent
+    # to any quantized proxy, not a defect.)
+    exact = brute_force_topk(emb, q, k=3)
+    approx = sq8_topk(emb, q, k=3, rerank=20)
+    assert recall_at_k(approx, exact) >= 0.99
+
+
+def test_sq8_encode_bounds(spark):
+    from validate_spark.operators.similarity import _sq8_encode, sq8_bounds
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 5.0]), (1, [10.0, 5.0]), (2, [2.5, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b = sq8_bounds(emb)
+    out = (
+        emb.crossJoin(F.broadcast(b))
+        .select(
+            "vec_id",
+            _sq8_encode(F.col("embedding"), F.col("lo"), F.col("hi")).alias("c"),
+        )
+        .collect()
+    )
+    got = {r["vec_id"]: r["c"] for r in out}
+    # dim 0: lo=0, hi=10, mid=5 -> 0.0->-128, 10.0->clamp(128)=127,
+    # 2.5 -> floor(-2.5*25.6) = -64; dim 1 degenerate (hi == lo) -> 0
+    assert got == {0: [-128, 0], 1: [127, 0], 2: [-64, 0]}
+
+
+# ---------------------------------------------------------------- RRF
+
+def test_rrf_fusion_hand_check(spark):
+    from validate_spark.operators.indexing import RRF_SCALE, rrf_fusion
+
+    rows = [(1, 30, 1.0), (2, 20, 3.0), (3, 10, 2.0)]
+    df = spark.createDataFrame(rows, "k long, a long, b double")
+    out = {
+        r["key"]: (r["rank_a"], r["rank_b"], r["rrf_score"])
+        for r in rrf_fusion(df, "k", {"a": "a", "b": "b"}, num_partitions=2).collect()
+    }
+    spark.catalog.clearCache()
+    assert out[1] == (1, 3, RRF_SCALE // 61 + RRF_SCALE // 63)
+    assert out[2] == (2, 1, RRF_SCALE // 62 + RRF_SCALE // 61)
+    assert out[3] == (3, 2, RRF_SCALE // 63 + RRF_SCALE // 62)
+
+
+def test_rrf_ties_break_by_key(spark):
+    from validate_spark.operators.indexing import rrf_fusion
+
+    rows = [(5, 7), (1, 7), (9, 7)]  # all-tied signal -> ranks by key asc
+    df = spark.createDataFrame(rows, "k long, s long")
+    out = {
+        r["key"]: r["rank_s"]
+        for r in rrf_fusion(df, "k", {"s": "s"}, num_partitions=2).collect()
+    }
+    spark.catalog.clearCache()
+    assert out == {1: 1, 5: 2, 9: 3}

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def global_index(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     *,
     num_partitions: int | None = None,
     index_col: str = "global_idx",
@@ -45,17 +45,20 @@ def global_index(
     (``orderBy(_pid)`` with no partitionBy) runs over exactly
     ``num_partitions`` rows, never data rows.
 
-    ``key`` values must be unique (the usual contract for a stable
-    index); ties would make the index nondeterministic across layouts.
+    ``key`` may be one column name or a list (composite order); the
+    combined key must be unique (the usual contract for a stable
+    index) — ties would make the index nondeterministic across
+    layouts, so callers append a unique id as the last component.
     Result = input columns + ``index_col``; caller unpersists via
     ``result.sparkSession.catalog.clearCache()`` or ignores (persist is
     MEMORY_AND_DISK on the ranged frame only).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     sc = df.sparkSession.sparkContext
     n_parts = num_partitions or sc.defaultParallelism
     ranged = (
-        df.repartitionByRange(n_parts, F.col(key))
-        .sortWithinPartitions(key)
+        df.repartitionByRange(n_parts, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -71,7 +74,7 @@ def global_index(
         F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
     )
 
-    local_w = Window.partitionBy("_pid").orderBy(key)
+    local_w = Window.partitionBy("_pid").orderBy(*keys)
     return (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(
@@ -193,3 +196,58 @@ def compaction_plan(
         # integer DIV (≡ DuckDB //): exact at any byte total, no float
         F.expr(f"(_cum - 1) DIV {int(target_bytes)}").alias("batch"),
     )
+
+
+RRF_SCALE = 10**12
+
+
+def rrf_fusion(
+    df: DataFrame,
+    key_col: str,
+    signals: dict[str, str],
+    *,
+    k0: int = 60,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion over N quality signals (Cormack et al.
+    SIGIR'09 — the standard way to ensemble incommensurable data-
+    selection scores: quality classifier, link authority, dedup weight
+    — without learning weights or normalizing distributions).
+
+    Per signal, every row gets its GLOBAL rank (1 = highest signal
+    value, ties by key) via :func:`global_index` on the composite
+    (-signal, key) — i.e. the scale-safe two-phase range index, never
+    a one-task ``row_number() OVER (ORDER BY ...)``. The fused score is
+
+        rrf = sum over signals of  RRF_SCALE DIV (k0 + rank)
+
+    kept int64-exact (RRF_SCALE = 10^12): selection thresholds on it
+    are engine-portable with no float summation question.
+
+    Cost: one range exchange + one key-partitioned join per signal —
+    at N signals the corpus is exchanged N+? times, which is the
+    honest price of N independent global rankings; signals are fused
+    on co-partitioned ``key`` joins (the first join fixes the layout,
+    later ones reuse it).
+
+    Output: (key, rank_<name>... , rrf_score), one row per input row.
+    """
+    if not signals:
+        raise ValueError("need at least one signal")
+    fused = None
+    for name, col in signals.items():
+        ranked = global_index(
+            df.select(
+                F.col(key_col).alias("key"),
+                (-F.col(col).cast("double")).alias("_neg"),
+            ),
+            ["_neg", "key"],
+            num_partitions=num_partitions,
+            index_col=f"rank_{name}",
+        ).select("key", f"rank_{name}")
+        fused = ranked if fused is None else fused.join(ranked, "key")
+    score = None
+    for name in signals:
+        term = F.expr(f"{RRF_SCALE} DIV ({k0} + rank_{name})")
+        score = term if score is None else score + term
+    return fused.withColumn("rrf_score", score.cast("long"))

@@ -25,7 +25,7 @@ reducer, no global sort; see its docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from validate_spark.operators.dedup import cosine_sim
 
@@ -432,4 +432,146 @@ def random_projection(
             F.col("k").cast("long").alias("k"),
             F.round(F.col("_raw") / scale, 6).alias("proj"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8-style) ANN: compressed-domain candidates + exact rerank
+# ---------------------------------------------------------------------------
+
+def sq8_bounds(corpus: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """One-row (lo: array<double>, hi: array<double>) per-dimension
+    quantizer bounds. posexplode -> groupBy(pos) collapses map-side to
+    |dims| rows per task (dims ~64-4096 — the aggregate, not the
+    corpus, crosses the wire); the final collect_list buffers |dims|
+    structs. The result is broadcast-sized by construction.
+    """
+    per_dim = (
+        corpus.select(F.posexplode(vec_col).alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    item = F.struct(F.col("pos"), F.col("lo"), F.col("hi"))
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(item)), lambda s: s.getField("lo")
+        ).alias("lo"),
+        F.transform(
+            F.array_sort(F.collect_list(item)), lambda s: s.getField("hi")
+        ).alias("hi"),
+    )
+
+
+def _sq8_encode(vec: Column, lo: Column, hi: Column) -> Column:
+    """Quantize a float vector to SIGNED int8 range (-128..127) against
+    per-dim bounds, CENTERED on the dimension midpoint:
+    ``clamp(floor((x - (lo_i+hi_i)/2) * 256 / (hi_i - lo_i)), -128, 127)``,
+    degenerate dimension (hi == lo) -> 0.
+
+    Centering matters for the dot-product proxy: unsigned 0..255 codes
+    carry a per-vector shift bias (+a*lo_i per dim) whose cross terms
+    a*lo·(x+y) swamp the x·y signal whenever |lo| is comparable to the
+    coordinate spread — measured here as candidate orderings that
+    ignore the actual similarity. Centered codes approximate
+    a*(x - mid), so code-dot ≈ a²·(x-mid)·(y-mid) — the bias is the
+    per-corpus constant |mid|², rank-neutral per query. floor (not
+    round) so there is no half-tie rounding-mode question cross-engine;
+    every arithmetic step is IEEE double and replays bit-identically.
+    """
+    def enc(x, i):
+        l, h = F.get(lo, i), F.get(hi, i)
+        q = F.floor((x.cast("double") - (l + h) / 2.0) * 256.0 / (h - l))
+        return (
+            F.when(h == l, F.lit(0))
+            .otherwise(F.least(F.greatest(q, F.lit(-128)), F.lit(127)))
+            .cast("int")
+        )
+
+    return F.transform(vec, enc)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rerank: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    include_self: bool = False,
+) -> DataFrame:
+    """Compressed-domain ANN: candidates by INTEGER dot product over
+    scalar-quantized (8-bit) codes, then exact-cosine rerank of the
+    top ``rerank`` per query. Same contract as brute_force_topk:
+    (query_id, neighbor_id, rank).
+
+    Why this is the memory-bound-scale path: at 10^12 x 1k-dim float32
+    the corpus is 4 PB of vector bytes — quantized codes are 4x
+    smaller and the candidate scan does integer multiply-adds (SIMD-
+    friendly, no FMA ordering concerns); only ``rerank x |queries|``
+    rows ever touch full-precision vectors again. The int64 candidate
+    scores are EXACT, so the candidate SET is deterministic and
+    engine-independent (ties by id) — all float work happens after the
+    cut, where q19's round-9 cosine contract already holds.
+
+    Plan shape: bounds (one-row) broadcast-joined onto both sides;
+    candidate scoring is map-side (queries broadcast, codes pruned to
+    (query_id, neighbor_id, dot) before any exchange); candidate
+    selection reuses ``_two_phase_topk`` (no per-query hot reducer);
+    the rerank joins the tiny candidate frame BROADCAST against the
+    corpus, so full vectors never shuffle. The final per-query window
+    runs over <= rerank rows per group — bounded by construction.
+    """
+    bounds = F.broadcast(sq8_bounds(corpus, vec_col=vec_col))
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(bounds)
+        .select("neighbor_id", _sq8_encode(F.col("cv"), F.col("lo"), F.col("hi")).alias("cq"))
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        )
+        .crossJoin(bounds)
+        .select(
+            "query_id", _sq8_encode(F.col("qv"), F.col("lo"), F.col("hi")).alias("qq")
+        )
+    )
+    scored = c.crossJoin(q)
+    if not include_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("qq"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = _two_phase_topk(
+        scored.select("query_id", "neighbor_id", int_dot.alias("cos")), rerank
+    ).select("query_id", "neighbor_id")
+
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qvec = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        )
+    )
+    reranked = (
+        cvec.join(F.broadcast(cand), "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("cv"), F.col("qv")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )
