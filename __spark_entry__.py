@@ -4801,6 +4801,18 @@ def q188_rrf_fusion(spark, sf_dir):
     return out
 
 
+def q189_weekday_anomaly(spark, sf_dir):
+    """Day-of-week-adjusted robust anomaly screen (drift.
+    weekday_anomaly): per (event_type, weekday) exact median/MAD
+    baseline, |c − med| > k·MAD decided in pure int64 (med2/mad8
+    doubled-integer grid) — the seasonality-aware complement to
+    q181 CUSUM and q186 trend."""
+    from validate_spark.operators.drift import weekday_anomaly
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return weekday_anomaly(ev, "ts", "event_type", k=3, min_obs=2)
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5056,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_daily_trend": q186_daily_trend,
         "q187_sq8_ann": q187_sq8_ann,
         "q188_rrf_fusion": q188_rrf_fusion,
+        "q189_weekday_anomaly": q189_weekday_anomaly,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9666,5 +9679,35 @@ def oracle_sql() -> dict[str, str]:
                     + 1000000000000 // (60 + rank_tokens))::bigint
                      AS rrf_score
             FROM r
+        """,
+        "q189_weekday_anomaly": """
+            WITH daily AS (
+              SELECT event_type AS grp, ts::date AS d,
+                     count(*)::bigint AS c
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ), dd AS (
+              SELECT grp, d, c, (isodow(d) - 1)::int AS dow FROM daily
+            ), med AS (
+              SELECT grp, dow,
+                     (round(quantile_cont(c::double, 0.5), 6) * 2)::bigint
+                       AS med2,
+                     count(*)::bigint AS n_obs
+              FROM dd GROUP BY grp, dow
+              HAVING count(*) >= 2
+            ), dev AS (
+              SELECT dd.grp, dd.d, dd.dow, dd.c, med.med2,
+                     abs(4 * dd.c - 2 * med.med2)::bigint AS dev4
+              FROM dd JOIN med ON dd.grp = med.grp AND dd.dow = med.dow
+            ), mad AS (
+              SELECT grp, dow,
+                     (round(quantile_cont(dev4::double, 0.5), 6) * 2)::bigint
+                       AS mad8
+              FROM dev GROUP BY grp, dow
+            )
+            SELECT dev.grp AS event_type, dev.d AS day, dev.dow,
+                   dev.c, dev.med2, mad.mad8,
+                   (2 * dev.dev4 > 3 * mad.mad8) AS anomaly
+            FROM dev JOIN mad ON dev.grp = mad.grp AND dev.dow = mad.dow
         """,
     }

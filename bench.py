@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q186_daily_trend",
     "q187_sq8_ann",
     "q188_rrf_fusion",
+    "q189_weekday_anomaly",
 ]
 
 

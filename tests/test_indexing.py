@@ -444,3 +444,49 @@ def test_rrf_ties_break_by_key(spark):
     }
     spark.catalog.clearCache()
     assert out == {1: 1, 5: 2, 9: 3}
+
+
+# ---------------------------------------------------------------- weekday
+
+def test_weekday_anomaly_flags_seasonal_outlier(spark):
+    from validate_spark.operators.drift import weekday_anomaly
+
+    # group "g": Mondays carry 10 events, all other days 2 — then one
+    # Monday spikes to 30 and one Wednesday dips to 0 events (absent
+    # day -> no row; plant a 20-event Wednesday instead).
+    rows = []
+    # 4 calendar weeks starting Mon 2024-01-01
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    for w in range(4):
+        for dow in range(7):
+            day = d0 + dt.timedelta(days=7 * w + dow)
+            n = 10 if dow == 0 else 2
+            if w == 3 and dow == 0:
+                n = 30  # anomalous Monday
+            if w == 3 and dow == 2:
+                n = 20  # anomalous Wednesday
+            rows += [(f"{day} 09:00:00", "g")] * n
+    df = spark.createDataFrame(rows, "t string, g string").select(
+        F.col("t").cast("timestamp").alias("ts"), "g"
+    )
+    out = weekday_anomaly(df, "ts", "g", k=3, min_obs=3)
+    flagged = {str(r["day"]) for r in out.filter(F.col("anomaly")).collect()}
+    assert flagged == {"2024-01-22", "2024-01-24"}
+    # the 10-event Mondays are NOT anomalous against their own weekday
+    monday_rows = {str(r["day"]): r for r in out.filter(F.col("dow") == 0).collect()}
+    assert monday_rows["2024-01-01"]["anomaly"] is False
+    # median of Mondays (10,10,10,30) = 10 -> med2 = 20
+    assert monday_rows["2024-01-01"]["med2"] == 20
+
+
+def test_weekday_anomaly_min_obs_gate(spark):
+    from validate_spark.operators.drift import weekday_anomaly
+
+    rows = [("2024-01-01 00:00:00", "g")] * 3 + [("2024-01-08 00:00:00", "g")] * 3
+    df = spark.createDataFrame(rows, "t string, g string").select(
+        F.col("t").cast("timestamp").alias("ts"), "g"
+    )
+    # two Monday observations < min_obs=3 -> no rows at all
+    assert weekday_anomaly(df, "ts", "g", min_obs=3).count() == 0

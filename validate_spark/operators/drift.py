@@ -784,3 +784,85 @@ def daily_trend(
             ).cast("int").alias("direction"),
         )
     )
+
+
+def weekday_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    *,
+    k: int = 3,
+    min_obs: int = 3,
+) -> DataFrame:
+    """Seasonality-aware robust anomaly screen over daily event counts:
+    a Tuesday is compared only against that group's OTHER same-weekdays
+    (the day-of-week baseline every ops series needs — flagging Sunday
+    dips against a Monday-Friday mean is the classic false positive).
+
+    Per (group, weekday) cell the baseline is the MEDIAN of the daily
+    counts and the spread is the MAD (median absolute deviation) — both
+    EXACT continuous medians (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, (n-1)p interpolation). A day is anomalous when
+
+        |c - median| > k * MAD
+
+    evaluated ENTIRELY in int64: medians of ints live on a 0.5 grid, so
+    med2 = 2*median and mad8 = 8*MAD are exact integers and the rule is
+    ``2*|4c - 2*med2| > k*mad8`` — no float ever crosses the decision
+    (the repo's integer cross-multiplication rule). MAD = 0 (a
+    perfectly flat baseline) flags ANY deviation, which is the correct
+    reading of "this cell never varies".
+
+    Weekday is Monday=0..Sunday=6 — Spark ``weekday()`` ≡ DuckDB
+    ``isodow - 1`` (the raw ``dayofweek`` builtins DISAGREE across
+    engines: Spark 1=Sunday, DuckDB 0=Sunday — recorded trap).
+
+    Scale: one hash aggregate collapses raw events to (group, day);
+    the two (group, weekday) aggregates and joins run on that collapsed
+    frame, exact-median state bounded by distinct daily counts per
+    cell. Cells with < min_obs observations are excluded (a median of
+    two points flags nothing meaningful).
+
+    Output: (group, day, weekday, c, med2, mad8, anomaly) — med2/mad8
+    deliberately unreduced so thresholds stay portable.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("dow", F.weekday("d").cast("int"))
+    )
+    med = (
+        daily.groupBy("grp", "dow")
+        .agg(
+            (F.round(F.percentile(F.col("c").cast("double"), F.lit(0.5)), 6) * 2)
+            .cast("long")
+            .alias("med2"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= min_obs)
+    )
+    dev = daily.join(med, ["grp", "dow"]).withColumn(
+        "dev4", F.abs(F.lit(4) * F.col("c") - F.lit(2) * F.col("med2"))
+    )
+    mad = dev.groupBy("grp", "dow").agg(
+        (F.round(F.percentile(F.col("dev4").cast("double"), F.lit(0.5)), 6) * 2)
+        .cast("long")
+        .alias("mad8")
+    )
+    return (
+        dev.join(mad, ["grp", "dow"])
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("d").alias("day"),
+            "dow",
+            "c",
+            "med2",
+            "mad8",
+            (F.lit(2) * F.col("dev4") > F.lit(int(k)) * F.col("mad8")).alias(
+                "anomaly"
+            ),
+        )
+    )
