@@ -4686,9 +4686,11 @@ def q182_triangle_count(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     edges = synthetic_doc_links(docs, fan_out=3)
-    out = triangle_count(edges)
-    spark.catalog.clearCache()
-    return out
+    # NOTE: no clearCache here — the operator's two persisted frames
+    # (normalized edges, oriented edges) must survive until the
+    # caller's action or the whole normalization replays per branch
+    # (measured: 318-Exchange plan). The harness isolates cells.
+    return triangle_count(edges)
 
 
 def q183_url_dedup(spark, sf_dir):
@@ -4792,13 +4794,13 @@ def q188_rrf_fusion(spark, sf_dir):
         F.col("n_chars").alias("chars_sig"),
         whitespace_token_count(F.col("text")).alias("tokens_sig"),
     )
-    out = rrf_fusion(
+    # no clearCache before the action — global_index's ranged frames
+    # must stay persisted until the caller collects (see q182 note)
+    return rrf_fusion(
         docs, "doc_id", {"chars": "chars_sig", "tokens": "tokens_sig"}
     ).select(
         F.col("key").alias("doc_id"), "rank_chars", "rank_tokens", "rrf_score"
     )
-    spark.catalog.clearCache()
-    return out
 
 
 def q189_weekday_anomaly(spark, sf_dir):

@@ -220,9 +220,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     und = und.repartition(n_parts, "u").persist()
     und.count()  # one normalization pass feeds degrees + orientation
 
+    # explode, not unionAll: a union of two projections evaluates the
+    # child twice; explode emits both endpoints in ONE pass
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
@@ -250,10 +251,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closing = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"])  # rows (a, x, y): one per triangle
 
+    # explode the triangle's 3 corners in one pass — a 3-way unionAll
+    # of projections would REPLAY the wedge-closing join three times
+    # (measured before the rewrite: 3x the join stages in the plan)
     per_node = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("x").alias("node")))
-        .unionAll(tris.select(F.col("y").alias("node")))
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
