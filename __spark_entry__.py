@@ -4841,11 +4841,11 @@ _DRIVER_FIRST = [
     "q77_incremental_minhash",
     "q81_source_overlap",
     "q82_soft_dedup_weights",
-    "q83_cluster_split",
-    "q94_retain_best",
+    "q181_cusum_changepoint",
+    "q184_leakage_safe_split",
     "q155_duplication_profile",
     "q51_stratified_sample",
-    "q74_deterministic_shuffle",
+    "q178_global_row_index",
     "q78_quality_quantile",
     "q154_mix_temperature",
     "q53_repetition_signals",
@@ -4868,13 +4868,13 @@ _DRIVER_FIRST = [
     "q104_range_join",
     "q107_funnel",
     "q108_cohort_retention",
-    "q122_daily_densify",
+    "q182_triangle_count",
     "q156_debounce",
     "q105_streaming_sessionize",
     "q114_native_streaming_dedup",
     "q124_top_revenue",
     "q128_idle_rich_customers",
-    "q141_waiting_suppliers",
+    "q187_sq8_ann",
     "q95_functional_dependency",
     "q119_cube_profile",
 ]
