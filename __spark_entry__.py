@@ -4815,6 +4815,38 @@ def q189_weekday_anomaly(spark, sf_dir):
     return weekday_anomaly(ev, "ts", "event_type", k=3, min_obs=2)
 
 
+def q190_span_pattern_audit(spark, sf_dir):
+    """Adjacent-pair sequence rules over interleaved spans (multimodal.
+    span_pattern_audit): media-must-be-captioned adjacency + strict
+    offset monotonicity — the rule class `spans.*.field` wildcards
+    can't express. Spans built deterministically from documents (q43's
+    rotation) with planted violations: every 11th doc's last offset
+    regresses, every 89th doc has no spans; the oracle re-derives the
+    audit SCALAR-WISE from the rotation arithmetic (not by replaying
+    array ops)."""
+    from validate_spark.operators.multimodal import span_pattern_audit
+
+    kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
+    d = F.col("doc_id")
+
+    def span(i: int):
+        kind = F.get(kinds, F.pmod(d + i, F.lit(3)).cast("int"))
+        off = F.when((d % 11 == 7) & (F.lit(i) == 2), F.lit(5)).otherwise(
+            F.lit(i * 10)
+        )
+        return F.struct(kind.alias("kind"), off.cast("int").alias("offset"))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 89 == 0, F.array().cast("array<struct<kind:string,offset:int>>"))
+        .otherwise(F.array(span(0), span(1), span(2)))
+        .alias("spans"),
+    )
+    return span_pattern_audit(docs, "spans").select(
+        "doc_id", "n_spans", "n_media", "n_uncaptioned", "offsets_monotone"
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5071,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_sq8_ann": q187_sq8_ann,
         "q188_rrf_fusion": q188_rrf_fusion,
         "q189_weekday_anomaly": q189_weekday_anomaly,
+        "q190_span_pattern_audit": q190_span_pattern_audit,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9711,5 +9744,21 @@ def oracle_sql() -> dict[str, str]:
                    dev.c, dev.med2, mad.mad8,
                    (2 * dev.dev4 > 3 * mad.mad8) AS anomaly
             FROM dev JOIN mad ON dev.grp = mad.grp AND dev.dow = mad.dow
+        """,
+        # q190: audit re-derived SCALAR-WISE from the span rotation:
+        # kinds cycle [text,image,audio] from (doc_id+i)%3, so the
+        # uncaptioned-media count per rotation phase is a constant
+        # (phase 0: image->audio and trailing audio = 2; phases 1-2: 1);
+        # monotonicity breaks exactly where the builder regresses the
+        # last offset (doc_id % 11 = 7), except empty-span docs.
+        "q190_span_pattern_audit": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 3 END::int AS n_spans,
+              CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 2 END::int AS n_media,
+              CASE WHEN doc_id % 89 = 0 THEN 0
+                   WHEN doc_id % 3 = 0 THEN 2
+                   ELSE 1 END::int AS n_uncaptioned,
+              (doc_id % 89 = 0 OR doc_id % 11 <> 7) AS offsets_monotone
+            FROM documents
         """,
     }

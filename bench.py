@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q187_sq8_ann",
     "q188_rrf_fusion",
     "q189_weekday_anomaly",
+    "q190_span_pattern_audit",
 ]
 
 

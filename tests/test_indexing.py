@@ -490,3 +490,60 @@ def test_weekday_anomaly_min_obs_gate(spark):
     )
     # two Monday observations < min_obs=3 -> no rows at all
     assert weekday_anomaly(df, "ts", "g", min_obs=3).count() == 0
+
+
+# ---------------------------------------------------------------- spans
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, spans array<struct<kind:string,offset:int>>"
+    )
+
+
+def test_span_pattern_audit_adjacency(spark):
+    from validate_spark.operators.multimodal import span_pattern_audit
+
+    rows = [
+        # captioned image, trailing text -> 0 uncaptioned
+        (1, [("image", 0), ("text", 10), ("text", 20)]),
+        # image followed by audio (unc) and trailing audio (unc) -> 2
+        (2, [("text", 0), ("image", 10), ("audio", 20)]),
+        # single media span, no next -> 1
+        (3, [("image", 0)]),
+        # empty + NULL spans degrade to zeros / monotone
+        (4, []),
+        (5, None),
+    ]
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_media"], r["n_uncaptioned"], r["offsets_monotone"])
+        for r in span_pattern_audit(_spans_df(spark, rows)).collect()
+    }
+    assert out[1] == (3, 1, 0, True)
+    assert out[2] == (3, 2, 2, True)
+    assert out[3] == (1, 1, 1, True)
+    assert out[4] == (0, 0, 0, True)
+    assert out[5] == (0, 0, 0, True)
+
+
+def test_span_pattern_audit_offsets(spark):
+    from validate_spark.operators.multimodal import span_pattern_audit
+
+    rows = [
+        (1, [("text", 0), ("text", 10), ("text", 5)]),   # regression
+        (2, [("text", 0), ("text", 0)]),                 # duplicate = not strict
+        (3, [("text", 3), ("text", 9), ("text", 27)]),   # ok
+    ]
+    out = {
+        r["doc_id"]: r["offsets_monotone"]
+        for r in span_pattern_audit(_spans_df(spark, rows)).collect()
+    }
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_span_pattern_audit_is_native(spark):
+    from validate_spark.operators.multimodal import span_pattern_audit
+
+    df = _spans_df(spark, [(1, [("text", 0)])])
+    plan = span_pattern_audit(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan   # one map-side projection, no shuffle
+    assert "BatchEvalPython" not in plan

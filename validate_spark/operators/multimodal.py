@@ -196,3 +196,76 @@ def sample_frames(
             F.substring(F.col("_d"), F.col("frame_idx") * 16 + 1, 16).alias("frame_bytes"),
         )
     )
+
+
+def span_pattern_audit(
+    df: DataFrame,
+    spans_col: str = "spans",
+    *,
+    caption_kind: str = "text",
+    offset_field: str = "offset",
+    kind_field: str = "kind",
+) -> DataFrame:
+    """Sequence-pattern validation over an interleaved spans array —
+    the rule class the wildcard (`spans.*.kind`) compiler cannot
+    express, because it quantifies over ADJACENT PAIRS, not elements:
+
+      - ``n_uncaptioned``: media spans (kind != caption_kind) whose
+        NEXT span is not a caption — the standard multimodal-pretraining
+        contract that every image/audio segment carries adjacent text;
+      - ``offsets_monotone``: the span order field strictly increases
+        (an interleaving that re-sorted or duplicated offsets corrupts
+        the (kind, text, media_ref, order) invariant BEFORE per-span
+        rules could notice).
+
+    Built on the pair trick ``zip_with(spans, slice(spans, 2, n), ...)``
+    — zip_with pads the shorter side with NULL, so the last span pairs
+    with NULL "next" naturally. Entirely native array functions, one
+    map-side projection per row: no explode, no shuffle, no Python —
+    the per-doc work is O(n_spans) inside the projection, which is the
+    only shape that survives 10^12 rows of ragged arrays.
+
+    Output: (all input columns) + n_spans, n_media, n_uncaptioned,
+    offsets_monotone.
+    """
+    spans = F.col(spans_col)
+    nxt = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(1)))
+    pairs = F.zip_with(
+        spans,
+        nxt,
+        lambda cur, nx: F.struct(
+            cur[kind_field].alias("k"),
+            nx[kind_field].alias("nk"),
+            cur[offset_field].alias("o"),
+            nx[offset_field].alias("no"),
+        ),
+    )
+    is_media = lambda k: k.isNotNull() & (k != caption_kind)
+    n_uncaptioned = F.size(
+        F.filter(
+            pairs,
+            lambda p: is_media(p["k"])
+            & (p["nk"].isNull() | (p["nk"] != caption_kind)),
+        )
+    )
+    offsets_monotone = F.forall(
+        pairs, lambda p: p["no"].isNull() | (p["no"] > p["o"])
+    )
+    empty = spans.isNull() | (F.size(spans) == 0)
+    return (
+        df.withColumn("n_spans", F.coalesce(F.size(spans), F.lit(0)).cast("int"))
+        .withColumn(
+            "n_media",
+            F.when(empty, F.lit(0))
+            .otherwise(F.size(F.filter(spans, lambda s: is_media(s[kind_field]))))
+            .cast("int"),
+        )
+        .withColumn(
+            "n_uncaptioned",
+            F.when(empty, F.lit(0)).otherwise(n_uncaptioned).cast("int"),
+        )
+        .withColumn(
+            "offsets_monotone",
+            F.when(empty, F.lit(True)).otherwise(offsets_monotone),
+        )
+    )
