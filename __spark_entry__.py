@@ -4847,6 +4847,70 @@ def q190_span_pattern_audit(spark, sf_dir):
     )
 
 
+def q191_kmv_distinct_sketch(spark, sf_dir):
+    """Mergeable K-Minimum-Values distinct sketch (stats.kmv_sketch):
+    the cross-engine-EXACT alternative to HLL — sketch state is the k
+    smallest md5 hashes, merged per group from per-task sketches
+    exactly as per-day sketches roll up in a lake. Estimator output
+    is a pure int64 function of the input ((k-1)·2^52 div h_k), so
+    the DuckDB oracle reproduces estimates bit-for-bit."""
+    from validate_spark.operators.stats import kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_sketch(docs, "doc_id", k=64, group_cols=["lang"])
+
+
+def q192_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k retrieval (retrieval.bm25_topk): postings
+    pruned by broadcast query terms before any shuffle, idf frozen to
+    int64 1e-4 nats from the exact (2N+2)/(2df+1) rational, the tf
+    saturation term an exact int64 rational via milli-token avgdl,
+    two-phase skew-free top-k — `similarity.brute_force_topk`'s
+    lexical twin."""
+    from validate_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [
+            ("q1", "hash"),
+            ("q1", "join"),
+            ("q1", "merge"),
+            ("q2", "stream"),
+            ("q2", "window"),
+            ("q2", "vector"),
+        ],
+        ["query_id", "term"],
+    )
+    return bm25_topk(docs, q, k=8)
+
+
+def q193_theil_sen_trend(spark, sf_dir):
+    """Robust per-group trend: Theil–Sen median of pairwise daily
+    slopes (drift.theil_sen_trend) — 29.3% breakdown vs q186's OLS
+    (one backfill spike can't drag it). Slopes frozen to int64 at
+    1e6 BEFORE the median (truncating div agrees cross-engine on
+    negative slopes — verified), median on the exact half-integer
+    grid (med2)."""
+    from validate_spark.operators.drift import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return theil_sen_trend(ev, "ts", "event_type")
+
+
+def q194_join_skew_audit(spark, sf_dir):
+    """Pre-join skew report (stats.join_skew_audit): heavy keys, the
+    EXACT inner-join output each produces (cnt_l·cnt_r), and the salt
+    factor bounding it per task — the audit run BEFORE a 100-TB join.
+    Self-join on events.event_type makes every key hot, so the
+    ranking and salt arithmetic are all exercised."""
+    from validate_spark.operators.stats import join_skew_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return join_skew_audit(
+        ev, ev, "event_type", top=5, rows_per_task_target=1_000_000
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5104,6 +5168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_rrf_fusion": q188_rrf_fusion,
         "q189_weekday_anomaly": q189_weekday_anomaly,
         "q190_span_pattern_audit": q190_span_pattern_audit,
+        "q191_kmv_distinct_sketch": q191_kmv_distinct_sketch,
+        "q192_bm25_topk": q192_bm25_topk,
+        "q193_theil_sen_trend": q193_theil_sen_trend,
+        "q194_join_skew_audit": q194_join_skew_audit,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -9760,5 +9828,138 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 1 END::int AS n_uncaptioned,
               (doc_id % 89 = 0 OR doc_id % 11 <> 7) AS offsets_monotone
             FROM documents
+        """,
+        # q191: KMV estimator is a pure int64 function of the hash
+        # multiset: 63 * 2^52 = 283726776524341248; `//` truncates in
+        # DuckDB exactly like Spark's `div` (all values positive here)
+        "q191_kmv_distinct_sketch": """
+            WITH h AS (
+              SELECT DISTINCT lang,
+                     CAST('0x' || substr(md5(doc_id::varchar), 1, 13)
+                          AS BIGINT) AS hv
+              FROM documents WHERE doc_id IS NOT NULL
+            ), d AS (
+              SELECT lang, count(*)::bigint AS nd FROM h GROUP BY lang
+            ), kth AS (
+              SELECT lang, hv AS kth_hash FROM (
+                SELECT lang, hv,
+                       row_number() OVER (PARTITION BY lang ORDER BY hv)
+                         AS rn
+                FROM h
+              ) WHERE rn = 64
+            ), base AS (
+              SELECT lang, count(doc_id)::bigint AS n_rows
+              FROM documents GROUP BY lang
+            )
+            SELECT base.lang, base.n_rows,
+                   least(d.nd, 64)::int AS n_kept,
+                   kth.kth_hash,
+                   (CASE WHEN d.nd < 64 THEN d.nd
+                         ELSE 283726776524341248 // kth.kth_hash
+                    END)::bigint AS distinct_est
+            FROM base JOIN d USING (lang) LEFT JOIN kth USING (lang)
+        """,
+        # q192: full BM25 re-derivation — same normalization, integer
+        # milli-token avgdl (round-half-up in pure ints), idf int64 at
+        # 1e-4 from ln((2N+2)/(2df+1)), tf term as truncating int64
+        # rational, rank by (score desc, doc_id asc)
+        "q192_bm25_topk": f"""
+            WITH q(query_id, term) AS (
+              VALUES ('q1','hash'), ('q1','join'), ('q1','merge'),
+                     ('q2','stream'), ('q2','window'), ('q2','vector')
+            ), base AS (
+              SELECT doc_id, {_NORM} AS nt FROM documents
+            ), dl AS (
+              SELECT doc_id,
+                     (CASE WHEN nt = '' THEN 0
+                           ELSE len(string_split(nt, ' ')) END)::bigint
+                       AS dl
+              FROM base
+            ), stats AS (
+              SELECT count(*)::bigint AS n_docs,
+                     sum(dl)::bigint AS total_tokens,
+                     (2000 * sum(dl) + count(*)) // (2 * count(*))
+                       AS a
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, term,
+                     least(count(*), 4096)::bigint AS tf
+              FROM (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+                FROM base WHERE nt <> ''
+              ) GROUP BY doc_id, term
+            ), m AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+              JOIN dl USING (doc_id)
+            ), dfc AS (
+              SELECT term, count(*)::bigint AS df FROM m GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     round(ln((2 * stats.n_docs + 2)::double
+                              / (2 * df + 1)) * 10000)::bigint
+                       AS idf_int
+              FROM dfc, stats
+            ), sc AS (
+              SELECT m.doc_id, m.term,
+                     (idf.idf_int * (22 * stats.a * m.tf))
+                       // (10 * stats.a * m.tf + 3 * stats.a
+                           + 9000 * m.dl) AS s
+              FROM m JOIN idf USING (term), stats
+            ), ds AS (
+              SELECT q.query_id, sc.doc_id,
+                     sum(sc.s)::bigint AS bm25_int,
+                     count(*)::int AS n_terms
+              FROM sc JOIN q USING (term) GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25_int DESC, doc_id) AS rnk
+              FROM ds
+            )
+            SELECT query_id, doc_id, bm25_int, n_terms, rnk::int AS rank
+            FROM r WHERE rnk <= 8
+        """,
+        # q193: pairwise slopes frozen to int64 before the median
+        # (// truncates toward zero in both engines — verified on
+        # negatives); exact half-integer median via quantile_cont
+        "q193_theil_sen_trend": """
+            WITH daily AS (
+              SELECT event_type AS grp, ts::date AS d,
+                     count(*)::bigint AS c
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ), nd AS (
+              SELECT grp, count(*)::bigint AS n_days
+              FROM daily GROUP BY grp
+            ), pairs AS (
+              SELECT a.grp,
+                     (1000000 * (b.c - a.c))
+                       // date_diff('day', a.d, b.d) AS s
+              FROM daily a JOIN daily b
+                ON a.grp = b.grp AND a.d < b.d
+            ), med AS (
+              SELECT grp, count(*)::bigint AS n_pairs,
+                     (round(quantile_cont(s::double, 0.5), 6) * 2)::bigint
+                       AS slope_med2
+              FROM pairs GROUP BY grp
+            )
+            SELECT nd.grp, nd.n_days, med.n_pairs, med.slope_med2
+            FROM nd JOIN med USING (grp)
+            WHERE nd.n_days >= 3
+        """,
+        "q194_join_skew_audit": """
+            WITH c AS (
+              SELECT event_type, count(*)::bigint AS n
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT a.event_type, a.n AS n_left, b.n AS n_right,
+                   (a.n * b.n)::bigint AS est_rows,
+                   ceil((a.n * b.n)::double / 1000000)::int AS salt_factor
+            FROM c a JOIN c b USING (event_type)
+            ORDER BY est_rows DESC, a.event_type
+            LIMIT 5
         """,
     }

@@ -197,6 +197,10 @@ BENCH_QUERIES = [
     "q188_rrf_fusion",
     "q189_weekday_anomaly",
     "q190_span_pattern_audit",
+    "q191_kmv_distinct_sketch",
+    "q192_bm25_topk",
+    "q193_theil_sen_trend",
+    "q194_join_skew_audit",
 ]
 
 

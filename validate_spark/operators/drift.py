@@ -866,3 +866,70 @@ def weekday_anomaly(
             ),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    *,
+    scale: int = 1_000_000,
+    min_days: int = 3,
+) -> DataFrame:
+    """Robust per-group trend: the Theil–Sen estimator (median of all
+    pairwise slopes) over daily event counts — :func:`daily_trend`'s
+    OLS slope moves with ONE corrupt day (a backfill spike drags the
+    fit); the pairwise-slope median has a 29.3% breakdown point, so a
+    third of the days can be garbage before the trend lies.
+
+    Every pairwise slope is frozen to an int64 BEFORE the median:
+
+        slope_int = (scale * (c_j - c_i)) div datediff(d_j, d_i)
+
+    `div` truncates toward zero in both Spark and DuckDB (verified —
+    unlike floor division they agree on negative slopes), so the slope
+    multiset is integer-exact cross-engine, and the median comes out
+    on the half-integer grid as ``slope_med2 = 2 * median`` via the
+    exact-percentile trick (:func:`weekday_anomaly`): slopes as
+    doubles are exact while |slope_int| < 2^52 — |Δc| ≤ 4.5e9 at
+    scale=1e6, far past any daily count delta.
+
+    Scale: raw events collapse to the |groups|·|days| daily frame
+    first (one hash aggregate); the pair self-join runs ON that
+    collapsed frame, co-partitioned by group, O(days²) pairs per group
+    — 365 days → 66k pairs, trivially task-sized. For multi-year
+    series cap the window upstream (filter to a trailing period);
+    the quadratic is in DAYS, never rows.
+
+    Output: (grp, n_days, n_pairs, slope_med2) — slope_med2 is
+    events/day × 2·scale.
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = daily.select("grp", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("grp", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "grp").filter(F.col("d1") < F.col("d2"))
+    slope = F.expr(
+        f"CAST({scale} AS BIGINT) * (c2 - c1) div CAST(datediff(d2, d1) AS BIGINT)"
+    )
+    n_days = daily.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = (
+        pairs.select("grp", slope.alias("_s"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.round(F.percentile(F.col("_s").cast("double"), F.lit(0.5)), 6) * 2)
+            .cast("long")
+            .alias("slope_med2"),
+        )
+    )
+    return (
+        n_days.filter(F.col("n_days") >= min_days)
+        .join(med, "grp")
+        .select("grp", "n_days", "n_pairs", "slope_med2")
+    )

@@ -483,3 +483,145 @@ def group_mad(
         F.round(_mad(vc), 6).alias("mad"),
         _n(vc).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-count sketch (KMV)
+# ---------------------------------------------------------------------------
+
+# 13 hex chars of md5 = 52 uniform bits; (k-1)*2^52 stays inside int64
+# for k up to ~2000, so the estimator needs no decimal arithmetic
+_KMV_HEX = 13
+_KMV_SPACE = 1 << (4 * _KMV_HEX)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable K-Minimum-Values distinct-count sketch — the
+    cross-engine-EXACT alternative to HyperLogLog (`approx_count_
+    distinct`'s HLL++ buckets are JVM-private, so its estimates can
+    never be value-oracled; KMV's state is just the k smallest md5
+    hashes, reproducible bit-for-bit in any engine).
+
+    Estimator (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 "KMV
+    synopses"): hash values uniformly into [0, 2^52); if the k-th
+    smallest DISTINCT hash is h_k, the distinct count ≈ (k-1) *
+    2^52 / h_k — all int64 here ((k-1)*2^52 < 2^63 for k ≤ 2000),
+    truncating division in BOTH engines, so the estimate is an exact
+    integer function of the input multiset.  Relative error ~
+    1/sqrt(k-2).  Groups with fewer than k distinct hashes report the
+    EXACT distinct count (the sketch holds every hash; kth_hash is
+    NULL to mark the exact branch).
+
+    Mergeability IS the plan: stage 1 builds one k-sketch per (task
+    partition, group) — `collect_set` there dedups task-locally, its
+    buffer bounded by one partition's rows for one group (the
+    `_two_phase_topk` accounting: keys are task-local, no worldwide
+    hot key funnels into one buffer) — and stage 2 unions sketches by
+    taking the k smallest of the concatenation, exactly how per-day /
+    per-source sketches roll up in a lake without rescanning history.
+    The merge buffer is P·k hashes per group (P = stage-1 partition
+    count); at extreme P insert an intermediate merge keyed by
+    pmod(pid, 256) — noted, not needed at benchmark scale.
+
+    NULL values are excluded (distinct-of-non-NULL, matching DuckDB
+    ``count(DISTINCT x)``).  52-bit hashing makes hash collisions the
+    floor of accuracy (~n²/2^53 colliding pairs); that is far below
+    the k-driven estimator noise for any n this estimator is sane for.
+
+    Output per group: (group..., n_rows, n_kept, kth_hash,
+    distinct_est).
+    """
+    if not 2 <= k <= 2000:
+        raise ValueError("kmv_sketch: k must be in [2, 2000]")
+    groups = list(group_cols or [])
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, _KMV_HEX), 16, 10
+    ).cast("long")
+    base = df.select(*groups, hv.alias("_hv")).filter(F.col("_hv").isNotNull())
+    local = base.groupBy(
+        F.spark_partition_id().alias("_p"), *groups
+    ).agg(
+        F.slice(F.array_sort(F.collect_set("_hv")), 1, k).alias("_loc"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    merged = local.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_loc")))), 1, k
+        ).alias("_kmin"),
+        F.sum("_n").cast("long").alias("n_rows"),
+    )
+    n_kept = F.size("_kmin").cast("int")
+    kth = F.when(n_kept >= k, F.get("_kmin", k - 1))
+    est = F.when(
+        kth.isNull(), n_kept.cast("long")
+    ).otherwise(
+        # integer `div` — (k-1)*2^52 exceeds 2^53, a double division
+        # would round; truncating int64 div matches DuckDB `//` exactly
+        F.expr(f"CAST({(k - 1) * _KMV_SPACE} AS BIGINT) div get(_kmin, {k - 1})")
+    )
+    return merged.select(
+        *groups,
+        "n_rows",
+        n_kept.alias("n_kept"),
+        kth.alias("kth_hash"),
+        est.alias("distinct_est"),
+    )
+
+
+def join_skew_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    *,
+    top: int = 20,
+    rows_per_task_target: int = 10_000_000,
+) -> DataFrame:
+    """Pre-join skew report: the heavy join keys, the join output each
+    one would produce, and the salting factor that would bound it —
+    the audit to run BEFORE a 100-TB join, because one hot key turns a
+    co-partitioned join into a single straggler task (AQE's skew-join
+    splits SORT-MERGE partitions after the fact; this names the keys
+    and sizes the fix up front, and works for joins AQE won't split).
+
+    Plan: each side collapses to (key, cnt) with one hash aggregate
+    (map-side combine; output is |distinct keys|), the two count
+    frames join on key (inner: a key absent from either side produces
+    no join output and cannot skew), and the top-N keys by estimated
+    output rows come out via ``orderBy.limit`` =
+    TakeOrderedAndProject — a per-partition k-heap + k-bounded merge,
+    never a global sort.  No raw row ever reshuffles.
+
+    ``est_rows = cnt_l * cnt_r`` is the EXACT inner-join output for
+    the key; ``salt_factor = ceil(est_rows / rows_per_task_target)``
+    (1 = no salting needed) is the number of salt buckets that bounds
+    the key's output per task — replicate the smaller side per salt
+    bucket, spread the bigger side across them.
+
+    All-integer output → value-oracled exactly.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        base = df.select(*keys)
+        for c in keys:
+            base = base.filter(F.col(c).isNotNull())
+        return base.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias(alias)
+        )
+
+    both = side(left, "n_left").join(side(right, "n_right"), keys)
+    est = (F.col("n_left") * F.col("n_right")).cast("long")
+    out = both.select(
+        *keys,
+        "n_left",
+        "n_right",
+        est.alias("est_rows"),
+        F.ceil(est / F.lit(rows_per_task_target)).cast("int").alias("salt_factor"),
+    )
+    return out.orderBy(F.col("est_rows").desc(), *keys).limit(top)
