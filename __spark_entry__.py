@@ -4911,6 +4911,65 @@ def q194_join_skew_audit(spark, sf_dir):
     )
 
 
+def q195_phash_image_neardup(spark, sf_dir):
+    """Perceptual-hash IMAGE near-dup (multimodal.phash_candidates):
+    real aHash over the deterministic decode stub (strictly-above-mean
+    bits, integer cross-multiplied), 4×12-bit pigeonhole buckets with
+    the two-phase hot-bucket bound, exact bit_count(xor) Hamming
+    verify — the media tier of the dedup stack. Every 97th doc reuses
+    its predecessor's media bytes, planting Hamming-0 pairs; the
+    oracle rebuilds the md5-derived pixel grid and replays the hash
+    arithmetic list-wise."""
+    from validate_spark.operators.multimodal import (
+        attach_fake_media,
+        phash_candidates,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.when(d % 97 == 1, d - 1).otherwise(d).alias("src")
+    )
+    media = attach_fake_media(docs, key_col="src").select(
+        "doc_id", "media_data"
+    )
+    return phash_candidates(media, "doc_id", "media_data", max_hamming=3)
+
+
+def q196_fs_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage
+    (dedup.fs_score_pairs over blocked_fuzzy_pairs with carried
+    comparison fields): log-likelihood weights frozen to int64 IN
+    PYTHON at plan-build time (zero cross-engine floating point — not
+    even ln), three-way match/review/non_match decision on integer
+    thresholds. Customer pairs blocked on the 8-digit name prefix so
+    all three decision classes appear."""
+    from validate_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+        fs_score_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = blocked_fuzzy_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        F.substring(F.col("c_name"), 10, 8),
+        max_dist=1,
+        max_block=128,
+        carry_cols=["c_mktsegment", "c_nationkey"],
+    )
+    return fs_score_pairs(
+        pairs,
+        [
+            ("name_1", "name_2", 0.95, 0.05, 0),
+            ("c_mktsegment_1", "c_mktsegment_2", 0.9, 0.2, 0),
+            ("c_nationkey_1", "c_nationkey_2", 0.95, 0.04, 0),
+        ],
+        upper=1.5,
+        lower=-3.0,
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5172,6 +5231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_bm25_topk": q192_bm25_topk,
         "q193_theil_sen_trend": q193_theil_sen_trend,
         "q194_join_skew_audit": q194_join_skew_audit,
+        "q195_phash_image_neardup": q195_phash_image_neardup,
+        "q196_fs_record_linkage": q196_fs_record_linkage,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -5287,6 +5348,15 @@ def _pii_spans_oracle_sql() -> str:
 
 # text-analysis building blocks (mirror validate_spark.operators.textstats)
 _NORM = "trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))"
+# q195: the four 12-bit aHash chunks as DuckDB list arithmetic over the
+# 48-pixel grid (px, with sum s) — bit i of chunk j is
+# px[12j+i]*48 > s, packed little-endian exactly like the Spark side
+_PHASH_C = ", ".join(
+    "CAST(list_sum(list_transform(range(12), i -> CASE WHEN "
+    f"px[{12 * j} + i + 1] * 48 > s THEN (1::BIGINT << i) ELSE 0 END)) "
+    f"AS INT) AS c{j}"
+    for j in range(4)
+)
 _FP = f"md5({_NORM})"
 _NTOK = (
     "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
@@ -9961,5 +10031,96 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b USING (event_type)
             ORDER BY est_rows DESC, a.event_type
             LIMIT 5
+        """,
+        # q195: pixel grid rebuilt from the md5-derived fixture bytes
+        # (the fake media's payload IS md5(k)||md5(k:2)||md5(k:3), so
+        # the trailing-48-byte grid is those 96 hex chars); candidate
+        # generation replays the pigeonhole (any chunk equal), pair
+        # order compares keys as VARCHAR like the Spark struct sort
+        "q195_phash_image_neardup": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     md5(src) || md5(src || ':2') || md5(src || ':3')
+                       AS hx
+              FROM (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 97 = 1 THEN doc_id - 1
+                             ELSE doc_id END)::varchar AS src
+                FROM documents
+              )
+            ), p AS (
+              SELECT doc_id,
+                     list_transform(range(48),
+                       i -> CAST('0x' || substr(hx, CAST(2*i + 1 AS INT), 2)
+                                 AS BIGINT)) AS px
+              FROM g
+            ), q AS (
+              SELECT doc_id, px, list_sum(px) AS s FROM p
+            ), c AS (
+              SELECT doc_id, {_PHASH_C} FROM q
+            ), pr AS (
+              SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi,
+                     a.c0 AS ac0, a.c1 AS ac1, a.c2 AS ac2, a.c3 AS ac3,
+                     b.c0 AS bc0, b.c1 AS bc1, b.c2 AS bc2, b.c3 AS bc3
+              FROM c a JOIN c b
+                ON a.doc_id::varchar < b.doc_id::varchar
+               AND (a.c0 = b.c0 OR a.c1 = b.c1
+                    OR a.c2 = b.c2 OR a.c3 = b.c3)
+            ), hm AS (
+              SELECT ai, bi,
+                     (bit_count(xor(ac0::bigint, bc0::bigint))
+                      + bit_count(xor(ac1::bigint, bc1::bigint))
+                      + bit_count(xor(ac2::bigint, bc2::bigint))
+                      + bit_count(xor(ac3::bigint, bc3::bigint)))::int
+                       AS hamming
+              FROM pr
+            )
+            SELECT ai::varchar AS a, bi::varchar AS b, hamming
+            FROM hm WHERE hamming <= 3
+        """,
+        # q196: FS weights are the SAME python-frozen literals the plan
+        # carries: name(.95/.05)=±2944439, mkt(.9/.2)=+1504077/-2079442,
+        # nation(.95/.04)=+3167583/-2954910; thresholds 1.5/-3.0 nats
+        "q196_fs_record_linkage": """
+            WITH base AS (
+              SELECT c_custkey::bigint AS k, c_name, c_mktsegment,
+                     c_nationkey, substr(c_name, 10, 8) AS blk
+              FROM customer
+            ), good AS (
+              SELECT blk FROM base
+              GROUP BY blk HAVING count(*) BETWEEN 2 AND 128
+            ), kept AS (
+              SELECT base.* FROM base JOIN good USING (blk)
+            ), pairs AS (
+              SELECT a.k AS k1, a.c_name AS name_1,
+                     a.c_mktsegment AS c_mktsegment_1,
+                     a.c_nationkey AS c_nationkey_1,
+                     b.k AS k2, b.c_name AS name_2,
+                     b.c_mktsegment AS c_mktsegment_2,
+                     b.c_nationkey AS c_nationkey_2,
+                     levenshtein(a.c_name, b.c_name)::int AS dist
+              FROM kept a JOIN kept b ON a.blk = b.blk AND a.k < b.k
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ), sc AS (
+              SELECT *,
+                ((CASE WHEN name_1 = name_2
+                       THEN 2944439 ELSE -2944439 END)
+                 + (CASE WHEN c_mktsegment_1 = c_mktsegment_2
+                         THEN 1504077 ELSE -2079442 END)
+                 + (CASE WHEN c_nationkey_1 = c_nationkey_2
+                         THEN 3167583 ELSE -2954910 END))::bigint
+                  AS score_int,
+                ((CASE WHEN name_1 = name_2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c_mktsegment_1 = c_mktsegment_2
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN c_nationkey_1 = c_nationkey_2
+                         THEN 1 ELSE 0 END))::int AS n_agree
+              FROM pairs
+            )
+            SELECT *,
+                   CASE WHEN score_int >= 1500000 THEN 'match'
+                        WHEN score_int <= -3000000 THEN 'non_match'
+                        ELSE 'review' END AS decision
+            FROM sc
         """,
     }

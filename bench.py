@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "q192_bm25_topk",
     "q193_theil_sen_trend",
     "q194_join_skew_audit",
+    "q195_phash_image_neardup",
+    "q196_fs_record_linkage",
 ]
 
 

@@ -214,3 +214,139 @@ def test_join_skew_audit_topn_is_bounded_plan(spark):
     assert audit.count() == 3
     plan = audit._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # k-heap, never a global sort
+
+
+# ----------------------------------------------------- phash image near-dup
+
+def _model_chunks(k):
+    """Python re-derivation of the aHash chunks for fake media key k."""
+    import hashlib
+
+    hx = (
+        hashlib.md5(str(k).encode()).hexdigest()
+        + hashlib.md5((str(k) + ":2").encode()).hexdigest()
+        + hashlib.md5((str(k) + ":3").encode()).hexdigest()
+    )
+    px = [int(hx[2 * i:2 * i + 2], 16) for i in range(48)]
+    s = sum(px)
+    bits = [1 if p * 48 > s else 0 for p in px]
+    return [sum(bits[12 * j + i] << i for i in range(12)) for j in range(4)]
+
+
+def test_phash_chunks_match_python_model(spark):
+    from validate_spark.operators.multimodal import attach_fake_media, phash_chunks
+
+    df = attach_fake_media(
+        spark.createDataFrame([(k,) for k in range(20)], "doc_id long")
+    )
+    got = {
+        r["doc_id"]: list(r["pc"])
+        for r in df.select(
+            "doc_id", phash_chunks(F.col("media_data")).alias("pc")
+        ).collect()
+    }
+    for k in range(20):
+        assert got[k] == _model_chunks(k), k
+
+
+def test_phash_candidates_full_recall_vs_bruteforce(spark):
+    # pigeonhole guarantee: every pair at Hamming <= 3 must be found.
+    # Plant exact copies (Hamming 0) and compare the full pair set
+    # against a brute-force python model over ALL pairs.
+    from validate_spark.operators.multimodal import attach_fake_media, phash_candidates
+
+    n = 80
+    src = {k: (k - 1 if k % 10 == 1 else k) for k in range(n)}
+    df = attach_fake_media(
+        spark.createDataFrame(
+            [(k, src[k]) for k in range(n)], "doc_id long, src long"
+        ),
+        key_col="src",
+    ).select("doc_id", "media_data")
+    got = {
+        (r["a"], r["b"])
+        for r in phash_candidates(df, "doc_id", "media_data", max_hamming=3).collect()
+    }
+    chunks = {k: _model_chunks(src[k]) for k in range(n)}
+    expect = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = sum(bin(a ^ b).count("1") for a, b in zip(chunks[i], chunks[j]))
+            if h <= 3:
+                a, b = sorted([str(i), str(j)])  # string pair order
+                expect.add((a, b))
+    assert got == expect
+    assert len(got) >= 8  # the planted copies are all there
+
+
+def test_phash_candidates_is_native(spark):
+    from validate_spark.operators.multimodal import attach_fake_media, phash_candidates
+
+    df = attach_fake_media(
+        spark.createDataFrame([(k,) for k in range(10)], "doc_id long")
+    )
+    plan = (
+        phash_candidates(df, "doc_id", "media_data")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------------------- Fellegi-Sunter linkage
+
+def test_fs_score_pairs_weights_and_decisions(spark):
+    import math
+
+    from validate_spark.operators.dedup import fs_score_pairs
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "ann", "ann", "x", "x"),     # both agree
+            (3, 4, "bob", "zoe", "x", "y"),     # both disagree
+            (5, 6, "cat", "cat", None, "x"),    # name agrees, other NULL
+        ],
+        "k1 long, k2 long, n1 string, n2 string, p1 string, p2 string",
+    )
+    out = {
+        r["k1"]: r
+        for r in fs_score_pairs(
+            pairs,
+            [("n1", "n2", 0.9, 0.1, 0), ("p1", "p2", 0.8, 0.2, 0)],
+            upper=2.5,
+            lower=-2.0,
+        ).collect()
+    }
+    wn_a = round(1e6 * math.log(0.9 / 0.1))
+    wn_d = round(1e6 * math.log(0.1 / 0.9))
+    wp_a = round(1e6 * math.log(0.8 / 0.2))
+    wp_d = round(1e6 * math.log(0.2 / 0.8))
+    assert out[1]["score_int"] == wn_a + wp_a and out[1]["decision"] == "match"
+    assert out[3]["score_int"] == wn_d + wp_d and out[3]["decision"] == "non_match"
+    assert out[5]["score_int"] == wn_a and out[5]["decision"] == "review"
+    assert out[5]["n_agree"] == 1 and out[1]["n_agree"] == 2
+
+
+def test_fs_score_pairs_rejects_bad_probs(spark):
+    import pytest
+
+    from validate_spark.operators.dedup import fs_score_pairs
+
+    pairs = spark.createDataFrame([(1, 2, "a", "a")], "k1 long, k2 long, n1 string, n2 string")
+    with pytest.raises(ValueError):
+        fs_score_pairs(pairs, [("n1", "n2", 0.1, 0.9, 0)])
+
+
+def test_blocked_fuzzy_pairs_carries_columns(spark):
+    from validate_spark.operators.dedup import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "anna", "B1", "u"), (2, "anne", "B1", "v"), (3, "bob", "B2", "w")],
+        "k long, nm string, blk string, extra string",
+    )
+    out = blocked_fuzzy_pairs(
+        df, "k", "nm", F.col("blk"), max_dist=1, carry_cols=["extra"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["extra_1"], r["extra_2"]) == ("u", "v")
+    assert r["dist"] == 1

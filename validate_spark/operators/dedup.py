@@ -1849,6 +1849,7 @@ def blocked_fuzzy_pairs(
     *,
     max_dist: int = 1,
     max_block: int = 128,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: records whose ``name_col``
     values are within ``max_dist`` Levenshtein edits, restricted to a
@@ -1873,11 +1874,18 @@ def blocked_fuzzy_pairs(
     Output: (k1, k2, name_1, name_2, dist), one row per unordered
     candidate pair.  Worst-case rows per block = max_block^2/2 —
     bounded by construction, never by luck.
+
+    ``carry_cols`` rides extra comparison fields onto both sides
+    (``<c>_1`` / ``<c>_2``) so a downstream scorer (Fellegi–Sunter,
+    :func:`fs_score_pairs`) can weigh multi-field agreement without
+    re-joining the source — the pair frame stays the only shuffle.
     """
+    carry = list(carry_cols or [])
     base = df.select(
         F.col(key_col).cast("long").alias("_k"),
         F.col(name_col).alias("_nm"),
         block.alias("_blk"),
+        *[F.col(c) for c in carry],
     )
     n_parts = base.sparkSession.sparkContext.defaultParallelism
     base = base.repartition(n_parts, "_blk")
@@ -1894,11 +1902,13 @@ def blocked_fuzzy_pairs(
         F.col("_blk"),
         F.col("_k").alias("k1"),
         F.col("_nm").alias("name_1"),
+        *[F.col(c).alias(f"{c}_1") for c in carry],
     )
     b = kept.select(
         F.col("_blk"),
         F.col("_k").alias("k2"),
         F.col("_nm").alias("name_2"),
+        *[F.col(c).alias(f"{c}_2") for c in carry],
     )
     return (
         a.join(b, ["_blk"])
@@ -1978,4 +1988,70 @@ def url_dedup(df: DataFrame, url_col: str, key_col: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("_k").alias("keeper"),
         )
+    )
+
+
+def fs_score_pairs(
+    pairs: DataFrame,
+    fields: list[tuple[str, str, float, float, int]],
+    *,
+    upper: float = 3.0,
+    lower: float = -3.0,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring over a
+    candidate-pair frame (Fellegi & Sunter 1969; the decision layer
+    :func:`blocked_fuzzy_pairs` feeds). Each field spec is
+    ``(col_1, col_2, m, u, max_dist)``: m = P(agree | match),
+    u = P(agree | non-match), agreement = Levenshtein ≤ max_dist
+    (0 = exact match).
+
+    The log-likelihood weights are frozen to int64 at plan-build time
+    IN PYTHON — ``round(scale·ln(m/u))`` and ``round(scale·ln((1-m)/
+    (1-u)))`` become literal integers inside the plan, so the score is
+    a pure int64 sum with ZERO cross-engine floating point (stronger
+    than the round-6 discipline: not even `ln` is evaluated by the
+    engines). A field with either side NULL contributes 0 (no
+    evidence), the standard treatment for missing comparators.
+
+    Decision: score ≥ upper·scale → 'match', ≤ lower·scale →
+    'non_match', else 'review' (the FS clerical band). Thresholds are
+    given in nats and frozen the same way.
+
+    Scale: one map-side projection over the pair frame — no shuffle,
+    no UDF; `levenshtein` is a JVM builtin with DuckDB-identical unit
+    costs. Pair volume is bounded upstream by the blocker.
+
+    Output: pairs columns + (score_int, n_agree, decision).
+    """
+    import math
+
+    score = F.lit(0).cast("long")
+    n_agree = F.lit(0).cast("int")
+    for col_1, col_2, m, u, max_dist in fields:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(f"fs_score_pairs: need 0 < u < m < 1 for {col_1}")
+        w_agree = round(weight_scale * math.log(m / u))
+        w_disagree = round(weight_scale * math.log((1.0 - m) / (1.0 - u)))
+        c1, c2 = F.col(col_1), F.col(col_2)
+        agree = F.levenshtein(c1.cast("string"), c2.cast("string")) <= max_dist
+        w = (
+            F.when(c1.isNull() | c2.isNull(), F.lit(0))
+            .when(agree, F.lit(w_agree))
+            .otherwise(F.lit(w_disagree))
+        ).cast("long")
+        score = score + w
+        n_agree = n_agree + F.when(
+            c1.isNotNull() & c2.isNotNull() & agree, F.lit(1)
+        ).otherwise(F.lit(0))
+    up_i = round(upper * weight_scale)
+    lo_i = round(lower * weight_scale)
+    return pairs.select(
+        "*",
+        score.alias("score_int"),
+        n_agree.cast("int").alias("n_agree"),
+        F.when(score >= up_i, F.lit("match"))
+        .when(score <= lo_i, F.lit("non_match"))
+        .otherwise(F.lit("review"))
+        .alias("decision"),
     )

@@ -269,3 +269,132 @@ def span_pattern_audit(
             F.when(empty, F.lit(True)).otherwise(offsets_monotone),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (the media tier of the dedup stack)
+# ---------------------------------------------------------------------------
+
+# 48 trailing payload bytes stand in for the decoded 6x8 luma grid (the
+# deterministic decode stub; a real pipeline resamples pixels here).
+# 48 bits -> 4 chunks x 12 bits: pigeonhole gives FULL recall for
+# Hamming distance <= 3 (d < #chunks forces >= 1 chunk equal).
+PHASH_GRID = 48
+PHASH_CHUNKS = 4
+PHASH_CHUNK_BITS = PHASH_GRID // PHASH_CHUNKS
+
+
+def phash_chunks(data) -> "F.Column":
+    """Average-hash (aHash) of the stub-decoded pixel grid, as an
+    array of 4 int chunks of 12 bits each.
+
+    The REAL aHash algorithm over the stubbed decode: pixel i's bit is
+    ``p_i · 48 > Σp`` (strictly-above-mean, integer cross-multiplied —
+    no division, no float, deterministic ties). Pixels come from the
+    LAST 48 payload bytes (`substring(data, -48)`), skipping the
+    variable-length magic prefix, so a DuckDB oracle can rebuild the
+    identical grid from the md5-derived fixture bytes without blob
+    arithmetic.
+
+    Everything is a Python-side loop emitting 48 native byte-extract
+    terms + 48 compare terms OR-ed into chunk ints (the
+    `zorder_key` style) — whole-stage codegen end to end, no
+    higher-order function, no UDF.
+    """
+    hx = F.lower(F.hex(F.substring(data, -PHASH_GRID, PHASH_GRID)))
+    px = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(PHASH_GRID)
+    ]
+    total = px[0]
+    for p in px[1:]:
+        total = total + p
+    chunks = []
+    for j in range(PHASH_CHUNKS):
+        c = F.lit(0).cast("long")
+        for i in range(PHASH_CHUNK_BITS):
+            bit = (px[PHASH_CHUNK_BITS * j + i] * PHASH_GRID) > total
+            c = c.bitwiseOR(
+                F.shiftleft(F.when(bit, F.lit(1)).otherwise(F.lit(0)), i)
+            )
+        chunks.append(c.cast("int"))
+    return F.array(*chunks)
+
+
+def phash_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    data_col: str = "media_data",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(a, b, hamming) pairs of images whose perceptual hashes are
+    within ``max_hamming`` bits — near-duplicate IMAGES, completing
+    the dedup tier list (exact / MinHash / SimHash / n-gram Jaccard /
+    embedding-cosine / canonical-URL) with the media column the other
+    tiers can't see. Re-encoded, metadata-stripped, byte-different
+    copies of the same picture hash to nearby aHashes; byte-level
+    fingerprints miss them by construction.
+
+    Same scale shape as `dedup.simhash_candidates`: bucket by each of
+    the 4 disjoint 12-bit chunks (pigeonhole: Hamming ≤ 3 over 4
+    chunks forces ≥ 1 equal chunk → full recall), hot buckets bounded
+    two-phase (`dedup._two_phase_buckets` — a degenerate chunk value,
+    e.g. all-dark images, must never buffer single-stage), exact
+    Hamming verify on the survivors via ``bit_count(xor)`` per chunk.
+
+    Keys compare as STRINGS in the pair ordering (a < b) — the
+    `_two_phase_buckets` member-struct contract.
+    """
+    from validate_spark.operators.dedup import _two_phase_buckets
+
+    sigs = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        phash_chunks(F.col(data_col)).alias("pc"),
+    )
+    chunks = sigs.select(
+        "k",
+        "pc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.get("pc", j).alias("val"),
+                    )
+                    for j in range(PHASH_CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("k", "pc", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    buckets = _two_phase_buckets(
+        chunks, ["chunk", "val"], F.struct("k", "pc"), max_bucket
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x.getField("k").alias("a"),
+                            y.getField("k").alias("b"),
+                            x.getField("pc").alias("pa"),
+                            y.getField("pc").alias("pb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.pa", "p.pb").distinct()
+    hamming = F.lit(0).cast("int")
+    for j in range(PHASH_CHUNKS):
+        hamming = hamming + F.bit_count(
+            F.get("pa", j).bitwiseXOR(F.get("pb", j))
+        ).cast("int")
+    return (
+        pairs.select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
