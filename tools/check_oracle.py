@@ -2,13 +2,16 @@
 query on Spark AND its oracle SQL on DuckDB at sf0.01, compare
 row-count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [--out FILE.json] [query_name ...]
+Usage: python tools/check_oracle.py [--out FILE.json] [--merge]
+       [query_name ...]
 
 ``--out`` persists the sweep in the driver's CORRECTNESS schema
 (name -> rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
 so the full-registry mirror run is a committed artifact
 (CORRECTNESS_mirror_rN.json), not CHANGELOG prose — the driver itself
-only stamps the first 50 registry entries.
+only stamps the first 50 registry entries.  With ``--merge`` an
+existing ``--out`` file is updated in place (named-query incremental
+runs refresh their rows without discarding the rest of the sweep).
 """
 
 from __future__ import annotations
@@ -46,8 +49,14 @@ def run():
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    merge = "--merge" in argv
+    if merge:
+        argv.remove("--merge")
     names = argv or list(entrymod.queries())
     results: dict[str, dict] = {}
+    if merge and out_path and os.path.exists(out_path):
+        with open(out_path) as fh:
+            results.update(json.load(fh))
     spark = get_spark(app="oracle_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
