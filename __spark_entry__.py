@@ -4970,6 +4970,51 @@ def q196_fs_record_linkage(spark, sf_dir):
     )
 
 
+def q197_kmv_rollup_merge(spark, sf_dir):
+    """KMV sketch ROLLUP (stats.kmv_sketch(keep_state) + kmv_merge):
+    per-(lang, source) sketches merged up to per-lang WITHOUT
+    rescanning data — the lake pattern where per-day sketch rows roll
+    into monthly/total distinct counts. The oracle computes the
+    per-lang sketch DIRECTLY from raw rows, so the hash match proves
+    merge ≡ direct (k-smallest-of-union associativity) end to end."""
+    from validate_spark.operators.stats import kmv_merge, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    state = kmv_sketch(
+        docs, "doc_id", k=48, group_cols=["lang", "source"], keep_state=True
+    )
+    return kmv_merge(state, k=48, group_cols=["lang"])
+
+
+def q198_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippets (retrieval.kwic_snippets): first
+    token-boundary hit position + fixed context window per (query
+    term, doc) — the human-adjudication companion to q192's BM25
+    scores. Broadcast probe, zero shuffle; `locate` ≡ DuckDB
+    `strpos` over the shared normalization."""
+    from validate_spark.operators.retrieval import kwic_snippets
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("q1", "hash"), ("q2", "vector")], ["query_id", "term"]
+    )
+    return kwic_snippets(docs, q, window=24)
+
+
+def q199_weighted_reservoir(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (sampling.
+    weighted_reservoir_sample): Efraimidis–Spirakis A-ES keys — exact
+    (h+1)/2^52 uniforms, ln frozen to the 1e-6 grid BEFORE the
+    integer rank key (lnu·1000 div w), two-phase top-n per stratum.
+    Fixed-size per-lang samples with inclusion ∝ n_chars."""
+    from validate_spark.operators.sampling import weighted_reservoir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(
+        docs, "doc_id", "n_chars", 10, strata_cols=["lang"], seed=7
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5233,6 +5278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_join_skew_audit": q194_join_skew_audit,
         "q195_phash_image_neardup": q195_phash_image_neardup,
         "q196_fs_record_linkage": q196_fs_record_linkage,
+        "q197_kmv_rollup_merge": q197_kmv_rollup_merge,
+        "q198_kwic_snippets": q198_kwic_snippets,
+        "q199_weighted_reservoir": q199_weighted_reservoir,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10122,5 +10170,78 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_int <= -3000000 THEN 'non_match'
                         ELSE 'review' END AS decision
             FROM sc
+        """,
+        # q197: the oracle computes the per-lang sketch DIRECTLY from
+        # raw rows (estimator constant 47 * 2^52 = 211669182486413312);
+        # Spark got there by merging per-(lang,source) states — the
+        # hash match IS the merge ≡ direct proof
+        "q197_kmv_rollup_merge": """
+            WITH h AS (
+              SELECT DISTINCT lang,
+                     CAST('0x' || substr(md5(doc_id::varchar), 1, 13)
+                          AS BIGINT) AS hv
+              FROM documents WHERE doc_id IS NOT NULL
+            ), d AS (
+              SELECT lang, count(*)::bigint AS nd FROM h GROUP BY lang
+            ), kth AS (
+              SELECT lang, hv AS kth_hash FROM (
+                SELECT lang, hv,
+                       row_number() OVER (PARTITION BY lang ORDER BY hv)
+                         AS rn
+                FROM h
+              ) WHERE rn = 48
+            ), base AS (
+              SELECT lang, count(doc_id)::bigint AS n_rows
+              FROM documents GROUP BY lang
+            )
+            SELECT base.lang, base.n_rows,
+                   least(d.nd, 48)::int AS n_kept,
+                   kth.kth_hash,
+                   (CASE WHEN d.nd < 48 THEN d.nd
+                         ELSE 211669182486413312 // kth.kth_hash
+                    END)::bigint AS distinct_est
+            FROM base JOIN d USING (lang) LEFT JOIN kth USING (lang)
+        """,
+        "q198_kwic_snippets": f"""
+            WITH q(query_id, term) AS (
+              VALUES ('q1','hash'), ('q2','vector')
+            ), base AS (
+              SELECT doc_id, {_NORM} AS nt FROM documents
+            ), probed AS (
+              SELECT q.query_id, q.term, b.doc_id, b.nt,
+                     strpos(' ' || b.nt || ' ',
+                            ' ' || q.term || ' ')::int AS pos
+              FROM base b CROSS JOIN q
+            )
+            SELECT query_id, term, doc_id, pos,
+                   substr(nt, greatest(1, pos - 24),
+                          24 + length(term) + 24) AS snippet
+            FROM probed WHERE pos > 0
+        """,
+        # q199: A-ES keys replayed exactly — (h+1)/2^52 is an EXACT
+        # double (power-of-two divisor), ln frozen at 1e-6, integer
+        # div truncation agrees on negatives, ties break on key asc
+        "q199_weighted_reservoir": """
+            WITH b AS (
+              SELECT lang, doc_id::varchar AS key, n_chars::bigint AS w,
+                     CAST('0x' || substr(md5(doc_id::varchar
+                                             || chr(31) || '7'), 1, 13)
+                          AS BIGINT) AS hv
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), r AS (
+              SELECT lang, key, w,
+                     (round(ln((hv + 1)::double / 4503599627370496.0)
+                            * 1000000)::bigint * 1000) // w AS rk
+              FROM b
+            ), rr AS (
+              SELECT lang, key, w, rk,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY rk DESC, key ASC) AS rn
+              FROM r
+            )
+            SELECT lang, key AS doc_id, w AS weight,
+                   rk AS rank_key, rn::int AS rank
+            FROM rr WHERE rn <= 10
         """,
     }

@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "q194_join_skew_audit",
     "q195_phash_image_neardup",
     "q196_fs_record_linkage",
+    "q197_kmv_rollup_merge",
+    "q198_kwic_snippets",
+    "q199_weighted_reservoir",
 ]
 
 

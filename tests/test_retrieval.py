@@ -350,3 +350,106 @@ def test_blocked_fuzzy_pairs_carries_columns(spark):
     r = out[0]
     assert (r["extra_1"], r["extra_2"]) == ("u", "v")
     assert r["dist"] == 1
+
+
+# ------------------------------------------------------- kmv_merge rollup
+
+def test_kmv_merge_equals_direct_any_rollup_shape(spark):
+    from validate_spark.operators.stats import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame(
+        [(v % 3, v % 5, v) for v in range(2000)], "g int, sub int, v long"
+    )
+    direct = kmv_sketch(df, "v", k=32, group_cols=["g"])
+    state = kmv_sketch(df, "v", k=32, group_cols=["g", "sub"], keep_state=True)
+    merged = kmv_merge(state, k=32, group_cols=["g"])
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+    # two-level rollup tree: (g, sub) -> (g, sub%2) -> (g)
+    mid = kmv_merge(
+        state.withColumn("h", F.col("sub") % 2),
+        k=32,
+        group_cols=["g", "h"],
+        keep_state=True,
+    )
+    two_level = kmv_merge(mid, k=32, group_cols=["g"])
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, two_level.collect()))
+
+
+# ---------------------------------------------------------- kwic_snippets
+
+def test_kwic_token_boundary_and_window(spark):
+    from validate_spark.operators.retrieval import kwic_snippets
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # token hit
+            (2, "concatenate things"),   # substring only -> no hit
+            (3, "cat leads"),            # hit at position 1
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([("q1", "cat")], "query_id string, term string")
+    rows = {r["doc_id"]: r for r in kwic_snippets(df, q, window=4).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["pos"] == 5 and rows[1]["snippet"] == "the cat sat"
+    assert rows[3]["pos"] == 1 and rows[3]["snippet"] == "cat leads"[:11]
+
+
+def test_kwic_plan_has_no_exchange(spark):
+    from validate_spark.operators.retrieval import kwic_snippets
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    q = spark.createDataFrame([("q1", "b")], "query_id string, term string")
+    plan = (
+        kwic_snippets(df, q)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the one hash exchange is the tiny query-side term dedup; the
+    # corpus side feeds the broadcast join straight from its scan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------- weighted_reservoir_sample
+
+def test_weighted_reservoir_fixed_size_and_determinism(spark):
+    from validate_spark.operators.sampling import weighted_reservoir_sample
+
+    df = spark.createDataFrame(
+        [(g, str(i), (i % 7) + 1) for g in ("a", "b") for i in range(200)],
+        "g string, k string, w int",
+    )
+    out1 = weighted_reservoir_sample(df, "k", "w", 15, strata_cols=["g"], seed=3)
+    out2 = weighted_reservoir_sample(
+        df.repartition(7), "k", "w", 15, strata_cols=["g"], seed=3
+    )
+    r1 = sorted(map(tuple, out1.collect()))
+    r2 = sorted(map(tuple, out2.collect()))
+    assert r1 == r2  # layout-independent
+    per_g = {}
+    for g, k, w, rk, rank in r1:
+        per_g.setdefault(g, []).append(rank)
+    assert all(sorted(v) == list(range(1, 16)) for v in per_g.values())
+
+
+def test_weighted_reservoir_prefers_heavy_weights(spark):
+    from validate_spark.operators.sampling import weighted_reservoir_sample
+
+    # weights 1000 vs 1: the heavy half should dominate the sample
+    df = spark.createDataFrame(
+        [(str(i), 1000 if i < 100 else 1) for i in range(200)],
+        "k string, w int",
+    )
+    out = weighted_reservoir_sample(df, "k", "w", 40, seed=11).collect()
+    heavy = sum(1 for r in out if r["weight"] == 1000)
+    assert heavy >= 32  # E[heavy] ≈ 40·(1 - tiny); generous bound
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    from validate_spark.operators.sampling import weighted_reservoir_sample
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 0), ("c", -2), ("d", None)],
+        "k string, w int",
+    )
+    out = weighted_reservoir_sample(df, "k", "w", 10, seed=1).collect()
+    assert [r["doc_id"] if "doc_id" in r else r["k"] for r in out] == ["a"]

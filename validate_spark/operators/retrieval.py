@@ -188,3 +188,64 @@ def bm25_topk(
         F.col("_e.n_terms").cast("int").alias("n_terms"),
         (F.col("_pos") + 1).cast("int").alias("rank"),
     )
+
+
+def kwic_snippets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    window: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Keyword-in-context snippets: for every (query term, matching
+    doc), the position of the FIRST token-boundary occurrence in the
+    normalized text and ``window`` characters of context either side —
+    what a reviewer actually reads when adjudicating a
+    :func:`bm25_topk` hit or a decontamination flag (the score says
+    "this doc matched"; the snippet says WHY).
+
+    Token-boundary matching on the normalized text: the probe is
+    ``' term '`` against ``' ' || norm || ' '``, so "cat" never fires
+    inside "category", with no regex (``locate`` ≡ DuckDB ``strpos``
+    byte-for-byte, and the normalized alphabet makes byte = char).
+
+    Scale: queries broadcast against the corpus, matches filtered in
+    the same map stage — zero shuffle, vectors of work = one
+    ``locate`` + one ``substring`` per (doc, term). Output is
+    match-sized, never corpus × terms.
+    """
+    from validate_spark.operators.textstats import normalize_text
+    from validate_spark.session import fan_out
+
+    qnorm = normalize_text(F.col(term_col))
+    qterms = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), qnorm.alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    base = fan_out(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("_nt"),
+    )
+    probed = base.crossJoin(qterms).withColumn(
+        "pos",
+        # locate() with a COLUMN needle needs the SQL spelling
+        # (F.locate only takes a literal python string)
+        F.expr(
+            "CAST(locate(concat(' ', term, ' '), concat(' ', _nt, ' ')) AS INT)"
+        ),
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(window))
+    length = F.lit(window) + F.length("term") + F.lit(window)
+    return probed.select(
+        "query_id",
+        "term",
+        "doc_id",
+        "pos",
+        F.substring(F.col("_nt"), start, length).alias("snippet"),
+    )

@@ -561,3 +561,83 @@ def leakage_safe_split(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn(split_col, expr.otherwise(F.lit(fracs[-1][0])))
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: exactly ``n`` rows per
+    stratum, inclusion probability ∝ weight — the Efraimidis–Spirakis
+    A-ES reservoir (keep the n largest ``u^(1/w)`` for uniform u).
+    :func:`weighted_mix` gives ∝-weight rates but WITH-replacement
+    semantics (independent Bernoulli gates, so a stratum's sample size
+    varies); this is the fixed-size, no-repeat version a curriculum
+    builder wants for "the n best-weighted docs per source, sampled
+    not ranked".
+
+    Determinism + cross-engine exactness: u = (h+1)/2^52 from the md5
+    draw (division by a power of two — the double is EXACT), ranked by
+
+        rank_key = round(1e6·ln u) * 1000 div w
+
+    maximizing rank_key ≡ maximizing u^(1/w) (ln u < 0; w > 0
+    integer). ln is frozen to the 1e-6 grid BEFORE the integer
+    arithmetic, so selection never rides a raw float (tick-boundary
+    coincidence is the measure-zero caveat the q68/q176 precedent
+    accepts); ties break on the key string. Weights must be POSITIVE
+    integers (token counts, byte sizes, quality grades — the natural
+    units); w ≤ 0 / NULL rows are excluded, stated not hidden.
+
+    Scale: the rank key is map-side; selection is the `_two_phase_topk`
+    pattern — local top-n per (task, stratum), then an n-bounded merge
+    per stratum. No per-stratum window, no global sort; skew-free by
+    the same accounting.
+    """
+    if n < 1:
+        raise ValueError("weighted_reservoir_sample: n must be >= 1")
+    strata = list(strata_cols or [])
+    k = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+        F.lit(str(seed)),
+    )
+    hv = F.conv(F.substring(F.md5(k), 1, 13), 16, 10).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    lnu_int = F.round(F.log(u) * F.lit(1_000_000), 0).cast("long")
+    w = F.col(weight_col).cast("long")
+    base = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            *strata,
+            F.col(key_col).cast("string").alias("_key"),
+            w.alias("_w"),
+            (lnu_int * F.lit(1000)).alias("_lnu_k"),
+        )
+        .withColumn("_rk", F.expr("_lnu_k div _w"))
+    )
+    item = F.struct(
+        (-F.col("_rk")).alias("nrk"),
+        F.col("_key").alias("_key"),
+        F.col("_w").alias("_w"),
+    )
+    local = base.groupBy(F.spark_partition_id().alias("_p"), *strata).agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("top")
+    )
+    merged = local.groupBy(*strata).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, n).alias("top")
+    )
+    return merged.select(
+        *strata, F.posexplode("top").alias("_pos", "_e")
+    ).select(
+        *strata,
+        F.col("_e._key").alias(key_col),
+        F.col("_e._w").cast("long").alias("weight"),
+        (-F.col("_e.nrk")).cast("long").alias("rank_key"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )

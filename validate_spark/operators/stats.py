@@ -501,6 +501,7 @@ def kmv_sketch(
     *,
     k: int = 64,
     group_cols: list[str] | None = None,
+    keep_state: bool = False,
 ) -> DataFrame:
     """Mergeable K-Minimum-Values distinct-count sketch — the
     cross-engine-EXACT alternative to HyperLogLog (`approx_count_
@@ -535,7 +536,9 @@ def kmv_sketch(
     the k-driven estimator noise for any n this estimator is sane for.
 
     Output per group: (group..., n_rows, n_kept, kth_hash,
-    distinct_est).
+    distinct_est); with ``keep_state`` also ``kmv_state`` (the sorted
+    hash array — persist it and roll it up later with
+    :func:`kmv_merge` without rescanning the data).
     """
     if not 2 <= k <= 2000:
         raise ValueError("kmv_sketch: k must be in [2, 2000]")
@@ -556,6 +559,11 @@ def kmv_sketch(
         ).alias("_kmin"),
         F.sum("_n").cast("long").alias("n_rows"),
     )
+    return _kmv_project(merged, k, groups, keep_state=keep_state)
+
+
+def _kmv_project(merged: DataFrame, k: int, groups: list[str], *, keep_state: bool) -> DataFrame:
+    """Shared estimate projection over a frame with (_kmin, n_rows)."""
     n_kept = F.size("_kmin").cast("int")
     kth = F.when(n_kept >= k, F.get("_kmin", k - 1))
     est = F.when(
@@ -565,13 +573,56 @@ def kmv_sketch(
         # would round; truncating int64 div matches DuckDB `//` exactly
         F.expr(f"CAST({(k - 1) * _KMV_SPACE} AS BIGINT) div get(_kmin, {k - 1})")
     )
-    return merged.select(
+    out = [
         *groups,
         "n_rows",
         n_kept.alias("n_kept"),
         kth.alias("kth_hash"),
         est.alias("distinct_est"),
+    ]
+    if keep_state:
+        out.append(F.col("_kmin").alias("kmv_state"))
+    return merged.select(*out)
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    *,
+    k: int,
+    group_cols: list[str] | None = None,
+    state_col: str = "kmv_state",
+    n_rows_col: str = "n_rows",
+    keep_state: bool = False,
+) -> DataFrame:
+    """Union KMV sketches WITHOUT touching raw data — the lake rollup:
+    persist per-partition/per-day sketch rows (``kmv_sketch(...,
+    keep_state=True)``), then merge any slice of them (per month, per
+    source, grand total) by taking the k smallest of the concatenated
+    states. The merged sketch is IDENTICAL to sketching the union of
+    the raw inputs directly (k-smallest-of-union is associative and
+    commutative), so estimates never drift however the rollup tree is
+    shaped — asserted in tests and by the q197 oracle.
+
+    ``k`` must match the k the states were built with (a merge can
+    only coarsen, never refine; mixing ks would silently use the
+    smallest). Merge buffer per group = (#sketch rows in group)·k —
+    sketch rows are pre-aggregated, so this is rollup-sized, not
+    data-sized.
+    """
+    if not 2 <= k <= 2000:
+        raise ValueError("kmv_merge: k must be in [2, 2000]")
+    groups = list(group_cols or [])
+    merged = sketches.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(state_col)))
+            ),
+            1,
+            k,
+        ).alias("_kmin"),
+        F.sum(n_rows_col).cast("long").alias("n_rows"),
     )
+    return _kmv_project(merged, k, groups, keep_state=keep_state)
 
 
 def join_skew_audit(
