@@ -5015,6 +5015,77 @@ def q199_weighted_reservoir(spark, sf_dir):
     )
 
 
+def q200_linkage_entities(spark, sf_dir):
+    """Entity formation from probabilistic linkage: q196's FS 'match'
+    pairs fed to dedup.dedup_clusters (min-label propagation,
+    localCheckpoint-truncated rounds) — the cross-module composition
+    that turns pairwise decisions into entity ids. Oracled against a
+    recursive-CTE transitive closure of the same match set."""
+    from validate_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+        dedup_clusters,
+        fs_score_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = blocked_fuzzy_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        F.substring(F.col("c_name"), 10, 8),
+        max_dist=1,
+        max_block=128,
+        carry_cols=["c_mktsegment", "c_nationkey"],
+    )
+    matches = (
+        fs_score_pairs(
+            pairs,
+            [
+                ("name_1", "name_2", 0.95, 0.05, 0),
+                ("c_mktsegment_1", "c_mktsegment_2", 0.9, 0.2, 0),
+                ("c_nationkey_1", "c_nationkey_2", 0.95, 0.04, 0),
+            ],
+            upper=1.5,
+            lower=-3.0,
+        )
+        .filter(F.col("decision") == "match")
+        .select(F.col("k1").alias("a"), F.col("k2").alias("b"))
+    )
+    return dedup_clusters(matches)
+
+
+def q201_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity audit (stats.k_anonymity_audit):
+    per-(event_type, day) group sizes and distinct-user diversity,
+    at_risk = n < 5, l_violation = distinct users < 5 — the release
+    decision for a quasi-identified event log, one hash aggregate."""
+    from validate_spark.operators.stats import k_anonymity_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date(F.col("ts")).alias("day"), "user_id"
+    )
+    return k_anonymity_audit(
+        ev, ["event_type", "day"], k=5, sensitive_col="user_id", l=5
+    )
+
+
+def q202_mutual_information(spark, sf_dir):
+    """Column-dependency strength (stats.pairwise_mutual_information):
+    I(X;Y) and marginal entropies as EXACT int64 numerators — every
+    plogp term freezes ln to the 1e-6 grid before multiplying by the
+    exact cell count, so there is zero addition-order noise. The soft
+    generalization of the FD audit, over (lang, source) and
+    (lang, length bucket)."""
+    from validate_spark.operators.stats import pairwise_mutual_information
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars div 200")
+    )
+    return pairwise_mutual_information(
+        docs, [("lang", "source"), ("lang", "len_bucket")]
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5281,6 +5352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_kmv_rollup_merge": q197_kmv_rollup_merge,
         "q198_kwic_snippets": q198_kwic_snippets,
         "q199_weighted_reservoir": q199_weighted_reservoir,
+        "q200_linkage_entities": q200_linkage_entities,
+        "q201_k_anonymity": q201_k_anonymity,
+        "q202_mutual_information": q202_mutual_information,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10243,5 +10317,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, key AS doc_id, w AS weight,
                    rk AS rank_key, rn::int AS rank
             FROM rr WHERE rn <= 10
+        """,
+        # q200: q196's match pairs (score >= 1.5e6 with the same frozen
+        # weights), then a recursive transitive closure with numeric
+        # min labels — the independent derivation of label propagation
+        "q200_linkage_entities": """
+            WITH RECURSIVE base AS (
+              SELECT c_custkey::bigint AS k, c_name, c_mktsegment,
+                     c_nationkey, substr(c_name, 10, 8) AS blk
+              FROM customer
+            ), good AS (
+              SELECT blk FROM base
+              GROUP BY blk HAVING count(*) BETWEEN 2 AND 128
+            ), kept AS (
+              SELECT base.* FROM base JOIN good USING (blk)
+            ), m AS (
+              SELECT a.k AS u, b.k AS v
+              FROM kept a JOIN kept b ON a.blk = b.blk AND a.k < b.k
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+                AND ((CASE WHEN a.c_name = b.c_name
+                           THEN 2944439 ELSE -2944439 END)
+                     + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                             THEN 1504077 ELSE -2079442 END)
+                     + (CASE WHEN a.c_nationkey = b.c_nationkey
+                             THEN 3167583 ELSE -2954910 END)) >= 1500000
+            ), adj AS (
+              SELECT u, v FROM m UNION SELECT v, u FROM m
+            ), reach(node, r) AS (
+              SELECT u, u FROM adj
+              UNION
+              SELECT a.v, reach.r FROM reach JOIN adj a ON a.u = reach.node
+            )
+            SELECT node AS member, min(r)::bigint AS cluster
+            FROM reach GROUP BY node
+        """,
+        "q201_k_anonymity": """
+            SELECT event_type, ts::date AS day,
+                   count(*)::bigint AS n,
+                   count(DISTINCT user_id)::bigint AS n_sensitive,
+                   (count(*) < 5) AS at_risk,
+                   (count(DISTINCT user_id) < 5) AS l_violation
+            FROM events GROUP BY 1, 2
+        """,
+        # q202: plogp terms as exact int64 — ln of the double
+        # mult/div ratio (identical op order both engines) frozen at
+        # 1e-6, multiplied by exact counts; one block per column pair
+        "q202_mutual_information": """
+            WITH p1 AS (
+              SELECT coalesce(lang::varchar, chr(31) || '<null>') AS x,
+                     coalesce(source::varchar, chr(31) || '<null>') AS y
+              FROM documents
+            ), c1 AS (
+              SELECT x, y, count(*)::bigint AS n_xy FROM p1 GROUP BY x, y
+            ), x1 AS (
+              SELECT x, sum(n_xy)::bigint AS n_x FROM c1 GROUP BY x
+            ), y1 AS (
+              SELECT y, sum(n_xy)::bigint AS n_y FROM c1 GROUP BY y
+            ), t1 AS (
+              SELECT sum(n_xy)::bigint AS n_tot FROM c1
+            ), mi1 AS (
+              SELECT max(t1.n_tot) AS n_total,
+                     count(*)::bigint AS n_cells,
+                     sum(c1.n_xy * round(ln((c1.n_xy::double * t1.n_tot::double)
+                            / (x1.n_x::double * y1.n_y::double))
+                          * 1000000)::bigint)::bigint AS mi_num
+              FROM c1 JOIN x1 USING (x) JOIN y1 USING (y), t1
+            ), h1 AS (
+              SELECT
+                (SELECT sum(n_x * round(ln(t1.n_tot::double / n_x::double)
+                        * 1000000)::bigint) FROM x1, t1)::bigint AS hx_num,
+                (SELECT sum(n_y * round(ln(t1.n_tot::double / n_y::double)
+                        * 1000000)::bigint) FROM y1, t1)::bigint AS hy_num
+            ),
+            p2 AS (
+              SELECT coalesce(lang::varchar, chr(31) || '<null>') AS x,
+                     coalesce((n_chars // 200)::varchar,
+                              chr(31) || '<null>') AS y
+              FROM documents
+            ), c2 AS (
+              SELECT x, y, count(*)::bigint AS n_xy FROM p2 GROUP BY x, y
+            ), x2 AS (
+              SELECT x, sum(n_xy)::bigint AS n_x FROM c2 GROUP BY x
+            ), y2 AS (
+              SELECT y, sum(n_xy)::bigint AS n_y FROM c2 GROUP BY y
+            ), t2 AS (
+              SELECT sum(n_xy)::bigint AS n_tot FROM c2
+            ), mi2 AS (
+              SELECT max(t2.n_tot) AS n_total,
+                     count(*)::bigint AS n_cells,
+                     sum(c2.n_xy * round(ln((c2.n_xy::double * t2.n_tot::double)
+                            / (x2.n_x::double * y2.n_y::double))
+                          * 1000000)::bigint)::bigint AS mi_num
+              FROM c2 JOIN x2 USING (x) JOIN y2 USING (y), t2
+            ), h2 AS (
+              SELECT
+                (SELECT sum(n_x * round(ln(t2.n_tot::double / n_x::double)
+                        * 1000000)::bigint) FROM x2, t2)::bigint AS hx_num,
+                (SELECT sum(n_y * round(ln(t2.n_tot::double / n_y::double)
+                        * 1000000)::bigint) FROM y2, t2)::bigint AS hy_num
+            )
+            SELECT 'lang' AS x_col, 'source' AS y_col,
+                   n_total, n_cells, mi_num, hx_num, hy_num
+            FROM mi1, h1
+            UNION ALL
+            SELECT 'lang' AS x_col, 'len_bucket' AS y_col,
+                   n_total, n_cells, mi_num, hx_num, hy_num
+            FROM mi2, h2
         """,
     }

@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "q197_kmv_rollup_merge",
     "q198_kwic_snippets",
     "q199_weighted_reservoir",
+    "q200_linkage_entities",
+    "q201_k_anonymity",
+    "q202_mutual_information",
 ]
 
 

@@ -453,3 +453,81 @@ def test_weighted_reservoir_excludes_nonpositive_weights(spark):
     )
     out = weighted_reservoir_sample(df, "k", "w", 10, seed=1).collect()
     assert [r["doc_id"] if "doc_id" in r else r["k"] for r in out] == ["a"]
+
+
+# --------------------------------------------- privacy / dependency audits
+
+def test_k_anonymity_groups_and_flags(spark):
+    from validate_spark.operators.stats import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("z1", "a", "u1"), ("z1", "a", "u2"), ("z1", "a", "u1"),
+         ("z2", "b", "u3"),
+         (None, "b", "u4"), (None, "b", "u5")],
+        "zip string, seg string, user string",
+    )
+    rows = {
+        (r["zip"], r["seg"]): r
+        for r in k_anonymity_audit(
+            df, ["zip", "seg"], k=3, sensitive_col="user", l=2
+        ).collect()
+    }
+    assert rows[("z1", "a")]["n"] == 3 and not rows[("z1", "a")]["at_risk"]
+    assert rows[("z1", "a")]["n_sensitive"] == 2
+    assert not rows[("z1", "a")]["l_violation"]
+    assert rows[("z2", "b")]["at_risk"] and rows[("z2", "b")]["l_violation"]
+    # NULL quasi value is its own group (still narrows a join)
+    assert rows[(None, "b")]["n"] == 2 and rows[(None, "b")]["n_sensitive"] == 2
+
+
+def test_mutual_information_identity_and_independence(spark):
+    from validate_spark.operators.stats import pairwise_mutual_information
+
+    # y == x → I(X;Y) = H(X) = H(Y) exactly (same frozen-ln terms);
+    # z independent uniform of x → every cell ratio is 1 → MI exactly 0
+    # (z must come from a DIFFERENT residue system: i%2 is a function
+    # of i%4 — the correlated-moduli fixture trap, CLAUDE.md r4)
+    rows = [(i % 4, i % 4, (i // 4) % 2) for i in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    out = {
+        (r["x_col"], r["y_col"]): r
+        for r in pairwise_mutual_information(
+            df, [("x", "y"), ("x", "z")]
+        ).collect()
+    }
+    ident = out[("x", "y")]
+    assert ident["mi_num"] == ident["hx_num"] == ident["hy_num"] > 0
+    assert ident["n_cells"] == 4 and ident["n_total"] == 64
+    indep = out[("x", "z")]
+    assert indep["mi_num"] == 0 and indep["n_cells"] == 8
+
+
+def test_mutual_information_null_category(spark):
+    from validate_spark.operators.stats import pairwise_mutual_information
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "a"), ("v", "b"), ("v", "b")],
+        "x string, y string",
+    )
+    out = pairwise_mutual_information(df, [("x", "y")]).collect()[0]
+    # NULL forms a real category: 2 cells, perfect dependence
+    assert out["n_cells"] == 2
+    assert out["mi_num"] == out["hx_num"] == out["hy_num"] > 0
+
+
+def test_linkage_entities_transitive(spark):
+    from validate_spark.operators.dedup import dedup_clusters, fs_score_pairs
+
+    # a-b and b-c are matches; a-c never compared — the closure must
+    # still put all three in one entity
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x"), (2, 3, "x", "x"), (8, 9, "p", "q")],
+        "k1 long, k2 long, f1 string, f2 string",
+    )
+    matches = (
+        fs_score_pairs(pairs, [("f1", "f2", 0.9, 0.1, 0)], upper=2.0)
+        .filter(F.col("decision") == "match")
+        .select(F.col("k1").alias("a"), F.col("k2").alias("b"))
+    )
+    ents = {r["member"]: r["cluster"] for r in dedup_clusters(matches).collect()}
+    assert ents == {1: 1, 2: 1, 3: 1}

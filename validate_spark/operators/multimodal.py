@@ -296,29 +296,54 @@ def phash_chunks(data) -> "F.Column":
     identical grid from the md5-derived fixture bytes without blob
     arithmetic.
 
-    Everything is a Python-side loop emitting 48 native byte-extract
-    terms + 48 compare terms OR-ed into chunk ints (the
-    `zorder_key` style) — whole-stage codegen end to end, no
-    higher-order function, no UDF.
+    Built with higher-order functions ON PURPOSE: a fully-native
+    Python-side loop (zorder_key style) inlines the 48-term pixel
+    array and its sum into every one of the 48 bit comparisons —
+    ~2,300 byte-extract subtrees per row and a multi-second codegen
+    compile (measured: the q195 cell dropped ~5× after this rewrite).
+    transform/aggregate bind ``px`` and ``s`` ONCE per row; the
+    per-element lambdas are trivial, exactly the case the r2
+    measurement says beats the native rewrite.
     """
+    return _phash_chunks_expr(_phash_pixels(data))
+
+
+def _phash_pixels(data) -> "F.Column":
+    """array<long> of the 48 stub-decoded pixel values."""
     hx = F.lower(F.hex(F.substring(data, -PHASH_GRID, PHASH_GRID)))
-    px = [
-        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-        for i in range(PHASH_GRID)
-    ]
-    total = px[0]
-    for p in px[1:]:
-        total = total + p
-    chunks = []
-    for j in range(PHASH_CHUNKS):
-        c = F.lit(0).cast("long")
-        for i in range(PHASH_CHUNK_BITS):
-            bit = (px[PHASH_CHUNK_BITS * j + i] * PHASH_GRID) > total
-            c = c.bitwiseOR(
-                F.shiftleft(F.when(bit, F.lit(1)).otherwise(F.lit(0)), i)
-            )
-        chunks.append(c.cast("int"))
-    return F.array(*chunks)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_GRID - 1)),
+        lambda i: F.conv(
+            F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10
+        ).cast("long"),
+    )
+
+
+def _phash_chunks_expr(px_col, s_col=None) -> "F.Column":
+    """Chunk array from a pixel-array column (and optionally a
+    pre-bound sum column — `phash_candidates` stages ``px`` and ``s``
+    as NAMED columns so each is evaluated once per row; referencing
+    the raw expressions here would re-expand the 48-term pixel build
+    into every bit comparison, the tree blowup the first version of
+    this operator shipped with)."""
+    s = (
+        s_col
+        if s_col is not None
+        else F.aggregate(px_col, F.lit(0).cast("long"), lambda a, v: a + v)
+    )
+    # little-endian bit packing as a REVERSE-order fold (acc*2 + bit):
+    # shiftleft needs a literal shift amount, a fold does not
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1)),
+        lambda j: F.aggregate(
+            F.reverse(
+                F.slice(px_col, j * PHASH_CHUNK_BITS + 1, F.lit(PHASH_CHUNK_BITS))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2
+            + F.when(p * PHASH_GRID > s, F.lit(1)).otherwise(F.lit(0)),
+        ).cast("int"),
+    )
 
 
 def phash_candidates(
@@ -349,9 +374,23 @@ def phash_candidates(
     """
     from validate_spark.operators.dedup import _two_phase_buckets
 
-    sigs = df.select(
-        F.col(key_col).cast("string").alias("k"),
-        phash_chunks(F.col(data_col)).alias("pc"),
+    # stage px and s as NAMED columns: CollapseProject keeps a
+    # multiply-referenced non-cheap alias in its own projection, so
+    # the 48-term pixel build and its sum run ONCE per row instead of
+    # being inlined into all 48 bit comparisons
+    sigs = (
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            _phash_pixels(F.col(data_col)).alias("_px"),
+        )
+        .withColumn(
+            "_s",
+            F.aggregate("_px", F.lit(0).cast("long"), lambda a, v: a + v),
+        )
+        .select(
+            "k",
+            _phash_chunks_expr(F.col("_px"), F.col("_s")).alias("pc"),
+        )
     )
     chunks = sigs.select(
         "k",

@@ -676,3 +676,133 @@ def join_skew_audit(
         F.ceil(est / F.lit(rows_per_task_target)).cast("int").alias("salt_factor"),
     )
     return out.orderBy(F.col("est_rows").desc(), *keys).limit(top)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy re-identification audit: k-anonymity (every
+    quasi-identifier combination must cover ≥ k rows — a group of 1-2
+    rows re-identifies its members by join with any public table) and,
+    with ``sensitive_col``, l-diversity (a group whose sensitive value
+    is constant leaks it even at k rows — Machanavajjhala et al. 2007).
+
+    One hash aggregate over the quasi-identifier columns; the single
+    distinct aggregate compiles to Spark's two-level distinct rewrite
+    (no Expand — only one distinct column). Output is
+    |QI domain|-sized: one row per group with (n, n_sensitive,
+    at_risk = n < k, l_violation = n_sensitive < l) — the release
+    decision is a filter over this frame, and the "suppress or
+    generalize" worklist IS the at_risk rows.
+
+    NULL quasi values form their own group (GROUP BY NULL ≡ NULL in
+    both engines — a NULL zip code still narrows a join).
+    All-integer output → value-oracled exactly.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).cast("long").alias("n_sensitive")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    out = out.withColumn("at_risk", F.col("n") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("l_violation", F.col("n_sensitive") < l)
+    return out
+
+
+# sentinel for NULL categories in MI margins (join keys drop NULLs;
+# a NULL category is still a category)
+_MI_NULL = "\x1f<null>"
+
+
+def pairwise_mutual_information(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Column-dependency strength: mutual information I(X;Y) and the
+    marginal entropies H(X), H(Y) for each requested column pair —
+    the statistical generalization of the FD audit
+    (`uniq.functional_dependency_violations` finds exact X→Y;
+    MI/min(H) ranks SOFT dependencies, redundant columns, and leaky
+    quasi-identifiers).
+
+    Integer-frozen (the repo's discipline, stronger than round-6):
+    every plogp term is ``n_xy · round(1e6·ln((n_xy·N)/(n_x·n_y)))``
+    — the ratio is computed as one double mult/div sequence (identical
+    op order both engines → bit-identical), ln frozen to the 1e-6 grid
+    BEFORE multiplying by the exact integer count, so the reported
+    numerators are EXACT int64 sums with no addition-order noise at
+    all. I(X;Y) in nats = mi_num / (1e6 · n_total); overflow bound:
+    |ln| ≤ 36 → n_xy per cell must stay under ~2.5e11 (stated).
+
+    Scale: each pair costs one (x, y) hash aggregate; margins and the
+    total re-aggregate the COLLAPSED cell frame (|cells| rows, never
+    raw data), with the 1-row total broadcast. NULL categories are
+    retained via a sentinel (join keys would silently drop them).
+
+    Output: one row per pair — (x_col, y_col, n_total, n_cells,
+    mi_num, hx_num, hy_num).
+    """
+    results = None
+    for x, y in pairs:
+        xc = F.coalesce(F.col(x).cast("string"), F.lit(_MI_NULL))
+        yc = F.coalesce(F.col(y).cast("string"), F.lit(_MI_NULL))
+        cells = (
+            df.select(xc.alias("_x"), yc.alias("_y"))
+            .groupBy("_x", "_y")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        )
+        nx = cells.groupBy("_x").agg(F.sum("n_xy").alias("n_x"))
+        ny = cells.groupBy("_y").agg(F.sum("n_xy").alias("n_y"))
+        total = cells.agg(F.sum("n_xy").alias("n_tot"))
+
+        def _lnint(num, den):
+            return F.round(F.log(num / den) * F.lit(1_000_000), 0).cast("long")
+
+        joined = (
+            cells.join(nx, "_x")
+            .join(ny, "_y")
+            .crossJoin(F.broadcast(total))
+        )
+        mi_term = F.col("n_xy") * _lnint(
+            F.col("n_xy").cast("double") * F.col("n_tot").cast("double"),
+            F.col("n_x").cast("double") * F.col("n_y").cast("double"),
+        )
+        agg = joined.agg(
+            F.max("n_tot").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(mi_term).cast("long").alias("mi_num"),
+        )
+        hx = nx.crossJoin(F.broadcast(total)).agg(
+            F.sum(
+                F.col("n_x")
+                * _lnint(F.col("n_tot").cast("double"), F.col("n_x").cast("double"))
+            ).cast("long").alias("hx_num")
+        )
+        hy = ny.crossJoin(F.broadcast(total)).agg(
+            F.sum(
+                F.col("n_y")
+                * _lnint(F.col("n_tot").cast("double"), F.col("n_y").cast("double"))
+            ).cast("long").alias("hy_num")
+        )
+        row = (
+            agg.crossJoin(F.broadcast(hx))
+            .crossJoin(F.broadcast(hy))
+            .select(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                "n_total",
+                "n_cells",
+                "mi_num",
+                "hx_num",
+                "hy_num",
+            )
+        )
+        results = row if results is None else results.unionAll(row)
+    return results
