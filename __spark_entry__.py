@@ -5086,6 +5086,69 @@ def q202_mutual_information(spark, sf_dir):
     )
 
 
+def q203_partition_skipping_audit(spark, sf_dir):
+    """Data-skipping layout audit (indexing.partition_skipping_audit):
+    per-partition value ranges + interval-overlap counts for two
+    layouts of the SAME events — by event_type (every footer range
+    spans the domain: min/max pruning useless) vs by day (disjoint
+    ranges: point predicates touch one partition). The number a lake
+    optimizer reads before rewriting the layout."""
+    from validate_spark.operators.indexing import partition_skipping_audit
+
+    ev = _t(spark, sf_dir, "events")
+    by_type = partition_skipping_audit(ev, "event_type", "ts").select(
+        F.lit("by_type").alias("layout"),
+        F.col("part").cast("string").alias("part"),
+        "vmin", "vmax", "n_values", "n_overlaps",
+    )
+    by_day = partition_skipping_audit(
+        ev.withColumn("day", F.to_date(F.col("ts"))), "day", "ts"
+    ).select(
+        F.lit("by_day").alias("layout"),
+        F.col("part").cast("string").alias("part"),
+        "vmin", "vmax", "n_values", "n_overlaps",
+    )
+    return by_type.unionAll(by_day)
+
+
+def q204_cms_frequency_sketch(spark, sf_dir):
+    """Mergeable Count-Min frequency sketch (stats.cms_counts /
+    cms_point_estimates): bounded depth×width integer state, probe
+    estimates est ≥ exact with the min-over-rows rule, an absent
+    value probing 0-or-collision — every counter an exact integer
+    function of the input (unlike JVM-private sketch bytes), beside
+    q191's KMV distinct sketch in the mergeable-sketch family."""
+    from validate_spark.operators.stats import cms_counts, cms_point_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    counts = cms_counts(ev, "user_id", width=256, depth=4)
+    probes = (
+        ev.filter(F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(17)) == 3)
+        .select(F.col("user_id").cast("string").alias("user_id"))
+        .distinct()
+        .unionAll(
+            spark.createDataFrame([("absent-user",)], ["user_id"])
+        )
+    )
+    est = cms_point_estimates(counts, probes, "user_id", width=256, depth=4)
+    exact = (
+        ev.select(F.col("user_id").cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "value", "left")
+        .select(
+            "value",
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce(F.col("exact"), F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5355,6 +5418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_linkage_entities": q200_linkage_entities,
         "q201_k_anonymity": q201_k_anonymity,
         "q202_mutual_information": q202_mutual_information,
+        "q203_partition_skipping_audit": q203_partition_skipping_audit,
+        "q204_cms_frequency_sketch": q204_cms_frequency_sketch,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10423,5 +10488,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lang' AS x_col, 'len_bucket' AS y_col,
                    n_total, n_cells, mi_num, hx_num, hy_num
             FROM mi2, h2
+        """,
+        # q203: NULL parts join nothing (<> and range compares are
+        # NULL), so a NULL-day partition reports 0 overlaps — same in
+        # both engines
+        "q203_partition_skipping_audit": """
+            WITH pa AS (
+              SELECT event_type AS part, min(ts) AS vmin, max(ts) AS vmax,
+                     count(ts)::bigint AS n_values
+              FROM events GROUP BY 1
+            ), oa AS (
+              SELECT a.part, a.vmin, a.vmax, a.n_values,
+                     count(b.part)::int AS n_overlaps
+              FROM pa a LEFT JOIN pa b
+                ON a.part <> b.part
+               AND a.vmin <= b.vmax AND a.vmax >= b.vmin
+              GROUP BY 1, 2, 3, 4
+            ), pb AS (
+              SELECT ts::date AS part, min(ts) AS vmin, max(ts) AS vmax,
+                     count(ts)::bigint AS n_values
+              FROM events GROUP BY 1
+            ), ob AS (
+              SELECT a.part, a.vmin, a.vmax, a.n_values,
+                     count(b.part)::int AS n_overlaps
+              FROM pb a LEFT JOIN pb b
+                ON a.part <> b.part
+               AND a.vmin <= b.vmax AND a.vmax >= b.vmin
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT 'by_type' AS layout, part::varchar AS part,
+                   vmin, vmax, n_values, n_overlaps FROM oa
+            UNION ALL
+            SELECT 'by_day' AS layout, part::varchar AS part,
+                   vmin, vmax, n_values, n_overlaps FROM ob
+        """,
+        # q204: CMS counters and probe estimates replayed exactly —
+        # positions are md5(d || 0x1f || value) % width, estimates the
+        # min over depth rows with untouched cells as 0
+        "q204_cms_frequency_sketch": """
+            WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            cnt AS (
+              SELECT d, pos, count(*)::bigint AS cnt FROM (
+                SELECT dd.d,
+                       CAST('0x' || substr(md5(dd.d::varchar || chr(31)
+                                || user_id::varchar), 1, 12) AS BIGINT)
+                         % 256 AS pos
+                FROM events CROSS JOIN dd
+                WHERE user_id IS NOT NULL
+              ) GROUP BY d, pos
+            ), probes AS (
+              SELECT DISTINCT user_id::varchar AS value FROM events
+              WHERE coalesce(user_id, 0) % 17 = 3
+              UNION
+              SELECT 'absent-user'
+            ), pe AS (
+              SELECT p.value, dd.d,
+                     CAST('0x' || substr(md5(dd.d::varchar || chr(31)
+                              || p.value), 1, 12) AS BIGINT) % 256 AS pos
+              FROM probes p CROSS JOIN dd
+            ), est AS (
+              SELECT pe.value, min(coalesce(cnt.cnt, 0))::bigint AS est
+              FROM pe LEFT JOIN cnt USING (d, pos) GROUP BY pe.value
+            ), exact AS (
+              SELECT user_id::varchar AS value, count(*)::bigint AS exact
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            )
+            SELECT est.value, est.est,
+                   coalesce(exact.exact, 0)::bigint AS exact,
+                   (est.est - coalesce(exact.exact, 0))::bigint AS overcount
+            FROM est LEFT JOIN exact USING (value)
         """,
     }

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "q200_linkage_entities",
     "q201_k_anonymity",
     "q202_mutual_information",
+    "q203_partition_skipping_audit",
+    "q204_cms_frequency_sketch",
 ]
 
 

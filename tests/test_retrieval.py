@@ -531,3 +531,61 @@ def test_linkage_entities_transitive(spark):
     )
     ents = {r["member"]: r["cluster"] for r in dedup_clusters(matches).collect()}
     assert ents == {1: 1, 2: 1, 3: 1}
+
+
+# -------------------------------------------- lake layout / CMS frequency
+
+def test_partition_skipping_overlaps(spark):
+    from validate_spark.operators.indexing import partition_skipping_audit
+
+    # p1 [0,10], p2 [5,20] overlap each other; p3 [100,110] disjoint;
+    # p4 all-NULL values -> NULL bounds, 0 overlaps
+    rows = (
+        [("p1", v) for v in (0, 10)]
+        + [("p2", v) for v in (5, 20)]
+        + [("p3", v) for v in (100, 110)]
+        + [("p4", None)]
+    )
+    df = spark.createDataFrame(rows, "part string, v int")
+    out = {r["part"]: r for r in partition_skipping_audit(df, "part", "v").collect()}
+    assert out["p1"]["n_overlaps"] == 1 and out["p2"]["n_overlaps"] == 1
+    assert out["p3"]["n_overlaps"] == 0
+    assert out["p4"]["vmin"] is None and out["p4"]["n_overlaps"] == 0
+    assert out["p4"]["n_values"] == 0
+
+
+def test_cms_overcount_only_and_merge(spark):
+    from validate_spark.operators.stats import (
+        cms_counts,
+        cms_merge,
+        cms_point_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(v % 10,) for v in range(300)] + [(None,)], "v int"
+    )
+    counts = cms_counts(df, "v", width=64, depth=4)
+    probes = spark.createDataFrame([(i,) for i in range(10)] + [(999,)], "v int")
+    est = {
+        r["value"]: r["est"]
+        for r in cms_point_estimates(counts, probes, "v", width=64, depth=4).collect()
+    }
+    for i in range(10):
+        assert est[str(i)] >= 30  # true count; CMS only overcounts
+    assert est["999"] >= 0  # absent: 0 or collision overcount
+
+    # merge of per-half sketches == whole-data sketch (counter addition)
+    h1 = cms_counts(df.filter("v < 5"), "v", width=64, depth=4)
+    h2 = cms_counts(df.filter("v >= 5 or v is null"), "v", width=64, depth=4)
+    merged = cms_merge(h1.unionAll(h2))
+    whole = counts
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_state_is_bounded(spark):
+    from validate_spark.operators.stats import cms_counts
+
+    # 5000 distinct values, width 32 x depth 2 -> at most 64 counters
+    df = spark.createDataFrame([(v,) for v in range(5000)], "v long")
+    n = cms_counts(df, "v", width=32, depth=2).count()
+    assert n <= 64

@@ -251,3 +251,62 @@ def rrf_fusion(
         term = F.expr(f"{RRF_SCALE} DIV ({k0} + rank_{name})")
         score = term if score is None else score + term
     return fused.withColumn("rrf_score", score.cast("long"))
+
+
+def partition_skipping_audit(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Data-skipping effectiveness audit: per partition, the value
+    range a file footer would expose (min/max/count) and how many
+    OTHER partitions' ranges intersect it — the number that says
+    whether a range predicate on ``value_col`` can prune this layout.
+
+    ``n_overlaps = 0`` everywhere → ranges are disjoint and a point
+    predicate touches exactly one partition (the post-Z-order /
+    time-partitioned ideal, `zorder_bucket_profile`'s single-column
+    sibling); ``n_overlaps ≈ |partitions| - 1`` → every footer range
+    spans the domain and min/max skipping prunes NOTHING (the classic
+    "partitioned by the wrong column" layout). Run it with the
+    intended partition expression BEFORE a rewrite to size the win.
+
+    Plan: one hash aggregate collapses the table to |partitions| rows;
+    the overlap self-join runs on that collapsed frame (quadratic in
+    PARTITIONS, never rows — 10^4 partitions → 10^8 cheap interval
+    comparisons, still partition-count-bounded; past that, sort the
+    ranges and sweep). NULL values are excluded from ranges (footer
+    stats ignore them; NULL-only partitions report NULL bounds and
+    n_overlaps 0).
+    """
+    v = F.col(value_col)
+    per = (
+        df.groupBy(F.col(part_col).alias("part"))
+        .agg(
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.count(v).cast("long").alias("n_values"),
+        )
+    )
+    a = per.select(
+        F.col("part"), F.col("vmin"), F.col("vmax"), F.col("n_values")
+    )
+    b = per.select(
+        F.col("part").alias("_p2"),
+        F.col("vmin").alias("_min2"),
+        F.col("vmax").alias("_max2"),
+    )
+    overlaps = (
+        a.join(
+            b,
+            (F.col("part") != F.col("_p2"))
+            & (F.col("vmin") <= F.col("_max2"))
+            & (F.col("vmax") >= F.col("_min2")),
+            "left",
+        )
+        .groupBy("part", "vmin", "vmax", "n_values")
+        .agg(
+            F.count(F.col("_p2")).cast("int").alias("n_overlaps")
+        )
+    )
+    return overlaps

@@ -806,3 +806,117 @@ def pairwise_mutual_information(
         )
         results = row if results is None else results.unionAll(row)
     return results
+
+
+# ---------------------------------------------------------------------------
+# mergeable frequency sketch (count-min)
+# ---------------------------------------------------------------------------
+
+def _cms_pos(value, d: int, width: int):
+    """Row d's counter position for a value — md5-derived, portable."""
+    key = F.concat_ws("\x1f", F.lit(str(d)), value.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long"),
+        F.lit(width),
+    ).cast("int")
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005) as a
+    SPARSE counter frame ``(group..., d, pos, cnt)`` — the mergeable
+    frequency sketch beside :func:`kmv_sketch`'s distinct sketch:
+    bounded memory (≤ depth·width counters per group) whatever the
+    value cardinality, estimates that only ever OVERCOUNT (est ≥
+    true; E[overcount] ≤ 2N/width per row, min over depth rows), and
+    merge = elementwise counter addition (:func:`cms_merge`), so
+    per-day states roll up without rescanning — exactly the kmv lake
+    pattern for "how often" instead of "how many distinct".
+
+    Every counter is an exact integer function of the input multiset
+    (md5 positions, integer counts) → value-oracled bit-for-bit,
+    which JVM-private sketch bytes (Spark's count_min_sketch_agg)
+    can never be. One hash aggregate; output ≤ depth·width rows per
+    group. NULL values are excluded.
+    """
+    vals = df.select(
+        *(group_cols or []), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    rows = vals.select(
+        *(group_cols or []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(F.col("_v"), d, width).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_dp"),
+    ).select(
+        *(group_cols or []),
+        F.col("_dp.d").alias("d"),
+        F.col("_dp.pos").alias("pos"),
+    )
+    return rows.groupBy(*(group_cols or []), "d", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_merge(
+    counts: DataFrame, *, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union CMS states by elementwise counter addition — sketches
+    built per partition/day (same width/depth) merge into any rollup
+    without touching raw data."""
+    return counts.groupBy(*(group_cols or []), "d", "pos").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_point_estimates(
+    counts: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimates for a probe list: est(v) = min over the
+    depth rows of the counter at (d, pos_d(v)); a position never
+    touched counts as 0 (sparse state). Probes broadcast against the
+    |counters|-bounded state — no scan of raw data.
+
+    Width/depth MUST match the state's build parameters (positions
+    are a function of both; a mismatch silently probes wrong cells).
+    Output: (value, est) with est ≥ true count, = true when no
+    collision on some row.
+    """
+    probe_rows = probes.select(
+        F.col(value_col).cast("string").alias("value")
+    ).distinct().select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(F.col("value"), d, width).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_dp"),
+    ).select("value", F.col("_dp.d").alias("d"), F.col("_dp.pos").alias("pos"))
+    joined = probe_rows.join(counts, ["d", "pos"], "left").select(
+        "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
+    )
+    return joined.groupBy("value").agg(F.min("_c").cast("long").alias("est"))
