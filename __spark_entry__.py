@@ -5149,6 +5149,37 @@ def q204_cms_frequency_sketch(spark, sf_dir):
     )
 
 
+def q205_decayed_trending(spark, sf_dir):
+    """Recency-weighted heavy hitters (temporal.decayed_frequency):
+    integer step-halving decay per half-life window anchored at the
+    table's max day (no wall clock), pure-int64 scores, top-N via
+    TakeOrderedAndProject — what "trending" means with an exact
+    ranking. Trending users over the events table, 7-day half-life."""
+    from validate_spark.operators.temporal import decayed_frequency
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_frequency(
+        ev, "ts", "user_id", half_life_days=7, top=15
+    )
+
+
+def q206_threshold_sweep(spark, sf_dir):
+    """Operating-point table (stats.threshold_sweep): confusion
+    counts of `score ≥ t` for a grid of thresholds in ONE scan — the
+    table read before freezing a quality-classifier cut. Integer
+    counts only (precision/recall are client-side ratios), so the
+    oracle compares exactly."""
+    from validate_spark.operators.stats import threshold_sweep
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return threshold_sweep(
+        docs, "score", "label", [100, 200, 400, 800, 1600]
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5425,6 +5456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_mutual_information": q202_mutual_information,
         "q203_partition_skipping_audit": q203_partition_skipping_audit,
         "q204_cms_frequency_sketch": q204_cms_frequency_sketch,
+        "q205_decayed_trending": q205_decayed_trending,
+        "q206_threshold_sweep": q206_threshold_sweep,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10562,5 +10595,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(exact.exact, 0)::bigint AS exact,
                    (est.est - coalesce(exact.exact, 0))::bigint AS overcount
             FROM est LEFT JOIN exact USING (value)
+        """,
+        # q205: weight = 1e6 // 2^(age // 7), age anchored at the max
+        # event day — integer shift both engines; top-15 by
+        # (score desc, key asc)
+        "q205_decayed_trending": """
+            WITH daily AS (
+              SELECT user_id AS key, ts::date AS d, count(*)::bigint AS c
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ), ref AS (
+              SELECT max(d) AS r FROM daily
+            ), w AS (
+              SELECT key, c,
+                     1000000 // (1::bigint << least(
+                       date_diff('day', d, ref.r) // 7, 62)::int) AS wt
+              FROM daily, ref
+            )
+            SELECT key, sum(c)::bigint AS total_count,
+                   sum(c * wt)::bigint AS decayed_score
+            FROM w GROUP BY key
+            ORDER BY decayed_score DESC, key
+            LIMIT 15
+        """,
+        "q206_threshold_sweep": """
+            WITH b AS (
+              SELECT n_chars AS s, (lang = 'en') AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), t(threshold) AS (
+              SELECT unnest([100, 200, 400, 800, 1600])
+            )
+            SELECT threshold::bigint AS threshold,
+                   sum(CASE WHEN s >= threshold AND y
+                            THEN 1 ELSE 0 END)::bigint AS tp,
+                   sum(CASE WHEN s >= threshold AND NOT y
+                            THEN 1 ELSE 0 END)::bigint AS fp,
+                   sum(CASE WHEN s < threshold AND y
+                            THEN 1 ELSE 0 END)::bigint AS fn,
+                   sum(CASE WHEN s < threshold AND NOT y
+                            THEN 1 ELSE 0 END)::bigint AS tn
+            FROM b CROSS JOIN t
+            GROUP BY threshold
         """,
     }

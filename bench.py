@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "q202_mutual_information",
     "q203_partition_skipping_audit",
     "q204_cms_frequency_sketch",
+    "q205_decayed_trending",
+    "q206_threshold_sweep",
 ]
 
 

@@ -589,3 +589,57 @@ def test_cms_state_is_bounded(spark):
     df = spark.createDataFrame([(v,) for v in range(5000)], "v long")
     n = cms_counts(df, "v", width=32, depth=2).count()
     assert n <= 64
+
+
+# --------------------------------------------- decay / operating points
+
+def test_decayed_frequency_recency_beats_volume(spark):
+    import datetime as dt
+
+    from validate_spark.operators.temporal import decayed_frequency
+
+    # "old" has 3x the events but they are 4 half-lives stale;
+    # "new" has fewer, all on the reference (max) day
+    rows = (
+        [("old", dt.datetime(2024, 1, 1, 12)) for _ in range(48)]
+        + [("new", dt.datetime(2024, 1, 29, 12)) for _ in range(16)]
+    )
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = decayed_frequency(df, "ts", "user", half_life_days=7, top=10).collect()
+    assert [r["key"] for r in out] == ["new", "old"]
+    # exact integer scores: new = 16 * 1e6; old = 48 * (1e6 // 2^4)
+    assert out[0]["decayed_score"] == 16 * 1_000_000
+    assert out[1]["decayed_score"] == 48 * (1_000_000 // 16)
+    assert out[1]["total_count"] == 48
+
+
+def test_decayed_frequency_shift_cap(spark):
+    import datetime as dt
+
+    from validate_spark.operators.temporal import decayed_frequency
+
+    # 200 years stale → shift capped at 62, weight 0, no overflow
+    rows = [("a", dt.datetime(1800, 1, 1)), ("b", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = {r["key"]: r["decayed_score"] for r in
+           decayed_frequency(df, "ts", "user", half_life_days=7).collect()}
+    assert out["b"] == 1_000_000 and out["a"] == 0
+
+
+def test_threshold_sweep_counts(spark):
+    from validate_spark.operators.stats import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(10, True), (20, True), (30, False), (None, True), (40, None)],
+        "s int, y boolean",
+    )
+    rows = {r["threshold"]: r for r in
+            threshold_sweep(df, "s", "y", [15, 25]).collect()}
+    # usable rows = 3 (NULL score / NULL label excluded)
+    r15 = rows[15]
+    assert (r15["tp"], r15["fp"], r15["fn"], r15["tn"]) == (1, 1, 1, 0)
+    r25 = rows[25]
+    assert (r25["tp"], r25["fp"], r25["fn"], r25["tn"]) == (0, 1, 2, 0)
+    assert all(
+        r["tp"] + r["fp"] + r["fn"] + r["tn"] == 3 for r in rows.values()
+    )

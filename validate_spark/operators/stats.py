@@ -920,3 +920,61 @@ def cms_point_estimates(
         "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
     )
     return joined.groupBy("value").agg(F.min("_c").cast("long").alias("est"))
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Operating-point table for a score against a boolean label: for
+    every candidate threshold t, the confusion counts of the rule
+    ``score ≥ t`` — the table read before freezing a quality-
+    classifier cut (`textstats.quality_classifier`, quantile filters):
+    precision/recall at every t are ratios of these integers, and
+    keeping the INTEGERS (not the ratios) keeps the output exact
+    cross-engine and lets the caller re-derive any metric (F1, lift,
+    kept-fraction) without a rescan.
+
+    One scan, one 1-row wide aggregate (4 conditional sums per
+    threshold — the `column_stats` pattern), then a metadata-sized
+    stack to long form. Rows with NULL score or label are excluded
+    (counted nowhere; the caller's null-rate is `column_stats`' job).
+
+    Output: (threshold, tp, fp, fn, tn) — tp+fp+fn+tn identical on
+    every row = usable row count.
+    """
+    s = F.col(score_col)
+    y = F.col(label_col)
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.cast("boolean").alias("_y")
+    )
+    aggs = []
+    for i, t in enumerate(thresholds):
+        kept = F.col("_s") >= t
+        pos = F.col("_y")
+        aggs += [
+            F.sum((kept & pos).cast("long")).alias(f"_tp_{i}"),
+            F.sum((kept & ~pos).cast("long")).alias(f"_fp_{i}"),
+            F.sum((~kept & pos).cast("long")).alias(f"_fn_{i}"),
+            F.sum((~kept & ~pos).cast("long")).alias(f"_tn_{i}"),
+        ]
+    wide = base.agg(*aggs)
+    parts = ", ".join(
+        f"{int(t)}, coalesce(_tp_{i}, 0), coalesce(_fp_{i}, 0), "
+        f"coalesce(_fn_{i}, 0), coalesce(_tn_{i}, 0)"
+        for i, t in enumerate(thresholds)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(thresholds)}, {parts}) "
+            "as (threshold, tp, fp, fn, tn)"
+        )
+    ).select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+    )

@@ -636,3 +636,61 @@ def debounce_first(
         )
         .drop("_w")
     )
+
+
+def decayed_frequency(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    half_life_days: int = 7,
+    top: int = 20,
+) -> DataFrame:
+    """Recency-weighted heavy hitters: per key, the exponentially
+    decayed event count — what "trending" means operationally (a key
+    with 500 events last quarter should rank below one with 50
+    yesterday). Plain `frequent_values` has no clock; this is its
+    time-aware sibling.
+
+    Integer-exact decay (no float ever): with reference day R = the
+    table's max event day (computed here — deterministic from the
+    data, no wall clock) and age a = R − day,
+
+        weight(a) = 1_000_000 div 2^(a div half_life_days)
+
+    i.e. step-halving per half-life window — the honest exact form of
+    exponential decay (a smooth per-day factor 2^(1/h) is irrational
+    and would put a float in the ranking). Shift capped at 62 so the
+    power stays in int64; beyond ~62 half-lives the weight is 0
+    anyway. ``decayed_score = Σ_day c_day · weight`` is a pure int64
+    sum; ranking (score desc, key asc) never rides a float.
+
+    Scale: raw events collapse to (key, day) with one hash aggregate;
+    the decay weighting and per-key sum run on the collapsed frame;
+    the 1-row max-day frame is broadcast; the final cut is
+    ``orderBy.limit`` = TakeOrderedAndProject (k-heap, no global
+    sort). NULL keys/timestamps are excluded.
+
+    Output: (key, total_count, decayed_score) — top-N by score.
+    """
+    ts = _ts(ts_col)
+    daily = (
+        df.filter(F.col(key_col).isNotNull() & ts.isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"), F.to_date(ts).alias("_day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    ref = daily.agg(F.max("_day").alias("_ref"))
+    scored = daily.crossJoin(F.broadcast(ref)).withColumn(
+        "_w",
+        F.expr(
+            f"1000000 div shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(least(datediff(_ref, _day) div {half_life_days}, 62) AS INT))"
+        ),
+    )
+    out = scored.groupBy("key").agg(
+        F.sum("_c").cast("long").alias("total_count"),
+        F.sum(F.col("_c") * F.col("_w")).cast("long").alias("decayed_score"),
+    )
+    return out.orderBy(F.col("decayed_score").desc(), F.col("key")).limit(top)
