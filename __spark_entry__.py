@@ -5180,6 +5180,53 @@ def q206_threshold_sweep(spark, sf_dir):
     )
 
 
+# shared state machine for q208 (builder) and its oracle — one list,
+# no spelling drift
+_Q208_ALLOWED = [
+    ("view", "view"),
+    ("view", "click"),
+    ("view", "signup"),
+    ("click", "view"),
+    ("click", "purchase"),
+    ("signup", "purchase"),
+    ("purchase", "view"),
+    ("error", "view"),
+]
+
+
+def q207_transition_matrix(spark, sf_dir):
+    """First-order state transitions over per-user event sequences
+    (temporal.transition_matrix): (from, to, n, n_from) with exact
+    departure margins — the process-mining view of the event log.
+    Ordering ties broken on a coalesced event_id (NULLS-FIRST vs
+    NULLS-LAST divergence between engines is designed out by
+    coalescing BEFORE the window)."""
+    from validate_spark.operators.temporal import transition_matrix
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "eid", F.coalesce(F.col("event_id"), F.lit(-1))
+    )
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", tie_cols=["eid"]
+    )
+
+
+def q208_sequence_conformance(spark, sf_dir):
+    """Sequence-conformance screen (temporal.illegal_transitions):
+    per user, transitions outside an explicit allowed state machine —
+    enum validation lifted to the ORDER of a key's records. The
+    machine is a literal IN over delimiter-joined pairs (part of the
+    plan, no broadcast)."""
+    from validate_spark.operators.temporal import illegal_transitions
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "eid", F.coalesce(F.col("event_id"), F.lit(-1))
+    )
+    return illegal_transitions(
+        ev, "user_id", "ts", "event_type", _Q208_ALLOWED, tie_cols=["eid"]
+    )
+
+
 # The driver stamps the FIRST 50 queries() entries (dict insertion
 # order — verified against CORRECTNESS_r04's key sequence, which ends
 # q30,q31,q48,q49,q50 = this dict's literal order, not sorted order)
@@ -5458,6 +5505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_cms_frequency_sketch": q204_cms_frequency_sketch,
         "q205_decayed_trending": q205_decayed_trending,
         "q206_threshold_sweep": q206_threshold_sweep,
+        "q207_transition_matrix": q207_transition_matrix,
+        "q208_sequence_conformance": q208_sequence_conformance,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10638,5 +10687,53 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::bigint AS tn
             FROM b CROSS JOIN t
             GROUP BY threshold
+        """,
+        # q207/q208: lead() over (user, ts, coalesced event_id) — the
+        # tie column is coalesced BEFORE the window because Spark
+        # sorts NULLS FIRST and DuckDB NULLS LAST by default
+        "q207_transition_matrix": """
+            WITH b AS (
+              SELECT user_id, ts, event_type,
+                     coalesce(event_id, -1) AS eid
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+            ), p AS (
+              SELECT event_type AS f,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, eid) AS t
+              FROM b
+            ), c AS (
+              SELECT f AS from_state, t AS to_state,
+                     count(*)::bigint AS n
+              FROM p WHERE t IS NOT NULL GROUP BY 1, 2
+            ), m AS (
+              SELECT from_state, sum(n)::bigint AS n_from
+              FROM c GROUP BY 1
+            )
+            SELECT c.from_state, c.to_state, c.n, m.n_from
+            FROM c JOIN m USING (from_state)
+        """,
+        "q208_sequence_conformance": f"""
+            WITH b AS (
+              SELECT user_id, ts, event_type,
+                     coalesce(event_id, -1) AS eid
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+            ), p AS (
+              SELECT user_id, event_type AS f,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, eid) AS t
+              FROM b
+            )
+            SELECT user_id AS user,
+                   count(*)::bigint AS n_transitions,
+                   sum(CASE WHEN (f || chr(31) || t) NOT IN (
+                     {", ".join("'" + a + chr(31) + b + "'"
+                                for a, b in _Q208_ALLOWED)}
+                   ) THEN 1 ELSE 0 END)::bigint AS n_illegal
+            FROM p WHERE t IS NOT NULL
+            GROUP BY user_id
         """,
     }

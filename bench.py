@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "q204_cms_frequency_sketch",
     "q205_decayed_trending",
     "q206_threshold_sweep",
+    "q207_transition_matrix",
+    "q208_sequence_conformance",
 ]
 
 

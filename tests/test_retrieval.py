@@ -643,3 +643,64 @@ def test_threshold_sweep_counts(spark):
     assert all(
         r["tp"] + r["fp"] + r["fn"] + r["tn"] == 3 for r in rows.values()
     )
+
+
+# ------------------------------------------------- process-mining family
+
+def _seq_events(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 0, 0, s), st, i)
+         for i, (u, s, st) in enumerate(rows)],
+        "user long, ts timestamp, state string, eid long",
+    )
+
+
+def test_transition_matrix_counts_and_margins(spark):
+    from validate_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "b"),
+        (2, 0, "a"), (2, 1, "b"),
+        (3, 0, "c"),                       # lone event: no transition
+    ]
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["n_from"])
+        for r in transition_matrix(
+            _seq_events(spark, rows), "user", "ts", "state", tie_cols=["eid"]
+        ).collect()
+    }
+    assert out[("a", "b")] == (3, 3)
+    assert out[("b", "a")] == (1, 1)
+    assert ("c", "c") not in out and len(out) == 2
+
+
+def test_transition_matrix_tie_break_deterministic(spark):
+    from validate_spark.operators.temporal import transition_matrix
+
+    # two rows share a timestamp: eid order decides the successor
+    rows = [(1, 0, "x"), (1, 0, "y"), (1, 5, "z")]
+    out = {
+        (r["from_state"], r["to_state"]) for r in transition_matrix(
+            _seq_events(spark, rows), "user", "ts", "state", tie_cols=["eid"]
+        ).collect()
+    }
+    assert out == {("x", "y"), ("y", "z")}
+
+
+def test_illegal_transitions_screen(spark):
+    from validate_spark.operators.temporal import illegal_transitions
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),   # a->b ok, b->c illegal
+        (2, 0, "a"), (2, 1, "b"),                # conformant
+    ]
+    out = {
+        r["user"]: (r["n_transitions"], r["n_illegal"])
+        for r in illegal_transitions(
+            _seq_events(spark, rows), "user", "ts", "state",
+            [("a", "b"), ("b", "a")], tie_cols=["eid"],
+        ).collect()
+    }
+    assert out[1] == (2, 1) and out[2] == (1, 0)

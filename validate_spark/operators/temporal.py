@@ -694,3 +694,116 @@ def decayed_frequency(
         F.sum(F.col("_c") * F.col("_w")).cast("long").alias("decayed_score"),
     )
     return out.orderBy(F.col("decayed_score").desc(), F.col("key")).limit(top)
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order state-transition counts over per-user event
+    sequences — the process-mining view of an event log: which state
+    follows which, how often, out of how many departures. The
+    reference validates RECORDS; this validates the SEQUENCE a key's
+    records form (with :func:`illegal_transitions` as the
+    conformance screen and q107's funnel as the happy-path special
+    case).
+
+    Ordering inside a user is (ts, *tie_cols) — pass a unique
+    tie-break column (the event id) whenever timestamps can collide,
+    or the successor of tied rows is layout-dependent and no two runs
+    (or engines) need agree. NULL user/ts/state rows are excluded.
+
+    Output: (from_state, to_state, n, n_from) — n_from is the
+    from-state's total departures, so P(to|from) = n / n_from is a
+    client-side exact ratio.
+
+    Scale: one shuffle (hash on user) feeds the lead() window —
+    per-task state is one user's events; the (from, to) aggregate
+    runs on |transitions| rows with map-side combine, and the margin
+    join operates on the |states|²-bounded matrix, never raw events.
+    """
+    ts = _ts(ts_col)
+    ties = [F.col(c) for c in (tie_cols or [])]
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & ts.isNotNull()
+        & F.col(state_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        ts.alias("_t"),
+        F.col(state_col).alias("_s"),
+        *[F.col(c).alias(f"_tie{i}") for i, c in enumerate(tie_cols or [])],
+    )
+    w = Window.partitionBy("_u").orderBy(
+        "_t", *[f"_tie{i}" for i in range(len(tie_cols or []))]
+    )
+    pairs = (
+        base.withColumn("_nxt", F.lead("_s").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(
+            F.col("_s").alias("from_state"), F.col("_nxt").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    margin = pairs.groupBy("from_state").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return pairs.join(margin, "from_state").select(
+        "from_state", "to_state", "n", "n_from"
+    )
+
+
+def illegal_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    allowed: list[tuple[str, str]],
+    *,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sequence-conformance screen: per user, how many observed
+    transitions fall OUTSIDE the allowed state machine — the lift of
+    record-level enum validation to the ORDER of a key's records
+    ("a refund before its purchase", "shipped after cancelled").
+
+    ``allowed`` is the explicit edge list; membership compiles to a
+    literal IN over the delimiter-joined pair (codegen'd, broadcast-
+    free — the machine is part of the PLAN, the right place for a
+    spec of tens of edges). Same ordering/NULL contract as
+    :func:`transition_matrix`.
+
+    Output: one row per user with ≥1 transition —
+    (user, n_transitions, n_illegal); conformant users report 0, so
+    `filter(n_illegal > 0)` is the violation worklist.
+    """
+    ts = _ts(ts_col)
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & ts.isNotNull()
+        & F.col(state_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        ts.alias("_t"),
+        F.col(state_col).alias("_s"),
+        *[F.col(c).alias(f"_tie{i}") for i, c in enumerate(tie_cols or [])],
+    )
+    w = Window.partitionBy("_u").orderBy(
+        "_t", *[f"_tie{i}" for i in range(len(tie_cols or []))]
+    )
+    allowed_keys = [f"{a}\x1f{b}" for a, b in allowed]
+    pair_key = F.concat_ws("\x1f", F.col("_s"), F.col("_nxt"))
+    return (
+        base.withColumn("_nxt", F.lead("_s").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn("_ill", (~pair_key.isin(allowed_keys)).cast("long"))
+        .groupBy(F.col("_u").alias("user"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("_ill").cast("long").alias("n_illegal"),
+        )
+    )
