@@ -5180,6 +5180,44 @@ def q206_threshold_sweep(spark, sf_dir):
     )
 
 
+def q209_dedup_recall_report(spark, sf_dir):
+    """Candidate-generator evaluation (dedup.dedup_recall_report):
+    simhash hamming≤3 candidates measured against the EXACT
+    trigram-Jaccard≥0.9 truth set on the doubled-docs corpus — the
+    integers recall/precision are read from before trusting LSH
+    settings at scale. Both pair sets are SQL-re-derived end to end
+    (q17's signature math, q44's exact-Jaccard), so the report's five
+    counts hash-match."""
+    from validate_spark.operators.dedup import (
+        dedup_recall_report,
+        ngram_jaccard_pairs,
+        simhash_candidates,
+    )
+
+    docs = _doubled_docs(spark, sf_dir)
+    cand = simhash_candidates(docs, max_hamming=3).select("a", "b")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.9).select("a", "b")
+    return dedup_recall_report(cand, truth)
+
+
+def q210_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (textstats.lang_id vs the
+    fixture's source-truth lang column): (lang, lang_pred, n) — the
+    agreement table a curation pipeline reads before trusting the
+    classifier's routing. Integer counts; the oracle replays the
+    integer-cross-multiplied script tiers and stopword argmax."""
+    from validate_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang"), lang_id(F.col("text")).alias("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # shared state machine for q208 (builder) and its oracle — one list,
 # no spelling drift
 _Q208_ALLOWED = [
@@ -5507,6 +5545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_threshold_sweep": q206_threshold_sweep,
         "q207_transition_matrix": q207_transition_matrix,
         "q208_sequence_conformance": q208_sequence_conformance,
+        "q209_dedup_recall_report": q209_dedup_recall_report,
+        "q210_langid_confusion": q210_langid_confusion,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10735,5 +10775,78 @@ def oracle_sql() -> dict[str, str]:
                    ) THEN 1 ELSE 0 END)::bigint AS n_illegal
             FROM p WHERE t IS NOT NULL
             GROUP BY user_id
+        """,
+        # q209: candidate set = q17's exhaustively recomputed SimHash
+        # signatures at hamming <= 3; truth set = q44's exact trigram
+        # Jaccard >= 0.9; the report counts the join regions
+        "q209_dedup_recall_report": f"""
+            WITH c AS (
+              SELECT doc_id::varchar AS k, lower(coalesce(text, '')) AS t
+              FROM ({_DOUBLED_DOCS})
+            ), tok AS (
+              SELECT k, unnest(list_filter(regexp_split_to_array(t, '\\s+'),
+                                           x -> x <> '')) AS tok
+              FROM c
+            ), bits AS (
+              SELECT k, md5(tok) AS h FROM tok
+            ), votes AS (
+              SELECT k, j,
+                     sum((CAST('0x' || substr(h, (j // 8) * 2 + 1, 2) AS INT)
+                          >> (7 - j % 8)) & 1) AS ones,
+                     count(*) AS n
+              FROM bits CROSS JOIN generate_series(0, 63) AS g(j)
+              GROUP BY k, j
+            ), sig AS (
+              SELECT k, list(CASE WHEN ones * 2 > n THEN 1 ELSE 0 END
+                             ORDER BY j) AS s
+              FROM votes GROUP BY k
+              UNION ALL
+              SELECT k, list_transform(generate_series(0, 63), x -> 0) AS s
+              FROM c WHERE len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                           x -> x <> '')) = 0
+            ), cand AS (
+              SELECT x.k AS a, y.k AS b
+              FROM sig x JOIN sig y ON x.k < y.k
+              WHERE list_sum(list_transform(generate_series(1, 64),
+                      i -> abs(x.s[i] - y.s[i]))) <= 3
+            ), cn AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t
+              FROM ({_DOUBLED_DOCS})
+            ), tk AS (
+              SELECT k, regexp_split_to_array(t, ' ') AS w
+              FROM cn WHERE length(t) > 0
+            ), g2 AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS grams
+              FROM tk
+            ), truth AS (
+              SELECT x.k AS a, y.k AS b
+              FROM g2 x JOIN g2 y ON x.k < y.k
+              WHERE round(len(list_intersect(x.grams, y.grams))::double
+                    / len(list_distinct(x.grams || y.grams))::double, 6)
+                    >= 0.9
+            ), u AS (
+              SELECT coalesce(t.a, cd.a) AS a, coalesce(t.b, cd.b) AS b,
+                     (t.a IS NOT NULL) AS it, (cd.a IS NOT NULL) AS ic
+              FROM truth t FULL OUTER JOIN cand cd
+                ON t.a = cd.a AND t.b = cd.b
+            )
+            SELECT sum(CASE WHEN it THEN 1 ELSE 0 END)::bigint AS n_truth,
+                   sum(CASE WHEN ic THEN 1 ELSE 0 END)::bigint
+                     AS n_candidates,
+                   sum(CASE WHEN it AND ic THEN 1 ELSE 0 END)::bigint
+                     AS n_matched,
+                   sum(CASE WHEN it AND NOT ic THEN 1 ELSE 0 END)::bigint
+                     AS n_missed,
+                   sum(CASE WHEN ic AND NOT it THEN 1 ELSE 0 END)::bigint
+                     AS n_extra
+            FROM u
+        """,
+        "q210_langid_confusion": f"""
+            WITH s AS (SELECT lang, text, {_SCORES} FROM documents)
+            SELECT lang, {_LANG_PRED} AS lang_pred,
+                   count(*)::bigint AS n
+            FROM s GROUP BY 1, 2
         """,
     }

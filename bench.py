@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "q206_threshold_sweep",
     "q207_transition_matrix",
     "q208_sequence_conformance",
+    "q209_dedup_recall_report",
+    "q210_langid_confusion",
 ]
 
 

@@ -704,3 +704,21 @@ def test_illegal_transitions_screen(spark):
         ).collect()
     }
     assert out[1] == (2, 1) and out[2] == (1, 0)
+
+
+# -------------------------------------------------- dedup evaluation loop
+
+def test_dedup_recall_report_regions(spark):
+    from validate_spark.operators.dedup import dedup_recall_report
+
+    truth = spark.createDataFrame(
+        [("1", "2"), ("3", "4"), ("5", "6")], "a string, b string"
+    )
+    # candidates: one match (reversed orientation), one dup pair
+    # (dedup to a single candidate), one extra
+    cand = spark.createDataFrame(
+        [("2", "1"), ("1", "2"), ("7", "8")], "a string, b string"
+    )
+    r = dedup_recall_report(cand, truth).collect()[0]
+    assert (r["n_truth"], r["n_candidates"]) == (3, 2)
+    assert (r["n_matched"], r["n_missed"], r["n_extra"]) == (1, 2, 1)

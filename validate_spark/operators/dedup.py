@@ -2055,3 +2055,53 @@ def fs_score_pairs(
         .otherwise(F.lit("review"))
         .alias("decision"),
     )
+
+
+def dedup_recall_report(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """One-row evaluation of a candidate pair generator against a
+    ground-truth pair set — the "measure, don't guess" loop for the
+    dedup stack itself: before trusting an LSH tier's band/threshold
+    settings on 10^12 docs, run it beside an exact tier on a labeled
+    slice and read recall/precision off these integers.
+
+    Both inputs normalize to unordered distinct pairs (least/greatest
+    + distinct — generators may emit either orientation), then one
+    full-outer join on the pair key counts the three regions. Output
+    (single row): n_truth, n_candidates, n_matched, n_missed,
+    n_extra — recall = n_matched/n_truth, precision =
+    n_matched/n_candidates, both client-side exact ratios.
+
+    Scale: pair frames are already the SMALL side of any dedup
+    pipeline (bounded by the generators' caps); the join is
+    pair-count-sized, the report one aggregate row.
+    """
+
+    def norm(df: DataFrame, flag: str) -> DataFrame:
+        a, b = F.col(a_col).cast("string"), F.col(b_col).cast("string")
+        return (
+            df.select(
+                F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb")
+            )
+            .filter(F.col("_pa").isNotNull() & F.col("_pb").isNotNull())
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    joined = norm(truth, "_t").join(
+        norm(candidates, "_c"), ["_pa", "_pb"], "full_outer"
+    )
+    t = F.col("_t").isNotNull()
+    c = F.col("_c").isNotNull()
+    return joined.agg(
+        F.sum(t.cast("long")).alias("n_truth"),
+        F.sum(c.cast("long")).alias("n_candidates"),
+        F.sum((t & c).cast("long")).alias("n_matched"),
+        F.sum((t & ~c).cast("long")).alias("n_missed"),
+        F.sum((~t & c).cast("long")).alias("n_extra"),
+    )
