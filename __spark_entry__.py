@@ -5180,6 +5180,43 @@ def q206_threshold_sweep(spark, sf_dir):
     )
 
 
+def q211_rate_jackknife(spark, sf_dir):
+    """Rates with error bars (stats.rate_jackknife): per-lang
+    short-document rate ± its delete-one-group jackknife SE over 20
+    md5-assigned buckets — deterministic resampling, no RNG; counts
+    exact, the B-term fp reduction rounded at 6 per the
+    bounded-cardinality rule. The answer to "is this drift or
+    noise?" without distributional assumptions."""
+    from validate_spark.operators.stats import rate_jackknife
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", (F.col("n_chars") < 200).alias("short")
+    )
+    return rate_jackknife(
+        docs, "short", "doc_id", buckets=20, group_cols=["lang"]
+    )
+
+
+def q212_kmv_trailing_window(spark, sf_dir):
+    """Trailing 7-day distinct users from per-day KMV states
+    (stats.kmv_trailing_window): each day's answer merges ≤7 daily
+    sketch rows instead of rescanning a week of raw events — the
+    windowed form of q197's rollup. The oracle computes every
+    window's sketch DIRECTLY from raw rows, so the hash match is the
+    per-day merge ≡ direct proof."""
+    from validate_spark.operators.stats import kmv_sketch, kmv_trailing_window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("day", F.to_date(F.col("ts")))
+    )
+    states = kmv_sketch(
+        ev, "user_id", k=64, group_cols=["day"], keep_state=True
+    )
+    return kmv_trailing_window(states, k=64, day_col="day", window=7)
+
+
 def q209_dedup_recall_report(spark, sf_dir):
     """Candidate-generator evaluation (dedup.dedup_recall_report):
     simhash hamming≤3 candidates measured against the EXACT
@@ -5547,6 +5584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_sequence_conformance": q208_sequence_conformance,
         "q209_dedup_recall_report": q209_dedup_recall_report,
         "q210_langid_confusion": q210_langid_confusion,
+        "q211_rate_jackknife": q211_rate_jackknife,
+        "q212_kmv_trailing_window": q212_kmv_trailing_window,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10848,5 +10887,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {_LANG_PRED} AS lang_pred,
                    count(*)::bigint AS n
             FROM s GROUP BY 1, 2
+        """,
+        # q211: exact bucket counts; the 20-term loo-rate reduction is
+        # the bounded-cardinality round-6 case; Σ(r−r̄)² via Σr²−B·r̄²
+        # identically on both sides
+        "q211_rate_jackknife": """
+            WITH b AS (
+              SELECT lang,
+                     CAST('0x' || substr(md5(coalesce(doc_id::varchar,
+                          '')), 1, 8) AS BIGINT) % 20 AS bk,
+                     (CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::bigint
+                       AS f
+              FROM documents WHERE n_chars IS NOT NULL
+            ), per AS (
+              SELECT lang, bk, count(*)::bigint AS n,
+                     sum(f)::bigint AS k
+              FROM b GROUP BY 1, 2
+            ), tot AS (
+              SELECT lang, sum(n)::bigint AS nn, sum(k)::bigint AS kk,
+                     count(*)::bigint AS nb
+              FROM per GROUP BY 1
+            ), loo AS (
+              SELECT per.lang,
+                     CASE WHEN tot.nn > per.n THEN
+                       (tot.kk - per.k)::double / (tot.nn - per.n)::double
+                     END AS r,
+                     tot.nn, tot.kk, tot.nb
+              FROM per JOIN tot USING (lang)
+            ), a AS (
+              SELECT lang, max(nn) AS n, max(kk) AS k, max(nb) AS nb,
+                     avg(r) AS rbar, sum(r * r) AS rsq
+              FROM loo GROUP BY lang
+            )
+            SELECT lang, n::bigint AS n, k::bigint AS k,
+                   round(k::double / n::double, 6) AS rate,
+                   round(sqrt(greatest(
+                     (nb - 1)::double / nb::double
+                       * (rsq - nb * rbar * rbar), 0.0)), 6) AS jk_se
+            FROM a
+        """,
+        # q212: each day's window sketch computed DIRECTLY from raw
+        # rows (estimator constant 63·2^52 as in q191); Spark merges
+        # per-day states instead — hash match = windowed merge ≡ direct
+        "q212_kmv_trailing_window": """
+            WITH e AS (
+              SELECT ts::date AS day, user_id FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), d AS (
+              SELECT DISTINCT day FROM e
+            ), w AS (
+              SELECT d.day AS day, e.user_id
+              FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+            ), h AS (
+              SELECT DISTINCT day,
+                     CAST('0x' || substr(md5(user_id::varchar), 1, 13)
+                          AS BIGINT) AS hv
+              FROM w
+            ), nd AS (
+              SELECT day, count(*)::bigint AS ndist FROM h GROUP BY day
+            ), kth AS (
+              SELECT day, hv AS kth_hash FROM (
+                SELECT day, hv,
+                       row_number() OVER (PARTITION BY day ORDER BY hv)
+                         AS rn
+                FROM h
+              ) WHERE rn = 64
+            ), nr AS (
+              SELECT day, count(*)::bigint AS n_rows FROM w GROUP BY day
+            )
+            SELECT nr.day, nr.n_rows,
+                   least(nd.ndist, 64)::int AS n_kept,
+                   kth.kth_hash,
+                   (CASE WHEN nd.ndist < 64 THEN nd.ndist
+                         ELSE 283726776524341248 // kth.kth_hash
+                    END)::bigint AS distinct_est
+            FROM nr JOIN nd USING (day) LEFT JOIN kth USING (day)
         """,
     }

@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "q208_sequence_conformance",
     "q209_dedup_recall_report",
     "q210_langid_confusion",
+    "q211_rate_jackknife",
+    "q212_kmv_trailing_window",
 ]
 
 

@@ -722,3 +722,68 @@ def test_dedup_recall_report_regions(spark):
     r = dedup_recall_report(cand, truth).collect()[0]
     assert (r["n_truth"], r["n_candidates"]) == (3, 2)
     assert (r["n_matched"], r["n_missed"], r["n_extra"]) == (1, 2, 1)
+
+
+# ------------------------------------------- jackknife / windowed sketches
+
+def test_rate_jackknife_exact_counts_and_python_model(spark):
+    import hashlib
+    import math as m
+
+    from validate_spark.operators.stats import rate_jackknife
+
+    rows = [(str(i), i % 3 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, flag boolean")
+    out = rate_jackknife(df, "flag", "k", buckets=10).collect()[0]
+    assert out["n"] == 500 and out["k"] == len([1 for _, f in rows if f])
+    # independent python replay of the same md5 bucketing + identity
+    per = {}
+    for kk, f in rows:
+        b = int(hashlib.md5(kk.encode()).hexdigest()[:8], 16) % 10
+        n, c = per.get(b, (0, 0))
+        per[b] = (n + 1, c + (1 if f else 0))
+    N = sum(n for n, _ in per.values())
+    K = sum(c for _, c in per.values())
+    B = len(per)
+    rs = [(K - c) / (N - n) for n, c in per.values()]
+    rbar = sum(rs) / B
+    se = m.sqrt(max((B - 1) / B * (sum(r * r for r in rs) - B * rbar * rbar), 0))
+    assert abs(out["jk_se"] - round(se, 6)) <= 1e-6
+    assert out["rate"] == round(K / N, 6)
+
+
+def test_rate_jackknife_single_bucket_degenerate(spark):
+    from validate_spark.operators.stats import rate_jackknife
+
+    df = spark.createDataFrame([("a", True)], "k string, flag boolean")
+    out = rate_jackknife(df, "flag", "k", buckets=5).collect()[0]
+    # one occupied bucket: loo rate undefined -> se degrades to 0.0
+    assert out["jk_se"] == 0.0 and out["rate"] == 1.0
+
+
+def test_kmv_trailing_window_equals_direct(spark):
+    import datetime as dt
+
+    from validate_spark.operators.stats import (
+        kmv_sketch,
+        kmv_trailing_window,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 1 + (i % 9)), i % 40) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "day date, user long")
+    states = kmv_sketch(df, "user", k=16, group_cols=["day"], keep_state=True)
+    win = {
+        r["day"]: (r["n_rows"], r["n_kept"], r["kth_hash"], r["distinct_est"])
+        for r in kmv_trailing_window(states, k=16, window=3).collect()
+    }
+    # direct computation per window from raw rows
+    for d in sorted({r[0] for r in rows}):
+        lo = d - dt.timedelta(days=2)
+        sub = df.filter((F.col("day") >= lo) & (F.col("day") <= d))
+        direct = kmv_sketch(sub, "user", k=16).collect()[0]
+        assert win[d] == (
+            direct["n_rows"], direct["n_kept"],
+            direct["kth_hash"], direct["distinct_est"],
+        ), d

@@ -978,3 +978,126 @@ def threshold_sweep(
         F.col("fn").cast("long").alias("fn"),
         F.col("tn").cast("long").alias("tn"),
     )
+
+
+def rate_jackknife(
+    df: DataFrame,
+    flag_col: str,
+    key_col: str,
+    *,
+    buckets: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """A rate with an error bar: delete-one-group jackknife over
+    ``buckets`` md5-assigned row groups — the cheap, deterministic
+    answer to "is 2.31% violations different from yesterday's 2.28%,
+    or is that noise?". Resampling needs no distributional
+    assumptions and one extra aggregate; the md5 bucket assignment
+    makes it reproducible across runs and engines (no RNG).
+
+    Per bucket b: n_b rows, k_b flagged; leave-one-out rate
+    r_b = (K−k_b)/(N−n_b); the jackknife standard error is
+    sqrt((B−1)/B · Σ(r_b − r̄)²). Counts are exact int64; the B
+    leave-one-out ratios and the final se are doubles rounded at 6 —
+    safe cross-engine because the fp reduction is over exactly B
+    (bounded) terms (the repo's bounded-cardinality round-6 rule).
+
+    Scale: one hash aggregate to B×|groups| rows (map-side combine),
+    everything after runs on that collapsed frame. NULL flags are
+    excluded; NULL keys hash via the '' coalesce (manifest rule).
+
+    Output per group: (group..., n, k, rate, jk_se).
+    """
+    groups = list(group_cols or [])
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(buckets),
+    )
+    base = df.filter(F.col(flag_col).isNotNull()).select(
+        *groups, b.alias("_b"), F.col(flag_col).cast("long").alias("_f")
+    )
+    per = base.groupBy(*groups, "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_f").cast("long").alias("_k"),
+    )
+    # names must differ from per's _n/_k under Spark's default
+    # case-insensitive resolution (_N ≡ _n there)
+    tot = per.groupBy(*groups).agg(
+        F.sum("_n").alias("_tn"),
+        F.sum("_k").alias("_tk"),
+        F.count(F.lit(1)).cast("long").alias("_tb"),
+    )
+    loo = per.join(tot, groups) if groups else per.crossJoin(F.broadcast(tot))
+    loo = loo.withColumn(
+        "_r",
+        # guard the degenerate single-bucket group: 0/0 would be NaN
+        # in Spark but engine-dependent in DuckDB; NULL drops out of
+        # the aggregates and greatest(NULL, 0) lands se at 0 both ways
+        F.when(
+            F.col("_tn") > F.col("_n"),
+            (F.col("_tk") - F.col("_k")).cast("double")
+            / (F.col("_tn") - F.col("_n")).cast("double"),
+        ),
+    )
+    agg = loo.groupBy(*groups).agg(
+        F.max("_tn").alias("n"),
+        F.max("_tk").alias("k"),
+        F.max("_tb").alias("_nb"),
+        F.avg("_r").alias("_rbar"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_rsq"),
+    )
+    # Σ(r−r̄)² = Σr² − B·r̄²  (same two-pass-free identity both sides)
+    var = (
+        (F.col("_nb") - 1).cast("double")
+        / F.col("_nb").cast("double")
+        * (F.col("_rsq") - F.col("_nb") * F.col("_rbar") * F.col("_rbar"))
+    )
+    return agg.select(
+        *groups,
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("jk_se"),
+    )
+
+
+def kmv_trailing_window(
+    states: DataFrame,
+    *,
+    k: int,
+    day_col: str = "day",
+    window: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct counts from per-day KMV states — the
+    "7-day active users" query at sketch cost: each day's answer
+    merges the ≤ ``window`` daily sketch rows in its range instead of
+    rescanning a week of raw events per day (the raw plan reads W×
+    the data; this reads the |days|·k state table once).
+
+    A range join pairs every target day with its window of states
+    (|days|² worst-case on a days-sized frame — trivially bounded),
+    then :func:`kmv_merge` folds each group; merge ≡ direct holds per
+    day exactly as in the q197 rollup proof, so the estimates are
+    IDENTICAL to sketching each window from raw.
+
+    Output per day: (day, n_rows, n_kept, kth_hash, distinct_est) —
+    n_rows is the window's raw row count (summed from the states).
+    """
+    d = states.select(F.col(day_col).alias("_day")).distinct()
+    in_window = (F.col(day_col) <= F.col("_day")) & (
+        F.col(day_col) >= F.date_sub(F.col("_day"), window - 1)
+    )
+    joined = d.join(states, in_window).drop(day_col)
+    return kmv_merge(
+        joined.withColumnRenamed("_day", day_col),
+        k=k,
+        group_cols=[day_col],
+    )
