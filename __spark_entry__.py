@@ -5180,6 +5180,74 @@ def q206_threshold_sweep(spark, sf_dir):
     )
 
 
+@_streaming_fixture
+def q213_streaming_kmv(spark, sf_dir):
+    """Incremental KMV sketch maintenance under streaming
+    (streaming/sketch_stream.py): events chunked into 3 files → one
+    foreachBatch per file folds each micro-batch's per-event_type
+    sketch into a parquet state table. KMV union is REPLAY-IDEMPOTENT
+    (re-merging a batch is a set-union no-op), so at-least-once
+    delivery is exactly-once for the estimate with no batch_id
+    fencing — asserted here by re-firing batch 0 after the stream and
+    in pytest. The oracle sketches the whole table directly: the hash
+    match proves streaming-incremental ≡ batch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.streaming.sketch_stream import (
+        kmv_stream_updater,
+        read_kmv_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q213_")
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            (
+                events.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+                    == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        state = f"{tmp}/state"
+        update = kmv_stream_updater(
+            state, "user_id", k=64, group_cols=["event_type"]
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .queryName(f"q213_kmv_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination(300)
+        # at-least-once replay: re-fire the first chunk — the union
+        # no-op must leave every estimate unchanged
+        first_chunk = (
+            events.filter(
+                F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == 0
+            )
+        )
+        update(first_chunk, 0)
+        out = read_kmv_state(
+            spark, state, k=64, group_cols=["event_type"]
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q211_rate_jackknife(spark, sf_dir):
     """Rates with error bars (stats.rate_jackknife): per-lang
     short-document rate ± its delete-one-group jackknife SE over 20
@@ -5586,6 +5654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_langid_confusion": q210_langid_confusion,
         "q211_rate_jackknife": q211_rate_jackknife,
         "q212_kmv_trailing_window": q212_kmv_trailing_window,
+        "q213_streaming_kmv": q213_streaming_kmv,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -10962,5 +11031,33 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 283726776524341248 // kth.kth_hash
                     END)::bigint AS distinct_est
             FROM nr JOIN nd USING (day) LEFT JOIN kth USING (day)
+        """,
+        # q213: the streaming-incremental state must equal sketching
+        # the whole table in one pass (union associativity + replay
+        # idempotence) — the oracle is the direct batch sketch
+        "q213_streaming_kmv": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST('0x' || substr(md5(user_id::varchar), 1, 13)
+                          AS BIGINT) AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), d AS (
+              SELECT event_type, count(*)::bigint AS nd
+              FROM h GROUP BY event_type
+            ), kth AS (
+              SELECT event_type, hv AS kth_hash FROM (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h
+              ) WHERE rn = 64
+            )
+            SELECT d.event_type,
+                   least(d.nd, 64)::int AS n_kept,
+                   kth.kth_hash,
+                   (CASE WHEN d.nd < 64 THEN d.nd
+                         ELSE 283726776524341248 // kth.kth_hash
+                    END)::bigint AS distinct_est
+            FROM d LEFT JOIN kth USING (event_type)
         """,
     }

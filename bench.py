@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "q210_langid_confusion",
     "q211_rate_jackknife",
     "q212_kmv_trailing_window",
+    "q213_streaming_kmv",
 ]
 
 

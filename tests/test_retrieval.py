@@ -787,3 +787,38 @@ def test_kmv_trailing_window_equals_direct(spark):
             direct["n_rows"], direct["n_kept"],
             direct["kth_hash"], direct["distinct_est"],
         ), d
+
+
+# ------------------------------------------- streaming sketch maintenance
+
+def test_kmv_stream_updater_replay_idempotent(spark, tmp_path):
+    from validate_spark.operators.stats import kmv_sketch
+    from validate_spark.streaming.sketch_stream import (
+        kmv_stream_updater,
+        read_kmv_state,
+    )
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 2), i % 50) for i in range(300)], "g string, v int"
+    )
+    half1 = df.filter("v < 25")
+    half2 = df.filter("v >= 25")
+    state = str(tmp_path / "kmv_state")
+    update = kmv_stream_updater(state, "v", k=16, group_cols=["g"])
+    update(half1, 0)
+    update(half2, 1)
+    once = sorted(map(tuple, read_kmv_state(
+        spark, state, k=16, group_cols=["g"]).collect()))
+    # replay BOTH batches out of order: union no-op, state unchanged
+    update(half2, 1)
+    update(half1, 0)
+    twice = sorted(map(tuple, read_kmv_state(
+        spark, state, k=16, group_cols=["g"]).collect()))
+    assert once == twice
+    # streaming-incremental == direct batch sketch
+    direct = {
+        r["g"]: (r["n_kept"], r["kth_hash"], r["distinct_est"])
+        for r in kmv_sketch(df, "v", k=16, group_cols=["g"]).collect()
+    }
+    got = {t[0]: t[1:] for t in once}
+    assert got == direct
