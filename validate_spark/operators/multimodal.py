@@ -369,6 +369,15 @@ def phash_candidates(
     e.g. all-dark images, must never buffer single-stage), exact
     Hamming verify on the survivors via ``bit_count(xor)`` per chunk.
 
+    CAPACITY BOUND (stated, not silent): 12-bit chunks give 4,096
+    buckets per chunk, so candidate volume grows ≈ n²·4/(2·4096) once
+    buckets saturate — measured: 500k rows 23.6 s but 2M rows 338 s
+    (BENCH.md §7c). Past ~10^6 rows use a longer hash: a real decoder
+    yields a 64-pixel grid → 4×16-bit chunks (65,536 buckets/chunk) =
+    exactly `simhash_candidates`' layout, 16× the capacity at the same
+    recall guarantee. The 48-pixel grid here is fixture-sized (the
+    fake payload is 48 bytes), not a design limit.
+
     Keys compare as STRINGS in the pair ordering (a < b) — the
     `_two_phase_buckets` member-struct contract.
     """
