@@ -5440,6 +5440,40 @@ _DRIVER_FIRST = [
 ]
 
 
+def q214_roc_auc(spark, sf_dir):
+    """Exact ROC AUC per source (stats.roc_auc): the rank-sum
+    identity with average-rank tie credit, computed over (group,
+    DISTINCT score) aggregates — never a per-row sort. `u2` is the
+    integer invariant (2× the tie-credited U statistic); auc is its
+    one correctly-rounded division. Completes the classifier-eval
+    family beside q206's operating points: q206 answers "what does
+    cut t cost", this answers "is the score worth cutting at all"."""
+    from validate_spark.operators.stats import roc_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return roc_auc(docs, "score", "label", group_cols=["source"])
+
+
+def q215_gains_table(spark, sf_dir):
+    """Cumulative gains / lift deciles (stats.gains_table): rank by
+    score desc, cut into 10 equal-population tiers on the DISTINCT-
+    score frame, report per-tier and cumulative positive capture —
+    all integers (tier = ceil spelled as truncating div, exact both
+    engines; ties stay together by construction). The "keep the top
+    k%" budget curve beside q214's single-scalar AUC."""
+    from validate_spark.operators.stats import gains_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return gains_table(docs, "score", "label", buckets=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5655,6 +5689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_rate_jackknife": q211_rate_jackknife,
         "q212_kmv_trailing_window": q212_kmv_trailing_window,
         "q213_streaming_kmv": q213_streaming_kmv,
+        "q214_roc_auc": q214_roc_auc,
+        "q215_gains_table": q215_gains_table,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11059,5 +11095,66 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 283726776524341248 // kth.kth_hash
                     END)::bigint AS distinct_est
             FROM d LEFT JOIN kth USING (event_type)
+        """,
+        # q214: AUC over (group, DISTINCT score) aggregates; u2 is the
+        # integer invariant, auc its one correctly-rounded division.
+        # ROWS frame stated explicitly (RANGE-default gotcha).
+        "q214_roc_auc": """
+            WITH b AS (
+              SELECT source, n_chars AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+                AND source IS NOT NULL
+            ), per AS (
+              SELECT source, s, sum(y)::bigint AS p,
+                     sum(1 - y)::bigint AS neg
+              FROM b GROUP BY source, s
+            ), w AS (
+              SELECT source, p, neg,
+                     sum(neg) OVER (PARTITION BY source ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - neg AS below
+              FROM per
+            )
+            SELECT source,
+                   sum(p)::bigint AS pos_n,
+                   sum(neg)::bigint AS neg_n,
+                   sum(2 * p * below + p * neg)::bigint AS u2,
+                   CASE WHEN sum(p) > 0 AND sum(neg) > 0 THEN
+                     round(sum(2 * p * below + p * neg)::double
+                           / (2 * sum(p) * sum(neg))::double, 6)
+                   END AS auc
+            FROM w GROUP BY source
+        """,
+        # q215: tier = ceil(cum_n*10/total) as the truncating-div
+        # identity — exact both engines for positive operands; ties
+        # share a distinct-score row so they land in one tier
+        "q215_gains_table": """
+            WITH b AS (
+              SELECT n_chars AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), per AS (
+              SELECT s, count(*)::bigint AS cnt, sum(y)::bigint AS pos
+              FROM b GROUP BY s
+            ), w AS (
+              SELECT cnt, pos,
+                     sum(cnt) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_n,
+                     sum(pos) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_pos,
+                     (SELECT count(*) FROM b) AS tot
+              FROM per
+            )
+            SELECT ((cum_n * 10 + tot - 1) // tot)::bigint AS bucket,
+                   sum(cnt)::bigint AS n,
+                   sum(pos)::bigint AS n_pos,
+                   max(cum_n)::bigint AS cum_n,
+                   max(cum_pos)::bigint AS cum_pos
+            FROM w GROUP BY 1
         """,
     }

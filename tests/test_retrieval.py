@@ -822,3 +822,71 @@ def test_kmv_stream_updater_replay_idempotent(spark, tmp_path):
     }
     got = {t[0]: t[1:] for t in once}
     assert got == direct
+
+
+# ------------------------------------------------- classifier-eval family
+
+def test_roc_auc_matches_pair_counting_model(spark):
+    """u2/(2PN) must equal the brute-force pair count: every
+    (pos, neg) pair scores 2 when pos.s > neg.s, 1 on a tie, 0
+    otherwise — the definitional AUC with 1/2 tie credit."""
+    from validate_spark.operators.stats import roc_auc
+
+    rows = [  # group, score, label — includes ties and NULLs
+        ("a", 10, True), ("a", 10, False), ("a", 20, True),
+        ("a", 5, False), ("a", 20, False), ("a", 7, True),
+        ("b", 1, True), ("b", 2, True), ("b", 3, False),
+        ("a", None, True), ("a", 30, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, s int, y boolean")
+    out = {r["g"]: r for r in
+           roc_auc(df, "s", "y", group_cols=["g"]).collect()}
+    for g in ("a", "b"):
+        usable = [(s, y) for gg, s, y in rows
+                  if gg == g and s is not None and y is not None]
+        pos = [s for s, y in usable if y]
+        neg = [s for s, y in usable if not y]
+        u2 = sum(2 if p > n else (1 if p == n else 0)
+                 for p in pos for n in neg)
+        r = out[g]
+        assert (r["pos_n"], r["neg_n"], r["u2"]) == (len(pos), len(neg), u2)
+        assert r["auc"] == round(u2 / (2 * len(pos) * len(neg)), 6)
+
+
+def test_roc_auc_degenerate_group_is_null(spark):
+    from validate_spark.operators.stats import roc_auc
+
+    df = spark.createDataFrame(
+        [("only_pos", 1, True), ("only_pos", 2, True)],
+        "g string, s int, y boolean",
+    )
+    r = roc_auc(df, "s", "y", group_cols=["g"]).collect()[0]
+    assert r["neg_n"] == 0 and r["auc"] is None  # NULL, never NaN
+
+
+def test_gains_table_integers_and_tie_convention(spark):
+    from validate_spark.operators.stats import gains_table
+
+    # 10 rows, scores with one 4-way tie at 50 spanning tiers when
+    # buckets=5 (tier width 2): the tie run must stay in ONE bucket
+    rows = ([(50, True)] * 4 + [(90, True), (80, False), (70, True),
+                                (40, False), (30, False), (20, True)])
+    df = spark.createDataFrame(rows, "s int, y boolean")
+    out = {r["bucket"]: r for r in
+           gains_table(df, "s", "y", buckets=5).collect()}
+    # cum at end of the tie row = 7 → bucket ceil(7*5/10) = 4; the
+    # 4-way tie lands whole in bucket 4 (with the score-40 row whose
+    # cum=8 also ceils to 4), so bucket 3 is absent
+    assert 3 not in out
+    assert out[4]["n"] == 5 and out[4]["n_pos"] == 4
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 1  # 90,80
+    total_n = sum(r["n"] for r in out.values())
+    total_pos = sum(r["n_pos"] for r in out.values())
+    assert total_n == 10 and total_pos == 7
+    last = out[max(out)]
+    assert last["cum_n"] == 10 and last["cum_pos"] == 7
+    # cumulative columns are monotone in bucket order
+    buckets = sorted(out)
+    for a, b in zip(buckets, buckets[1:]):
+        assert out[b]["cum_n"] > out[a]["cum_n"]
+        assert out[b]["cum_pos"] >= out[a]["cum_pos"]

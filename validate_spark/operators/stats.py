@@ -1101,3 +1101,150 @@ def kmv_trailing_window(
         k=k,
         group_cols=[day_col],
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC via the rank-sum (Mann-Whitney U) identity — the
+    single scalar a pipeline reads beside `threshold_sweep`'s
+    operating-point table before trusting a quality classifier's
+    score at ALL cuts at once. Ties get the standard 1/2 credit
+    (average-rank convention), kept EXACT by working in doubled
+    integer units: per distinct score s with p_s positives and n_s
+    negatives,
+
+        u2 += 2*p_s*N_below(s) + p_s*n_s        (int64 throughout)
+        AUC  = u2 / (2*P*N)
+
+    so `u2` is the integer invariant both engines must agree on and
+    the one division is a correctly-rounded double of identical
+    int64s (round-6 per the bounded-cardinality rule).
+
+    Scale: the per-row rank sort that textbook AUC implies is
+    replaced by a hash aggregate to (group, DISTINCT score) rows —
+    one shuffle of counting state, map-side combined — and the
+    running N_below window runs over that collapsed frame (|distinct
+    scores| rows per group, never |rows|). The window frame is ROWS
+    UNBOUNDED PRECEDING..CURRENT ROW stated explicitly (the r4
+    RANGE-default gotcha); scores are distinct within a group by
+    construction so the order is total. A group with no positives or
+    no negatives has undefined AUC -> NULL (never NaN; NaN sorts
+    above numbers and would poison downstream range checks).
+
+    Output per group: (group..., pos_n, neg_n, u2, auc).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    s = F.col(score_col)
+    y = F.col(label_col)
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        *groups,
+        s.alias("_s"),
+        y.cast("boolean").cast("long").alias("_y"),
+    )
+    per = base.groupBy(*groups, "_s").agg(
+        F.sum("_y").cast("long").alias("_p"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_neg"),
+    )
+    w = (
+        Window.partitionBy(*groups).orderBy("_s")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("_s")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per = per.withColumn("_below", F.sum("_neg").over(w) - F.col("_neg"))
+    agg = per.groupBy(*groups).agg(
+        F.sum("_p").cast("long").alias("pos_n"),
+        F.sum("_neg").cast("long").alias("neg_n"),
+        F.sum(
+            2 * F.col("_p") * F.col("_below") + F.col("_p") * F.col("_neg")
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    denom = 2 * F.col("pos_n") * F.col("neg_n")
+    return agg.select(
+        *groups,
+        "pos_n",
+        "neg_n",
+        "u2",
+        F.when(
+            denom > 0,
+            F.round(F.col("u2").cast("double") / denom.cast("double"), 6),
+        ).alias("auc"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank rows by score DESCENDING,
+    cut into ``buckets`` equal-population tiers, and report how many
+    positives each tier captures — the "top 10% of the classifier's
+    scores holds 43% of the gold docs" curve a curation pipeline
+    reads when it can only afford to keep a fraction of the corpus.
+
+    Everything stays integer: per DISTINCT score (desc) the running
+    (cum_n, cum_pos) pair, tier = ceil(cum_n*buckets/total) spelled
+    as the truncating-div identity (cum_n*buckets + total - 1) div
+    total — exact in both engines for positive operands (Spark `div`
+    == DuckDB `//`, r5 gotcha). Ties share one distinct-score row and
+    therefore always land in ONE tier together (the deterministic
+    tie convention; a tier can swallow its neighbour when a tie run
+    exceeds the tier width — the honest behaviour, not a row split
+    that would need an arbitrary order). Per tier the bucket row
+    reports its own n/n_pos sums and the cumulative pair AT ITS END
+    (max of the running values).
+
+    Scale: identical shape to `roc_auc` — hash aggregate to distinct
+    scores, one window over the collapsed frame, final tiny groupBy.
+    The total-row broadcast is a 1-row cross join, never a shuffle.
+
+    Output: (bucket, n, n_pos, cum_n, cum_pos) — lift(b) =
+    (cum_pos/cum_n)/(P/N) is a client-side ratio of these integers.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    y = F.col(label_col)
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.cast("boolean").cast("long").alias("_y")
+    )
+    per = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = per.withColumn("_cum_n", F.sum("_cnt").over(w)).withColumn(
+        "_cum_pos", F.sum("_pos").over(w)
+    )
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    per = per.crossJoin(F.broadcast(total)).withColumn(
+        "bucket",
+        F.expr(f"(_cum_n * {int(buckets)} + _tot - 1) div _tot").cast(
+            "long"
+        ),
+    )
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n"),
+            F.sum("_pos").cast("long").alias("n_pos"),
+            F.max("_cum_n").cast("long").alias("cum_n"),
+            F.max("_cum_pos").cast("long").alias("cum_pos"),
+        )
+        .orderBy("bucket")
+    )
