@@ -5474,6 +5474,41 @@ def q215_gains_table(spark, sf_dir):
     return gains_table(docs, "score", "label", buckets=10)
 
 
+def q216_collocations(spark, sf_dir):
+    """Bigram collocation mining (textstats.collocations): adjacent
+    token pairs scored by PMI with the q202 exactness split —
+    selection and rank are pure integer (decimal(38,0) positive-PMI
+    cross-multiplication, c_ab-desc order), the reported pmi is a
+    display-only round-6 sum of lns. Top-100 multi-word expressions
+    the vocabulary builder reads."""
+    from validate_spark.operators.textstats import collocations
+
+    return collocations(
+        _t(spark, sf_dir, "documents"), "text", min_count=3, top_n=100
+    )
+
+
+def q217_containment_quotes(spark, sf_dir):
+    """Asymmetric containment join (dedup.containment_pairs): short
+    documents quoted inside longer ones — C(a,b)=|A∩B|/|A| ≥ 0.8 with
+    one-sided prefix filtering (only the contained side indexes a
+    prefix; hot grams dropped by document frequency BEFORE any
+    grouping, so buffers are bounded by construction). Fixture plants
+    quotes: every 5th doc's first 200 chars becomes a new doc; the
+    oracle verifies by exhaustive exact containment, proving full
+    candidate recall at this scale."""
+    from validate_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return containment_pairs(
+        docs.unionAll(quotes), threshold_pct=80, max_df=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5691,6 +5726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_streaming_kmv": q213_streaming_kmv,
         "q214_roc_auc": q214_roc_auc,
         "q215_gains_table": q215_gains_table,
+        "q216_collocations": q216_collocations,
+        "q217_containment_quotes": q217_containment_quotes,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11156,5 +11193,77 @@ def oracle_sql() -> dict[str, str]:
                    max(cum_n)::bigint AS cum_n,
                    max(cum_pos)::bigint AS cum_pos
             FROM w GROUP BY 1
+        """,
+        # q216: integer selection (HUGEINT cross-mult ≡ Spark
+        # decimal(38,0)), display pmi = round-6 sum of lns; rank by
+        # (c_ab DESC, bigram) is fully deterministic
+        "q216_collocations": f"""
+            WITH c AS (SELECT {_NORM} AS t FROM documents),
+            tk AS (
+              SELECT regexp_split_to_array(t, ' ') AS w
+              FROM c WHERE length(t) > 0
+            ),
+            uni AS (SELECT unnest(w) AS tok FROM tk),
+            u AS (SELECT tok, count(*)::bigint AS c1 FROM uni GROUP BY tok),
+            bi AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> [w[i], w[i + 1]])) AS p
+              FROM tk
+            ),
+            bc AS (
+              SELECT p[1] AS a, p[2] AS b, count(*)::bigint AS c_ab
+              FROM bi GROUP BY 1, 2
+            ),
+            tot AS (SELECT (SELECT count(*)::bigint FROM uni) AS n1,
+                           (SELECT count(*)::bigint FROM bi) AS n2),
+            j AS (
+              SELECT bc.a, bc.b, bc.c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+                     tot.n1, tot.n2
+              FROM bc
+              JOIN u ua ON ua.tok = bc.a
+              JOIN u ub ON ub.tok = bc.b
+              CROSS JOIN tot
+              WHERE bc.c_ab >= 3
+                AND bc.c_ab::HUGEINT * tot.n1 * tot.n1
+                    > ua.c1::HUGEINT * ub.c1 * tot.n2
+            )
+            SELECT a || ' ' || b AS bigram, c_ab, c_a, c_b,
+                   round(ln(c_ab) + 2 * ln(n1) - ln(c_a) - ln(c_b)
+                         - ln(n2), 6) AS pmi
+            FROM j ORDER BY c_ab DESC, bigram LIMIT 100
+        """,
+        # q217: exhaustive exact containment (the Spark side must find
+        # every pair through its one-sided prefix buckets — full
+        # recall at max_df=1000 > corpus size)
+        "q217_containment_quotes": f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000, substr(text, 1, 200)
+              FROM documents WHERE doc_id % 5 = 0
+            ), c AS (
+              SELECT doc_id::varchar AS k, {_NORM} AS t FROM src
+            ), tk AS (
+              SELECT k, regexp_split_to_array(t, ' ') AS w
+              FROM c WHERE length(t) > 0
+            ), g AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS grams
+              FROM tk
+            ), p AS (
+              SELECT x.k AS a, y.k AS b,
+                     len(x.grams)::bigint AS n_a,
+                     len(y.grams)::bigint AS n_b,
+                     len(list_intersect(x.grams, y.grams))::bigint
+                       AS common
+              FROM g x JOIN g y
+                ON x.k <> y.k
+               AND (len(x.grams) < len(y.grams)
+                    OR (len(x.grams) = len(y.grams) AND x.k < y.k))
+            )
+            SELECT a, b, n_a, n_b, common
+            FROM p WHERE common * 100 >= 80 * n_a
         """,
     }

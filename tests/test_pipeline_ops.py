@@ -1579,3 +1579,82 @@ def test_bloom_contamination_conservative_and_broadcast(spark):
     # only corpus-side shuffle: the (k, n_grams) rollup
     probe_side = plan.split("BroadcastExchange", 1)[0]
     assert probe_side.count("Exchange hashpartitioning") <= 1
+
+
+# --------------------------------------------- collocations / containment
+
+def test_collocations_pmi_selection_and_counts(spark):
+    import math
+
+    from validate_spark.operators.textstats import collocations
+
+    # designed counts: c_z=c_q=33, n1=66, n2=57; "z z"/"q q" cohere
+    # (27·66² > 33·33·57) while "z q" meets min_count yet fails the
+    # positive-PMI integer test (3·66² = 13068 < 62073)
+    docs = ([("z " * 10).strip()] * 3 + [("q " * 10).strip()] * 3
+            + ["z q"] * 3)
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = {r["bigram"]: r for r in
+           collocations(df, "text", min_count=3, top_n=50).collect()}
+    assert set(out) == {"z z", "q q"}
+    r = out["z z"]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (27, 33, 33)
+    n1, n2 = 66, 57
+    assert r["pmi"] == round(
+        math.log(27) + 2 * math.log(n1) - 2 * math.log(33) - math.log(n2),
+        6,
+    )
+    # every surviving row satisfies the integer inequality
+    for r in out.values():
+        assert r["c_ab"] * n1 * n1 > r["c_a"] * r["c_b"] * n2
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    import validate_spark.operators.dedup as dd
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(12))  # first 12 tokens
+    df = spark.createDataFrame(
+        [(1, long_text), (2, quote), (3, "totally different words here ok")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r for r in
+           dd.containment_pairs(df, threshold_pct=80).collect()}
+    assert ("2", "1") in got  # contained side is the SMALLER set
+    r = got[("2", "1")]
+    # quote has 10 trigrams, all inside the long doc
+    assert (r["n_a"], r["common"]) == (10, 10)
+    assert ("3", "1") not in got and len(got) == 1
+    # Jaccard at the same threshold misses it: J = 10/58 ≈ 0.17
+    jac = dd.ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()
+    assert not any({p["a"], p["b"]} == {"1", "2"} for p in jac)
+
+
+def test_containment_full_recall_vs_bruteforce(spark):
+    import itertools
+    import validate_spark.operators.dedup as dd
+
+    # overlapping sliding windows over one token stream: many partial
+    # containments with varied sizes, incl. equal-size tie pairs
+    toks = [f"t{i % 17}" for i in range(40)]
+    rows = [(i, " ".join(toks[s:s + ln]))
+            for i, (s, ln) in enumerate(
+                (s, ln) for s in range(0, 30, 5) for ln in (8, 14, 25))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t):
+        w = t.lower().split()
+        if len(w) < 3:
+            return frozenset([" ".join(w)])
+        return frozenset(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+
+    gs = {str(i): grams(t) for i, t in rows}
+    want = set()
+    for a, b in itertools.permutations(gs, 2):
+        na, nb = len(gs[a]), len(gs[b])
+        if (na < nb or (na == nb and a < b)) and \
+                len(gs[a] & gs[b]) * 100 >= 60 * na:
+            want.add((a, b))
+    got = {(r["a"], r["b"]) for r in
+           dd.containment_pairs(df, threshold_pct=60).collect()}
+    assert got == want and want  # non-trivial and exactly equal

@@ -2105,3 +2105,121 @@ def dedup_recall_report(
         F.sum((t & ~c).cast("long")).alias("n_missed"),
         F.sum((~t & c).cast("long")).alias("n_extra"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join — the quote detector.
+    Jaccard (q44) misses the canonical web-corpus duplication mode: a
+    short document quoted whole inside a much longer one scores
+    J = |A|/|B| ≈ 0 however perfect the quote. Containment normalizes
+    by the SMALLER side only: emit ordered pairs (a ⊂≈ b) with
+
+        C(a,b) = |grams_a ∩ grams_b| / |grams_a| ≥ threshold_pct/100
+
+    where a is the smaller gram set (ties ordered by key). The
+    threshold test is integer cross-multiplication
+    (common·100 ≥ pct·n_a) — no cross-engine floats anywhere; the
+    oracle verifies by exhaustive exact containment.
+
+    Candidates come from the AllPairs prefix lemma, one-sided: if
+    |A∩B| ≥ ceil(t·|A|), the globally-smallest common gram must sit in
+    A's first |A| − ceil(t·|A|) + 1 slots under rarest-first (document
+    frequency ASC, hash) order — so only the CONTAINED side indexes a
+    prefix, while the container side posts its full gram set (its size
+    gives no bound). Hot grams are handled by construction, not by a
+    post-agg filter: grams with df > ``max_df`` are dropped BEFORE any
+    per-gram grouping (the freq join is co-partitioned with the
+    explode — one exchange), so no aggregation buffer can exceed
+    max_df members and the two-phase hot-bucket machinery is not
+    needed here. RECALL CONTRACT (honest, same shape as
+    ngram_jaccard_pairs): a qualifying pair is missed only if EVERY
+    prefix gram of the contained doc is shared by > max_df documents —
+    a mass-duplicated template, which exact/minhash dedup already
+    surfaces.
+
+    In-bucket pair expansion is ≤ max_df (prefix side) × max_df (full
+    side) per gram worst-case, deduped before the verify join; the
+    verify stage reuses the hashed-gram arrays (array<long>, xxhash64
+    engine-internal — the oracle re-derives grams as strings).
+
+    Output: (a, b, n_a, n_b, common) — all integers; containment =
+    common/n_a is a client-side ratio.
+
+    Reference seed: gookit/validate has no corpus-level operator class
+    (README.md:959 stops at per-record filters); this extends the
+    dedup family the LLM-pipeline tier requires.
+    """
+    pct = int(threshold_pct)
+    sets_ = word_ngram_frame(df, text_col, key_col, n=n)
+    hashed = sets_.select(
+        "k",
+        F.array_sort(
+            F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+        ).alias("gh"),
+    ).persist()
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
+    grams_doc = hashed.select(
+        "k", F.size("gh").alias("n"), F.explode("gh").alias("g")
+    ).repartition(n_parts, "g")
+    freq = grams_doc.groupBy("g").agg(F.count(F.lit(1)).alias("dfg"))
+    kept = grams_doc.join(freq, "g").filter(F.col("dfg") <= int(max_df))
+    # contained-side prefix: first n - ceil(pct*n/100) + 1 grams in
+    # (dfg, g) order; ceil as the truncating-div identity. Dropped
+    # hot grams sort LAST in rarest-first order, so the prefix over
+    # kept grams equals the prefix over the full ordering whenever it
+    # fits inside the kept set (and is a subset — never extra — when
+    # it does not: recall contract above).
+    plen = (
+        F.col("n")
+        - F.expr(f"(n * {pct} + 99) div 100").cast("int")
+        + F.lit(1)
+    )
+    prefixed = (
+        kept.repartition(n_parts, "k")
+        .groupBy("k", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("dfg", "g"))).alias("sg"))
+        .select(
+            "k",
+            "n",
+            F.explode(F.slice(F.col("sg"), F.lit(1), plen)).alias("pg"),
+        )
+        .select("k", "n", F.col("pg.g").alias("g"))
+    )
+    full = kept.select(
+        F.col("k").alias("b"), F.col("n").alias("nb"), "g"
+    )
+    cand = (
+        prefixed.join(full, "g")
+        .filter(
+            (F.col("k") != F.col("b"))
+            & (
+                (F.col("n") < F.col("nb"))
+                | ((F.col("n") == F.col("nb")) & (F.col("k") < F.col("b")))
+            )
+        )
+        .select(F.col("k").alias("a"), "b")
+        .distinct()
+    )
+    a = hashed.select(F.col("k").alias("a"), F.col("gh").alias("gh_a"))
+    b = hashed.select(F.col("k").alias("b"), F.col("gh").alias("gh_b"))
+    j = cand.repartition(n_parts, "a").join(a, "a").join(b, "b")
+    common = F.size(F.array_intersect("gh_a", "gh_b")).cast("long")
+    return (
+        j.select(
+            "a",
+            "b",
+            F.size("gh_a").cast("long").alias("n_a"),
+            F.size("gh_b").cast("long").alias("n_b"),
+            common.alias("common"),
+        )
+        .filter(F.col("common") * 100 >= F.lit(pct) * F.col("n_a"))
+    )

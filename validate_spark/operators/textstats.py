@@ -1134,3 +1134,99 @@ def pii_spans(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.select("key", "kind", F.col("pos").cast("int"), "span")
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 3,
+    top_n: int = 100,
+) -> DataFrame:
+    """Bigram collocation mining: adjacent token pairs that co-occur
+    far more than their unigram frequencies predict (positive PMI) —
+    the multi-word-expression / named-entity signal a tokenizer or
+    vocabulary builder reads, and the phrase-level sibling of
+    `bpe_merge_stats` (that ranks by raw pair count; this normalizes
+    away token popularity so "of the" loses to "san francisco").
+
+    Exactness split (the q202/MI discipline): SELECTION is pure
+    integer — the positive-PMI test is the cross-multiplication
+    c_ab·N1² > c_a·c_b·N2 carried in decimal(38,0) so it cannot
+    overflow even at 10^12 tokens (1e36 < 1e38), and the top-N rank
+    rides (c_ab DESC, bigram ASC), both exact — while the reported
+    `pmi` is display-only: a sum of six libm lns rounded at 6 (each
+    ln agrees cross-engine to ~1 ulp; the round-6 tick is 8 orders
+    coarser).
+
+    Scale: one fan_out-guarded tokenize projection staged and
+    persisted (two aggregates — unigram and bigram counts — read it;
+    the r4 persisted-frame-sharing rule), counts are map-side-combined
+    hash aggregates bounded by |vocab| and |vocab-pairs-observed|, the
+    two unigram joins co-partition on the token key, totals ride a
+    1-row broadcast, and the final cut is TakeOrderedAndProject (never
+    a global sort). No per-row Python anywhere.
+
+    Output: (bigram, c_ab, c_a, c_b, pmi) — top_n rows.
+    """
+    from validate_spark.session import fan_out
+
+    toks = (
+        fan_out(df)
+        .select(normalize_text(F.col(text_col)).alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.split("_t", " ").alias("_w"))
+        .persist()
+    )
+    w = F.col("_w")
+    uni = toks.select(F.explode(w).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.get(w, i - 1).alias("a"), F.get(w, i).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    totals = toks.select(
+        F.sum(F.size(w)).cast("long").alias("n1"),
+        F.sum(F.size(w) - 1).cast("long").alias("n2"),
+    )
+    j = (
+        big.filter(F.col("c_ab") >= int(min_count))
+        .join(uni.select(F.col("tok").alias("a"), F.col("c1").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c1").alias("c_b")), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    j = j.filter(
+        dec("c_ab") * dec("n1") * dec("n1") > dec("c_a") * dec("c_b") * dec("n2")
+    )
+    pmi = F.round(
+        F.log("c_ab")
+        + 2 * F.log("n1")
+        - F.log("c_a")
+        - F.log("c_b")
+        - F.log("n2"),
+        6,
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("c_ab").desc(), F.col("bigram"))
+        .limit(int(top_n))
+    )
