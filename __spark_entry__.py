@@ -5509,6 +5509,72 @@ def q217_containment_quotes(spark, sf_dir):
     )
 
 
+def q218_k_core(spark, sf_dir):
+    """k-core decomposition (graph.k_core): iterative peeling of
+    deg<3 nodes over the q142 link fixture sparsified by
+    (src+dst)%3≠0 (the unsparsified graph is near-regular — nothing
+    peels). Converges in 6 rounds at every test scale (probed); the
+    op stops at the fixpoint, the oracle unrolls 12 peel rounds
+    (idempotent past convergence, so the margin is free). The
+    spam-farm/star filter beside pagerank (volume) and triangles
+    (local density)."""
+    from validate_spark.operators.graph import k_core, synthetic_doc_links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_doc_links(docs, fan_out=3).filter(
+        (F.col("src") + F.col("dst")) % 3 != 0
+    )
+    return k_core(edges, k=3)
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Generate the q218 oracle: the identical edge fixture, then
+    ``rounds`` unrolled peel stages (degree → survivors → induced
+    edges). Unrolling past the true fixpoint is a no-op, so the
+    round count only needs to be ≥ the fixture's peeling depth."""
+    parts = [
+        """
+        WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+        eraw AS (
+          SELECT doc_id::bigint AS src,
+                 (doc_id::bigint * 7 + 1) % nn.n AS dst
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id::bigint, (doc_id::bigint * 13 + 3) % nn.n
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id::bigint, (doc_id::bigint * 31 + 7) % nn.n
+          FROM documents, nn
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM eraw WHERE src <> dst AND (src + dst) % 3 <> 0
+        )"""
+    ]
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each e{i} is referenced 3× per round — inlining would expand the
+    # plan (and the parquet re-opens) 3^rounds-fold
+    for i in range(rounds):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+          SELECT node, count(*)::bigint AS c FROM (
+            SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+          ) GROUP BY node
+        ), s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {int(k)}
+        ), e{i + 1} AS MATERIALIZED (
+          SELECT e.u, e.v FROM e{i} e
+          JOIN s{i} a ON e.u = a.node JOIN s{i} b ON e.v = b.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, count(*)::bigint AS degree FROM (
+          SELECT u AS node FROM e{rounds}
+          UNION ALL SELECT v AS node FROM e{rounds}
+        ) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5728,6 +5794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_gains_table": q215_gains_table,
         "q216_collocations": q216_collocations,
         "q217_containment_quotes": q217_containment_quotes,
+        "q218_k_core": q218_k_core,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11266,4 +11333,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, n_a, n_b, common
             FROM p WHERE common * 100 >= 80 * n_a
         """,
+        # q218: unrolled peel rounds (idempotent past the fixpoint)
+        "q218_k_core": _kcore_unrolled_sql(k=3, rounds=12),
     }

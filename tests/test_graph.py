@@ -137,3 +137,46 @@ def test_triangle_free_graph(spark):
     out = _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
     assert all(t == 0 for _, t, _ in out.values())
     assert all(w == 1 for _, _, w in out.values())
+
+
+# ----------------------------------------------------------------- k_core
+
+def _kcore(spark, edges, k, **kw):
+    from validate_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["degree"] for r in k_core(df, k, **kw).collect()}
+
+
+def test_k_core_peels_pendant_chain(spark):
+    # triangle 1-2-3 with a chain 3-4-5-6 hanging off: the 2-core is
+    # exactly the triangle — the chain peels from the END inward
+    # (node 6 first), taking 3 simultaneous rounds
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    out = _kcore(spark, edges, 2)
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_star_hub_peels_with_leaves(spark):
+    # a degree-8 hub whose leaves all peel in round 1 — the hub's huge
+    # degree does not save it (this is the spam-star property)
+    star = [(0, i) for i in range(1, 9)]
+    tri = [(10, 11), (11, 12), (12, 10)]
+    out = _kcore(spark, star + tri, 2)
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_k_core_empty_and_normalization(spark):
+    # path graph: 2-core empty; duplicates/direction/self-loops ignored
+    out = _kcore(spark, [(1, 2), (2, 1), (2, 3), (2, 2)], 2)
+    assert out == {}
+    # whole graph already a k-core: early-stops round 1, unchanged
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _kcore(spark, k4, 3) == {i: 3 for i in range(4)}
+
+
+def test_k_core_reliable_checkpoint(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    out = _kcore(spark, edges, 2, reliable=True)
+    assert out == {1: 2, 2: 2, 3: 2}
