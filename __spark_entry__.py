@@ -5575,6 +5575,26 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q219_pq_ann(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (similarity.pq_adc_topk): corpus as m=8 codes over md5-sampled
+    16-entry codebooks (deterministic, SQL-replayable — the reason
+    this skips k-means fitting), ADC cells frozen to int64
+    micro-units so scores are exact integer sums. Completes the ANN
+    compression ladder: brute (q19) → IVF (q20) → SQ8 (q187) → PQ.
+    The oracle re-derives codebooks, code assignments, ADC tables
+    and ranks entirely in SQL."""
+    from validate_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb, m=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sim.pq_adc_topk(emb, q, cb, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5795,6 +5815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_collocations": q216_collocations,
         "q217_containment_quotes": q217_containment_quotes,
         "q218_k_core": q218_k_core,
+        "q219_pq_ann": q219_pq_ann,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11335,4 +11356,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q218: unrolled peel rounds (idempotent past the fixpoint)
         "q218_k_core": _kcore_unrolled_sql(k=3, rounds=12),
+        # q219: full PQ replay — codebooks from the md5-ordered valid
+        # sample, argmin code per (vector, subspace) on bit-identical
+        # L2² folds (index-ascending, double-cast — the l2NormBetween
+        # contract), ADC cells floor(d*1e6+0.5) int64, ranks by
+        # (adc ASC, id ASC). MATERIALIZED: every CTE is multiply
+        # referenced.
+        "q219_pq_ann": """
+            WITH val AS MATERIALIZED (
+              SELECT vec_id, embedding AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+                AND len(list_filter(embedding, x -> x IS NULL
+                      OR isnan(x) OR isinf(x))) = 0
+            ), cb AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::varchar))
+                       - 1 AS code, v
+              FROM val ORDER BY md5(vec_id::varchar) LIMIT 16
+            ), sub AS MATERIALIZED (
+              SELECT code, j, v[j*8+1 : j*8+8] AS cv
+              FROM cb CROSS JOIN generate_series(0, 7) AS g(j)
+            ), codes AS MATERIALIZED (
+              SELECT vec_id, j, code FROM (
+                SELECT d.vec_id, s.j, s.code,
+                       row_number() OVER (PARTITION BY d.vec_id, s.j
+                         ORDER BY list_aggregate(list_transform(
+                           generate_series(1, 8),
+                           i -> (d.v[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)
+                              * (d.v[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)),
+                           'sum') ASC, s.code ASC) AS rn
+                FROM val d CROSS JOIN sub s
+              ) WHERE rn = 1
+            ), q AS MATERIALIZED (
+              SELECT vec_id AS query_id, v AS qv FROM val WHERE vec_id < 8
+            ), tbl AS MATERIALIZED (
+              SELECT q.query_id, s.j, s.code,
+                     floor(list_aggregate(list_transform(
+                       generate_series(1, 8),
+                       i -> (q.qv[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)
+                          * (q.qv[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)),
+                       'sum') * 1000000 + 0.5)::bigint AS cell
+              FROM q CROSS JOIN sub s
+            ), score AS MATERIALIZED (
+              SELECT t.query_id, c.vec_id AS neighbor_id,
+                     sum(t.cell)::bigint AS adc
+              FROM codes c JOIN tbl t ON c.j = t.j AND c.code = t.code
+              WHERE c.vec_id <> t.query_id
+              GROUP BY 1, 2
+            )
+            SELECT query_id, neighbor_id, rk::int AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rk
+              FROM score
+            ) WHERE rk <= 10
+        """,
     }

@@ -547,3 +547,90 @@ def test_span_pattern_audit_is_native(spark):
     plan = span_pattern_audit(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan   # one map-side projection, no shuffle
     assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------------------- PQ ANN
+
+def _pq_fixture(spark, n=40, d=16, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return rows, emb, q
+
+
+def test_pq_matches_python_adc_model(spark):
+    """Codes, ADC cells and ranks must equal an independent float64
+    model of the same contract (sampled codebooks, argmin with
+    (dist, code) ties, floor(d*1e6+0.5) cells, score asc / id asc)."""
+    import hashlib
+    import math
+
+    from validate_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows, emb, q = _pq_fixture(spark)
+    m, n_codes, sub = 4, 8, 4
+    cb = pq_codebooks(emb, m=m, n_codes=n_codes)
+    assert len(cb) == m and len(cb[0]) == n_codes and len(cb[0][0]) == sub
+    # codebook = subvectors of the n_codes smallest-md5(id) vectors
+    f32 = {i: [float(__import__("numpy").float32(x)) for x in v]
+           for i, v in rows}
+    order = sorted(f32, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want_cb = [[f32[i][j * sub:(j + 1) * sub] for i in order[:n_codes]]
+               for j in range(m)]
+    assert cb == want_cb
+
+    def dist(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    def code_of(v):
+        return [min(range(n_codes),
+                    key=lambda c: (dist(v[j*sub:(j+1)*sub], cb[j][c]), c))
+                for j in range(m)]
+
+    got_codes = {r["neighbor_id"]: list(r["codes"])
+                 for r in pq_encode(emb, cb).collect()}
+    assert got_codes == {i: code_of(v) for i, v in f32.items()}
+
+    def adc(qv, codes):
+        return sum(
+            math.floor(dist(qv[j*sub:(j+1)*sub], cb[j][codes[j]]) * 1e6 + 0.5)
+            for j in range(m)
+        )
+
+    want = {}
+    for qid in (0, 1, 2):
+        scored = sorted(
+            ((adc(f32[qid], code_of(v)), i) for i, v in f32.items() if i != qid)
+        )
+        want[qid] = [i for _, i in scored[:5]]
+    got = {}
+    for r in pq_adc_topk(emb, q, cb, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    got = {k: [i for _, i in sorted(v)] for k, v in got.items()}
+    assert got == want
+
+
+def test_pq_excludes_invalid_vectors(spark):
+    from validate_spark.operators.similarity import pq_codebooks, pq_encode
+
+    rows = [(0, [1.0] * 8), (1, [0.5] * 8), (2, None), (3, [1.0] * 5),
+            (4, [float("nan")] * 8), (5, [0.25] * 8), (6, [0.75] * 8),
+            (7, [0.1] * 8), (8, [0.9] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks(emb, m=2, n_codes=4)
+    assert all(len(c) == 4 and len(c[0]) == 4 for c in cb)
+    coded = {r["neighbor_id"] for r in pq_encode(emb, cb).collect()}
+    assert coded == {0, 1, 5, 6, 7, 8}  # NULL/ragged/NaN excluded

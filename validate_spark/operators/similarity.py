@@ -575,3 +575,201 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _pq_valid(vec: Column, dim: int) -> Column:
+    """Encodable vector: present, exact dim, every element finite.
+    Shared by codebook sampling, corpus encode, and queries so all
+    three see the same population (and the oracle mirrors one
+    predicate)."""
+    return (
+        vec.isNotNull()
+        & (F.size(vec) == dim)
+        & F.forall(
+            vec,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        )
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks from a DETERMINISTIC sample:
+    the ``n_codes`` valid vectors with smallest md5(id) (the
+    `sample_centroids` contract), each sliced into ``m`` subvectors —
+    codebooks[j][c] is code c of subspace j. Sampled codebooks trade
+    a little quantization error for full cross-engine replayability
+    (an oracle can re-derive every codebook entry in SQL, which no
+    iterative k-means fit allows); at production scale swap in
+    `kmeans_fit` per subspace — `pq_encode`/`pq_adc_topk` only see
+    the float lists."""
+    dim_row = corpus.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).filter(F.col("d") > 0).limit(1).collect()
+    if not dim_row:
+        raise ValueError("pq_codebooks: no non-empty vectors")
+    d = int(dim_row[0]["d"])
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    valid = corpus.filter(_pq_valid(F.col(vec_col), d))
+    rows = sample_centroids(valid, n_codes, vec_col=vec_col, id_col=id_col)
+    sub = d // m
+    return [[r[j * sub:(j + 1) * sub] for r in rows] for j in range(m)]
+
+
+def _pq_subdist(sub_col: Column, cvec: list[float]) -> Column:
+    """L2² between a staged subvector column and one literal codebook
+    entry — double-cast elementwise, LEFT-fold in index order so the
+    IEEE sum replays bit-identically in DuckDB (the l2NormBetween
+    fold contract)."""
+    lit = F.array(*[F.lit(float(x)) for x in cvec])
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            lit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(neighbor_id, codes: array<int>) — per subspace the argmin-L2²
+    code, ties to the lower code id (struct-min on (dist, code), a
+    total deterministic order; dist doubles are bit-identical
+    cross-engine so the argmin is too).
+
+    Map-only: no shuffle, no explode — each subspace is STAGED as a
+    named slice column in its own select (the r5 phash lesson: a
+    Column helper does not bind, and each slice is referenced
+    n_codes times; naming it keeps one subtree), then the argmin
+    select references the stage. Codebooks ride in as literals
+    (m·n_codes·sub doubles — broadcast-free, folded into codegen).
+    Invalid vectors (NULL / ragged / non-finite) are EXCLUDED — they
+    are not encodable; `allFinite` validation is where they get
+    reported."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    d = m * sub
+    c = corpus.filter(_pq_valid(F.col(vec_col), d)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    staged = c.select(
+        "neighbor_id",
+        *[
+            F.slice(F.col("_v"), j * sub + 1, sub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+    def argmin(j: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(
+                    _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]).alias("d"),
+                    F.lit(cc).alias("c"),
+                )
+                for cc in range(n_codes)
+            ]
+        )
+        return F.array_min(cands).getField("c")
+
+    coded = staged.select(
+        "neighbor_id",
+        *[argmin(j).cast("int").alias(f"_c{j}") for j in range(m)],
+    )
+    return coded.select(
+        "neighbor_id",
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    include_self: bool = False,
+) -> DataFrame:
+    """Product-quantization ANN with Asymmetric Distance Computation:
+    corpus vectors live as m small codes (here m bytes vs d·4 vector
+    bytes — a 32× memory cut at d=64, the reason PQ is THE standard
+    billion-vector index layout), queries stay full-precision, and a
+    candidate's distance is a sum of m table lookups.
+
+    Exactness contract (the sq8 pattern lifted to PQ): every
+    per-(query, subspace, code) cell is frozen to int64 micro-units —
+    floor(L2²·1e6 + 0.5) of a bit-identical double — so ADC scores
+    are EXACT integer sums (order-independent, engine-independent)
+    and the top-k set + rank order (score asc, id asc) is
+    deterministic. Approximation lives only in quantization itself,
+    never in the arithmetic.
+
+    Plan shape: the code table is map-only (`pq_encode`); the ADC
+    table is |queries|·m·n_codes cells built from the broadcast
+    query frame (staged slice columns, same inlining discipline);
+    scoring is a broadcast cross join + an m-term integer fold via
+    array indexing — NO per-candidate join against an exploded
+    (neighbor, subspace) frame (that would shuffle m× the corpus);
+    top-k reuses `_two_phase_topk` (no per-query hot reducer).
+    Compose with sq8_topk's exact-rerank stage when recall at the
+    quantization boundary matters.
+
+    Output: (query_id, neighbor_id, rank).
+    """
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    d = m * sub
+    codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    q = queries.filter(_pq_valid(F.col(query_vec_col), d)).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+    )
+    qstaged = q.select(
+        "query_id",
+        *[
+            F.slice(F.col("_qv"), j * sub + 1, sub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+    cells = [
+        F.floor(
+            _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]) * 1e6 + F.lit(0.5)
+        ).cast("long")
+        for j in range(m)
+        for cc in range(n_codes)
+    ]
+    tbl = qstaged.select("query_id", F.array(*cells).alias("tbl"))
+    scored = codes.crossJoin(F.broadcast(tbl))
+    if not include_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.get(F.col("tbl"), j * n_codes + F.get(F.col("codes"), j)),
+    )
+    return _two_phase_topk(
+        scored.select("query_id", "neighbor_id", (-adc).alias("cos")), k
+    )
