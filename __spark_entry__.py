@@ -5595,6 +5595,101 @@ def q219_pq_ann(spark, sf_dir):
     return sim.pq_adc_topk(emb, q, cb, k=10)
 
 
+def q220_pq_recall(spark, sf_dir):
+    """PQ recall@10 against exact top-k (the measure-don't-guess loop
+    for the compression ladder, q209's pattern lifted to ranked
+    retrieval): per query, how many of the exact cosine top-10
+    survive into the integer-ADC top-10. Both ranked lists are
+    SQL-re-derived end to end, so the integer (n_exact, n_matched)
+    counts hash-match — the number read before shipping PQ codes in
+    place of full vectors."""
+    from validate_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = sim.brute_force_topk(emb, q, k=10)
+    cb = sim.pq_codebooks(emb, m=8, n_codes=16)
+    approx = sim.pq_adc_topk(emb, q, cb, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_pq_rank")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("_pq_rank").cast("long").alias("n_matched"),
+        )
+    )
+
+
+@_streaming_fixture
+def q221_streaming_cms(spark, sf_dir):
+    """Streaming CMS maintenance with exactly-once-by-layout
+    (streaming/sketch_stream.cms_stream_updater): the ADDITIVE
+    counterpart of q213 — counter addition is NOT replay-idempotent,
+    so instead of folding into one state table the updater writes
+    each batch's ≤depth·width counters into its OWN batch_id
+    partition with dynamic partition overwrite; a replayed batch
+    rewrites identical bytes over itself. Asserted here by re-firing
+    batch 0 after the stream; the oracle recomputes the per-type CMS
+    straight off the whole table, so the hash match proves
+    merge-on-read ≡ single batch AND that the replay added nothing."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from validate_spark.streaming.sketch_stream import (
+        cms_stream_updater,
+        read_cms_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="vs_stream_q221_")
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            (
+                events.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+                    == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        state = f"{tmp}/state"
+        update = cms_stream_updater(
+            state, "user_id", width=256, depth=4, group_cols=["event_type"]
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(update)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .queryName(f"q221_cms_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination(300)
+        # at-least-once replay: re-fire the first chunk — the
+        # partition overwrite must leave every counter unchanged
+        first_chunk = events.filter(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == 0
+        )
+        update(first_chunk, 0)
+        out = read_cms_state(spark, state, group_cols=["event_type"])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5816,6 +5911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_containment_quotes": q217_containment_quotes,
         "q218_k_core": q218_k_core,
         "q219_pq_ann": q219_pq_ann,
+        "q220_pq_recall": q220_pq_recall,
+        "q221_streaming_cms": q221_streaming_cms,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11362,7 +11459,38 @@ def oracle_sql() -> dict[str, str]:
         # contract), ADC cells floor(d*1e6+0.5) int64, ranks by
         # (adc ASC, id ASC). MATERIALIZED: every CTE is multiply
         # referenced.
-        "q219_pq_ann": """
+        "q219_pq_ann": _PQ_ANN_SQL,
+        # q221: merged streaming CMS ≡ whole-table CMS (q204's counter
+        # math grouped by event_type, width 256) — and the replayed
+        # batch added nothing
+        "q221_streaming_cms": """
+            WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d)
+            SELECT event_type, d, pos, count(*)::bigint AS cnt FROM (
+              SELECT event_type, dd.d,
+                     CAST('0x' || substr(md5(dd.d::varchar || chr(31)
+                              || user_id::varchar), 1, 12) AS BIGINT)
+                       % 256 AS pos
+              FROM events CROSS JOIN dd
+              WHERE user_id IS NOT NULL
+            ) GROUP BY event_type, d, pos
+        """,
+        # q220: recall@10 of PQ against the exact oracle — both ranked
+        # lists re-derived in SQL (q19's exact top-k, q219's full PQ
+        # replay), joined on (query, neighbor)
+        "q220_pq_recall": f"""
+            SELECT e.query_id,
+                   count(*)::bigint AS n_exact,
+                   count(p.neighbor_id)::bigint AS n_matched
+            FROM ({_ANN_TOPK}) e
+            LEFT JOIN ({_PQ_ANN_SQL}) p
+              ON e.query_id = p.query_id
+             AND e.neighbor_id = p.neighbor_id
+            GROUP BY e.query_id
+        """,
+    }
+
+
+_PQ_ANN_SQL = """
             WITH val AS MATERIALIZED (
               SELECT vec_id, embedding AS v FROM embeddings
               WHERE embedding IS NOT NULL AND len(embedding) = 64
@@ -11409,5 +11537,4 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY adc ASC, neighbor_id ASC) AS rk
               FROM score
             ) WHERE rk <= 10
-        """,
-    }
+"""

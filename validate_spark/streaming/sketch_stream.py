@@ -91,3 +91,62 @@ def read_kmv_state(
     merged = st.withColumn("n_rows", F.lit(0).cast("long"))
     out = _kmv_project(merged, k, groups, keep_state=False)
     return out.drop("n_rows")
+
+
+def cms_stream_updater(
+    state_path: str,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+):
+    """foreachBatch callback maintaining a Count-Min state — the
+    ADDITIVE counterpart of `kmv_stream_updater`, and the reason the
+    module docstring says "every counting sink needs fencing": CMS
+    merge is counter ADDITION, so folding a replayed batch into a
+    single state table twice would double its counters. Instead of a
+    fence table (whose own write is a second non-atomic step), the
+    state is PARTITIONED BY batch_id and each batch dynamically
+    overwrites ONLY its own partition — replay rewrites identical
+    bytes over itself, so at-least-once delivery is exactly-once by
+    layout, with one atomic write and no read-modify-write of shared
+    state at all (the validate_stream manifest contract, applied to
+    sketch state). Merge happens at READ time (`read_cms_state`) —
+    cheap because each partition is ≤ depth·width counters per group,
+    and a periodic compaction can fold old partitions into one under
+    the same math.
+    """
+    from validate_spark.operators.stats import cms_counts
+
+    groups = list(group_cols or [])
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        per = cms_counts(
+            batch_df, value_col, width=width, depth=depth, group_cols=groups
+        )
+        (
+            per.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+
+    return _process
+
+
+def read_cms_state(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merged CMS counters over every batch partition: (group..., d,
+    pos, cnt) — identical to `stats.cms_counts` run over the full
+    history in one batch (merge-on-read; the additive dual of
+    `read_kmv_state`)."""
+    from validate_spark.operators.stats import cms_merge
+
+    st = spark.read.parquet(state_path).drop("batch_id")
+    return cms_merge(st, group_cols=list(group_cols or []))
