@@ -5690,6 +5690,38 @@ def q221_streaming_cms(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q222_layout_advisor(spark, sf_dir):
+    """Layout-key advisor (indexing.layout_advisor): one scan ranks
+    candidate clustering columns (event_id, user_id, value) by the
+    min/max-skipping each would give the day-partitioned events
+    layout — Σ pairwise footer-range overlaps + disjoint-partition
+    counts, all integers. The pick-a-column step BEFORE q184's
+    compaction / q179's Z-order rewrite pays for itself."""
+    from validate_spark.operators.indexing import layout_advisor
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    return layout_advisor(ev, "day", ["event_id", "user_id", "value"])
+
+
+def q223_oov_report(spark, sf_dir):
+    """Tokenizer coverage / OOV report (textstats.oov_report): per
+    lang, exact token totals, OOV counts against the deterministic
+    top-100 background vocab (cnt desc, token asc — q68's vocab
+    builder), and the BPE-piece fertility numerator. The table a
+    vocab freeze reads: a language with a high n_oov/n_tokens gets
+    shredded into fallback pieces at training time."""
+    from validate_spark.operators.textstats import (
+        build_background_vocab,
+        oov_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_background_vocab(docs, min_count=5, max_vocab=100)
+    return oov_report(docs, vocab)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5913,6 +5945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_pq_ann": q219_pq_ann,
         "q220_pq_recall": q220_pq_recall,
         "q221_streaming_cms": q221_streaming_cms,
+        "q222_layout_advisor": q222_layout_advisor,
+        "q223_oov_report": q223_oov_report,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11473,6 +11507,72 @@ def oracle_sql() -> dict[str, str]:
               FROM events CROSS JOIN dd
               WHERE user_id IS NOT NULL
             ) GROUP BY event_type, d, pos
+        """,
+        # q222: per-candidate interval self-joins over the one
+        # |partitions|-row multi-agg; NULL part rows never match the
+        # <> condition and count as disjoint in both engines
+        "q222_layout_advisor": """
+            WITH p AS MATERIALIZED (
+              SELECT ts::date AS part,
+                     min(event_id) AS min_e, max(event_id) AS max_e,
+                     min(user_id) AS min_u, max(user_id) AS max_u,
+                     min(value) AS min_v, max(value) AS max_v
+              FROM events GROUP BY 1
+            )
+            SELECT 'event_id' AS candidate, count(*)::bigint AS n_parts,
+                   sum(ov)::bigint AS overlap_pairs,
+                   sum((ov = 0)::int)::bigint AS disjoint_parts
+            FROM (SELECT a.part AS part, count(b.part)::bigint AS ov
+                  FROM p a LEFT JOIN p b
+                    ON a.part <> b.part AND a.min_e <= b.max_e
+                   AND a.max_e >= b.min_e
+                  GROUP BY 1)
+            UNION ALL
+            SELECT 'user_id', count(*)::bigint, sum(ov)::bigint,
+                   sum((ov = 0)::int)::bigint
+            FROM (SELECT a.part AS part, count(b.part)::bigint AS ov
+                  FROM p a LEFT JOIN p b
+                    ON a.part <> b.part AND a.min_u <= b.max_u
+                   AND a.max_u >= b.min_u
+                  GROUP BY 1)
+            UNION ALL
+            SELECT 'value', count(*)::bigint, sum(ov)::bigint,
+                   sum((ov = 0)::int)::bigint
+            FROM (SELECT a.part AS part, count(b.part)::bigint AS ov
+                  FROM p a LEFT JOIN p b
+                    ON a.part <> b.part AND a.min_v <= b.max_v
+                   AND a.max_v >= b.min_v
+                  GROUP BY 1)
+        """,
+        # q223: vocab = top-100 (cnt desc, token asc) of min_count≥5
+        # normalized tokens; NULL lang joined null-safely
+        "q223_oov_report": f"""
+            WITH c AS (
+              SELECT lang, text, {_NORM} AS t FROM documents
+            ), tok AS (
+              SELECT lang, unnest(regexp_split_to_array(t, ' ')) AS token
+              FROM c WHERE length(t) > 0
+            ), vc AS (
+              SELECT token FROM (
+                SELECT token, count(*)::bigint AS cnt
+                FROM (SELECT unnest(regexp_split_to_array(t, ' ')) AS token
+                      FROM c WHERE length(t) > 0)
+                GROUP BY token HAVING count(*) >= 5
+              ) ORDER BY cnt DESC, token LIMIT 100
+            ), tk AS (
+              SELECT tok.lang, count(*)::bigint AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0
+                         END)::bigint AS n_oov
+              FROM tok LEFT JOIN vc v USING (token) GROUP BY tok.lang
+            ), d AS (
+              SELECT lang, count(*)::bigint AS n_docs,
+                     sum(coalesce({_NBPE}, 0))::bigint AS n_bpe
+              FROM documents GROUP BY lang
+            )
+            SELECT d.lang, d.n_docs,
+                   coalesce(tk.n_tokens, 0)::bigint AS n_tokens,
+                   coalesce(tk.n_oov, 0)::bigint AS n_oov, d.n_bpe
+            FROM d LEFT JOIN tk ON d.lang IS NOT DISTINCT FROM tk.lang
         """,
         # q220: recall@10 of PQ against the exact oracle — both ranked
         # lists re-derived in SQL (q19's exact top-k, q219's full PQ

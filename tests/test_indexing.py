@@ -634,3 +634,42 @@ def test_pq_excludes_invalid_vectors(spark):
     assert all(len(c) == 4 and len(c[0]) == 4 for c in cb)
     coded = {r["neighbor_id"] for r in pq_encode(emb, cb).collect()}
     assert coded == {0, 1, 5, 6, 7, 8}  # NULL/ragged/NaN excluded
+
+
+# ------------------------------------------------------------ layout advisor
+
+def test_layout_advisor_ranks_disjoint_first(spark):
+    from validate_spark.operators.indexing import layout_advisor
+
+    # 3 partitions; "good" has disjoint ranges, "bad" identical ones,
+    # "half" overlaps between adjacent partitions only
+    rows = []
+    for p, base in (("a", 0), ("b", 100), ("c", 200)):
+        for i in range(5):
+            rows.append((p, base + i, i, base + i * 30))  # good, bad, half
+    df = spark.createDataFrame(rows, "part string, good long, bad long, half long")
+    out = [r.asDict() for r in
+           layout_advisor(df, "part", ["good", "bad", "half"]).collect()]
+    assert [r["candidate"] for r in out] == ["good", "half", "bad"]
+    by = {r["candidate"]: r for r in out}
+    assert by["good"]["overlap_pairs"] == 0
+    assert by["good"]["disjoint_parts"] == 3
+    assert by["bad"]["overlap_pairs"] == 6  # every ordered pair
+    assert by["bad"]["disjoint_parts"] == 0
+    # half: ranges [0,120], [100,220], [200,320] → a-b and b-c overlap
+    assert by["half"]["overlap_pairs"] == 4
+    assert all(r["n_parts"] == 3 for r in out)
+
+
+def test_layout_advisor_null_part_and_null_values(spark):
+    from validate_spark.operators.indexing import layout_advisor
+
+    rows = [("a", 1), ("a", 2), (None, 5), ("b", None)]
+    df = spark.createDataFrame(rows, "part string, v int")
+    out = {r["candidate"]: r for r in
+           layout_advisor(df, "part", ["v"]).collect()}
+    r = out["v"]
+    # NULL part is its own partition; b's all-NULL range never matches
+    assert r["n_parts"] == 3
+    # ranges: a=[1,2], NULL-part=[5,5], b=NULL → no intersections
+    assert r["overlap_pairs"] == 0 and r["disjoint_parts"] == 3

@@ -1658,3 +1658,26 @@ def test_containment_full_recall_vs_bruteforce(spark):
     got = {(r["a"], r["b"]) for r in
            dd.containment_pairs(df, threshold_pct=60).collect()}
     assert got == want and want  # non-trivial and exactly equal
+
+
+def test_oov_report_counts_and_null_group(spark):
+    from validate_spark.operators.textstats import oov_report
+
+    docs = spark.createDataFrame(
+        [("en", "the cat sat"), ("en", "the the dog"), (None, "cat zzz"),
+         ("fr", ""), ("fr", None)],
+        "lang string, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",)], "token string")
+    out = {r["lang"]: r for r in oov_report(docs, vocab).collect()}
+    en = out["en"]
+    # en tokens: the cat sat | the the dog → 6 tokens, oov = sat, dog
+    assert (en["n_docs"], en["n_tokens"], en["n_oov"]) == (2, 6, 2)
+    # NULL lang keeps its own row WITH its token counts (null-safe join)
+    nl = out[None]
+    assert (nl["n_docs"], nl["n_tokens"], nl["n_oov"]) == (1, 2, 1)
+    # empty/NULL text: docs counted, zero tokens
+    fr = out["fr"]
+    assert (fr["n_docs"], fr["n_tokens"], fr["n_oov"], fr["n_bpe"]) == (2, 0, 0, 0)
+    # fertility numerator: "the cat sat" → 3 BPE pieces etc.
+    assert en["n_bpe"] == 6

@@ -310,3 +310,85 @@ def partition_skipping_audit(
         )
     )
     return overlaps
+
+
+def layout_advisor(
+    df: DataFrame,
+    part_col: str,
+    candidate_cols: list[str],
+) -> DataFrame:
+    """Sort/partition-key advisor: rank candidate layout columns by
+    how much min/max data skipping a rewrite on the CURRENT partition
+    scheme would give each of them — `partition_skipping_audit` run
+    for every candidate in one scan, collapsed to one row per
+    candidate. The table a compaction/Z-order planner (see
+    `compaction_plan`, `zorder_bucket_profile`) reads to pick WHICH
+    column to cluster by before paying for the rewrite.
+
+    Per candidate: ``overlap_pairs`` = Σ over partitions of how many
+    OTHER partitions' footer ranges intersect (0 = perfectly disjoint
+    — a point predicate touches one partition; P·(P−1) = every range
+    spans the domain, skipping prunes nothing), ``disjoint_parts`` =
+    partitions overlapping none. All integers, ranked
+    (overlap_pairs ASC, candidate ASC) — deterministic.
+
+    Plan: ONE hash aggregate computes min/max/count for every
+    candidate simultaneously (the `column_stats` multi-agg pattern —
+    a 100-TB table is scanned once however many candidates are
+    tried); each candidate's interval self-join then runs on the
+    |partitions|-row collapsed frame (quadratic in partitions, never
+    rows — q203's bound). NULLs excluded from ranges (footer
+    semantics).
+    """
+    aggs = []
+    for c in candidate_cols:
+        v = F.col(c)
+        aggs += [
+            F.min(v).alias(f"_min_{c}"),
+            F.max(v).alias(f"_max_{c}"),
+            F.count(v).cast("long").alias(f"_n_{c}"),
+        ]
+    per = df.groupBy(F.col(part_col).alias("part")).agg(*aggs)
+    per = per.localCheckpoint()  # |partitions| rows; reused per candidate
+
+    outs = []
+    for c in candidate_cols:
+        a = per.select(
+            "part",
+            F.col(f"_min_{c}").alias("vmin"),
+            F.col(f"_max_{c}").alias("vmax"),
+        )
+        b = per.select(
+            F.col("part").alias("_p2"),
+            F.col(f"_min_{c}").alias("_min2"),
+            F.col(f"_max_{c}").alias("_max2"),
+        )
+        ov = (
+            a.join(
+                b,
+                (F.col("part") != F.col("_p2"))
+                & (F.col("vmin") <= F.col("_max2"))
+                & (F.col("vmax") >= F.col("_min2")),
+                "left",
+            )
+            .groupBy("part")
+            .agg(F.count("_p2").cast("long").alias("_ov"))
+        )
+        outs.append(
+            ov.agg(
+                F.count(F.lit(1)).cast("long").alias("n_parts"),
+                F.sum("_ov").cast("long").alias("overlap_pairs"),
+                F.sum((F.col("_ov") == 0).cast("long"))
+                .cast("long")
+                .alias("disjoint_parts"),
+            ).select(
+                F.lit(c).alias("candidate"),
+                "n_parts",
+                "overlap_pairs",
+                "disjoint_parts",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("overlap_pairs", "candidate")

@@ -1230,3 +1230,82 @@ def collocations(
         .orderBy(F.col("c_ab").desc(), F.col("bigram"))
         .limit(int(top_n))
     )
+
+
+def oov_report(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    *,
+    with_fertility: bool = True,
+) -> DataFrame:
+    """Tokenizer coverage report: per group (language), how much of
+    the corpus a fixed vocabulary actually covers — the table read
+    before freezing a tokenizer/vocab for training: a language whose
+    OOV share is high gets shredded into fallback pieces (bad
+    fertility, wasted context window), and this is where that shows
+    up BEFORE a training run does.
+
+    Output per group: (group, n_docs, n_tokens, n_oov, n_bpe) — all
+    exact int64. oov_rate = n_oov/n_tokens and fertility =
+    n_bpe/n_tokens are client-side ratios of these integers (the
+    threshold_sweep discipline: ship counts, not ratios).
+    `n_bpe` counts the BPE-ish regex pieces (`bpe_token_count`) so
+    fertility compares subword pressure against whitespace tokens.
+
+    Scale: one fan_out-guarded tokenize projection; the vocabulary
+    (V-bounded by `build_background_vocab`'s cnt-desc cap) BROADCASTS
+    against the exploded token stream — the corpus never reshuffles;
+    one hash aggregate per branch, joined on the |groups|-sized
+    frames. NULL group is kept as its own row (the k-anonymity NULL
+    convention).
+    """
+    from validate_spark.session import fan_out
+
+    g = F.col(group_col)
+    staged = fan_out(df).select(
+        g.alias("_g"),
+        normalize_text(F.col(text_col)).alias("_t"),
+        (
+            bpe_token_count(F.col(text_col))
+            if with_fertility
+            else F.lit(0)
+        ).cast("long").alias("_bpe"),
+    )
+    docs = staged.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_bpe").cast("long").alias("n_bpe"),
+    )
+    toks = (
+        staged.filter(F.length("_t") > 0)
+        .select("_g", F.explode(F.split("_t", " ")).alias("token"))
+        .join(
+            F.broadcast(vocab.select("token", F.lit(1).alias("_in"))),
+            "token",
+            "left",
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("_in").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    # eqNullSafe: a NULL group must find ITS token counts (a plain
+    # equality join would keep the doc row but lose the tokens)
+    return (
+        docs.join(
+            toks.withColumnRenamed("_g", "_g2"),
+            docs["_g"].eqNullSafe(F.col("_g2")),
+            "left",
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            "n_bpe",
+        )
+    )
