@@ -5722,6 +5722,41 @@ def q223_oov_report(spark, sf_dir):
     return oov_report(docs, vocab)
 
 
+def q224_scd2_build(spark, sf_dir):
+    """SCD type-2 dimension build (temporal.scd2_build): per-user
+    event_type change history as validity intervals with change
+    compression (equal consecutive states collapse — an at-least-once
+    feed re-reporting state mints no phantom versions), open current
+    version, 1-based version numbers. The producer half of the
+    q103/q104 as-of/interval probes; tiebreak coalesced before the
+    window (q207 NULLS FIRST/LAST lesson)."""
+    from validate_spark.operators.temporal import scd2_build
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_build(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+
+
+def q225_contrastive_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (similarity.negative_samples): per anchor, the 5 different-label
+    candidates with smallest md5(anchor|candidate) — a reproducible,
+    engine-replayable uniform draw (no RNG state, the sampling-family
+    discipline) for triplet/contrastive training pairs. Same-label
+    candidates are excluded (they would be false negatives); skew-free
+    two-phase top-k, never a per-anchor global sort."""
+    from validate_spark.operators.similarity import negative_samples
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    return negative_samples(
+        emb, anchors, n=5, id_col="vec_id", label_col="label"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5947,6 +5982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_streaming_cms": q221_streaming_cms,
         "q222_layout_advisor": q222_layout_advisor,
         "q223_oov_report": q223_oov_report,
+        "q224_scd2_build": q224_scd2_build,
+        "q225_contrastive_negatives": q225_contrastive_negatives,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11573,6 +11610,64 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(tk.n_tokens, 0)::bigint AS n_tokens,
                    coalesce(tk.n_oov, 0)::bigint AS n_oov, d.n_bpe
             FROM d LEFT JOIN tk ON d.lang IS NOT DISTINCT FROM tk.lang
+        """,
+        # q224: run detection via lag, running-sum version ids with an
+        # explicit ROWS frame, intervals via lead over the compressed
+        # versions; tiebreak coalesced before the window
+        "q224_scd2_build": """
+            WITH b AS (
+              SELECT user_id AS key, event_type AS attr, ts,
+                     coalesce(event_id, -1) AS tb
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+            ), r AS (
+              SELECT key, attr, ts, tb,
+                     CASE WHEN lag(attr) OVER
+                              (PARTITION BY key ORDER BY ts, tb) IS NULL
+                            OR lag(attr) OVER
+                              (PARTITION BY key ORDER BY ts, tb) <> attr
+                          THEN 1 ELSE 0 END AS chg
+              FROM b
+            ), v AS (
+              SELECT key, attr, ts,
+                     sum(chg) OVER (PARTITION BY key ORDER BY ts, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ver
+              FROM r
+            ), g AS (
+              SELECT key, ver, min(attr) AS attr, min(ts) AS eff_from
+              FROM v GROUP BY key, ver
+            )
+            SELECT key, attr, eff_from,
+                   lead(eff_from) OVER (PARTITION BY key
+                     ORDER BY eff_from) AS eff_to,
+                   ver::int AS version
+            FROM g
+        """,
+        # q225: md5(anchor|candidate) draw — fixed-width hex-prefix
+        # order ≡ the engine's 60-bit numeric order; same-label and
+        # NULL-label candidates excluded
+        "q225_contrastive_negatives": """
+            WITH a AS (
+              SELECT vec_id AS query_id, label AS alab FROM embeddings
+              WHERE vec_id < 8 AND label IS NOT NULL
+            ), c AS (
+              SELECT vec_id AS neighbor_id, label AS clab FROM embeddings
+              WHERE vec_id IS NOT NULL AND label IS NOT NULL
+            ), s AS (
+              SELECT a.query_id, c.neighbor_id,
+                     md5(a.query_id::varchar || '|'
+                         || c.neighbor_id::varchar) AS h
+              FROM a CROSS JOIN c
+              WHERE c.neighbor_id <> a.query_id AND c.clab <> a.alab
+            )
+            SELECT query_id, neighbor_id, rk::int AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY h ASC, neighbor_id ASC) AS rk
+              FROM s
+            ) WHERE rk <= 5
         """,
         # q220: recall@10 of PQ against the exact oracle — both ranked
         # lists re-derived in SQL (q19's exact top-k, q219's full PQ

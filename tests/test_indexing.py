@@ -673,3 +673,37 @@ def test_layout_advisor_null_part_and_null_values(spark):
     assert r["n_parts"] == 3
     # ranges: a=[1,2], NULL-part=[5,5], b=NULL → no intersections
     assert r["overlap_pairs"] == 0 and r["disjoint_parts"] == 3
+
+
+# ------------------------------------------------------- negative sampling
+
+def test_negative_samples_excludes_same_label_and_is_deterministic(spark):
+    import hashlib
+
+    from validate_spark.operators.similarity import negative_samples
+
+    rows = [(i, f"lab{i % 3}") for i in range(30)] + [(99, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, label string")
+    anchors = spark.createDataFrame(
+        [(0, "lab0"), (1, "lab1")], "anchor_id long, anchor_label string"
+    )
+    got = {}
+    for r in negative_samples(emb, anchors, n=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    model = {}
+    for aid, alab in ((0, "lab0"), (1, "lab1")):
+        cands = [i for i, lab in rows
+                 if lab is not None and lab != alab and i != aid]
+        ranked = sorted(
+            cands,
+            key=lambda c: (hashlib.md5(f"{aid}|{c}".encode()).hexdigest()[:15], c),
+        )[:4]
+        model[aid] = [(k + 1, c) for k, c in enumerate(ranked)]
+    assert {k: sorted(v) for k, v in got.items()} == model
+    # no same-label negative ever appears
+    labs = dict(rows)
+    for aid, pairs in got.items():
+        alab = "lab0" if aid == 0 else "lab1"
+        assert all(labs[c] != alab for _, c in pairs)

@@ -611,3 +611,51 @@ def test_debounce_chains_to_previous_event_not_kept_one(spark):
     # chain 10->11->12 folds into one burst (12 is 180s from 10 but
     # only 90s from 11); 13 starts fresh; user 2 independent
     assert rows == {(1, 10): 2, (1, 13): 0, (2, 20): 0}
+
+
+# -------------------------------------------------------------- scd2_build
+
+def test_scd2_change_compression_and_intervals(spark):
+    import datetime as dt
+
+    from validate_spark.operators.temporal import scd2_build
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "A", t(0), 10), (1, "A", t(1), 11),  # repeat → same version
+        (1, "B", t(2), 12), (1, "A", t(3), 13),  # A again = NEW version
+        (2, "X", t(0), 20),
+        (None, "A", t(0), 1), (3, None, t(0), 2), (3, "A", None, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, state string, ts timestamp, eid long"
+    )
+    out = sorted(
+        ((r["key"], r["version"], r["attr"], r["eff_from"], r["eff_to"])
+         for r in scd2_build(df, "user", "state", "ts",
+                             tiebreak_col="eid").collect())
+    )
+    assert out == [
+        (1, 1, "A", t(0), t(2)),
+        (1, 2, "B", t(2), t(3)),
+        (1, 3, "A", t(3), None),
+        (2, 1, "X", t(0), None),
+    ]
+
+
+def test_scd2_tiebreak_orders_equal_timestamps(spark):
+    import datetime as dt
+
+    from validate_spark.operators.temporal import scd2_build
+
+    ts = dt.datetime(2024, 1, 1)
+    # same timestamp: eid decides the run order; NULL eid coalesces
+    # to -1 and sorts FIRST in both engines
+    rows = [(1, "B", ts, 5), (1, "A", ts, None), (1, "B", ts, 7)]
+    df = spark.createDataFrame(
+        rows, "user long, state string, ts timestamp, eid long"
+    )
+    out = {r["version"]: r["attr"]
+           for r in scd2_build(df, "user", "state", "ts",
+                               tiebreak_col="eid").collect()}
+    assert out == {1: "A", 2: "B"}  # A(eid -1), then B,B compressed

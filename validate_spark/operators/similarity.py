@@ -773,3 +773,74 @@ def pq_adc_topk(
     return _two_phase_topk(
         scored.select("query_id", "neighbor_id", (-adc).alias("cos")), k
     )
+
+
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/triplet
+    training: per anchor, the ``n`` candidates with a DIFFERENT label
+    whose md5(anchor|candidate) hashes are smallest — a uniform draw
+    that is reproducible across runs, partition layouts, and engines
+    (no RNG state; the sampling-family md5 discipline). Same-label
+    candidates are excluded because they are false negatives — the
+    single most common contrastive-training data bug; rows with NULL
+    ids or labels are excluded on both sides (no evidence either
+    way).
+
+    Scale: anchors broadcast against the corpus (the corpus never
+    reshuffles), per-pair hash is map-side, and selection reuses the
+    `_two_phase_topk` skew-free local-top-k + merge — no per-anchor
+    hot reducer however many negatives one anchor's label class
+    admits. Swap the hash key salt (concat a run tag into the md5) to
+    draw a fresh epoch's negatives with the same machinery.
+
+    Output: (query_id = anchor, neighbor_id = negative, rank 1..n).
+    """
+    a = F.broadcast(
+        anchors.filter(
+            F.col(anchor_id_col).isNotNull()
+            & F.col(anchor_label_col).isNotNull()
+        ).select(
+            F.col(anchor_id_col).alias("query_id"),
+            F.col(anchor_label_col).alias("_alab"),
+        )
+    )
+    c = corpus.filter(
+        F.col(id_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_clab")
+    )
+    # 15 hex chars = 60 bits: fits signed int64, and numeric order
+    # equals the fixed-width hex-prefix order the oracle sorts by
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("query_id").cast("string"),
+                    F.col("neighbor_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = (
+        c.crossJoin(a)
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("_clab") != F.col("_alab"))
+        )
+        .select("query_id", "neighbor_id", (-h).alias("cos"))
+    )
+    return _two_phase_topk(scored, n)

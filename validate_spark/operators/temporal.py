@@ -807,3 +807,86 @@ def illegal_transitions(
             F.sum("_ill").cast("long").alias("n_illegal"),
         )
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) version table
+    from an attribute-change event stream: one validity interval per
+    RUN of equal attribute values per key —
+
+        (key, attr, eff_from, eff_to, version)
+
+    with ``eff_to`` NULL on the current (open) version and
+    ``version`` 1-based per key. The lake-side dimension history that
+    `asof_join`/`interval_join` (q103/q104) probe: this op is the
+    missing producer half (CDC latest-wins compaction q129 keeps only
+    the newest row; SCD2 keeps the full, interval-indexed history).
+
+    Change compression: consecutive events with the SAME attribute
+    collapse into one version (lag() run detection), so a noisy
+    at-least-once feed that re-reports unchanged state doesn't mint
+    phantom versions. Ordering inside a key is (ts, tiebreak) with
+    the tiebreak COALESCED before the window — Spark orders NULLS
+    FIRST and DuckDB NULLS LAST, so an un-coalesced nullable
+    tiebreaker silently diverges (the q207 lesson). Rows with NULL
+    key/ts/attr are excluded (a version needs all three; the
+    null-rate report is `column_stats`' job).
+
+    Scale: two windows over the SAME (key → ts, tiebreak) sort — one
+    partition-by-key shuffle total, run detection and interval
+    closing both ride it; output is |versions| rows (≤ |events|,
+    typically far fewer after compression). Key skew = one hot
+    entity's history on one task: histories are change-compressed and
+    bounded by change count, not event count — stated honestly.
+    """
+    from pyspark.sql import Window
+
+    tb = (
+        F.coalesce(F.col(tiebreak_col).cast("long"), F.lit(-1))
+        if tiebreak_col
+        else F.lit(0)
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(attr_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("_ts"),
+        tb.alias("_tb"),
+    )
+    w = Window.partitionBy("key").orderBy("_ts", "_tb")
+    runs = base.withColumn(
+        "_chg",
+        (
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr"))
+        ).cast("int"),
+    ).withColumn(
+        "_ver",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # every row in a run carries the same attr by construction, so
+    # min(attr) IS the run's attr — no order-dependent first() needed
+    vers = runs.groupBy("key", "_ver").agg(
+        F.min("attr").alias("attr"),
+        F.min("_ts").alias("eff_from"),
+    )
+    w2 = Window.partitionBy("key").orderBy("eff_from")
+    return vers.select(
+        "key",
+        "attr",
+        "eff_from",
+        F.lead("eff_from").over(w2).alias("eff_to"),
+        F.col("_ver").cast("int").alias("version"),
+    )
