@@ -5391,18 +5391,18 @@ _DRIVER_FIRST = [
     "q59_format_gauntlet2",
     "q60_crossfield_equality",
     "q61_custom_filter_chain",
-    "q62_langid_cjk",
+    "q218_k_core",
     "q64_custom_type_extractor",
     "q70_type_gauntlet",
     "q71_filter_gauntlet",
     "q69_line_dedup",
-    "q75_duplicated_spans",
+    "q217_containment_quotes",
     "q77_incremental_minhash",
-    "q81_source_overlap",
+    "q219_pq_ann",
     "q181_cusum_changepoint",
     "q184_leakage_safe_split",
-    "q51_stratified_sample",
-    "q178_global_row_index",
+    "q225_contrastive_negatives",
+    "q222_layout_advisor",
     "q78_quality_quantile",
     "q53_repetition_signals",
     "q68_unigram_quality",
@@ -5423,11 +5423,11 @@ _DRIVER_FIRST = [
     "q107_funnel",
     "q108_cohort_retention",
     "q182_triangle_count",
-    "q156_debounce",
+    "q224_scd2_build",
     "q105_streaming_sessionize",
-    "q114_native_streaming_dedup",
+    "q221_streaming_cms",
     "q124_top_revenue",
-    "q128_idle_rich_customers",
+    "q214_roc_auc",
     "q187_sq8_ann",
     "q95_functional_dependency",
     "q119_cube_profile",

@@ -220,6 +220,18 @@ BENCH_QUERIES = [
     "q211_rate_jackknife",
     "q212_kmv_trailing_window",
     "q213_streaming_kmv",
+    "q214_roc_auc",
+    "q215_gains_table",
+    "q216_collocations",
+    "q217_containment_quotes",
+    "q218_k_core",
+    "q219_pq_ann",
+    "q220_pq_recall",
+    "q221_streaming_cms",
+    "q222_layout_advisor",
+    "q223_oov_report",
+    "q224_scd2_build",
+    "q225_contrastive_negatives",
 ]
 
 
