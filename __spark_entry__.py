@@ -5757,6 +5757,69 @@ def q225_contrastive_negatives(spark, sf_dir):
     )
 
 
+def q226_trimmed_mean(spark, sf_dir):
+    """Exact 10%-trimmed mean of document length per lang
+    (stats.trimmed_mean): rank arithmetic on the (group, DISTINCT
+    value) frame — interval-overlap integer math per distinct-value
+    row, ties split exactly at the cut; sum_kept/n_kept exact int64,
+    one round-6 division. The robust location estimate between q06's
+    mean and q164's MAD family."""
+    from validate_spark.operators.stats import trimmed_mean
+
+    docs = _t(spark, sf_dir, "documents")
+    return trimmed_mean(docs, "n_chars", group_cols=["lang"], trim_pct=10)
+
+
+def q227_source_scorecard(spark, sf_dir):
+    """Per-source governance scorecard: one row per source joining the
+    curation signals a mixture decision reads — doc volume, language
+    spread, exact-dup pressure (two-phase over (source, fingerprint) —
+    never a collect_set of unbounded text hashes), short-doc count,
+    char volume. All integers; the dashboard-shaped composition of the
+    q15/q13/q06 families."""
+    docs = _t(spark, sf_dir, "documents")
+    from validate_spark.operators.textstats import fingerprint
+
+    a = docs.select(
+        "source",
+        "lang",
+        fingerprint(F.col("text")).alias("_fp"),
+        (F.col("n_chars") < 200).cast("long").alias("_short"),
+        F.coalesce(F.col("n_chars").cast("long"), F.lit(0)).alias("_nc"),
+    )
+    g1 = (
+        a.groupBy("source", "_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.sum("_short").cast("long").alias("_sh"),
+            F.sum("_nc").cast("long").alias("_ch"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+            F.sum(F.col("_cnt") - 1).cast("long").alias("n_dup_rows"),
+            F.sum("_sh").cast("long").alias("n_short"),
+            F.sum("_ch").cast("long").alias("sum_chars"),
+        )
+    )
+    g2 = (
+        a.groupBy("source", "lang")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    )
+    return g1.join(g2, "source").select(
+        "source",
+        "n_docs",
+        "n_unique_texts",
+        "n_dup_rows",
+        "n_langs",
+        "n_short",
+        "sum_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -5984,6 +6047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_oov_report": q223_oov_report,
         "q224_scd2_build": q224_scd2_build,
         "q225_contrastive_negatives": q225_contrastive_negatives,
+        "q226_trimmed_mean": q226_trimmed_mean,
+        "q227_source_scorecard": q227_source_scorecard,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11668,6 +11733,66 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY h ASC, neighbor_id ASC) AS rk
               FROM s
             ) WHERE rk <= 5
+        """,
+        # q226: rank-interval overlap per distinct value; k = (n·10)
+        # div 100 each side — exact ints, one round-6 division
+        "q226_trimmed_mean": """
+            WITH b AS (
+              SELECT lang, n_chars AS v FROM documents
+              WHERE n_chars IS NOT NULL
+            ), per AS (
+              SELECT lang, v, count(*)::bigint AS cnt
+              FROM b GROUP BY lang, v
+            ), w AS (
+              SELECT lang, v, cnt,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM per
+            ), kp AS (
+              SELECT lang, v, n, (n * 10) // 100 AS k,
+                     greatest(0, least(cum, n - (n * 10) // 100)
+                       - greatest(cum - cnt + 1, (n * 10) // 100 + 1)
+                       + 1) AS kept
+              FROM w
+            )
+            SELECT lang, max(n)::bigint AS n,
+                   max(k)::bigint AS k_each_side,
+                   sum(kept)::bigint AS n_kept,
+                   sum(kept * v)::bigint AS sum_kept,
+                   CASE WHEN sum(kept) > 0 THEN
+                     round(sum(kept * v)::double / sum(kept)::double, 6)
+                   END AS tmean
+            FROM kp GROUP BY lang
+        """,
+        # q227: two-phase dup counts over (source, md5 fingerprint);
+        # NULL lang counts as a language like any group
+        "q227_source_scorecard": f"""
+            WITH a AS (
+              SELECT source, lang, md5({_NORM}) AS fp,
+                     CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS sh,
+                     coalesce(n_chars, 0)::bigint AS nc
+              FROM documents
+            ), g1a AS (
+              SELECT source, fp, count(*)::bigint AS cnt,
+                     sum(sh)::bigint AS shs, sum(nc)::bigint AS chs
+              FROM a GROUP BY source, fp
+            ), g1 AS (
+              SELECT source, sum(cnt)::bigint AS n_docs,
+                     count(*)::bigint AS n_unique_texts,
+                     sum(cnt - 1)::bigint AS n_dup_rows,
+                     sum(shs)::bigint AS n_short,
+                     sum(chs)::bigint AS sum_chars
+              FROM g1a GROUP BY source
+            ), g2 AS (
+              SELECT source, count(*)::bigint AS n_langs FROM (
+                SELECT DISTINCT source, lang FROM a
+              ) GROUP BY source
+            )
+            SELECT g1.source, n_docs, n_unique_texts, n_dup_rows,
+                   n_langs, n_short, sum_chars
+            FROM g1 JOIN g2 ON g1.source = g2.source
         """,
         # q220: recall@10 of PQ against the exact oracle — both ranked
         # lists re-derived in SQL (q19's exact top-k, q219's full PQ

@@ -929,3 +929,29 @@ def test_cms_stream_updater_partition_overwrite_exactly_once(spark, tmp_path):
     for g, d, pos, cnt in once:
         tot[(g, d)] += cnt
     assert tot[("a", 0)] == 40 and tot[("b", 1)] == 9
+
+
+def test_trimmed_mean_matches_python_model_with_ties(spark):
+    from validate_spark.operators.stats import trimmed_mean
+
+    # 12 rows incl. a tie run straddling the lower cut and an outlier
+    vals = [1, 1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v int")
+    r = trimmed_mean(df, "v", group_cols=["g"], trim_pct=10).collect()[0]
+    n = len(vals)
+    k = (n * 10) // 100  # 1 from each side
+    kept = sorted(vals)[k:n - k]
+    assert (r["n"], r["k_each_side"], r["n_kept"]) == (n, k, len(kept))
+    assert r["sum_kept"] == sum(kept)
+    assert r["tmean"] == round(sum(kept) / len(kept), 6)
+    # the outlier is gone: trimmed mean is near the bulk, raw mean isn't
+    assert r["tmean"] < 10
+
+
+def test_trimmed_mean_trim_exceeds_half(spark):
+    from validate_spark.operators.stats import trimmed_mean
+
+    # 2 rows, 50% trim: k=1 each side -> nothing kept -> NULL mean
+    df = spark.createDataFrame([("g", 1), ("g", 9)], "g string, v int")
+    r = trimmed_mean(df, "v", group_cols=["g"], trim_pct=50).collect()[0]
+    assert r["n_kept"] == 0 and r["tmean"] is None

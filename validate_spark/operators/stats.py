@@ -1248,3 +1248,88 @@ def gains_table(
         )
         .orderBy("bucket")
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Exact trimmed mean per group: drop the lowest and highest
+    ``trim_pct``% of ROWS (k = (n·pct) div 100 from each side, exact
+    truncating-div rank arithmetic) and average the rest — the robust
+    location estimate between mean (breaks on one outlier) and median
+    (throws away magnitude), the standard drift-resistant rollup for
+    heavy-tailed length/latency columns.
+
+    Rank semantics without a per-row sort (the roc_auc shape): hash-
+    aggregate to (group, DISTINCT value, cnt), one running-sum window
+    over the collapsed frame (explicit ROWS frame), then each
+    distinct-value row keeps
+        overlap([cum−cnt+1, cum], [k+1, n−k])
+    rows — pure integer interval arithmetic, so `sum_kept` (Σ kept·v)
+    and `n_kept` (= n − 2k) are exact int64 for integer columns and
+    the one division rounds at 6 (bounded-cardinality rule). Ties are
+    handled EXACTLY: a tie run straddling the cut contributes only
+    its in-window portion — the textbook definition, deterministic in
+    both engines. NULL values excluded.
+
+    Output: (group..., n, k_each_side, n_kept, sum_kept, tmean).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    pct = int(trim_pct)
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(*groups, v.alias("_v"))
+    per = base.groupBy(*groups, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    w = (
+        Window.partitionBy(*groups).orderBy("_v")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("_v")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = (
+        Window.partitionBy(*groups)
+        if groups
+        else Window.partitionBy(F.lit(1))
+    )
+    per = (
+        per.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn("_n", F.sum("_cnt").over(wt))
+        .withColumn("_k", F.expr(f"(_n * {pct}) div 100"))
+    )
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cum"), F.col("_n") - F.col("_k"))
+        - F.greatest(F.col("_cum") - F.col("_cnt") + 1, F.col("_k") + 1)
+        + 1,
+    )
+    agg = per.select(
+        *groups, "_n", "_k", kept.alias("_kept"), F.col("_v")
+    ).groupBy(*groups).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_k").cast("long").alias("k_each_side"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+        F.sum(F.col("_kept") * F.col("_v").cast("long"))
+        .cast("long")
+        .alias("sum_kept"),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        "k_each_side",
+        "n_kept",
+        "sum_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(
+                F.col("sum_kept").cast("double")
+                / F.col("n_kept").cast("double"),
+                6,
+            ),
+        ).alias("tmean"),
+    )
