@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "q223_oov_report",
     "q224_scd2_build",
     "q225_contrastive_negatives",
+    "q226_trimmed_mean",
+    "q227_source_scorecard",
 ]
 
 
