@@ -955,3 +955,50 @@ def test_trimmed_mean_trim_exceeds_half(spark):
     df = spark.createDataFrame([("g", 1), ("g", 9)], "g string, v int")
     r = trimmed_mean(df, "v", group_cols=["g"], trim_pct=50).collect()[0]
     assert r["n_kept"] == 0 and r["tmean"] is None
+
+
+def test_quantile_normalize_midrank_ties_and_nulls(spark):
+    from validate_spark.operators.stats import quantile_normalize
+
+    rows = [("a", 10), ("a", 10), ("a", 20), ("a", 30), ("b", 5), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = quantile_normalize(df, "v", group_cols=["g"]).collect()
+    got = {(r["g"], r["v"]): (r["mid2"], r["pct"]) for r in out}
+    # group a (n=4): mid-CDF convention — pct = (2·below + ties)/(2n);
+    # ties at 10: below 0, ties 2 → mid2 = 2, pct 2/8
+    assert got[("a", 10)] == (2, 0.25)
+    assert got[("a", 20)] == (2 * 2 + 1, 0.625)
+    assert got[("a", 30)] == (2 * 3 + 1, 0.875)
+    # singleton group: pct = 1/2 regardless of value
+    assert got[("b", 5)] == (1, 0.5)
+    # NULL value passes through un-ranked
+    assert got[("a", None)] == (None, None)
+    assert len(out) == 6  # row count preserved
+
+
+def test_t_closeness_skewed_group_flagged(spark):
+    from validate_spark.operators.stats import t_closeness
+
+    # global sensitive values 0,1,2 uniform (30 rows); group "hi"
+    # holds ONLY value 2 — k/l pass at small thresholds, t flags it
+    rows = ([("bal", v % 3) for v in range(24)]
+            + [("hi", 2)] * 6)
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = {r["g"]: r for r in t_closeness(df, ["g"], "s").collect()}
+    # python model: cumP over s=0,1,2 = 8+2? recompute: global counts
+    # s0=8, s1=8, s2=8+6=14, N=30, m=3
+    import math
+    cump = {0: 8, 1: 16, 2: 30}
+    for g, cnts in (("bal", {0: 8, 1: 8, 2: 8}), ("hi", {0: 0, 1: 0, 2: 6})):
+        ng = sum(cnts.values())
+        cumq = 0
+        num = 0
+        for s in (0, 1, 2):
+            cumq += cnts[s]
+            num += abs(cumq * 30 - cump[s] * ng)
+        r = out[g]
+        assert (r["n"], r["emd_num"]) == (ng, num)
+        assert r["t"] == round(num / (30 * ng * 2), 6)
+        assert not math.isnan(r["t"])
+    # the skewed group scores strictly higher
+    assert out["hi"]["t"] > out["bal"]["t"]
