@@ -5820,6 +5820,36 @@ def q227_source_scorecard(spark, sf_dir):
     )
 
 
+def q228_quantile_normalize(spark, sf_dir):
+    """Per-lang quantile normalization (stats.quantile_normalize):
+    every doc gains its mid-rank percentile within its language —
+    ranks from the (group, DISTINCT value) frame joined back
+    co-partitioned, never a per-row window; mid2 = 2·below+ties is
+    the exact int64 invariant. The transform that makes a global
+    quality cut mixture-preserving across languages."""
+    from validate_spark.operators.stats import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return quantile_normalize(docs, "n_chars", group_cols=["lang"])
+
+
+def q229_t_closeness(spark, sf_dir):
+    """t-closeness privacy audit (stats.t_closeness): per-lang EMD
+    between the group's length-bucket distribution and the table's —
+    the leak k-anonymity and l-diversity (q201) both miss (a large,
+    diverse group that skews high still discloses). emd_num is the
+    exact cross-multiplied integer (decimal(38,0) internally); t its
+    round-6 display."""
+    from validate_spark.operators.stats import t_closeness
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars div 200").cast("long").alias("len_bucket")
+    )
+    return t_closeness(docs, ["lang"], "len_bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6049,6 +6079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_contrastive_negatives": q225_contrastive_negatives,
         "q226_trimmed_mean": q226_trimmed_mean,
         "q227_source_scorecard": q227_source_scorecard,
+        "q228_quantile_normalize": q228_quantile_normalize,
+        "q229_t_closeness": q229_t_closeness,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11793,6 +11825,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT g1.source, n_docs, n_unique_texts, n_dup_rows,
                    n_langs, n_short, sum_chars
             FROM g1 JOIN g2 ON g1.source = g2.source
+        """,
+        # q228: distinct-value mid-ranks joined back; NULL n_chars rows
+        # pass through with NULL pct
+        "q228_quantile_normalize": """
+            WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
+            per AS (
+              SELECT lang, n_chars AS v, count(*)::bigint AS cnt
+              FROM b WHERE n_chars IS NOT NULL GROUP BY 1, 2
+            ), r AS (
+              SELECT lang, v,
+                     (2 * (sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - cnt) + cnt)::bigint AS mid2,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM per
+            )
+            SELECT b.doc_id, b.lang, b.n_chars, r.mid2,
+                   round(r.mid2::double / (2 * r.n)::double, 6) AS pct
+            FROM b LEFT JOIN r
+              ON b.lang IS NOT DISTINCT FROM r.lang AND b.n_chars = r.v
+        """,
+        # q229: EMD by cross-multiplied cumulative counts (HUGEINT ≡
+        # Spark decimal(38,0)); the dense group×s grid via cross joins
+        "q229_t_closeness": """
+            WITH b AS (
+              SELECT lang, (n_chars // 200)::bigint AS s
+              FROM documents WHERE n_chars IS NOT NULL
+            ), g AS (
+              SELECT s, count(*)::bigint AS pc FROM b GROUP BY s
+            ), gc AS (
+              SELECT s, sum(pc) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+              FROM g
+            ), tot AS (
+              SELECT count(*)::bigint AS nn,
+                     count(DISTINCT s)::bigint AS m FROM b
+            ), q AS (
+              SELECT lang, s, count(*)::bigint AS qc
+              FROM b GROUP BY lang, s
+            ), ngs AS (
+              SELECT lang, count(*)::bigint AS ng FROM b GROUP BY lang
+            ), grid AS (
+              SELECT ngs.lang, gc.s, gc.cump, tot.nn, tot.m, ngs.ng,
+                     coalesce(q.qc, 0) AS qc
+              FROM ngs CROSS JOIN gc CROSS JOIN tot
+              LEFT JOIN q ON q.lang IS NOT DISTINCT FROM ngs.lang
+                         AND q.s = gc.s
+            ), terms AS (
+              SELECT lang, ng, nn, m,
+                     abs((sum(qc) OVER (PARTITION BY lang ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        )::HUGEINT * nn - cump::HUGEINT * ng) AS term
+              FROM grid
+            )
+            SELECT lang, max(ng)::bigint AS n,
+                   sum(term)::bigint AS emd_num,
+                   CASE WHEN max(m) > 1 THEN
+                     round(sum(term)::double /
+                       (max(nn)::double * max(ng)::double
+                        * (max(m) - 1)::double), 6)
+                   ELSE 0.0 END AS t
+            FROM terms GROUP BY lang
         """,
         # q220: recall@10 of PQ against the exact oracle — both ranked
         # lists re-derived in SQL (q19's exact top-k, q219's full PQ

@@ -1333,3 +1333,177 @@ def trimmed_mean(
             ),
         ).alias("tmean"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-group quantile (percentile-rank) normalization: every row
+    gains its mid-rank percentile within its group —
+
+        pct = (2·|below| + |ties|) / (2·n)        (round-6)
+
+    — the transform that makes scores COMPARABLE ACROSS GROUPS before
+    a global cut (a raw quality threshold keeps 80% of English and 9%
+    of Thai; cutting on the per-lang percentile keeps the same share
+    of each — the mixture-preserving form of q78's quantile filter).
+    `mid2 = 2·below + ties` rides along as the exact int64 invariant.
+
+    Scale: NO per-row window (a rank window would sort every row of a
+    group on one reducer) — ranks come from the (group, DISTINCT
+    value) frame (hash agg + running sum over the collapsed frame,
+    the roc_auc shape), then JOIN BACK to rows co-partitioned on
+    (group, value). Rows with NULL value pass through with NULL pct.
+
+    Output: the input columns + (mid2, out_col).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    v = F.col(value_col)
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(*groups, v.alias("_qv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    w = (
+        Window.partitionBy(*groups).orderBy("_qv")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("_qv")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = (
+        Window.partitionBy(*groups)
+        if groups
+        else Window.partitionBy(F.lit(1))
+    )
+    # rename the rank frame's key columns: it derives from df, and a
+    # join on same-named lineage-shared columns trips Spark's
+    # ambiguous-self-join analyzer
+    ranks = (
+        per.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn("_n", F.sum("_cnt").over(wt))
+        .select(
+            *[F.col(g).alias(f"_rg_{i}") for i, g in enumerate(groups)],
+            "_qv",
+            (2 * (F.col("_cum") - F.col("_cnt")) + F.col("_cnt"))
+            .cast("long")
+            .alias("mid2"),
+            F.col("_n").alias("_n"),
+        )
+    )
+    cond = [
+        df[g].eqNullSafe(F.col(f"_rg_{i}")) for i, g in enumerate(groups)
+    ] + [v == ranks["_qv"]]
+    joined = df.join(ranks, cond, "left")
+    return joined.select(
+        *[df[c] for c in df.columns],
+        ranks["mid2"],
+        F.round(
+            ranks["mid2"].cast("double") / (2 * ranks["_n"]).cast("double"),
+            6,
+        ).alias(out_col),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    step after `k_anonymity_audit`'s k/l checks: a group can be large
+    (k ok) and diverse (l ok) yet still leak because its sensitive
+    DISTRIBUTION differs from the table's (everyone in the group
+    skews high). For an ORDERED sensitive attribute the distance is
+    the Earth-Mover's Distance between group and global
+    distributions, which over m distinct values with unit spacing is
+
+        EMD = Σ_s |cumQ(s)/n_g − cumP(s)/N| / (m − 1)
+
+    — kept exact by cross-multiplication: ``emd_num`` =
+    Σ_s |cumQ(s)·N − cumP(s)·n_g| is an exact integer (decimal(38,0)
+    so n_g·N at 10^12 rows cannot overflow), the reported ``t`` its
+    one round-6 division by n_g·N·(m−1). Rank groups by the integer,
+    cut on the integer — the float is display.
+
+    Plan shape: two hash aggregates (global per-value counts — an
+    |s|-row frame that BROADCASTS; per-(group, value) counts), the
+    dense (group × s) grid via a broadcast cross join (|groups|·|s|
+    audit-sized rows), running sums over the collapsed grid with
+    explicit ROWS frames. NULL sensitive values are excluded from
+    both distributions (stated); NULL QI is its own group (the q201
+    convention).
+
+    Output: (qi..., n, emd_num, t) — t in [0, 1].
+    """
+    from pyspark.sql import Window
+
+    s = F.col(sensitive_col)
+    base = df.filter(s.isNotNull()).select(*qi_cols, s.alias("_s"))
+    glob = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_pc")
+    )
+    wg = Window.partitionBy(F.lit(1)).orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = glob.select(
+        "_s", F.sum("_pc").over(wg).alias("_cump")
+    ).crossJoin(
+        F.broadcast(
+            base.agg(
+                F.count(F.lit(1)).cast("long").alias("_nn"),
+                F.countDistinct("_s").cast("long").alias("_m"),
+            )
+        )
+    )
+    grp = base.groupBy(*qi_cols, "_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_qc")
+    )
+    groups = base.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_ng")
+    )
+    grid = groups.crossJoin(F.broadcast(glob))
+    cond = [grid[g].eqNullSafe(grp[g]) for g in qi_cols] + [
+        grid["_s"] == grp["_s"]
+    ]
+    grid = grid.join(grp, cond, "left").select(
+        *[grid[g] for g in qi_cols],
+        grid["_s"],
+        "_cump",
+        "_nn",
+        "_m",
+        "_ng",
+        F.coalesce(grp["_qc"], F.lit(0)).alias("_qc"),
+    )
+    wq = Window.partitionBy(*qi_cols).orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    grid = grid.withColumn("_cumq", F.sum("_qc").over(wq)).withColumn(
+        "_term",
+        F.abs(dec("_cumq") * dec("_nn") - dec("_cump") * dec("_ng")),
+    )
+    agg = grid.groupBy(*qi_cols).agg(
+        F.max("_ng").cast("long").alias("n"),
+        F.sum("_term").cast("decimal(38,0)").alias("_num"),
+        F.max("_nn").cast("long").alias("_tn"),
+        F.max("_m").cast("long").alias("_tm"),
+    )
+    den = (
+        dec("_tn").cast("double")
+        * F.col("n").cast("double")
+        * (F.col("_tm") - 1).cast("double")
+    )
+    return agg.select(
+        *qi_cols,
+        "n",
+        F.col("_num").cast("long").alias("emd_num"),
+        F.when(
+            F.col("_tm") > 1,
+            F.round(F.col("_num").cast("double") / den, 6),
+        ).otherwise(F.lit(0.0)).alias("t"),
+    )
