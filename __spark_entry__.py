@@ -5850,6 +5850,42 @@ def q229_t_closeness(spark, sf_dir):
     return t_closeness(docs, ["lang"], "len_bucket")
 
 
+def q230_rule_coviolation(spark, sf_dir):
+    """Rule co-violation matrix (ValidationResult.coviolation_matrix):
+    (rule_a, rule_b, n_rows) for every unordered pair of rules that
+    fail TOGETHER on a row — the rule-redundancy/root-cause table.
+    Pairs expand ROW-LOCALLY from the engine's failed array (never a
+    self-join of the violations frame, which has no row identity and
+    shuffles at corpus scale); the oracle re-derives every pair count
+    from the q02 rule predicates in one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return res.coviolation_matrix()
+
+
+def _coviolation_oracle_sql() -> str:
+    """One scan: a conditional sum per unordered rule pair (45 for the
+    10-rule flagship set), stacked to long form, zero-pairs dropped
+    (they never appear in the Spark output either)."""
+    names = {k: f"{f}:{v}" for k, f, v in _RULE_ORDER}
+    keys = [k for k, _, _ in _RULE_ORDER]
+    sums, rows = [], []
+    i = 0
+    for x in range(len(keys)):
+        for y in range(x + 1, len(keys)):
+            kx, ky = keys[x], keys[y]
+            a, b = sorted((names[kx], names[ky]))
+            sums.append(
+                f"sum((({_V[kx]}) AND ({_V[ky]}))::int)::bigint AS _n_{i}"
+            )
+            rows.append(f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, _n_{i} AS n_rows FROM s")
+            i += 1
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM documents) "
+        "SELECT * FROM (" + " UNION ALL ".join(rows) + ") WHERE n_rows > 0"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6081,6 +6117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_source_scorecard": q227_source_scorecard,
         "q228_quantile_normalize": q228_quantile_normalize,
         "q229_t_closeness": q229_t_closeness,
+        "q230_rule_coviolation": q230_rule_coviolation,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11826,6 +11863,8 @@ def oracle_sql() -> dict[str, str]:
                    n_langs, n_short, sum_chars
             FROM g1 JOIN g2 ON g1.source = g2.source
         """,
+        # q230: 45 conditional pair sums in one scan, stacked
+        "q230_rule_coviolation": _coviolation_oracle_sql(),
         # q228: distinct-value mid-ranks joined back; NULL n_chars rows
         # pass through with NULL pct
         "q228_quantile_normalize": """

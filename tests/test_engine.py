@@ -732,3 +732,31 @@ def test_observed_counters_free_with_the_action(spark):
         F.sum(F.size("_vs_failed").cast("long")).alias("v"),
     ).collect()[0]
     assert got["n_pass"] == ref["p"] and got["n_violations"] == ref["v"]
+
+
+def test_coviolation_matrix_row_local_pairs(spark):
+    from validate_spark import RuleSet, validate
+
+    rs = RuleSet(rules={
+        "a": "required|min:10",
+        "b": "required",
+        "c": "min:5",
+    })
+    df = spark.createDataFrame(
+        [
+            (1, None, None, 3),   # a:required + b:required + c:min
+            (2, 5, "x", 9),       # a:min only (no pair)
+            (3, 4, None, 2),      # a:min + b:required + c:min
+            (4, 50, "y", 8),      # clean
+        ],
+        "rid long, a int, b string, c int",
+    )
+    out = {(r["rule_a"], r["rule_b"]): r["n_rows"]
+           for r in validate(df, rs, key_cols=["rid"]).coviolation_matrix().collect()}
+    assert out == {
+        ("a:required", "b:required"): 1,
+        ("a:required", "c:min"): 1,
+        ("b:required", "c:min"): 2,
+        ("a:min", "b:required"): 1,
+        ("a:min", "c:min"): 1,
+    }

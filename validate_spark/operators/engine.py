@@ -87,6 +87,49 @@ class ValidationResult:
             first.getField("message").alias("message"),
         )
 
+    def coviolation_matrix(self) -> DataFrame:
+        """Which rules fail TOGETHER: (rule_a, rule_b, n_rows) for
+        every unordered pair of violated rules (rule = field:validator,
+        rule_a < rule_b), counting rows where both fired — the
+        rule-redundancy/root-cause table a rule-set owner reads (two
+        rules that always co-fire are one underlying data defect; a
+        pair that never co-fires partitions the failure modes).
+
+        Scale: pairs expand ROW-LOCALLY from the already-computed
+        failed array (bounded by |rules|² per row, typically ≤ a few
+        dozen) — no self-join of the violations frame (which would
+        need a row identity and shuffles billions of violation rows at
+        10^12 scale), then one hash aggregate over ≤ |rules|² keys.
+        """
+        rules = F.array_sort(
+            F.transform(
+                F.col(FAILED_COL),
+                lambda s: F.concat_ws(
+                    ":", s.getField("field"), s.getField("validator")
+                ),
+            )
+        )
+        pairs = F.flatten(
+            F.transform(
+                rules,
+                lambda x, i: F.transform(
+                    F.slice(rules, i + 2, F.size(rules)),
+                    lambda y: F.struct(
+                        x.alias("rule_a"), y.alias("rule_b")
+                    ),
+                ),
+            )
+        )
+        return (
+            self.annotated.filter(F.size(F.col(FAILED_COL)) >= 2)
+            .select(F.explode(pairs).alias("_p"))
+            .groupBy(
+                F.col("_p.rule_a").alias("rule_a"),
+                F.col("_p.rule_b").alias("rule_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+
     def safe_rows(self) -> DataFrame:
         """safeData semantics: rows with ZERO violations, carrying the
         filtered/default-substituted (cleaned) values
