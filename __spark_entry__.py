@@ -5886,6 +5886,39 @@ def _coviolation_oracle_sql() -> str:
     )
 
 
+def q231_audio_fingerprint(spark, sf_dir):
+    """Audio-fingerprint near-dup (multimodal.audio_fingerprint_neardup)
+    — the AUDIO tier of the media dedup stack beside q195's image
+    phash: ordered frame-signature shingles through the SAME
+    prefix-filtered AllPairs engine as q44 (gram_set_jaccard_pairs —
+    the modality only contributes the gram builder). Fixture plants
+    truncated re-encodes (every 7th audio doc's first 41 bytes): the
+    clone shares its leading frame run → J = 0.5 against the
+    original; the oracle verifies by exhaustive exact Jaccard over
+    SQL-re-derived frame grams."""
+    from validate_spark.operators import multimodal as mm
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    med = mm.attach_fake_media(docs)
+    kind = F.pmod(
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(d.cast("string")), 1, 1),
+        )
+        - 1,
+        F.lit(3),
+    )
+    audio = med.filter(kind == 2).select("doc_id", "media_data")
+    clones = audio.filter(d % 7 == 0).select(
+        (d + 3000000).alias("doc_id"),
+        F.substring(F.col("media_data"), 1, 41).alias("media_data"),
+    )
+    return mm.audio_fingerprint_neardup(
+        audio.unionAll(clones), gram=2, threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6118,6 +6151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_quantile_normalize": q228_quantile_normalize,
         "q229_t_closeness": q229_t_closeness,
         "q230_rule_coviolation": q230_rule_coviolation,
+        "q231_audio_fingerprint": q231_audio_fingerprint,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11862,6 +11896,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT g1.source, n_docs, n_unique_texts, n_dup_rows,
                    n_langs, n_short, sum_chars
             FROM g1 JOIN g2 ON g1.source = g2.source
+        """,
+        # q231: frame signatures re-derived as hex substrings of the
+        # deterministic media payload; exhaustive exact Jaccard over
+        # 2-shingles of the ordered frame sequence
+        "q231_audio_fingerprint": """
+            WITH au AS (
+              SELECT doc_id,
+                     '52494646' || md5(doc_id::varchar)
+                       || md5(doc_id::varchar || ':2')
+                       || md5(doc_id::varchar || ':3') AS hx
+              FROM documents
+              WHERE (strpos('0123456789abcdef',
+                       substr(md5(doc_id::varchar), 1, 1)) - 1) % 3 = 2
+            ), corpus AS (
+              SELECT doc_id::varchar AS k, hx FROM au
+              UNION ALL
+              SELECT (doc_id + 3000000)::varchar, substr(hx, 1, 82)
+              FROM au WHERE doc_id % 7 = 0
+            ), fr AS (
+              SELECT k, list_transform(
+                       generate_series(0, (length(hx) // 32) - 1),
+                       i -> substr(hx, i * 32 + 1, 32)) AS sigs
+              FROM corpus
+            ), g AS (
+              SELECT k, list_distinct(list_transform(
+                       generate_series(1, greatest(len(sigs) - 1, 1)),
+                       i -> array_to_string(sigs[i:i+1], '|'))) AS grams
+              FROM fr WHERE len(sigs) > 0
+            ), p AS (
+              SELECT x.k AS a, y.k AS b,
+                     round(len(list_intersect(x.grams, y.grams))::double
+                       / len(list_distinct(x.grams || y.grams))::double,
+                       6) AS jaccard
+              FROM g x JOIN g y ON x.k < y.k
+            )
+            SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5
         """,
         # q230: 45 conditional pair sums in one scan, stacked
         "q230_rule_coviolation": _coviolation_oracle_sql(),

@@ -1002,3 +1002,37 @@ def test_t_closeness_skewed_group_flagged(spark):
         assert not math.isnan(r["t"])
     # the skewed group scores strictly higher
     assert out["hi"]["t"] > out["bal"]["t"]
+
+
+# ----------------------------------------------------- audio fingerprint
+
+def test_audio_fingerprint_sequence_not_set(spark):
+    """A truncated re-encode (shared leading frame RUN) matches; a
+    remix of the SAME frames in a different order does not — the
+    property that makes shingles a fingerprint, not a bag."""
+    from validate_spark.operators.multimodal import audio_fingerprint_neardup
+
+    f = [bytes([i] * 16) for i in range(5)]  # five distinct frames
+    rows = [
+        (1, b"".join(f)),                      # f0 f1 f2 f3 f4
+        (2, b"".join(f[:4])),                  # truncated: f0 f1 f2 f3
+        (3, b"".join([f[4], f[2], f[0], f[3], f[1]])),  # remix
+        (4, b"completely different bytes..!!!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_data binary")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           audio_fingerprint_neardup(df, gram=2, threshold=0.5).collect()}
+    # grams(1) = {01,12,23,34}, grams(2) = {01,12,23} → J = 3/4
+    assert got == {("1", "2"): 0.75}
+
+
+def test_audio_fingerprint_short_clip_whole_sequence(spark):
+    from validate_spark.operators.multimodal import audio_fingerprint_neardup
+
+    one = bytes(range(16))
+    rows = [(1, one), (2, one), (3, bytes(range(16, 32)))]
+    df = spark.createDataFrame(rows, "doc_id long, media_data binary")
+    got = {(r["a"], r["b"]) for r in
+           audio_fingerprint_neardup(df, gram=2, threshold=0.9).collect()}
+    # single-frame clips: whole sequence = one gram → exact dup found
+    assert got == {("1", "2")}

@@ -678,6 +678,24 @@ def ngram_jaccard_pairs(
     hashed-gram intersection (array<long>, not strings).
     """
     sets_ = word_ngram_frame(df, text_col, key_col, n=n)
+    return gram_set_jaccard_pairs(
+        sets_, threshold=threshold, max_bucket=max_bucket
+    )
+
+
+def gram_set_jaccard_pairs(
+    sets_: DataFrame,
+    *,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The prefix-filtered AllPairs Jaccard join over an ALREADY-BUILT
+    gram frame ``(k: string, grams: array<string>)`` — the engine of
+    `ngram_jaccard_pairs` (see its docstring for the prefix lemma,
+    rarest-first ordering, recall contract and scale guards), exposed
+    so non-text modalities reuse it: `multimodal.
+    audio_fingerprint_neardup` feeds frame-signature shingles through
+    the identical machinery (any (key, token-set) dedup does)."""
     hashed = sets_.select(
         "k",
         F.array_sort(
@@ -693,7 +711,7 @@ def ngram_jaccard_pairs(
     # 1-2 tasks (the q16 candidate-pair lesson, BENCH.md §5) — an
     # explicit repartition(n, "g") also makes the freq aggregate AND
     # the join reuse one exchange (co-partitioned, zero extra shuffle).
-    spark = df.sparkSession
+    spark = sets_.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 16)
     grams_doc = hashed.select(
         "k", F.size("gh").alias("n"), F.explode("gh").alias("g")

@@ -446,3 +446,88 @@ def phash_candidates(
         pairs.select("a", "b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup (the audio tier of the media dedup stack)
+# ---------------------------------------------------------------------------
+
+def audio_frame_sigs(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    data_col: str = "media_data",
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """(k, sigs: array<string>) — ORDERED per-frame signatures of an
+    audio blob: each full ``frame_bytes`` block's hex string (the
+    chromaprint shape: a fingerprint is the SEQUENCE of per-window
+    spectral hashes; the stub's 'spectral hash' is the block itself —
+    already md5-derived bytes under `attach_fake_media`, and a real
+    decoder would put an FFT+quantize here exactly like
+    `decode_image_real` documents for images). Trailing partial
+    blocks are dropped (a real window function needs a full window).
+    Map-only, native Column ops (hex/substring on binary)."""
+    d = F.col(data_col)
+    n_frames = F.floor(F.octet_length(d) / frame_bytes).cast("int")
+    sigs = F.when(
+        n_frames > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+            lambda i: F.hex(
+                F.substring(d, i * frame_bytes + 1, frame_bytes)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(key_col).cast("string").alias("k"), sigs.alias("sigs")
+    )
+
+
+def audio_fingerprint_neardup(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    data_col: str = "media_data",
+    frame_bytes: int = 16,
+    gram: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Audio near-duplicate pairs — the AUDIO tier of the media dedup
+    stack beside `phash_candidates` (images): two recordings match
+    when they share enough CONSECUTIVE frame-signature runs, i.e.
+    Jaccard over ``gram``-length shingles of the ordered frame
+    signatures ≥ threshold. Shingling over the SEQUENCE (not the
+    frame set) is what makes it a fingerprint: a re-encode that keeps
+    the stream matches; a shuffled remix of the same frames does not.
+
+    Everything after the signature projection IS the text dedup
+    engine — `dedup.gram_set_jaccard_pairs` (prefix-filtered
+    AllPairs, rarest-first, bounded buckets, exact verify); the
+    modality only contributes the gram builder, which is the whole
+    point of normalizing media to (key, token-set) early. Short
+    clips (< gram+1 frames) contribute their whole signature sequence
+    as one gram (the `word_ngram_frame` convention, so exact-dup
+    short clips still pair).
+
+    Output: (a, b, jaccard round-6) — same contract as q44.
+    """
+    from validate_spark.operators.dedup import gram_set_jaccard_pairs
+
+    sigs = audio_frame_sigs(
+        df, key_col=key_col, data_col=data_col, frame_bytes=frame_bytes
+    ).filter(F.size("sigs") > 0)
+    s = F.col("sigs")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(s) - (gram - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws("|", F.slice(s, i, gram)),
+        )
+    )
+    sets_ = sigs.select("k", grams.alias("grams"))
+    return gram_set_jaccard_pairs(
+        sets_, threshold=threshold, max_bucket=max_bucket
+    )
