@@ -5919,6 +5919,51 @@ def q231_audio_fingerprint(spark, sf_dir):
     )
 
 
+def q232_span_dup_topline(spark, sf_dir):
+    """Span-granularity duplication topline per modality
+    (multimodal.modality_dup_topline): interleaved spans derived from
+    documents (q190's rotation, here with CONTENT — text spans carry
+    40-char slices, media spans a mod-50 asset catalog so the same
+    image reused across pages is the planted duplication mode); per
+    kind, exact n_spans / n_distinct / dup_rows via the two-phase
+    (kind, key) rollup. The axes-A+B lift of q15's doc-level
+    topline — a corpus clean at doc granularity can still be 95%
+    one logo at span granularity."""
+    from validate_spark.operators.multimodal import modality_dup_topline
+
+    d = F.col("doc_id")
+    kinds = F.array(F.lit("text"), F.lit("image"), F.lit("audio"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def span(j: int):
+        kind = F.get(kinds, F.pmod(d + j, F.lit(3)).cast("int"))
+        stext = F.when(
+            kind == "text", F.substring(F.col("text"), 1 + j * 40, 40)
+        )
+        ref = F.when(
+            kind != "text",
+            F.concat(
+                F.lit("m-"),
+                F.lpad(F.pmod(d * 7 + j, F.lit(50)).cast("string"), 4, "0"),
+            ),
+        )
+        return F.struct(
+            kind.alias("kind"), stext.alias("stext"), ref.alias("media_ref")
+        )
+
+    spans = docs.select(
+        F.explode(F.array(span(0), span(1), span(2))).alias("s")
+    ).select("s.kind", "s.stext", "s.media_ref")
+    keyed = spans.withColumn(
+        "dup_key",
+        F.when(
+            F.col("kind") == "text",
+            F.md5(F.coalesce(F.col("stext"), F.lit(""))),
+        ).otherwise(F.col("media_ref")),
+    )
+    return modality_dup_topline(keyed)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6152,6 +6197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_t_closeness": q229_t_closeness,
         "q230_rule_coviolation": q230_rule_coviolation,
         "q231_audio_fingerprint": q231_audio_fingerprint,
+        "q232_span_dup_topline": q232_span_dup_topline,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11896,6 +11942,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT g1.source, n_docs, n_unique_texts, n_dup_rows,
                    n_langs, n_short, sum_chars
             FROM g1 JOIN g2 ON g1.source = g2.source
+        """,
+        # q232: 3-span rotation with content; per-kind two-phase dup
+        # rollup; text key = md5(coalesced 40-char slice), media key =
+        # the mod-50 asset ref
+        "q232_span_dup_topline": """
+            WITH s AS (
+              SELECT CASE (doc_id + j) % 3 WHEN 0 THEN 'text'
+                          WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+                     CASE WHEN (doc_id + j) % 3 = 0
+                          THEN md5(coalesce(substr(text, 1 + j * 40, 40),
+                                            ''))
+                          ELSE 'm-' || lpad(((doc_id * 7 + j) % 50)
+                                 ::varchar, 4, '0') END AS k
+              FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+            ), per AS (
+              SELECT kind, k, count(*)::bigint AS cnt
+              FROM s GROUP BY kind, k
+            )
+            SELECT kind, sum(cnt)::bigint AS n_spans,
+                   count(*)::bigint AS n_distinct,
+                   sum(cnt - 1)::bigint AS dup_rows
+            FROM per GROUP BY kind
         """,
         # q231: frame signatures re-derived as hex substrings of the
         # deterministic media payload; exhaustive exact Jaccard over

@@ -1036,3 +1036,17 @@ def test_audio_fingerprint_short_clip_whole_sequence(spark):
            audio_fingerprint_neardup(df, gram=2, threshold=0.9).collect()}
     # single-frame clips: whole sequence = one gram → exact dup found
     assert got == {("1", "2")}
+
+
+def test_modality_dup_topline_counts(spark):
+    from validate_spark.operators.multimodal import modality_dup_topline
+
+    rows = [("image", "m-1"), ("image", "m-1"), ("image", "m-2"),
+            ("text", "h1"), ("text", "h2"), ("text", None), ("text", None)]
+    df = spark.createDataFrame(rows, "kind string, dup_key string")
+    out = {r["kind"]: r for r in modality_dup_topline(df).collect()}
+    img = out["image"]
+    assert (img["n_spans"], img["n_distinct"], img["dup_rows"]) == (3, 2, 1)
+    # NULL keys coalesce to ONE countable group
+    txt = out["text"]
+    assert (txt["n_spans"], txt["n_distinct"], txt["dup_rows"]) == (4, 3, 1)

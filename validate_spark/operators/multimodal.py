@@ -531,3 +531,37 @@ def audio_fingerprint_neardup(
     return gram_set_jaccard_pairs(
         sets_, threshold=threshold, max_bucket=max_bucket
     )
+
+
+def modality_dup_topline(
+    df: DataFrame,
+    *,
+    kind_col: str = "kind",
+    key_col: str = "dup_key",
+) -> DataFrame:
+    """Duplication topline at SPAN granularity, per modality: given an
+    exploded span frame with a modality column and a per-span dedup
+    key (md5 text fingerprint for text spans, the media_ref for media
+    spans — the same asset embedded in many documents IS the dominant
+    media-duplication mode), report per kind
+
+        (kind, n_spans, n_distinct, dup_rows)
+
+    — the interleaved-payload lift of the document-level duplication
+    topline: a corpus can look clean at doc granularity while 40% of
+    its image spans are one logo. Two-phase ((kind, key) counts →
+    kind rollup): aggregation state is bounded by distinct keys, never
+    a collect of span payloads. NULL keys are coalesced to '' (the
+    manifest md5 rule) so they form one countable group.
+    """
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    per = (
+        df.select(F.col(kind_col).alias("kind"), key.alias("_k"))
+        .groupBy("kind", "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    return per.groupBy("kind").agg(
+        F.sum("_cnt").cast("long").alias("n_spans"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("_cnt") - 1).cast("long").alias("dup_rows"),
+    )
