@@ -234,6 +234,11 @@ BENCH_QUERIES = [
     "q225_contrastive_negatives",
     "q226_trimmed_mean",
     "q227_source_scorecard",
+    "q228_quantile_normalize",
+    "q229_t_closeness",
+    "q230_rule_coviolation",
+    "q231_audio_fingerprint",
+    "q232_span_dup_topline",
 ]
 
 
