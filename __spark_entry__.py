@@ -5964,6 +5964,104 @@ def q232_span_dup_topline(spark, sf_dir):
     return modality_dup_topline(keyed)
 
 
+def q233_embedding_lsh_recall(spark, sf_dir):
+    """Embedding sign-LSH recall report (q209's measure-don't-guess
+    loop for the EMBEDDING dedup tier): candidates from the 8-plane
+    sign-bucket path (q18's scale machinery) vs the exhaustive exact-
+    cosine truth, at TWO thresholds — 0.99 (exact-dup regime: sign
+    buckets always agree on identical vectors → full recall) and 0.5
+    (moderate-similarity regime: one 8-plane table keeps only
+    ~(1−θ/π)⁸ ≈ 4% of cos≈0.5 pairs — on the sf fixture it misses
+    ALL of them while finding every exact dup: the honest number
+    that says single-table sign-LSH needs multi-probe/OR-banding
+    below the near-dup regime).
+    The oracle replays the SAME numpy plane literals and the SAME
+    fold arithmetic, so all ten region counts hash-match."""
+    from validate_spark.operators.dedup import (
+        dedup_recall_report,
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    v = F.col("embedding")
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == 64)
+        & F.forall(
+            v,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        )
+    )
+    emb = _doubled_emb(spark, sf_dir).filter(valid)
+    reports = []
+    for t in (0.5, 0.99):
+        cand = embedding_neardup_lsh(
+            emb, threshold=t, n_planes=8, seed=7, dim=64
+        ).select("a", "b")
+        truth = embedding_neardup_pairs(emb, threshold=t).select("a", "b")
+        reports.append(
+            dedup_recall_report(cand, truth).select(
+                F.lit(int(t * 100)).alias("threshold_pct"), "*"
+            )
+        )
+    return reports[0].unionByName(reports[1])
+
+
+def _emb_lsh_recall_sql() -> str:
+    """q233 oracle: the identical numpy(seed=7) plane literals, sign
+    buckets, and cosine folds (per-vector norms then dot/(na·nb) — the
+    exact operator arithmetic), region counts per threshold."""
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((8, 64))
+    bucket_terms = []
+    for p in range(8):
+        pl = ", ".join(repr(float(planes[p, d])) for d in range(64))
+        dot = (
+            "list_aggregate(list_transform(generate_series(1, 64), "
+            f"i -> v[i]::DOUBLE * ([{pl}])[i]), 'sum')"
+        )
+        bucket_terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** p}"
+        )
+    bucket = " + ".join(bucket_terms)
+    region = (
+        "SELECT {pct} AS threshold_pct, "
+        "sum((cos >= {t})::int)::bigint AS n_truth, "
+        "sum((same_bucket AND cos >= {t})::int)::bigint AS n_candidates, "
+        "sum((cos >= {t} AND same_bucket)::int)::bigint AS n_matched, "
+        "sum((cos >= {t} AND NOT same_bucket)::int)::bigint AS n_missed, "
+        "0::bigint AS n_extra FROM pairs"
+    )
+    return f"""
+        WITH val AS MATERIALIZED (
+          SELECT vec_id, embedding AS v FROM ({_DOUBLED_EMB})
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL
+                  OR isnan(x) OR isinf(x))) = 0
+        ), bkt AS MATERIALIZED (
+          SELECT vec_id, v, {bucket} AS bucket,
+                 sqrt(list_aggregate(list_transform(
+                   generate_series(1, 64),
+                   i -> v[i]::DOUBLE * v[i]::DOUBLE), 'sum')) AS nrm
+          FROM val
+        ), pairs AS MATERIALIZED (
+          SELECT (x.bucket = y.bucket) AS same_bucket,
+                 CASE WHEN x.nrm > 0 AND y.nrm > 0 THEN
+                   list_aggregate(list_transform(generate_series(1, 64),
+                     i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE), 'sum')
+                   / (x.nrm * y.nrm)
+                 ELSE 0.0 END AS cos
+          FROM bkt x JOIN bkt y ON x.vec_id < y.vec_id
+        )
+        {region.format(pct=50, t=0.5)}
+        UNION ALL
+        {region.format(pct=99, t=0.99)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6198,6 +6296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_rule_coviolation": q230_rule_coviolation,
         "q231_audio_fingerprint": q231_audio_fingerprint,
         "q232_span_dup_topline": q232_span_dup_topline,
+        "q233_embedding_lsh_recall": q233_embedding_lsh_recall,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -11943,6 +12042,9 @@ def oracle_sql() -> dict[str, str]:
                    n_langs, n_short, sum_chars
             FROM g1 JOIN g2 ON g1.source = g2.source
         """,
+        # q233: plane literals + fold arithmetic replayed; cand ⊆ truth
+        # by construction so n_extra is identically 0
+        "q233_embedding_lsh_recall": _emb_lsh_recall_sql(),
         # q232: 3-span rotation with content; per-kind two-phase dup
         # rollup; text key = md5(coalesced 40-char slice), media key =
         # the mod-50 asset ref
