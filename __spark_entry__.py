@@ -6062,6 +6062,29 @@ def _emb_lsh_recall_sql() -> str:
     """
 
 
+def q234_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivf_pq_topk) — the production
+    billion-vector layout capping the compression ladder: 4 md5-
+    sampled coarse centroids route each query to its nprobe=2 nearest
+    inverted lists; inside them, q219's integer ADC scores m=8 codes
+    per candidate. Bucket assignment, probe ranking, and every ADC
+    cell are bit-identical replayable, so the oracle re-derives the
+    full candidate set and ranking in SQL. Recall loss (a neighbor in
+    an unprobed bucket) is the honest IVF price — q220/q233's loop
+    measures it before nprobe freezes."""
+    from validate_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    valid = emb.filter(sim._pq_valid(F.col("embedding"), 64))
+    cents = sim.sample_centroids(valid, 4)
+    cb = sim.pq_codebooks(emb, m=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sim.ivf_pq_topk(emb, q, cents, cb, k=10, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6297,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_audio_fingerprint": q231_audio_fingerprint,
         "q232_span_dup_topline": q232_span_dup_topline,
         "q233_embedding_lsh_recall": q233_embedding_lsh_recall,
+        "q234_ivf_pq": q234_ivf_pq,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -12045,6 +12069,87 @@ def oracle_sql() -> dict[str, str]:
         # q233: plane literals + fold arithmetic replayed; cand ⊆ truth
         # by construction so n_extra is identically 0
         "q233_embedding_lsh_recall": _emb_lsh_recall_sql(),
+        # q234: q219's PQ replay + coarse buckets (argmin full-dim L2²
+        # over the 4 md5-sampled centroids, ties to lower id) + nprobe=2
+        # probe ranking per query
+        "q234_ivf_pq": """
+            WITH val AS MATERIALIZED (
+              SELECT vec_id, embedding AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+                AND len(list_filter(embedding, x -> x IS NULL
+                      OR isnan(x) OR isinf(x))) = 0
+            ), cent AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::varchar))
+                       - 1 AS c, v AS cvec
+              FROM val ORDER BY md5(vec_id::varchar) LIMIT 4
+            ), cb AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::varchar))
+                       - 1 AS code, v
+              FROM val ORDER BY md5(vec_id::varchar) LIMIT 16
+            ), sub AS MATERIALIZED (
+              SELECT code, j, v[j*8+1 : j*8+8] AS cv
+              FROM cb CROSS JOIN generate_series(0, 7) AS g(j)
+            ), bkt AS MATERIALIZED (
+              SELECT vec_id, c AS bucket FROM (
+                SELECT d.vec_id, ct.c,
+                       row_number() OVER (PARTITION BY d.vec_id
+                         ORDER BY list_aggregate(list_transform(
+                           generate_series(1, 64),
+                           i -> (d.v[i]::DOUBLE - ct.cvec[i]::DOUBLE)
+                              * (d.v[i]::DOUBLE - ct.cvec[i]::DOUBLE)),
+                           'sum') ASC, ct.c ASC) AS rn
+                FROM val d CROSS JOIN cent ct
+              ) WHERE rn = 1
+            ), codes AS MATERIALIZED (
+              SELECT vec_id, j, code FROM (
+                SELECT d.vec_id, s.j, s.code,
+                       row_number() OVER (PARTITION BY d.vec_id, s.j
+                         ORDER BY list_aggregate(list_transform(
+                           generate_series(1, 8),
+                           i -> (d.v[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)
+                              * (d.v[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)),
+                           'sum') ASC, s.code ASC) AS rn
+                FROM val d CROSS JOIN sub s
+              ) WHERE rn = 1
+            ), q AS MATERIALIZED (
+              SELECT vec_id AS query_id, v AS qv FROM val WHERE vec_id < 8
+            ), qprobe AS MATERIALIZED (
+              SELECT query_id, c FROM (
+                SELECT q.query_id, ct.c,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_aggregate(list_transform(
+                           generate_series(1, 64),
+                           i -> (q.qv[i]::DOUBLE - ct.cvec[i]::DOUBLE)
+                              * (q.qv[i]::DOUBLE - ct.cvec[i]::DOUBLE)),
+                           'sum') ASC, ct.c ASC) AS rn
+                FROM q CROSS JOIN cent ct
+              ) WHERE rn <= 2
+            ), tbl AS MATERIALIZED (
+              SELECT q.query_id, s.j, s.code,
+                     floor(list_aggregate(list_transform(
+                       generate_series(1, 8),
+                       i -> (q.qv[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)
+                          * (q.qv[s.j*8+i]::DOUBLE - s.cv[i]::DOUBLE)),
+                       'sum') * 1000000 + 0.5)::bigint AS cell
+              FROM q CROSS JOIN sub s
+            ), score AS MATERIALIZED (
+              SELECT t.query_id, cd.vec_id AS neighbor_id,
+                     sum(t.cell)::bigint AS adc
+              FROM codes cd
+              JOIN bkt b ON b.vec_id = cd.vec_id
+              JOIN qprobe p ON p.c = b.bucket
+              JOIN tbl t ON t.query_id = p.query_id
+                        AND cd.j = t.j AND cd.code = t.code
+              WHERE cd.vec_id <> t.query_id
+              GROUP BY 1, 2
+            )
+            SELECT query_id, neighbor_id, rk::int AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rk
+              FROM score
+            ) WHERE rk <= 10
+        """,
         # q232: 3-span rotation with content; per-kind two-phase dup
         # rollup; text key = md5(coalesced 40-char slice), media key =
         # the mod-50 asset ref

@@ -707,3 +707,39 @@ def test_negative_samples_excludes_same_label_and_is_deterministic(spark):
     for aid, pairs in got.items():
         alab = "lab0" if aid == 0 else "lab1"
         assert all(labs[c] != alab for _, c in pairs)
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark):
+    # nprobe = n_centroids probes every list → must equal pq_adc_topk
+    # row for row (the q20 full-probe validation lifted to PQ)
+    from validate_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        sample_centroids,
+    )
+
+    rows, emb, q = _pq_fixture(spark, n=40, d=16)
+    cb = pq_codebooks(emb, m=4, n_codes=8)
+    cents = sample_centroids(emb, 3)
+    key = lambda r: (r["query_id"], r["rank"])
+    full = sorted(ivf_pq_topk(emb, q, cents, cb, k=5, nprobe=3).collect(), key=key)
+    plain = sorted(pq_adc_topk(emb, q, cb, k=5).collect(), key=key)
+    assert full == plain
+
+
+def test_ivf_pq_probe_restriction_is_subset(spark):
+    from validate_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        sample_centroids,
+    )
+
+    rows, emb, q = _pq_fixture(spark, n=40, d=16)
+    cb = pq_codebooks(emb, m=4, n_codes=8)
+    cents = sample_centroids(emb, 3)
+    one = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_pq_topk(emb, q, cents, cb, k=40, nprobe=1).collect()}
+    three = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_pq_topk(emb, q, cents, cb, k=40, nprobe=3).collect()}
+    assert one < three  # strictly fewer candidates with fewer probes

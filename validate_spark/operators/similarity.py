@@ -845,3 +845,151 @@ def negative_samples(
         .select("query_id", "neighbor_id", (-h).alias("cos"))
     )
     return _two_phase_topk(scored, n)
+
+
+def _full_l2(vec_col: Column, cvec: list[float]) -> Column:
+    """Unrolled full-dimension L2² against a literal vector — the
+    `_pq_subdist` chain without slicing (same left-to-right addition
+    order, same bit-identity contract)."""
+    expr: Column = F.lit(0.0)
+    for i, c in enumerate(cvec):
+        d = F.get(vec_col, i).cast("double") - F.lit(float(c))
+        expr = expr + d * d
+    return expr
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN layout — coarse
+    inverted lists (IVF, q20) select WHICH vectors to score, product
+    quantization (PQ, q219) decides HOW CHEAPLY: a query scans only
+    its ``nprobe`` nearest centroids' lists, and inside them pays m
+    int64 table lookups per candidate instead of a d-dim float dot.
+    Corpus memory is m bytes + 1 bucket id per vector; scan cost drops
+    by ~|buckets|/nprobe on top of PQ's 32×.
+
+    Determinism stack (everything the q219/q20 contracts give):
+    centroids and codebooks are md5-ordered samples (SQL-replayable),
+    bucket assignment is argmin over bit-identical unrolled L2²
+    chains (ties to the lower centroid id), probe selection ranks the
+    SAME chains per query, ADC cells are floor(d·1e6+0.5) int64 —
+    the candidate SET and the final (score asc, id asc) ranking are
+    exact in both engines. Recall loss is the honest IVF price
+    (a true neighbor in an unprobed bucket is missed) — measure with
+    the q220/q233 recall-report loop before freezing nprobe.
+
+    Plan: bucket assignment rides the SAME map-only projection as
+    `pq_encode` (one pass emits codes + bucket); the query-side probe
+    set and ADC table broadcast; candidate filtering is a map-side
+    array_contains against the broadcast probe array — the corpus
+    never shuffles; top-k is the two-phase skew-free merge.
+    """
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    d = m * sub
+    n_cent = len(centroids)
+
+    bucket_of = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _full_l2(F.col("_v"), centroids[c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(n_cent)
+            ]
+        )
+    ).getField("c")
+
+    c_base = corpus.filter(_pq_valid(F.col(vec_col), d)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    staged = c_base.select(
+        "neighbor_id",
+        bucket_of.alias("_bkt"),
+        *[
+            F.slice(F.col("_v"), j * sub + 1, sub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+
+    def argmin(j: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]).alias("d"),
+                        F.lit(cc).alias("c"),
+                    )
+                    for cc in range(n_codes)
+                ]
+            )
+        ).getField("c")
+
+    codes = staged.select(
+        "neighbor_id",
+        "_bkt",
+        F.array(*[argmin(j).cast("int") for j in range(m)]).alias("codes"),
+    )
+
+    q = queries.filter(_pq_valid(F.col(query_vec_col), d)).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+    )
+    cent_ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _full_l2(F.col("_qv"), centroids[c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(n_cent)
+            ]
+        )
+    )
+    probes = F.transform(
+        F.slice(cent_ranked, 1, int(nprobe)), lambda s: s.getField("c")
+    )
+    qstaged = q.select(
+        "query_id",
+        probes.alias("_probes"),
+        *[
+            F.slice(F.col("_qv"), j * sub + 1, sub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+    cells = [
+        F.floor(
+            _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]) * 1e6 + F.lit(0.5)
+        ).cast("long")
+        for j in range(m)
+        for cc in range(n_codes)
+    ]
+    tbl = qstaged.select("query_id", "_probes", F.array(*cells).alias("tbl"))
+    scored = codes.crossJoin(F.broadcast(tbl)).filter(
+        F.array_contains(F.col("_probes"), F.col("_bkt"))
+    )
+    if not include_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.get(F.col("tbl"), j * n_codes + F.get(F.col("codes"), j)),
+    )
+    return _two_phase_topk(
+        scored.select("query_id", "neighbor_id", (-adc).alias("cos")), k
+    )
