@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "q230_rule_coviolation",
     "q231_audio_fingerprint",
     "q232_span_dup_topline",
+    "q233_embedding_lsh_recall",
+    "q234_ivf_pq",
 ]
 
 
