@@ -6085,6 +6085,101 @@ def q234_ivf_pq(spark, sf_dir):
     return sim.ivf_pq_topk(emb, q, cents, cb, k=10, nprobe=2)
 
 
+def q235_spatial_grid_join(spark, sf_dir):
+    """Grid-bucketed spatial distance join (spatial.grid_distance_join):
+    every (customer, supplier) pair whose synthetic integer coordinates
+    lie within Euclidean distance 300 on a 10k×10k grid — the scale
+    shape for "neighbors within r" that replaces the unrunnable cross
+    join with a cell equi-join: cell = coord div r, the SMALLER side
+    (suppliers, 100 rows) replicated into its 3×3 neighborhood, one
+    shuffle per side on (cx, cy), then the exact int64 squared-distance
+    filter. Coordinates are md5-derived (the house portable hash) so
+    the oracle re-derives the same points and checks the pair set with
+    a direct cross-join filter — exhaustive at sf, unrunnable at scale,
+    which is exactly the point."""
+    from validate_spark.operators.spatial import grid_distance_join
+
+    def pts(df, keycol, sx, sy):
+        def coord(seed):
+            k = F.concat_ws(
+                "\x1f", F.col(keycol).cast("string"), F.lit(str(seed))
+            )
+            return F.pmod(
+                F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("long"),
+                F.lit(10000),
+            )
+
+        return df.select(
+            F.col(keycol).alias("k"), coord(sx).alias("x"), coord(sy).alias("y")
+        )
+
+    cust = pts(_t(spark, sf_dir, "customer"), "c_custkey", 11, 12)
+    supp = pts(_t(spark, sf_dir, "supplier"), "s_suppkey", 13, 14)
+    return grid_distance_join(cust, supp, 300, replicate="right")
+
+
+def q236_merge_upsert(spark, sf_dir):
+    """Lakehouse MERGE semantics (snapdiff.merge_upsert): a CDC batch
+    against the customer table — matched rows updated (name suffixed,
+    balance +100.0: the identical IEEE op in both engines), matched
+    rows flagged deleted dropped (custkey%21 — a subset of the %7
+    matches, as MERGE deletes must be), unmatched rows inserted
+    (custkey+100000 clones of the %13 cohort). One anti-join + union,
+    no full-outer coalesce row widening; post-merge table returned.
+    Reference seed: UpdateSource write-back (validate.go:69-145)
+    lifted to table scale."""
+    from validate_spark.operators.snapdiff import merge_upsert
+
+    t = _t(spark, sf_dir, "customer")
+    upd = t.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_v2")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 21 == 0).alias("deleted"),
+    )
+    ins = t.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(100000)).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(False).alias("deleted"),
+    )
+    return merge_upsert(t, upd.unionByName(ins), ["c_custkey"], delete_col="deleted")
+
+
+def q237_token_budget_mix(spark, sf_dir):
+    """Static pretraining-mix allocation (sampling.token_budget_mix):
+    split a 50k-token budget across document sources by target ppm
+    weights (src0:40%, src1:30%, src2:20%, src5:10%, rest 0 — the
+    "forgotten source shows up with zero allocation" contract) under a
+    2.5-epoch repeat cap; n_chars stands in for tokens. desired/alloc/
+    epochs/deficit are all int64 div arithmetic — the per-source
+    deficit is what a second water-filling pass (a driver-side loop
+    over this |sources|-row frame) would re-spread. One groupBy(source)
+    shuffle; everything after is aggregate-sized."""
+    from validate_spark.operators.sampling import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs,
+        "source",
+        "n_chars",
+        budget=50_000,
+        weights_ppm={
+            "src0": 400_000,
+            "src1": 300_000,
+            "src2": 200_000,
+            "src5": 100_000,
+        },
+        max_epochs_ppm=2_500_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6321,6 +6416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_span_dup_topline": q232_span_dup_topline,
         "q233_embedding_lsh_recall": q233_embedding_lsh_recall,
         "q234_ivf_pq": q234_ivf_pq,
+        "q235_spatial_grid_join": q235_spatial_grid_join,
+        "q236_merge_upsert": q236_merge_upsert,
+        "q237_token_budget_mix": q237_token_budget_mix,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -12284,6 +12382,88 @@ def oracle_sql() -> dict[str, str]:
               ON e.query_id = p.query_id
              AND e.neighbor_id = p.neighbor_id
             GROUP BY e.query_id
+        """,
+        # q235: same md5-derived points, exhaustive cross-join filter
+        # (the O(|L|·|R|) plan the grid join exists to avoid — runnable
+        # only at oracle scale)
+        "q235_spatial_grid_join": """
+            WITH c AS (
+              SELECT c_custkey AS a,
+                CAST('0x' || substr(md5(c_custkey::VARCHAR || chr(31)
+                  || '11'), 1, 8) AS BIGINT) % 10000 AS ax,
+                CAST('0x' || substr(md5(c_custkey::VARCHAR || chr(31)
+                  || '12'), 1, 8) AS BIGINT) % 10000 AS ay
+              FROM customer
+            ), s AS (
+              SELECT s_suppkey AS b,
+                CAST('0x' || substr(md5(s_suppkey::VARCHAR || chr(31)
+                  || '13'), 1, 8) AS BIGINT) % 10000 AS bx,
+                CAST('0x' || substr(md5(s_suppkey::VARCHAR || chr(31)
+                  || '14'), 1, 8) AS BIGINT) % 10000 AS by
+              FROM supplier
+            )
+            SELECT a, b,
+                   (ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS dist2
+            FROM c, s
+            WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 90000
+        """,
+        # q236: MERGE re-derived as NOT EXISTS + UNION ALL of surviving
+        # source rows (updates %7, deletes %21 ⊂ matches, inserts %13
+        # shifted +100000)
+        "q236_merge_upsert": """
+            WITH src AS (
+              SELECT c_custkey,
+                     c_name || '_v2' AS c_name,
+                     c_nationkey,
+                     c_acctbal + 100.0 AS c_acctbal,
+                     c_mktsegment,
+                     (c_custkey % 21 = 0) AS deleted
+              FROM customer WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey + 100000,
+                     'new_' || c_custkey::VARCHAR,
+                     c_nationkey, 0.0, c_mktsegment, FALSE
+              FROM customer WHERE c_custkey % 13 = 0
+            )
+            SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+                   t.c_mktsegment
+            FROM customer t
+            WHERE NOT EXISTS (SELECT 1 FROM src s
+                              WHERE s.c_custkey = t.c_custkey)
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   c_mktsegment
+            FROM src WHERE NOT deleted
+        """,
+        # q237: identical int64 div arithmetic per source; total weight
+        # is exactly 1e6 by construction
+        "q237_token_budget_mix": """
+            WITH supply AS (
+              SELECT source, SUM(n_chars)::BIGINT AS tokens_avail
+              FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, tokens_avail,
+                     (CASE source WHEN 'src0' THEN 400000
+                                  WHEN 'src1' THEN 300000
+                                  WHEN 'src2' THEN 200000
+                                  WHEN 'src5' THEN 100000
+                                  ELSE 0 END)::BIGINT AS weight_ppm
+              FROM supply
+            ), d AS (
+              SELECT *,
+                     50000 * weight_ppm // 1000000 AS desired_tokens,
+                     tokens_avail * 2500000 // 1000000 AS cap
+              FROM w
+            )
+            SELECT source, tokens_avail, weight_ppm, desired_tokens,
+                   LEAST(desired_tokens, cap) AS alloc_tokens,
+                   CASE WHEN tokens_avail > 0
+                        THEN LEAST(desired_tokens, cap) * 1000000
+                             // tokens_avail
+                        ELSE 0 END AS epochs_ppm,
+                   desired_tokens - LEAST(desired_tokens, cap)
+                     AS deficit_tokens
+            FROM d
         """,
     }
 

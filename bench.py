@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "q232_span_dup_topline",
     "q233_embedding_lsh_recall",
     "q234_ivf_pq",
+    "q235_spatial_grid_join",
+    "q236_merge_upsert",
+    "q237_token_budget_mix",
 ]
 
 

@@ -757,3 +757,41 @@ def test_group_mad_robust_to_outliers(spark):
     assert rows["a"]["mad"] == 1.5 and rows["a"]["n"] == 4
     assert rows["b"]["mad"] == 0.0 and rows["b"]["n"] == 3
     assert rows["c"]["mad"] is None and rows["c"]["n"] == 0
+
+
+def test_merge_upsert_update_delete_insert(spark):
+    from validate_spark.operators.snapdiff import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "b2", 22.0, False),  # matched -> update
+            (3, "c", 30.0, True),    # matched + deleted -> drop
+            (9, "z", 90.0, False),   # not matched -> insert
+            (8, "y", 80.0, True),    # not matched but deleted -> no-op
+        ],
+        "k long, name string, bal double, deleted boolean",
+    )
+    out = merge_upsert(target, source, ["k"], delete_col="deleted")
+    assert out.columns == target.columns  # delete flag consumed
+    got = {(r.k, r.name, r.bal) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (2, "b2", 22.0), (9, "z", 90.0)}
+
+    # without delete_col every source row survives as update/insert
+    out2 = merge_upsert(target, source.drop("deleted"), ["k"])
+    assert {r.k for r in out2.collect()} == {1, 2, 3, 8, 9}
+
+    # schema guard: source must carry every target column
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        merge_upsert(target, source.drop("bal"), ["k"])
+    with _pt.raises(ValueError):
+        merge_upsert(target, source, ["k"], delete_col="nope")
+
+    # plan shape: anti-join + union, no window / full outer join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan and "Window" not in plan

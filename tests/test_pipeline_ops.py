@@ -1681,3 +1681,39 @@ def test_oov_report_counts_and_null_group(spark):
     assert (fr["n_docs"], fr["n_tokens"], fr["n_oov"], fr["n_bpe"]) == (2, 0, 0, 0)
     # fertility numerator: "the cat sat" → 3 BPE pieces etc.
     assert en["n_bpe"] == 6
+
+
+def test_token_budget_mix_allocation_and_caps(spark):
+    from validate_spark.operators.sampling import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [("small", 100), ("small", 100), ("big", 5000), ("ghost", 400)],
+        "src string, toks long",
+    )
+    out = token_budget_mix(
+        docs,
+        "src",
+        "toks",
+        budget=10_000,
+        weights_ppm={"small": 500_000, "big": 500_000},
+        max_epochs_ppm=3_000_000,
+    ).collect()
+    rows = {r.source: r for r in out}
+    # small: desired 5000, supply 200, cap 600 -> alloc 600, epochs 3.0
+    assert rows["small"].desired_tokens == 5000
+    assert rows["small"].alloc_tokens == 600
+    assert rows["small"].epochs_ppm == 3_000_000
+    assert rows["small"].deficit_tokens == 4400
+    # big: desired 5000 < cap 15000 -> fully allocated, 1.0 epochs
+    assert rows["big"].alloc_tokens == 5000
+    assert rows["big"].epochs_ppm == 1_000_000
+    assert rows["big"].deficit_tokens == 0
+    # unweighted source surfaces with zero allocation, never dropped
+    assert rows["ghost"].weight_ppm == 0 and rows["ghost"].alloc_tokens == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        token_budget_mix(docs, "src", "toks", budget=0, weights_ppm={"a": 1})
+    with _pt.raises(ValueError):
+        token_budget_mix(docs, "src", "toks", budget=10, weights_ppm={})

@@ -641,3 +641,77 @@ def weighted_reservoir_sample(
         (-F.col("_e.nrk")).cast("long").alias("rank_key"),
         (F.col("_pos") + 1).cast("int").alias("rank"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    weights_ppm: dict,
+    max_epochs_ppm: int = 4_000_000,
+) -> DataFrame:
+    """Static pretraining-mix allocator: given per-source token supply
+    (rolled up from the corpus) and target mix ``weights_ppm`` (parts
+    per million, integers — the cross-engine-exact spelling of the mix
+    proportions a LLaMA/DoReMi-style data card publishes), split a
+    ``budget`` of training tokens across sources with a repeat cap of
+    ``max_epochs_ppm`` (4_000_000 = at most 4 epochs of any source —
+    the "don't loop a small source forever" guard).
+
+    Per source: ``tokens_avail`` (supply), ``desired_tokens`` =
+    budget·w/Σw (integer div), ``alloc_tokens`` = min(desired, cap =
+    avail·max_epochs_ppm div 1e6), ``epochs_ppm`` = alloc·1e6 div
+    avail, ``deficit_tokens`` = desired − alloc (what the caller must
+    re-spread or accept losing; single-pass by design — the iterative
+    water-filling variant is a driver-side loop over this |sources|-row
+    frame, never a dataset-scale op). Sources absent from
+    ``weights_ppm`` get weight 0 and appear with zero allocation (the
+    honest "you forgot a source" signal, not a silent drop).
+
+    All arithmetic is int64 (budget·ppm ≤ 9.2e18 caps budget at ~9e12
+    tokens — validated); one groupBy(source) shuffle to a
+    |sources|-row frame, then map-side math.
+    """
+    if budget <= 0:
+        raise ValueError("token_budget_mix: budget must be positive")
+    if budget > 9_000_000_000_000:
+        raise ValueError(
+            "token_budget_mix: budget·ppm would overflow int64 "
+            "(cap 9e12 tokens; allocate larger budgets in units of 1k tokens)"
+        )
+    if not weights_ppm:
+        raise ValueError("token_budget_mix: weights_ppm is empty")
+    total_w = sum(int(v) for v in weights_ppm.values())
+    if total_w <= 0:
+        raise ValueError("token_budget_mix: weights must sum positive")
+
+    wmap = F.create_map(
+        *[
+            lit
+            for k, v in sorted(weights_ppm.items())
+            for lit in (F.lit(str(k)), F.lit(int(v)))
+        ]
+    )
+    supply = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(token_col).cast("long")).alias("tokens_avail")
+    )
+    w = F.coalesce(wmap[F.col("source")], F.lit(0)).cast("long")
+    desired = F.expr(f"{budget} * weight_ppm div {total_w}")
+    cap = F.expr(f"tokens_avail * {int(max_epochs_ppm)} div 1000000")
+    return (
+        supply.withColumn("weight_ppm", w)
+        .withColumn("desired_tokens", desired)
+        .withColumn("alloc_tokens", F.least(F.col("desired_tokens"), cap))
+        .withColumn(
+            "epochs_ppm",
+            F.when(
+                F.col("tokens_avail") > 0,
+                F.expr("alloc_tokens * 1000000 div tokens_avail"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "deficit_tokens", F.col("desired_tokens") - F.col("alloc_tokens")
+        )
+    )

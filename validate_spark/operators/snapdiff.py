@@ -195,3 +195,51 @@ def latest_wins(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Delta/Iceberg-style MERGE semantics as one relational plan:
+    WHEN MATCHED THEN UPDATE (source row replaces target row), WHEN
+    MATCHED AND source.<delete_col> THEN DELETE, WHEN NOT MATCHED THEN
+    INSERT — the batch upsert every CDC sink compiles to. Returns the
+    post-merge table (same schema as ``target``; ``delete_col`` is
+    consumed, never emitted).
+
+    Source contract: at most one row per key — run :func:`latest_wins`
+    first on multi-update batches (MERGE with a duplicate source key
+    is ill-defined; the real lakehouse engines abort on it, and this
+    lazy plan cannot check it without forcing an action, so the
+    contract is the caller's).
+
+    Scale: ONE shuffle — target LEFT ANTI source (keys to keep as-is)
+    unioned with source's surviving rows, both halves hash-partitioned
+    on the same key so AQE plans one exchange per side and no sort.
+    No row_number window, no full outer join with per-column
+    coalesce (that shape doubles the row width in the shuffle); the
+    anti-join ships only target rows and source ships once. On
+    key-bucketed tables both exchanges disappear.
+
+    Reference seed: gookit/validate UpdateSource (validate.go:69-145)
+    writes validated values back into the single source record; MERGE
+    is that write-back lifted to table scale.
+    """
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(f"merge_upsert: source lacks delete column {delete_col!r}")
+    out_cols = target.columns
+    missing = [c for c in out_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: source lacks target columns {missing}")
+
+    kept = target.join(source.select(*key_cols), key_cols, "left_anti")
+    incoming = source
+    if delete_col is not None:
+        incoming = incoming.filter(
+            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        )
+    return kept.unionByName(incoming.select(*out_cols))
