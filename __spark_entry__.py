@@ -365,6 +365,30 @@ def _doubled_emb(spark, sf_dir):
     )
 
 
+def _mixed_emb(spark, sf_dir):
+    """_doubled_emb + 50 BLENDED vectors (v_i + v_{i+1}, elementwise —
+    cos ≈ 0.71 to each parent): populates the moderate-similarity band
+    that exact doubling cannot, so q238's multi-table recall claim is
+    measured on pairs that actually exist."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("_e2")
+    )
+    mixed = (
+        emb.join(nxt, "vec_id")
+        .filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + 2000000).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                "_e2",
+                lambda x, y: x.cast("double") + y.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    return _doubled_emb(spark, sf_dir).unionByName(mixed)
+
+
 def q18_embedding_neardup(spark, sf_dir):
     return dd.embedding_neardup_pairs(_doubled_emb(spark, sf_dir), threshold=0.99)
 
@@ -6062,6 +6086,207 @@ def _emb_lsh_recall_sql() -> str:
     """
 
 
+def q238_embedding_lsh_multitable(spark, sf_dir):
+    """Multi-table OR-banding sign-LSH — the remedy q233's recall
+    report quantified the need for: at cos≈0.7 (the blended-vector
+    moderate band of _mixed_emb) ONE 4-plane table keeps ~(1−θ/π)⁴ ≈
+    32% of true pairs; four tables (a pair is a candidate if it
+    collides in ANY table) lift that to 1−(1−p)⁴ ≈ 79% expected —
+    measured here as 36% → 75% moderate-band recall on the fixture,
+    with exact-dup recall 100% throughout and n_extra identically 0
+    (in-bucket exact-cosine verify). Cost is T× bucket shuffle rows —
+    the recall-vs-compute dial, now a measured table instead of a
+    guess. The oracle replays all four tables' plane literals (drawn
+    sequentially from the one seeded rng, so table 0 IS the
+    single-table operator's table) and both collide predicates."""
+    from validate_spark.operators.dedup import (
+        dedup_recall_report,
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    v = F.col("embedding")
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == 64)
+        & F.forall(
+            v,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        )
+    )
+    emb = _mixed_emb(spark, sf_dir).filter(valid)
+    truth = embedding_neardup_pairs(emb, threshold=0.5).select("a", "b")
+    reports = []
+    for t in (1, 4):
+        cand = embedding_neardup_lsh(
+            emb, threshold=0.5, n_planes=4, seed=7, dim=64, n_tables=t
+        ).select("a", "b")
+        reports.append(
+            dedup_recall_report(cand, truth).select(
+                F.lit(t).alias("n_tables"), "*"
+            )
+        )
+    return reports[0].unionByName(reports[1])
+
+
+def _emb_multitable_sql() -> str:
+    """q238 oracle: four tables' plane literals drawn sequentially from
+    numpy default_rng(7) exactly as the operator draws them; collide
+    predicates c1 (table 0 only) and c4 (any of the four); cosine fold
+    identical to the operator's."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    tables = [rng.standard_normal((4, 64)) for _ in range(4)]
+    bucket_cols = []
+    for t, planes in enumerate(tables):
+        terms = []
+        for p in range(4):
+            pl = ", ".join(repr(float(planes[p, d])) for d in range(64))
+            dot = (
+                "list_aggregate(list_transform(generate_series(1, 64), "
+                f"i -> v[i]::DOUBLE * ([{pl}])[i]), 'sum')"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** p}")
+        bucket_cols.append(" + ".join(terms) + f" AS b{t}")
+    region = (
+        "SELECT {n} AS n_tables, "
+        "sum((cos >= 0.5)::int)::bigint AS n_truth, "
+        "sum(({c} AND cos >= 0.5)::int)::bigint AS n_candidates, "
+        "sum((cos >= 0.5 AND {c})::int)::bigint AS n_matched, "
+        "sum((cos >= 0.5 AND NOT ({c}))::int)::bigint AS n_missed, "
+        "0::bigint AS n_extra FROM pairs"
+    )
+    return f"""
+        WITH val AS MATERIALIZED (
+          SELECT vec_id, embedding AS v FROM ({_MIXED_EMB})
+          WHERE embedding IS NOT NULL AND len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL
+                  OR isnan(x) OR isinf(x))) = 0
+        ), bkt AS MATERIALIZED (
+          SELECT vec_id, v, {", ".join(bucket_cols)},
+                 sqrt(list_aggregate(list_transform(
+                   generate_series(1, 64),
+                   i -> v[i]::DOUBLE * v[i]::DOUBLE), 'sum')) AS nrm
+          FROM val
+        ), pairs AS MATERIALIZED (
+          SELECT (x.b0 = y.b0) AS c1,
+                 (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2
+                  OR x.b3 = y.b3) AS c4,
+                 CASE WHEN x.nrm > 0 AND y.nrm > 0 THEN
+                   list_aggregate(list_transform(generate_series(1, 64),
+                     i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE), 'sum')
+                   / (x.nrm * y.nrm)
+                 ELSE 0.0 END AS cos
+          FROM bkt x JOIN bkt y ON x.vec_id < y.vec_id
+        )
+        {region.format(n=1, c="c1")}
+        UNION ALL
+        {region.format(n=4, c="c4")}
+    """
+
+
+def q239_hll_distinct_sketch(spark, sf_dir):
+    """HyperLogLog register sketch (stats.hll_registers/merge/
+    estimate) — the MERGEABLE distinct counter beside q191's KMV: the
+    corpus is sketched in two independent halves (doc_id parity), the
+    register states fold by max (merge ≡ direct sketch of the union —
+    the property that makes per-shard/per-day sketching rescan-free),
+    and the estimate runs the standard harmonic-mean/linear-counting
+    switch. m=32 here so the fixture's per-lang cardinalities (64–218)
+    straddle the 2.5m=80 switch and BOTH branches are oracle-checked.
+    Register state is md5-portable integers (never
+    approx_count_distinct's opaque binary), Z is an exact decimal sum
+    of 2^(61−reg) terms (order-independent), and rho uses bin()-length
+    bit arithmetic — floor(log2(double)) is NOT cross-engine stable.
+    exact_distinct joined beside the estimate shows the sketch error
+    the caller is buying."""
+    from validate_spark.operators.stats import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    regs = hll_merge(
+        hll_registers(h1, "text", p=5, group_cols=["lang"]),
+        hll_registers(h2, "text", p=5, group_cols=["lang"]),
+    )
+    est = hll_estimate(regs, p=5, group_cols=["lang"])
+    exact = docs.groupBy("lang").agg(
+        F.count_distinct("text").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+def _hll_sql() -> str:
+    """q239 oracle: registers straight from the full corpus (merge by
+    max ≡ direct sketch — the mergeability identity the pytest also
+    asserts), identical alpha·m²·2^61 literal, HUGEINT Z, bin()-length
+    rho."""
+    from validate_spark.operators.stats import _hll_alpha
+
+    a_num = repr(_hll_alpha(32) * 32 * 32 * (2.0**61))
+    return f"""
+        WITH base AS (
+          SELECT lang,
+                 CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+          FROM documents WHERE text IS NOT NULL
+        ), regs AS (
+          SELECT lang, h % 32 AS idx,
+                 MAX(CASE WHEN h // 32 > 0
+                     THEN 56 - length(bin(h // 32))
+                     ELSE 56 END) AS reg
+          FROM base GROUP BY lang, h % 32
+        ), agg AS (
+          SELECT lang, count(*)::BIGINT AS n_hit,
+                 sum((1::BIGINT << (61 - reg))::HUGEINT) AS z_hit
+          FROM regs GROUP BY lang
+        ), est AS (
+          SELECT lang, n_hit, (32 - n_hit)::BIGINT AS n_zero,
+                 (z_hit + ((32 - n_hit)::HUGEINT
+                   * (1::BIGINT << 61)::HUGEINT))::DOUBLE AS z
+          FROM agg
+        )
+        SELECT e.lang, n_hit, n_zero,
+               round(CASE WHEN n_zero > 0 AND {a_num} / z <= 80.0
+                     THEN 32.0 * ln(32.0 / n_zero)
+                     ELSE {a_num} / z END, 6) AS est_distinct,
+               x.exact_distinct
+        FROM est e JOIN (
+          SELECT lang, count(DISTINCT text)::BIGINT AS exact_distinct
+          FROM documents WHERE text IS NOT NULL GROUP BY lang
+        ) x ON e.lang = x.lang
+    """
+
+
+def q240_conformal_calibration(spark, sf_dir):
+    """Split-conformal calibration (stats.conformal_report) — the
+    distribution-free wrapper the pipeline's scoring models (quality
+    classifier q130, anomaly screens q181/q189) need before their
+    thresholds gate 10^12 rows: per event_type, the exact
+    ceil((n+1)·0.9)-th smallest calibration score (event_id parity
+    split) becomes the 90% threshold, and the held-out half measures
+    realized coverage. Rank selection is the roc_auc/trimmed_mean
+    distinct-value shape (never a per-row global sort); k is int64
+    ppm arithmetic; the oracle re-derives the k-th order statistic
+    with a row_number + correlated lookup."""
+    from validate_spark.operators.stats import conformal_report
+
+    ev = _t(spark, sf_dir, "events")
+    return conformal_report(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        alpha_ppm=100_000,
+        group_cols=["event_type"],
+    )
+
+
 def q234_ivf_pq(spark, sf_dir):
     """IVF-PQ ANN (similarity.ivf_pq_topk) — the production
     billion-vector layout capping the compression ladder: 4 md5-
@@ -6419,6 +6644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_spatial_grid_join": q235_spatial_grid_join,
         "q236_merge_upsert": q236_merge_upsert,
         "q237_token_budget_mix": q237_token_budget_mix,
+        "q238_embedding_lsh_multitable": q238_embedding_lsh_multitable,
+        "q239_hll_distinct_sketch": q239_hll_distinct_sketch,
+        "q240_conformal_calibration": q240_conformal_calibration,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -6619,6 +6847,20 @@ _DOUBLED_EMB = (
     "SELECT vec_id, embedding FROM embeddings "
     "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings"
 )
+
+# doubled + BLENDED rows (v_i + v_{i+1}, cos≈0.71 to each parent): the
+# moderate-similarity band the doubling alone cannot populate — q238's
+# multi-table recall demonstration needs real moderate pairs to recover
+_MIXED_EMB = f"""
+    {_DOUBLED_EMB}
+    UNION ALL
+    SELECT a.vec_id + 2000000 AS vec_id,
+           list_transform(generate_series(1, 64),
+             i -> a.embedding[i]::DOUBLE + b.embedding[i]::DOUBLE)
+             AS embedding
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 50
+"""
 
 _ANN_TOPK = """
 WITH q AS (
@@ -12464,6 +12706,50 @@ def oracle_sql() -> dict[str, str]:
                    desired_tokens - LEAST(desired_tokens, cap)
                      AS deficit_tokens
             FROM d
+        """,
+        # q238: four tables' plane literals + both collide predicates
+        # replayed; candidates ⊆ truth by the verify step so n_extra
+        # is identically 0
+        "q238_embedding_lsh_multitable": _emb_multitable_sql(),
+        # q239: merge-by-max ≡ direct sketch, so the oracle registers
+        # come straight off the full corpus; both estimate branches
+        # exercised by the per-lang cardinalities around 2.5m = 80
+        "q239_hll_distinct_sketch": _hll_sql(),
+        # q240: k-th order statistic via row_number + correlated
+        # lookup; groups absent from the calibration split drop (no
+        # threshold -> nothing to audit), inner-join semantics in both
+        "q240_conformal_calibration": """
+            WITH calib AS (
+              SELECT event_type, value FROM events
+              WHERE event_id % 2 = 0 AND value IS NOT NULL
+            ), nk AS (
+              SELECT event_type, count(*)::BIGINT AS n_calib,
+                     ((count(*) + 1) * 900000 + 999999) // 1000000
+                       AS rank_k
+              FROM calib GROUP BY event_type
+            ), ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn
+              FROM calib
+            ), thr AS (
+              SELECT nk.event_type, nk.n_calib, nk.rank_k,
+                     (SELECT r.value FROM ranked r
+                      WHERE r.event_type = nk.event_type
+                        AND r.rn = nk.rank_k) AS threshold
+              FROM nk
+            )
+            SELECT t.event_type, t.n_calib, t.rank_k, t.threshold,
+                   count(*)::BIGINT AS n_eval,
+                   sum((e.value <= t.threshold
+                        OR t.threshold IS NULL)::int)::BIGINT
+                     AS n_covered,
+                   (sum((e.value <= t.threshold
+                         OR t.threshold IS NULL)::int)::BIGINT
+                    * 1000000) // count(*)::BIGINT AS coverage_ppm
+            FROM events e JOIN thr t ON e.event_type = t.event_type
+            WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
+            GROUP BY t.event_type, t.n_calib, t.rank_k, t.threshold
         """,
     }
 

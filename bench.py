@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     "q235_spatial_grid_join",
     "q236_merge_upsert",
     "q237_token_budget_mix",
+    "q238_embedding_lsh_multitable",
+    "q239_hll_distinct_sketch",
+    "q240_conformal_calibration",
 ]
 
 

@@ -795,3 +795,86 @@ def test_merge_upsert_update_delete_insert(spark):
     # plan shape: anti-join + union, no window / full outer join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" not in plan and "Window" not in plan
+
+
+def test_hll_merge_equals_direct_and_accuracy(spark):
+    from pyspark.sql import functions as SF
+
+    from validate_spark.operators.stats import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(1000).select(SF.concat(SF.lit("k"), SF.col("id")).alias("k"))
+    h1, h2 = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    direct = hll_registers(df, "k", p=9)
+    merged = hll_merge(hll_registers(h1, "k", p=9), hll_registers(h2, "k", p=9))
+    assert {tuple(r) for r in direct.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+    est = hll_estimate(direct, p=9).collect()[0]
+    assert abs(est.est_distinct - 1000) / 1000 < 0.15  # ~1.04/sqrt(512)≈4.6%
+
+    # overlapping halves: merge is idempotent on shared keys
+    m2 = hll_merge(hll_registers(df, "k", p=9), hll_registers(h1, "k", p=9))
+    assert {tuple(r) for r in m2.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_hll_linear_counting_branch_and_guards(spark):
+    from pyspark.sql import functions as SF
+
+    from validate_spark.operators.stats import hll_estimate, hll_registers
+
+    df = spark.range(10).select(SF.concat(SF.lit("x"), SF.col("id")).alias("k"))
+    regs = hll_registers(df, "k", p=9)
+    est = hll_estimate(regs, p=9).collect()[0]
+    # small-range regime: m*ln(m/V) with V >= 502 -> est ~ 10
+    assert est.n_zero >= 500 and abs(est.est_distinct - 10) < 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hll_registers(df, "k", p=3)
+    with _pt.raises(ValueError):
+        hll_estimate(regs, p=15)
+
+
+def test_conformal_threshold_rank_and_coverage(spark):
+    from validate_spark.operators.stats import conformal_report
+
+    calib = spark.createDataFrame(
+        [(float(i),) for i in range(1, 10)], "score double"
+    )
+    evalf = spark.createDataFrame(
+        [(0.5,), (5.0,), (9.0,), (9.5,), (100.0,)], "score double"
+    )
+    r = conformal_report(calib, evalf, "score", alpha_ppm=100_000).collect()[0]
+    # k = ceil(10 * 0.9) = 9 -> threshold = 9th smallest = 9.0
+    assert r.n_calib == 9 and r.rank_k == 9 and r.threshold == 9.0
+    assert r.n_eval == 5 and r.n_covered == 3  # 0.5, 5.0, 9.0 covered
+    assert r.coverage_ppm == 600_000
+
+    # ties at the cut: k-th smallest of [1,2,2,2,3,...] lands inside a run
+    calib2 = spark.createDataFrame(
+        [(1.0,), (2.0,), (2.0,), (2.0,), (3.0,)], "score double"
+    )
+    r2 = conformal_report(calib2, evalf, "score", alpha_ppm=400_000).collect()[0]
+    # k = ceil(6 * 0.6) = 4 -> 4th smallest = 2.0
+    assert r2.rank_k == 4 and r2.threshold == 2.0
+
+
+def test_conformal_small_n_infinite_threshold(spark):
+    from validate_spark.operators.stats import conformal_report
+
+    calib = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "score double")
+    evalf = spark.createDataFrame([(50.0,), (2.0,)], "score double")
+    r = conformal_report(calib, evalf, "score", alpha_ppm=100_000).collect()[0]
+    # k = ceil(4 * 0.9) = 4 > n=3 -> +inf threshold, everything covered
+    assert r.rank_k == 4 and r.threshold is None
+    assert r.n_covered == 2 and r.coverage_ppm == 1_000_000
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        conformal_report(calib, evalf, "score", alpha_ppm=0)

@@ -140,6 +140,45 @@ def test_embedding_neardup_and_lsh(spark):
     assert lsh == {(1, 2)}
 
 
+def test_embedding_lsh_multitable_recall_monotone(spark):
+    """OR-banding: table 0 of the T-table operator is the single-table
+    operator's table (sequential rng draws), so the candidate set is
+    monotone in n_tables; on a moderate-similarity fixture extra
+    tables recover pairs table 0 misses, and every emitted pair still
+    passes the exact-cosine verify (candidates ⊆ truth)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(40)]
+    # blend neighbors -> cos≈0.71 moderate pairs
+    rows += [
+        Row(vec_id=100 + i, embedding=[float(x) for x in base[i] + base[i + 1]])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    truth = {
+        (r["a"], r["b"])
+        for r in dd.embedding_neardup_pairs(df, threshold=0.5).collect()
+    }
+    got = {}
+    for t in (1, 2, 4):
+        got[t] = {
+            (r["a"], r["b"])
+            for r in dd.embedding_neardup_lsh(
+                df, threshold=0.5, n_planes=4, seed=7, dim=16, n_tables=t
+            ).collect()
+        }
+        assert got[t] <= truth  # verify step: no false positives ever
+    assert got[1] <= got[2] <= got[4]  # monotone in tables
+    assert len(got[4]) > len(got[1])  # extra tables recover missed pairs
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.embedding_neardup_lsh(df, n_tables=0, dim=16)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -1017,11 +1017,22 @@ def embedding_neardup_lsh(
     seed: int = 7,
     max_bucket: int = 2000,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path: random-hyperplane sign buckets (deterministic planes
     derived from (seed, plane, dim) hashes), exact cosine only within a
     bucket. Recall < 1 by construction (sign-LSH); raise n_planes ↓
     bucket sizes, lower it ↑ recall.
+
+    ``n_tables`` > 1 is the OR-banding lift the q233 recall report
+    quantifies the need for below the near-dup regime: each table
+    draws its own planes (sequential draws from the one seeded rng, so
+    table 0 is bit-identical to the single-table operator), a pair is
+    a candidate if it collides in ANY table, and per-pair collision
+    probability rises from p_band = (1−θ/π)^n_planes to
+    1−(1−p_band)^T. Cost is T× the bucket shuffle rows and T× the
+    plane folds per row — the classic recall-vs-compute dial. Pair
+    dedup across tables rides the existing final ``distinct``.
 
     Pass ``dim`` (the embedding width — always known to the pipeline
     that produced the vectors) to keep this a fully lazy operator; when
@@ -1037,32 +1048,66 @@ def embedding_neardup_lsh(
         if row is None:
             raise ValueError(f"cannot infer dim: no non-empty {vec_col!r}")
         dim = row["_d"]
+    if n_tables < 1:
+        raise ValueError("embedding_neardup_lsh: n_tables must be >= 1")
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
 
     v = F.col(vec_col)
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(planes[p, d])) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
-    bucket = sum(bits[1:], bits[0])
 
-    tagged = df.select(F.col(key_col).alias("k"), v.alias("vec"), bucket.alias("bucket"))
+    def table_bucket(planes):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(planes[p, d])) for d in range(dim)])
+            dot = F.aggregate(
+                F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(
+                F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+            )
+        return sum(bits[1:], bits[0])
+
+    buckets = [
+        table_bucket(rng.standard_normal((n_planes, dim)))
+        for _ in range(n_tables)
+    ]
+
     # bounded hot-bucket collection — heavier than the minhash case
     # (each member carries a FULL vector: one hot sign-bucket, e.g. an
     # all-zeros vector class, is dim×8 bytes × members on one task
     # single-stage); the unique leading k means vectors are never
     # compared by the sort
-    grouped = _two_phase_buckets(
-        tagged, ["bucket"], F.struct("k", "vec"), max_bucket
-    )
+    if n_tables == 1:
+        tagged = df.select(
+            F.col(key_col).alias("k"), v.alias("vec"), buckets[0].alias("bucket")
+        )
+        grouped = _two_phase_buckets(
+            tagged, ["bucket"], F.struct("k", "vec"), max_bucket
+        )
+    else:
+        # one map-side explode tags each row with its T (table, bucket)
+        # pairs; buckets are then independent per table in the same
+        # two-phase shuffle (group key (t, bucket))
+        tagged = df.select(
+            F.col(key_col).alias("k"),
+            v.alias("vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"), buckets[t].alias("bucket")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tb"),
+        ).select("k", "vec", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+        grouped = _two_phase_buckets(
+            tagged, ["t", "bucket"], F.struct("k", "vec"), max_bucket
+        )
     pairs = grouped.select(
         F.explode(
             F.flatten(

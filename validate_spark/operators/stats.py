@@ -1507,3 +1507,196 @@ def t_closeness(
             F.round(F.col("_num").cast("double") / den, 6),
         ).otherwise(F.lit(0.0)).alias("t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch (md5-portable, mergeable by max)
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    p: int = 9,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group HyperLogLog register state: (group..., idx, reg) with
+    ``m = 2**p`` registers — the MERGEABLE distinct sketch (beside
+    :func:`kmv_sketch`'s order-statistics one): registers merge by
+    ``max``, so shards/days/partitions sketch independently and fold
+    without rescans — exactly what ``approx_count_distinct`` computes
+    JVM-side but with the state EXPOSED as rows, md5-portable so any
+    SQL engine replays it bit-for-bit (the cross-engine contract
+    approx_count_distinct's opaque binary state can't give).
+
+    Hash: 60 bits from md5 (15 hex chars) — idx = h mod m, w = h div
+    m, rho = (60−p) − bitlength(w) + 1 (``bin()``-based, exact
+    integers in Spark and DuckDB; never floor(log2(double)) whose
+    libm rounding is not cross-engine stable). NULL keys are excluded
+    (distinct-count of NULL is meaningless; stated, not silent).
+
+    Scale: one hash exchange on (group, idx) — at most m rows per
+    group survive the map-side partial max, so shuffle bytes are
+    bounded by |groups|·m regardless of input rows.
+    """
+    if not 4 <= p <= 14:
+        raise ValueError("hll_registers: p must be in [4, 14]")
+    groups = list(group_cols or [])
+    m = 1 << p
+    wbits = 60 - p
+    k = F.col(key_col).cast("string")
+    h = F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("long")
+    base = df.filter(k.isNotNull()).select(
+        *groups, (h % F.lit(m)).alias("idx"), h.alias("_h")
+    )
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w > 0, F.lit(wbits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(wbits + 1)
+    )
+    return (
+        base.select(*groups, "idx", rho.cast("int").alias("_rho"))
+        .groupBy(*groups, "idx")
+        .agg(F.max("_rho").alias("reg"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Fold any number of register states (same group columns and p)
+    into one: union + max per (group..., idx). max is associative and
+    idempotent, so merge(shards) ≡ the direct sketch of the unioned
+    data — re-sketching never needed, at-least-once re-merges are
+    harmless (the KMV/CMS streaming lesson applies unchanged)."""
+    if not register_frames:
+        raise ValueError("hll_merge: need at least one register frame")
+    out = register_frames[0]
+    for fr in register_frames[1:]:
+        out = out.unionByName(fr)
+    keys = [c for c in out.columns if c != "reg"]
+    return out.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    p: int = 9,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate from register state: harmonic-mean raw estimate
+    alpha·m²/Z with the standard small-range linear-counting switch
+    (E ≤ 2.5m and empty registers exist → m·ln(m/V)).
+
+    Z is accumulated EXACTLY: Σ 2^(61−reg) as decimal(38,0) (integer
+    terms, order-independent — a double Σ2^-reg is order-dependent
+    and would break the cross-engine hash); the single final division
+    and ln round at 6 (bounded-cardinality fp rule). Output:
+    (group..., n_hit, n_zero, est_distinct)."""
+    if not 4 <= p <= 14:
+        raise ValueError("hll_estimate: p must be in [4, 14]")
+    groups = list(group_cols or [])
+    m = 1 << p
+    a_num = _hll_alpha(m) * m * m * (2.0**61)
+    z_term = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - reg AS INT)) AS DECIMAL(38,0))"
+    )
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.sum(z_term).alias("_z_hit"),
+    )
+    n_zero = (F.lit(m) - F.col("n_hit")).cast("long")
+    z = (
+        F.col("_z_hit")
+        + n_zero.cast("decimal(38,0)") * F.lit(int(2**61)).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(a_num) / z
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+    est = F.when((n_zero > 0) & (raw <= F.lit(2.5 * m)), linear).otherwise(raw)
+    return agg.select(
+        *groups,
+        "n_hit",
+        n_zero.alias("n_zero"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def conformal_report(
+    calib: DataFrame,
+    evalf: DataFrame,
+    score_col: str,
+    *,
+    alpha_ppm: int = 100_000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split-conformal calibration + coverage audit — the
+    distribution-free guarantee layer for any scoring model in the
+    pipeline (quality classifiers, anomaly scores, drift statistics):
+    from a CALIBRATION split, the threshold is the exact
+    k = ceil((n+1)·(1−α))-th smallest nonconformity score (finite-
+    sample-corrected quantile), and marginal coverage of fresh points
+    is then ≥ 1−α by exchangeability; the EVAL split measures it.
+
+    Rank semantics without a per-row sort (the roc_auc/trimmed_mean
+    shape): hash-aggregate to (group, DISTINCT score, cnt), one
+    running-sum window over the collapsed frame (ROWS frame stated),
+    threshold = min score whose cumulative count reaches k. k > n
+    (tiny calibration sets) yields a NULL threshold = +∞ — every eval
+    row covered, reported honestly rather than clamped. ``alpha_ppm``
+    is integer ppm so k is exact int64 arithmetic in both engines;
+    NULL scores are excluded on both splits (stated). Coverage join
+    broadcasts the |groups|-row threshold frame.
+
+    Output: (group..., n_calib, rank_k, threshold, n_eval, n_covered,
+    coverage_ppm).
+    """
+    if not 0 < alpha_ppm < 1_000_000:
+        raise ValueError("conformal_report: alpha_ppm must be in (0, 1e6)")
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    keep = 1_000_000 - alpha_ppm
+    v = F.col(score_col)
+    base = calib.filter(v.isNotNull()).select(*groups, v.alias("_v"))
+    per = base.groupBy(*groups, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    wp = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    w = (
+        wp.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = (
+        per.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn("_n", F.sum("_cnt").over(wp))
+        .withColumn(
+            "_k", F.expr(f"((_n + 1) * {keep} + 999999) div 1000000")
+        )
+    )
+    thr = per.groupBy(*groups).agg(
+        F.max("_n").alias("n_calib"),
+        F.max("_k").alias("rank_k"),
+        F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_v"))).alias(
+            "threshold"
+        ),
+    )
+    ev = evalf.filter(v.isNotNull()).select(*groups, v.alias("_s"))
+    joined = (
+        ev.join(F.broadcast(thr), groups)
+        if groups
+        else ev.crossJoin(F.broadcast(thr))
+    )
+    covered = (
+        (F.col("_s") <= F.col("threshold")) | F.col("threshold").isNull()
+    ).cast("int")
+    return joined.groupBy(
+        *groups, "n_calib", "rank_k", "threshold"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(covered).cast("long").alias("n_covered"),
+    ).withColumn(
+        "coverage_ppm", F.expr("n_covered * 1000000 div n_eval")
+    )
