@@ -6287,6 +6287,32 @@ def q240_conformal_calibration(spark, sf_dir):
     )
 
 
+def q241_ess_report(spark, sf_dir):
+    """Effective-sample-size audit (sampling.ess_report) — the Kish
+    ESS = (Σw)²/Σw² diagnostic every importance-weighted mix (DSIR
+    q74, temperature q79, token budget q237) must publish before its
+    weights touch a training run: a source whose 10^9 rows carry
+    ESS 10^4 contributes 10^4 documents of signal, and the mix table
+    should say so, per language. Weights here are md5-derived integer
+    PPM (the house portable hash) with a doc_id%19 zero-weight cohort
+    exercising the excluded-rows accounting; Σw/Σw² accumulate as
+    decimal(38,0) (int64 dies at ~10^6 rows of w²≤10^12) and cross
+    the engine boundary as strings. One hash aggregate, |langs| rows."""
+    from validate_spark.operators.sampling import ess_report
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.when(F.pmod(F.col("doc_id"), F.lit(19)) == 0, F.lit(0)).otherwise(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    )
+    weighted = docs.select("lang", w.alias("w_ppm"))
+    return ess_report(weighted, "w_ppm", group_cols=["lang"])
+
+
 def q234_ivf_pq(spark, sf_dir):
     """IVF-PQ ANN (similarity.ivf_pq_topk) — the production
     billion-vector layout capping the compression ladder: 4 md5-
@@ -6647,6 +6673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_embedding_lsh_multitable": q238_embedding_lsh_multitable,
         "q239_hll_distinct_sketch": q239_hll_distinct_sketch,
         "q240_conformal_calibration": q240_conformal_calibration,
+        "q241_ess_report": q241_ess_report,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -12750,6 +12777,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN thr t ON e.event_type = t.event_type
             WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
             GROUP BY t.event_type, t.n_calib, t.rank_k, t.threshold
+        """,
+        # q241: Kish ESS — Σw/Σw² as exact int128 (DuckDB HUGEINT ≡
+        # Spark decimal(38,0)) crossing as strings; the two divisions
+        # are identical doubles in both engines, round-6 safe; the
+        # ratio rounds the ALREADY-rounded ess (mirrors the Spark
+        # expression exactly)
+        "q241_ess_report": """
+            WITH w AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 19 = 0 THEN 0
+                          ELSE CAST('0x' || substr(md5(doc_id::varchar), 1, 8)
+                                    AS BIGINT) % 1000000
+                     END AS w
+              FROM documents
+            ), agg AS (
+              SELECT lang,
+                     sum((w > 0)::int)::BIGINT AS n,
+                     sum((w <= 0 OR w IS NULL)::int)::BIGINT AS n_zero_weight,
+                     sum(CASE WHEN w > 0 THEN w ELSE 0 END)::HUGEINT AS sw,
+                     sum(CASE WHEN w > 0 THEN w * w ELSE 0 END)::HUGEINT AS sw2
+              FROM w GROUP BY lang
+            )
+            SELECT lang, n, n_zero_weight,
+                   CAST(sw AS VARCHAR) AS sum_w,
+                   CAST(sw2 AS VARCHAR) AS sum_w2,
+                   CASE WHEN sw2 > 0
+                        THEN round((sw::DOUBLE * sw::DOUBLE) / sw2::DOUBLE, 6)
+                   END AS ess,
+                   CASE WHEN n > 0
+                        THEN round(CASE WHEN sw2 > 0
+                                        THEN round((sw::DOUBLE * sw::DOUBLE)
+                                                   / sw2::DOUBLE, 6)
+                                   END / n::DOUBLE, 6)
+                   END AS ess_ratio
+            FROM agg
         """,
     }
 

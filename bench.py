@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "q238_embedding_lsh_multitable",
     "q239_hll_distinct_sketch",
     "q240_conformal_calibration",
+    "q241_ess_report",
 ]
 
 

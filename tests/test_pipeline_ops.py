@@ -1756,3 +1756,29 @@ def test_token_budget_mix_allocation_and_caps(spark):
         token_budget_mix(docs, "src", "toks", budget=0, weights_ppm={"a": 1})
     with _pt.raises(ValueError):
         token_budget_mix(docs, "src", "toks", budget=10, weights_ppm={})
+
+
+def test_ess_report_hand_checked(spark):
+    from validate_spark.operators.sampling import ess_report
+
+    # equal weights -> ESS == n (Kish identity); zero/NULL weights are
+    # excluded from the sums but counted in n_zero_weight
+    docs = spark.createDataFrame(
+        [("a", 500_000), ("a", 500_000), ("a", 500_000), ("a", 0),
+         ("a", None), ("b", 100_000), ("b", 900_000)],
+        "grp string, w long",
+    )
+    rows = {r.grp: r for r in ess_report(docs, "w", group_cols=["grp"]).collect()}
+    a = rows["a"]
+    assert (a.n, a.n_zero_weight) == (3, 2)
+    assert a.sum_w == "1500000" and a.sum_w2 == "750000000000"
+    assert a.ess == 3.0 and a.ess_ratio == 1.0
+    # skewed weights: ESS = (1e6)^2 / (1e10 + 81e10) = 1.219512...
+    b = rows["b"]
+    assert b.ess == 1.219512 and b.n == 2
+    # all-zero group: NULL ess, n=0
+    z = ess_report(
+        spark.createDataFrame([("z", 0)], "grp string, w long"),
+        "w", group_cols=["grp"],
+    ).collect()[0]
+    assert z.ess is None and z.ess_ratio is None and z.n == 0

@@ -715,3 +715,62 @@ def token_budget_mix(
             "deficit_tokens", F.col("desired_tokens") - F.col("alloc_tokens")
         )
     )
+
+
+def ess_report(
+    df: DataFrame,
+    weight_ppm_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Effective sample size of an importance-weighted corpus, per
+    group: ESS = (Σw)²/Σw² (Kish) — the diagnostic that must gate any
+    weighted mix (:func:`dsir_weights`, :func:`mix_temperature_weights`)
+    before training: a 10^9-doc source with ESS 10⁴ is 10⁴ documents
+    wearing a big number, and the mix table should say so.
+
+    Weights are integer PPM (the house cross-engine spelling); Σw and
+    Σw² accumulate as decimal(38,0) (w² ≤ 10^12 per row — int64 dies
+    at ~10^6 rows, decimal is overflow-proof to ~10^26). The two final
+    divisions are the only fp ops (round 6): ess = (Σw)²/Σw²,
+    ess_ratio = ess/n. Zero/NULL weights are rows the mix already
+    dropped — excluded, with ``n_zero_weight`` reported rather than
+    silently vanishing. One hash aggregate; output |groups| rows.
+    """
+    groups = list(group_cols or [])
+    w = F.col(weight_ppm_col).cast("long")
+    base = df.select(*groups, w.alias("_w"))
+    agg = base.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_w") > 0, 1).otherwise(0)).cast("long").alias("n"),
+        # when-condition NULL (NULL weight) falls to otherwise -> counted
+        F.sum(
+            F.when(F.col("_w") > 0, 0).otherwise(1)
+        ).cast("long").alias("n_zero_weight"),
+        F.sum(
+            F.when(F.col("_w") > 0, F.col("_w")).otherwise(0).cast("decimal(38,0)")
+        ).alias("sum_w"),
+        F.sum(
+            F.when(F.col("_w") > 0, F.col("_w") * F.col("_w"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("sum_w2"),
+    )
+    ess = F.when(
+        F.col("sum_w2") > 0,
+        F.round(
+            (F.col("sum_w").cast("double") * F.col("sum_w").cast("double"))
+            / F.col("sum_w2").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        "n_zero_weight",
+        F.col("sum_w").cast("string").alias("sum_w"),
+        F.col("sum_w2").cast("string").alias("sum_w2"),
+        ess.alias("ess"),
+        F.when(
+            F.col("n") > 0, F.round(ess / F.col("n").cast("double"), 6)
+        ).alias("ess_ratio"),
+    )
