@@ -6313,6 +6313,97 @@ def q241_ess_report(spark, sf_dir):
     return ess_report(weighted, "w_ppm", group_cols=["lang"])
 
 
+def q242_acf_report(spark, sf_dir):
+    """Lag-k autocorrelation (drift.acf_report) — the periodicity
+    diagnostic beside daily_trend (ramp) / cusum (step) / weekday
+    profile (known season): Pearson r of the daily count series
+    against itself at calendar lags 1..7 per event_type, pairs aligned
+    by exact date so gaps never smear neighbours. Six exact
+    decimal(38,0) moments per (group, lag); the final r is the only fp
+    op (round-6 over identical exact integers both engines)."""
+    from validate_spark.operators.drift import acf_report
+
+    return acf_report(_t(spark, sf_dir, "events"), "ts", "event_type", max_lag=7)
+
+
+def q243_gini_concentration(spark, sf_dir):
+    """Gini concentration (stats.gini_concentration) — the inequality
+    headline of the per-language document-length distribution: exact
+    rank arithmetic on the distinct-value frame (a run of c copies of
+    v at rank s contributes v·(c·s + c(c−1)/2) — never a per-row
+    global sort), decimal(38,0) sums crossing as strings, one round-6
+    division at the end."""
+    from validate_spark.operators.stats import gini_concentration
+
+    return gini_concentration(
+        _t(spark, sf_dir, "documents"), "n_chars", group_cols=["lang"]
+    )
+
+
+def q244_interval_overlap_audit(spark, sf_dir):
+    """Validity-interval integrity audit (temporal.interval_overlap_audit)
+    — the invariant check a temporal table needs before AS-OF joins
+    trust it: per key, intervals that OVERLAP prior coverage (running
+    max of previous ends — not lag, so an umbrella interval shadows
+    everything it spans) and GAPS between versions, in exact datediff
+    days. Fixture intervals derive from orders (key = o_custkey % 50,
+    end = start + o_orderkey % 45 − 3 days) so inverted rows (end <
+    start, counted in n_inverted and clamped to points) are
+    exercised."""
+    from validate_spark.operators.temporal import interval_overlap_audit
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        (F.col("o_custkey") % 50).alias("entity"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 45 - 3).cast("int"),
+        ).alias("valid_to"),
+    )
+    return interval_overlap_audit(iv, "entity", "valid_from", "valid_to")
+
+
+def q245_typo_pairs(spark, sf_dir):
+    """Edit-distance-1 vocabulary pairs (textstats.typo_candidate_pairs)
+    — SymSpell deletion neighborhoods (lev ≤ 1 ⇔ shared member of
+    {w} ∪ del₁(w)): one equi-join on the variant key over the
+    |vocab|-bounded frame, exact levenshtein==1 verify killing the
+    distance-2 candidates the identity admits ("ab"/"ba"). Fixture
+    plants typos: every corpus word with ≥5 occurrences and length
+    5–10 spawns a document holding it minus its 2nd character. The
+    oracle is the EXHAUSTIVE vocab cross join — proving the
+    deletion-neighborhood join loses zero recall."""
+    from validate_spark.operators.textstats import (
+        normalize_text,
+        typo_candidate_pairs,
+    )
+    from validate_spark.session import fan_out
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select(normalize_text(F.col("text")).alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.explode(F.split("_t", " ")).alias("_w"))
+    )
+    hot = (
+        toks.filter(F.col("_w").rlike("^[a-z]{5,10}$"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 5)
+    )
+    planted = hot.select(
+        F.concat(F.substring("_w", 1, 1), F.expr("substring(_w, 3)")).alias(
+            "text"
+        )
+    )
+    corpus = docs.select("text").unionByName(planted)
+    return typo_candidate_pairs(
+        corpus, "text", min_len=4, max_len=12, min_support=1
+    )
+
+
 def q234_ivf_pq(spark, sf_dir):
     """IVF-PQ ANN (similarity.ivf_pq_topk) — the production
     billion-vector layout capping the compression ladder: 4 md5-
@@ -6674,6 +6765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_hll_distinct_sketch": q239_hll_distinct_sketch,
         "q240_conformal_calibration": q240_conformal_calibration,
         "q241_ess_report": q241_ess_report,
+        "q242_acf_report": q242_acf_report,
+        "q243_gini_concentration": q243_gini_concentration,
+        "q244_interval_overlap_audit": q244_interval_overlap_audit,
+        "q245_typo_pairs": q245_typo_pairs,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -12812,6 +12907,135 @@ def oracle_sql() -> dict[str, str]:
                                    END / n::DOUBLE, 6)
                    END AS ess_ratio
             FROM agg
+        """,
+        # q242: calendar-lag pairs by exact date addition; six HUGEINT
+        # moments ≡ Spark decimal(38,0); r mirrors the Spark expression
+        # num/sqrt(vx*vy) over identical exact integers
+        "q242_acf_report": """
+            WITH daily AS (
+              SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), lags AS (
+              SELECT unnest(generate_series(1, 7)) AS lag
+            ), pairs AS (
+              SELECT a.grp, l.lag, a.c AS x0, b.c AS x1
+              FROM daily a CROSS JOIN lags l
+              JOIN daily b ON b.grp = a.grp AND b.d = a.d + l.lag::int
+            ), agg AS (
+              SELECT grp, lag, count(*)::BIGINT AS n_pairs,
+                     sum(x0)::HUGEINT AS sx, sum(x1)::HUGEINT AS sy,
+                     sum(x0::HUGEINT * x0) AS sxx,
+                     sum(x1::HUGEINT * x1) AS syy,
+                     sum(x0::HUGEINT * x1) AS sxy
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT grp AS event_type, lag, n_pairs,
+                   CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                         AND (n_pairs * syy - sy * sy) > 0
+                        THEN round((n_pairs * sxy - sx * sy)::DOUBLE
+                                   / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
+                                          * (n_pairs * syy - sy * sy)::DOUBLE),
+                                   6)
+                   END AS acf
+            FROM agg
+        """,
+        # q243: distinct-value rank runs — run of c copies of v at
+        # start rank s contributes v*(c*s + c(c-1)//2); HUGEINT ≡
+        # decimal(38,0); ROWS frame explicit (the r4 RANGE-default
+        # gotcha)
+        "q243_gini_concentration": """
+            WITH base AS (
+              SELECT lang, n_chars::BIGINT AS v FROM documents
+            ), excl AS (
+              SELECT lang,
+                     sum((v IS NULL OR v < 0)::int)::BIGINT AS n_excluded
+              FROM base GROUP BY lang
+            ), dv AS (
+              SELECT lang, v, count(*)::BIGINT AS c
+              FROM base WHERE v IS NOT NULL AND v >= 0 GROUP BY 1, 2
+            ), st AS (
+              SELECT lang, v, c,
+                     1 + coalesce(sum(c) OVER (
+                           PARTITION BY lang ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS s
+              FROM dv
+            ), agg AS (
+              SELECT lang, sum(c)::HUGEINT AS n,
+                     sum(v::HUGEINT * c) AS sx,
+                     sum(v::HUGEINT * (c::HUGEINT * s + c * (c - 1) // 2))
+                       AS si
+              FROM st GROUP BY lang
+            )
+            SELECT e.lang, coalesce(a.n, 0)::BIGINT AS n, e.n_excluded,
+                   coalesce(CAST(a.sx AS VARCHAR), '0') AS total,
+                   CASE WHEN a.n * a.sx > 0
+                        THEN round((2 * a.si - (a.n + 1) * a.sx)::DOUBLE
+                                   / (a.n * a.sx)::DOUBLE, 6)
+                   END AS gini
+            FROM excl e LEFT JOIN agg a ON e.lang = a.lang
+        """,
+        # q244: same running-max window chain; half-open [start, end),
+        # inverted rows clamped to points via greatest
+        "q244_interval_overlap_audit": """
+            WITH iv AS (
+              SELECT o_custkey % 50 AS entity,
+                     CAST(o_orderdate AS DATE) AS s,
+                     CAST(o_orderdate AS DATE)
+                       + (o_orderkey % 45 - 3)::int AS e
+              FROM orders
+            ), st AS (
+              SELECT entity, s, e,
+                     greatest(s, e) AS e2,
+                     (e < s)::int AS inv,
+                     max(greatest(s, e)) OVER (
+                       PARTITION BY entity ORDER BY s, greatest(s, e)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS pmax
+              FROM iv
+            )
+            SELECT entity, count(*)::BIGINT AS n_intervals,
+                   sum(inv)::BIGINT AS n_inverted,
+                   sum((pmax IS NOT NULL AND s < pmax)::int)::BIGINT
+                     AS n_overlapping,
+                   coalesce(sum(CASE WHEN pmax IS NOT NULL AND s < pmax
+                                     THEN date_diff('day', s,
+                                                    least(e2, pmax)) END),
+                            0)::BIGINT AS overlap_days,
+                   sum((pmax IS NOT NULL AND s > pmax)::int)::BIGINT
+                     AS n_gaps,
+                   coalesce(sum(CASE WHEN pmax IS NOT NULL AND s > pmax
+                                     THEN date_diff('day', pmax, s) END),
+                            0)::BIGINT AS gap_days,
+                   date_diff('day', min(s), max(e2))::BIGINT AS span_days
+            FROM st GROUP BY entity
+        """,
+        # q245: EXHAUSTIVE vocab cross join at lev=1 — the truth set
+        # the SymSpell deletion-neighborhood join must fully recover
+        # (zero recall loss); planted typos replayed from the same
+        # tokenize
+        "q245_typo_pairs": f"""
+            WITH c0 AS (SELECT {_NORM} AS t FROM documents),
+            tk0 AS (
+              SELECT unnest(regexp_split_to_array(t, ' ')) AS w
+              FROM c0 WHERE length(t) > 0
+            ), hot AS (
+              SELECT w FROM tk0
+              WHERE regexp_matches(w, '^[a-z]{{5,10}}$')
+              GROUP BY w HAVING count(*) >= 5
+            ), allw AS (
+              SELECT w FROM tk0
+              UNION ALL
+              SELECT substr(w, 1, 1) || substr(w, 3) FROM hot
+            ), vocab AS (
+              SELECT w, count(*)::BIGINT AS n FROM allw
+              WHERE regexp_matches(w, '^[a-z]{{4,12}}$')
+              GROUP BY w
+            )
+            SELECT a.w AS word_a, b.w AS word_b, a.n AS n_a, b.n AS n_b
+            FROM vocab a JOIN vocab b
+              ON a.w < b.w AND levenshtein(a.w, b.w) = 1
         """,
     }
 

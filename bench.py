@@ -248,6 +248,10 @@ BENCH_QUERIES = [
     "q239_hll_distinct_sketch",
     "q240_conformal_calibration",
     "q241_ess_report",
+    "q242_acf_report",
+    "q243_gini_concentration",
+    "q244_interval_overlap_audit",
+    "q245_typo_pairs",
 ]
 
 

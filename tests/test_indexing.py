@@ -743,3 +743,68 @@ def test_ivf_pq_probe_restriction_is_subset(spark):
     three = {(r["query_id"], r["neighbor_id"])
              for r in ivf_pq_topk(emb, q, cents, cb, k=40, nprobe=3).collect()}
     assert one < three  # strictly fewer candidates with fewer probes
+
+
+def test_acf_report_alternating_and_constant(spark):
+    from validate_spark.operators.drift import acf_report
+
+    # alternating 10,20,10,20... over 8 days: lag-1 r = -1, lag-2 r = +1
+    df = spark.createDataFrame(
+        [("a", f"2024-01-{d:02d} 00:00:00") for d in range(1, 9)],
+        "g string, ts string",
+    ).selectExpr("g", "cast(ts as timestamp) ts")
+    # counts: duplicate rows per day to shape the series
+    import pyspark.sql.functions as F
+
+    base = df.withColumn(
+        "n", F.when(F.dayofmonth("ts") % 2 == 0, 2).otherwise(1)
+    )
+    events = base.select("g", F.explode(F.expr("sequence(1, n)")), "ts").select(
+        "g", "ts"
+    )
+    out = {
+        (r["g"], r["lag"]): r["acf"]
+        for r in acf_report(events, "ts", "g", max_lag=3).collect()
+    }
+    assert out[("a", 1)] == -1.0
+    assert out[("a", 2)] == 1.0
+    # constant series -> zero variance -> NULL
+    const = spark.createDataFrame(
+        [("c", f"2024-01-{d:02d} 00:00:00") for d in range(1, 6)],
+        "g string, ts string",
+    ).selectExpr("g", "cast(ts as timestamp) ts")
+    cr = acf_report(const, "ts", "g", max_lag=2).collect()
+    assert all(r["acf"] is None for r in cr)
+    # calendar gap: day 3 missing from 1..4 -> lag-1 pairs only (1,2),(3,4)
+    gap = spark.createDataFrame(
+        [("g", "2024-01-01"), ("g", "2024-01-02"), ("g", "2024-01-04"),
+         ("g", "2024-01-05")],
+        "g string, d string",
+    ).selectExpr("g", "cast(d as timestamp) ts")
+    gr = {r["lag"]: r["n_pairs"] for r in acf_report(gap, "ts", "g", max_lag=1).collect()}
+    assert gr[1] == 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        acf_report(const, "ts", "g", max_lag=0)
+
+
+def test_gini_concentration_hand_values(spark):
+    from validate_spark.operators.stats import gini_concentration
+
+    df = spark.createDataFrame(
+        [("eq", 5), ("eq", 5), ("eq", 5), ("eq", 5),
+         ("sk", 0), ("sk", 0), ("sk", 0), ("sk", 10),
+         ("mx", 7), ("mx", -3), ("mx", None)],
+        "g string, v long",
+    )
+    rows = {r["g"]: r for r in gini_concentration(df, "v", group_cols=["g"]).collect()}
+    # equal distribution -> G = 0
+    assert rows["eq"].gini == 0.0 and rows["eq"].n == 4
+    # (0,0,0,10): num = 2*40 - 5*10 = 30, den = 40 -> 0.75
+    assert rows["sk"].gini == 0.75 and rows["sk"].total == "10"
+    # negative + NULL excluded, counted
+    assert rows["mx"].n == 1 and rows["mx"].n_excluded == 2
+    # single value -> G = 0 (num = 2*7 - 2*7)
+    assert rows["mx"].gini == 0.0

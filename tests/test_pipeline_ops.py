@@ -1782,3 +1782,33 @@ def test_ess_report_hand_checked(spark):
         "w", group_cols=["grp"],
     ).collect()[0]
     assert z.ess is None and z.ess_ratio is None and z.n == 0
+
+
+def test_typo_candidate_pairs_symspell_identity(spark):
+    from validate_spark.operators.textstats import typo_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [("abcd abcd abzd",),   # substitution pair, n_a support 2
+         ("abcde",),            # insertion vs abcd
+         ("abdc",),             # lev("abcd","abdc")=2 — shares deletion
+                                # variants, must be killed by verify
+         ("zzzz 1234 ab",)],    # digits + below min_len excluded
+        "text string",
+    )
+    out = typo_candidate_pairs(docs, "text", min_len=4, max_len=8)
+    pairs = {(r.word_a, r.word_b): (r.n_a, r.n_b) for r in out.collect()}
+    assert ("abcd", "abzd") in pairs and pairs[("abcd", "abzd")] == (2, 1)
+    assert ("abcd", "abcde") in pairs
+    assert ("abcd", "abdc") not in pairs  # distance-2 candidate filtered
+    import pyspark.sql.functions as F
+
+    # every returned pair is exactly distance 1
+    assert out.filter(F.levenshtein("word_a", "word_b") != 1).count() == 0
+    # min_support cut happens before expansion
+    sup = typo_candidate_pairs(docs, "text", min_len=4, max_len=8, min_support=2)
+    assert sup.count() == 0  # only "abcd" survives the support cut
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        typo_candidate_pairs(docs, "text", min_len=5, max_len=4)

@@ -659,3 +659,39 @@ def test_scd2_tiebreak_orders_equal_timestamps(spark):
            for r in scd2_build(df, "user", "state", "ts",
                                tiebreak_col="eid").collect()}
     assert out == {1: "A", 2: "B"}  # A(eid -1), then B,B compressed
+
+
+# ------------------------------------------- interval_overlap_audit
+def test_interval_overlap_audit_umbrella_gap_inverted(spark):
+    from validate_spark.operators.temporal import interval_overlap_audit
+
+    rows = [
+        # k1: umbrella [1,30) shadows [5,8); [10,12) overlaps umbrella
+        # even though its LAG predecessor [5,8) ended — the lag-only
+        # audit's classic miss
+        ("k1", "2024-01-01", "2024-01-30"),
+        ("k1", "2024-01-05", "2024-01-08"),
+        ("k1", "2024-01-10", "2024-01-12"),
+        # k2: clean chain with a 3-day gap
+        ("k2", "2024-01-01", "2024-01-05"),
+        ("k2", "2024-01-08", "2024-01-10"),
+        # k3: inverted interval acts as a point
+        ("k3", "2024-01-10", "2024-01-02"),
+        ("k3", "2024-01-11", "2024-01-12"),
+    ]
+    df = spark.createDataFrame(rows, "k string, s string, e string").selectExpr(
+        "k", "cast(s as date) valid_from", "cast(e as date) valid_to"
+    )
+    out = {
+        r["k"]: r
+        for r in interval_overlap_audit(df, "k", "valid_from", "valid_to").collect()
+    }
+    k1 = out["k1"]
+    assert k1.n_overlapping == 2  # both inner intervals, not just lag-adjacent
+    assert k1.overlap_days == 3 + 2  # [5,8)->3 days, [10,12)->2 days
+    assert k1.n_gaps == 0 and k1.span_days == 29
+    k2 = out["k2"]
+    assert (k2.n_overlapping, k2.n_gaps, k2.gap_days) == (0, 1, 3)
+    k3 = out["k3"]
+    assert k3.n_inverted == 1
+    assert k3.n_gaps == 1 and k3.gap_days == 1  # point at 10 -> gap to 11

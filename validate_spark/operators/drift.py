@@ -933,3 +933,88 @@ def theil_sen_trend(
         .join(med, "grp")
         .select("grp", "n_days", "n_pairs", "slope_med2")
     )
+
+
+def acf_report(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-count series per group
+    — the periodicity diagnostic missing beside :func:`daily_trend`
+    (ramp), :func:`cusum_changepoint` (step), and
+    :func:`weekday_anomaly` (known weekly season): a spike at lag 7
+    CONFIRMS weekly seasonality, a spike at lag 1 says counts are
+    sticky (yesterday predicts today), near-zero everywhere says the
+    series is safe to treat i.i.d. in drift baselines.
+
+    Pairs align on CALENDAR lag — (d, d+k) joined by exact date, so a
+    missing day produces no pair rather than smearing neighbours
+    together (index-based lag on a gappy series silently compares
+    Friday to Monday). Pearson r at each lag is computed from six
+    exact integer moments (n, Σx, Σy, Σx², Σy², Σxy) accumulated as
+    decimal(38,0) — int64 dies at ~10^4 days of 10^9-count days —
+    and the final r is the only fp op (round-6 over identical exact
+    integers in both engines; the q68 bounded-cardinality precedent).
+
+    Scale: raw events collapse to the |groups|·|days| daily frame
+    first (one hash aggregate, persisted — both the lag expansion and
+    the join side read it, never the raw events twice); the lag
+    expansion is ×max_lag on the COLLAPSED frame feeding one
+    equi-join on (grp, day) — never a range self-join. Output
+    |groups|·max_lag rows.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.to_date(F.col(ts_col)).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    exp = daily.select(
+        "grp",
+        F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias(
+            "lag"
+        ),
+        F.date_add(F.col("d"), F.col("lag")).alias("_dt"),
+        F.col("c").alias("x0"),
+    )
+    # renamed keys: a frame derived from `daily` joins back to `daily`
+    # (AMBIGUOUS_SELF_JOIN otherwise — CLAUDE.md r5 gotcha)
+    rhs = daily.select(
+        F.col("grp").alias("_g2"), F.col("d").alias("_d2"), F.col("c").alias("x1")
+    )
+    pairs = exp.join(
+        rhs, (F.col("grp") == F.col("_g2")) & (F.col("_dt") == F.col("_d2"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dec(F.col("x0"))).alias("_sx"),
+        F.sum(dec(F.col("x1"))).alias("_sy"),
+        F.sum(dec(F.col("x0")) * dec(F.col("x0"))).alias("_sxx"),
+        F.sum(dec(F.col("x1")) * dec(F.col("x1"))).alias("_syy"),
+        F.sum(dec(F.col("x0")) * dec(F.col("x1"))).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("decimal(38,0)")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "lag",
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        ).alias("acf"),
+    )

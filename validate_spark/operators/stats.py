@@ -1700,3 +1700,81 @@ def conformal_report(
     ).withColumn(
         "coverage_ppm", F.expr("n_covered * 1000000 div n_eval")
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini coefficient of a nonnegative size distribution per group —
+    the concentration headline a data card needs next to the mean: a
+    corpus whose bytes are Gini 0.9 across documents is a handful of
+    megadocs wearing a long tail (dedup/packing behave very
+    differently there than at 0.2), and source-level token Gini is
+    the one-number inequality check on a training mix.
+
+    Exact rank arithmetic on the DISTINCT-VALUE frame — never a
+    per-row global sort: with values ascending at ranks 1..n,
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx); a run of c copies of value v
+    starting at rank s contributes v·(c·s + c·(c−1) div 2) to the rank
+    sum, so the whole statistic reduces to one running-sum window over
+    |distinct values| rows per group (the trimmed_mean/roc_auc shape)
+    plus one hash aggregate. Sums accumulate as decimal(38,0) (rank ×
+    value reaches 10^21 at 10^12 rows) and cross the engine boundary
+    as strings; the single division is the only fp op (round-6 over
+    identical exact integers both engines). NULL and negative values
+    (Gini is undefined there) are excluded and counted in
+    ``n_excluded`` rather than silently vanishing.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    base = df.select(*groups, v.alias("_v"))
+    ok = F.col("_v").isNotNull() & (F.col("_v") >= 0)
+    excl = base.groupBy(*groups).agg(
+        F.sum(F.when(~ok | F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_excluded")
+    )
+    dv = (
+        base.filter(ok)
+        .groupBy(*groups, "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = dv.withColumn(
+        "_s", F.lit(1).cast("long") + F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    contrib = dec(F.col("_v")) * (
+        dec(F.col("_c")) * dec(F.col("_s"))
+        + dec(F.expr("_c * (_c - 1) div 2"))
+    )
+    agg = staged.groupBy(*groups).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(dec(F.col("_v")) * dec(F.col("_c"))).alias("_sx"),
+        F.sum(contrib).alias("_si"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = F.lit(2).cast("decimal(38,0)") * F.col("_si") - (
+        n + F.lit(1).cast("decimal(38,0)")
+    ) * F.col("_sx")
+    den = n * F.col("_sx")
+    # left from excl so an all-excluded group still surfaces (n=0)
+    out = excl.join(agg, groups, "left") if groups else excl.crossJoin(agg)
+    return out.select(
+        *groups,
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "n_excluded",
+        F.coalesce(F.col("_sx").cast("string"), F.lit("0")).alias("total"),
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "gini"
+        ),
+    )

@@ -890,3 +890,71 @@ def scd2_build(
         F.lead("eff_from").over(w2).alias("eff_to"),
         F.col("_ver").cast("int").alias("version"),
     )
+
+
+def interval_overlap_audit(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Validity-interval integrity audit per key — the invariant check
+    every temporal table (:func:`scd2_build` output, contract/session
+    validity windows) needs before AS-OF joins trust it: per key,
+    how many intervals OVERLAP prior coverage (two versions claim the
+    same instant — an AS-OF join returns an arbitrary one) and how
+    many leave GAPS (instants where no version exists).
+
+    Intervals are half-open [start, end). The chain is one window
+    pass ordered by (start, end): each row compares its start to the
+    running max of all PREVIOUS ends — max, not lag, because an
+    umbrella interval must shadow everything it spans (the classic
+    lag-only audit misses an overlap hiding behind a short
+    predecessor). Inverted rows (end < start) act as points
+    (greatest(start, end)) in the chain and are counted in
+    ``n_inverted``. All day arithmetic is exact datediff int64; ties
+    on (start, end) are interchangeable, so the per-key aggregate is
+    deterministic either engine.
+
+    Scale: one shuffle on the key, state = one running max per
+    partition-ordered stream; output |keys| rows. Keys here are
+    dimension-sized (entities with versions), never row-sized.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    base = df.select(
+        F.col(key_col).alias("k"),
+        s.alias("_s"),
+        e.alias("_e"),
+        F.greatest(s, e).alias("_e2"),
+        (e < s).cast("int").alias("_inv"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("_s", "_e2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = base.withColumn("_pmax", F.max("_e2").over(w))
+    ov = F.when(
+        F.col("_pmax").isNotNull() & (F.col("_s") < F.col("_pmax")),
+        F.datediff(F.least(F.col("_e2"), F.col("_pmax")), F.col("_s")),
+    )
+    gap = F.when(
+        F.col("_pmax").isNotNull() & (F.col("_s") > F.col("_pmax")),
+        F.datediff(F.col("_s"), F.col("_pmax")),
+    )
+    return (
+        staged.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("_inv").cast("long").alias("n_inverted"),
+            F.sum(F.when(ov.isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlapping"),
+            F.coalesce(F.sum(ov), F.lit(0)).cast("long").alias("overlap_days"),
+            F.sum(F.when(gap.isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps"),
+            F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("gap_days"),
+            F.datediff(F.max("_e2"), F.min("_s")).cast("long").alias("span_days"),
+        )
+    )

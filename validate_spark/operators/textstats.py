@@ -1309,3 +1309,79 @@ def oov_report(
             "n_bpe",
         )
     )
+
+
+def typo_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_len: int = 4,
+    max_len: int = 12,
+    min_support: int = 1,
+) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs — the typo/variant screen a
+    vocabulary builder or OCR-quality audit runs before frequencies
+    feed `bpe_merge_stats` or a stopword list: "recieve" beside
+    "receive" is a misspelling cluster, not two words.
+
+    The pair generation is the SymSpell deletion-neighborhood
+    identity (Garbe 2012): lev(a,b) ≤ 1 ⇔ ({a} ∪ del₁(a)) ∩
+    ({b} ∪ del₁(b)) ≠ ∅ — substitutions meet at the shared deletion,
+    insertions at the shorter word itself. So each vocabulary word
+    expands into ≤ len+1 variants, candidates come from ONE equi-join
+    on the variant key, and the exact `levenshtein(a,b) == 1` verify
+    kills the false candidates the identity admits (e.g. "ab"/"ba"
+    share variants at distance 2) and the a=b self-matches. NO
+    all-pairs anything: the quadratic lives inside variant buckets
+    whose size is bounded by alphabet density, never |vocab|².
+
+    Tokens are lowercased [a-z]-only within [min_len, max_len]
+    (cross-engine levenshtein is byte/char-identical on ASCII;
+    multi-byte text routes to the gram/minhash tiers instead) and
+    must clear ``min_support`` corpus occurrences BEFORE expansion —
+    the frequency cut happens on the |vocab| frame, so hapax noise
+    never inflates the join.
+
+    Scale: one fan_out-guarded tokenize projection → |vocab|-bounded
+    hash aggregate → ×(len+1) variant explode on the VOCAB frame →
+    one shuffle on the variant key → distinct pairs → verify.
+    Output: (word_a, word_b, n_a, n_b), word_a < word_b.
+    """
+    from validate_spark.session import fan_out
+
+    if min_len < 1 or max_len < min_len:
+        raise ValueError("need 1 <= min_len <= max_len")
+    tok_rx = f"^[a-z]{{{min_len},{max_len}}}$"
+    vocab = (
+        fan_out(df)
+        .select(normalize_text(F.col(text_col)).alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.explode(F.split("_t", " ")).alias("_w"))
+        .filter(F.col("_w").rlike(tok_rx))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .filter(F.col("_n") >= min_support)
+    )
+    variants = vocab.select(
+        F.col("_w"),
+        F.col("_n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(_w)), i -> "
+                "CASE WHEN i = length(_w) THEN _w "
+                "ELSE concat(substring(_w, 1, i), substring(_w, i + 2)) END)"
+            )
+        ).alias("_v"),
+    ).distinct()
+    a = variants.select(
+        F.col("_v").alias("_va"), F.col("_w").alias("word_a"), F.col("_n").alias("n_a")
+    )
+    b = variants.select(
+        F.col("_v").alias("_vb"), F.col("_w").alias("word_b"), F.col("_n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, (F.col("_va") == F.col("_vb")) & (F.col("word_a") < F.col("word_b")))
+        .select("word_a", "word_b", "n_a", "n_b")
+        .distinct()
+    )
+    return pairs.filter(F.levenshtein(F.col("word_a"), F.col("word_b")) == 1)
