@@ -5419,7 +5419,7 @@ _DRIVER_FIRST = [
     "q64_custom_type_extractor",
     "q70_type_gauntlet",
     "q71_filter_gauntlet",
-    "q69_line_dedup",
+    "q245_typo_pairs",
     "q217_containment_quotes",
     "q77_incremental_minhash",
     "q219_pq_ann",
@@ -5428,31 +5428,31 @@ _DRIVER_FIRST = [
     "q225_contrastive_negatives",
     "q222_layout_advisor",
     "q78_quality_quantile",
-    "q53_repetition_signals",
-    "q68_unigram_quality",
-    "q90_encoding_signals",
+    "q235_spatial_grid_join",
+    "q236_merge_upsert",
+    "q238_embedding_lsh_multitable",
     "q100_gopher_rules",
-    "q110_distinctive_terms",
+    "q241_ess_report",
     "q130_quality_classifier",
     "q143_bpe_merges",
     "q152_nfc_normalization",
-    "q66_url_blocklist",
+    "q239_hll_distinct_sketch",
     "q72_semantic_decontam",
     "q146_phrase_contamination",
     "q67_sequence_packing",
     "q131_doc_chunks",
     "q142_pagerank",
     "q102_sessionize",
-    "q104_range_join",
+    "q244_interval_overlap_audit",
     "q107_funnel",
     "q108_cohort_retention",
-    "q182_triangle_count",
+    "q242_acf_report",
     "q224_scd2_build",
     "q105_streaming_sessionize",
     "q221_streaming_cms",
     "q124_top_revenue",
     "q214_roc_auc",
-    "q187_sq8_ann",
+    "q240_conformal_calibration",
     "q95_functional_dependency",
     "q119_cube_profile",
     "q191_kmv_distinct_sketch",

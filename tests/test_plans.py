@@ -630,3 +630,43 @@ def test_annotate_spans_is_pure_projection(spark):
         .collect()[0]
     )
     assert row["nc"] is not None and row["nt"] is not None and row["ns"] >= 1
+
+
+def test_acf_report_single_daily_collapse(spark):
+    """acf_report persists the collapsed daily frame: both the lag
+    expansion and the join side read the SAME InMemoryRelation — the
+    raw events are scanned once, never once per side (at 100 TB the
+    collapse IS the job; reading it twice doubles it)."""
+    from validate_spark.operators.drift import acf_report
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = acf_report(ev, "ts", "event_type", max_lag=7)
+    plan = physical(out)
+    assert "InMemoryTableScan" in plan
+    n_cache_defs = plan.count("InMemoryRelation")
+    assert plan.count("Scan parquet") <= n_cache_defs  # only inside the cache def
+
+
+def test_gini_is_distinct_value_shape_no_global_sort(spark):
+    """gini_concentration's rank window runs over the distinct-value
+    frame partitioned by group — the executed plan contains no
+    partition-less Sort/Exchange (a per-row global sort would be the
+    10^12-row failure mode the run-start arithmetic exists to avoid)."""
+    from validate_spark.operators.stats import gini_concentration
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(gini_concentration(docs, "n_chars", group_cols=["lang"]))
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_typo_pairs_join_is_variant_equi_never_cartesian(spark):
+    """typo_candidate_pairs' pair stage must be an equi-join on the
+    deletion-variant key — never a cartesian/BNLJ over the vocabulary
+    (the SymSpell identity exists precisely so the |vocab|² product
+    never materializes)."""
+    from validate_spark.operators.textstats import typo_candidate_pairs
+
+    docs = spark.read.parquet(DOCS)
+    plan = physical(typo_candidate_pairs(docs, "text", min_support=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
