@@ -6522,6 +6522,75 @@ def q237_token_budget_mix(spark, sf_dir):
     )
 
 
+def q246_cross_source_dups(spark, sf_dir):
+    """Source × source duplication matrix (dedup.cross_source_dup_matrix)
+    — WHO shares content with WHOM: per source pair, distinct shared
+    fingerprints and doc counts each side — the mirror-site signal that
+    decides which source to DROP rather than dedup. Per-fp per-source
+    arrays are |sources|-bounded (the hot-key failure mode structurally
+    cannot occur), pairs expand row-locally. Fixture: sources reassigned
+    to doc_id%3 classes, a mirror site holding every %7 doc and a
+    laundered rescrape of every %10 doc unioned in — so base↔mirror,
+    base↔laundered and mirror↔laundered overlaps are all exercised."""
+    from validate_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "text",
+        F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string")).alias(
+            "source"
+        ),
+    )
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "text", F.lit("mirror_site").alias("source")
+    )
+    laundered = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "text", F.lit("laundered").alias("source")
+    )
+    corpus = base.unionByName(mirror).unionByName(laundered)
+    return cross_source_dup_matrix(corpus, "source")
+
+
+def q247_basket_pairs(spark, sf_dir):
+    """Market-basket association pairs (olap.basket_pairs) — items
+    co-ordered beyond what their popularity predicts: integer-selected
+    (support >= 2, positive lift by decimal cross-multiplication),
+    top-100 by (c_ab DESC, item_a, item_b). Basket = l_orderkey,
+    item = l_partkey; oversized baskets drop BEFORE any array exists
+    and the kept baskets collect through the two-phase (pid, basket)
+    stage. The oracle replays the exhaustive per-basket pair join —
+    quadratic truth, runnable at sf, which is the point."""
+    from validate_spark.operators.olap import basket_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return basket_pairs(li, min_support=2, max_basket=200, top_n=100)
+
+
+def q248_robotic_cadence(spark, sf_dir):
+    """Inter-event cadence bot screen (temporal.robotic_cadence):
+    per-actor exact unix-micro gap statistics with a pure-integer
+    "metronome" verdict — gap spread within 10% of the mean gap,
+    cross-multiplied in decimal(38,0). Fixture: real events actors
+    plus one planted bot posting every 60.000000 s for 20 events
+    (timestamp_seconds from a fixed epoch — replayed in the oracle as
+    make_timestamp micros), so both verdict polarities are exercised."""
+    from validate_spark.operators.temporal import robotic_cadence
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("string").alias("actor"), F.col("ts")
+    )
+    bot = spark.range(20).select(
+        F.lit("bot_1").alias("actor"),
+        F.timestamp_seconds(
+            F.lit(1704067200).cast("long") + F.col("id") * 60
+        ).alias("ts"),
+    )
+    return robotic_cadence(
+        base.unionByName(bot), "ts", "actor", min_events=5, tolerance_pct=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6769,6 +6838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_gini_concentration": q243_gini_concentration,
         "q244_interval_overlap_audit": q244_interval_overlap_audit,
         "q245_typo_pairs": q245_typo_pairs,
+        "q246_cross_source_dups": q246_cross_source_dups,
+        "q247_basket_pairs": q247_basket_pairs,
+        "q248_robotic_cadence": q248_robotic_cadence,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -13036,6 +13108,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.w AS word_a, b.w AS word_b, a.n AS n_a, b.n AS n_b
             FROM vocab a JOIN vocab b
               ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+        """,
+        # q246: per-(fp, source) counts then a fp equi-join with
+        # src_a < src_b — the quadratic-in-|sources| truth the
+        # row-local array expansion must reproduce
+        "q246_cross_source_dups": f"""
+            WITH corpus AS (
+              SELECT text,
+                     'src' || CAST(doc_id % 3 AS VARCHAR) AS src
+              FROM documents
+              UNION ALL
+              SELECT text, 'mirror_site' FROM documents
+              WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT text, 'laundered' FROM documents
+              WHERE doc_id % 10 = 0
+            ), fs AS (
+              SELECT md5({_NORM}) AS fp, src, count(*)::BIGINT AS n
+              FROM corpus WHERE src IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT a.src AS source_a, b.src AS source_b,
+                   count(*)::BIGINT AS n_shared_fps,
+                   sum(a.n)::BIGINT AS docs_a,
+                   sum(b.n)::BIGINT AS docs_b
+            FROM fs a JOIN fs b ON a.fp = b.fp AND a.src < b.src
+            GROUP BY 1, 2
+        """,
+        # q247: exhaustive per-basket pair join — quadratic truth for
+        # the two-phase array expansion; lift selection is the same
+        # HUGEINT cross-multiplication, display lift the same two
+        # exact integers divided as doubles
+        "q247_basket_pairs": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ), sizes AS (
+              SELECT b, count(*) AS sz FROM bi GROUP BY b
+            ), kept AS (SELECT b FROM sizes WHERE sz <= 200),
+            bik AS (SELECT bi.* FROM bi JOIN kept USING (b)),
+            nb AS (SELECT count(*)::BIGINT AS n FROM kept),
+            pr AS (
+              SELECT a.i AS item_a, b2.i AS item_b,
+                     count(*)::BIGINT AS c_ab
+              FROM bik a JOIN bik b2 ON a.b = b2.b AND a.i < b2.i
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ), supp AS (
+              SELECT i, count(*)::BIGINT AS c FROM bik GROUP BY i
+            )
+            SELECT item_a, item_b, c_ab, sa.c AS c_a, sb.c AS c_b,
+                   nb.n AS n_baskets,
+                   round((c_ab::HUGEINT * nb.n)::DOUBLE
+                         / (sa.c::HUGEINT * sb.c)::DOUBLE, 6) AS lift
+            FROM pr JOIN supp sa ON sa.i = item_a
+                    JOIN supp sb ON sb.i = item_b, nb
+            WHERE c_ab::HUGEINT * nb.n > sa.c::HUGEINT * sb.c
+            ORDER BY c_ab DESC, item_a, item_b LIMIT 100
+        """,
+        # q248: lag-window gap stats per actor; the consecutive-diff
+        # multiset of a sorted multiset is tie-order independent, so
+        # both engines agree even on duplicate timestamps. mean is
+        # truncating div both sides (Spark div ≡ DuckDB //); the
+        # planted metronome replays as make_timestamp micros
+        "q248_robotic_cadence": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS actor,
+                     epoch_us(ts)::BIGINT AS us
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              UNION ALL
+              SELECT 'bot_1',
+                     (1704067200 + i * 60) * 1000000
+              FROM generate_series(0, 19) AS g(i)
+            ), g AS (
+              SELECT actor, us,
+                     us - lag(us) OVER (PARTITION BY actor ORDER BY us)
+                       AS gp
+              FROM ev
+            ), a AS (
+              SELECT actor, count(*)::BIGINT AS n_events,
+                     count(gp)::BIGINT AS n_gaps,
+                     sum(gp)::BIGINT AS sg,
+                     min(gp)::BIGINT AS min_gap_us,
+                     max(gp)::BIGINT AS max_gap_us
+              FROM g GROUP BY actor HAVING count(*) >= 5
+            )
+            SELECT actor, n_events, n_gaps,
+                   sg // n_gaps AS mean_gap_us,
+                   min_gap_us, max_gap_us,
+                   ((max_gap_us - min_gap_us)::HUGEINT * 100 * n_gaps
+                      <= 10::HUGEINT * sg) AS robotic
+            FROM a
         """,
     }
 

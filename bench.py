@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     "q243_gini_concentration",
     "q244_interval_overlap_audit",
     "q245_typo_pairs",
+    "q246_cross_source_dups",
+    "q247_basket_pairs",
+    "q248_robotic_cadence",
 ]
 
 

@@ -372,3 +372,56 @@ def test_supplier_part_counts_no_expand(spark):
     out = supplier_part_counts(part, supplier)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_basket_pairs_exhaustive_small(spark):
+    """Pair counts, supports and lift selection vs a hand model;
+    oversized basket drops with its pair storm; singleton baskets
+    count toward N and supports."""
+    from validate_spark.operators.olap import basket_pairs
+
+    rows = []
+    # b1..b4: {1,2} together; b5: {1,3}; b6: {2}; b7 singleton {3}
+    for b, items in [
+        (1, [1, 2]),
+        (2, [1, 2]),
+        (3, [1, 2]),
+        (4, [1, 2, 3]),
+        (5, [1, 3]),
+        (6, [2]),
+        (7, [3]),
+        # b8 oversized (4 items > max_basket=3): contributes nothing
+        (8, [10, 11, 12, 13]),
+        # duplicate (basket, item) rows must not double-count
+        (1, [1]),
+    ]:
+        rows += [(b, i) for i in items]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = basket_pairs(df, min_support=2, max_basket=3, top_n=10).collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    # N = 7 kept baskets; c(1)=5, c(2)=5, c(3)=3
+    # (1,2): c_ab=4, lift = 4*7/(5*5) = 1.12 > 1 -> kept
+    # (1,3): c_ab=2, lift = 2*7/(5*3) < 1 -> dropped
+    # (2,3): c_ab=1 -> below support
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.c_ab, r.c_a, r.c_b, r.n_baskets) == (4, 5, 5, 7)
+    assert abs(r.lift - round(28 / 25, 6)) < 1e-9
+
+
+def test_basket_pairs_two_phase_bounded(spark):
+    """The member collection must be the two-phase (pid, basket)
+    stage: two HashAggregates on the collect path, the first keyed by
+    spark_partition_id — never a single groupBy(basket).collect."""
+    from validate_spark.operators.olap import basket_pairs
+
+    df = spark.createDataFrame(
+        [(i % 5, i) for i in range(50)], "l_orderkey long, l_partkey long"
+    )
+    plan = (
+        basket_pairs(df, min_support=1, max_basket=20, top_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SPARK_PARTITION_ID" in plan.upper()

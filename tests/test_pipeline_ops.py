@@ -1812,3 +1812,31 @@ def test_typo_candidate_pairs_symspell_identity(spark):
 
     with _pt.raises(ValueError):
         typo_candidate_pairs(docs, "text", min_len=5, max_len=4)
+
+
+def test_cross_source_dup_matrix(spark):
+    """Shared-fp counts and per-side doc sums vs a hand model,
+    including a 3-source fp (row-local pair expansion) and
+    normalization-equal texts."""
+    from validate_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        (1, "Hello World", "a"),
+        (2, "hello, world!", "b"),  # normalizes equal to 1
+        (3, "HELLO WORLD", "c"),
+        (4, "dup in a", "a"),
+        (5, "dup in a", "a"),  # same source twice -> docs count 2
+        (6, "dup in a!", "b"),
+        (7, "only here", "c"),
+        (8, "no source", None),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): (r.n_shared_fps, r.docs_a, r.docs_b)
+        for r in cross_source_dup_matrix(df, "source").collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 3, 2),  # hello-fp (1,1) + dup-fp (2,1)
+        ("a", "c"): (1, 1, 1),
+        ("b", "c"): (1, 1, 1),
+    }

@@ -695,3 +695,69 @@ def test_interval_overlap_audit_umbrella_gap_inverted(spark):
     k3 = out["k3"]
     assert k3.n_inverted == 1
     assert k3.n_gaps == 1 and k3.gap_days == 1  # point at 10 -> gap to 11
+
+
+# ------------------------------------------------- robotic_cadence
+def test_robotic_cadence_metronome_vs_bursty(spark):
+    import datetime as dt
+
+    from validate_spark.operators.temporal import robotic_cadence
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("bot", base + dt.timedelta(seconds=60 * i)) for i in range(10)]
+    # 10% tolerance boundary: gaps 99,101 around mean 100 -> spread 2,
+    # 2*100*n <= 10*sum holds exactly at equality
+    rows += [
+        ("edge", base),
+        ("edge", base + dt.timedelta(seconds=99)),
+        ("edge", base + dt.timedelta(seconds=200)),
+        ("edge", base + dt.timedelta(seconds=299)),
+        ("edge", base + dt.timedelta(seconds=400)),
+    ]
+    rows += [
+        ("human", base + dt.timedelta(seconds=s))
+        for s in (0, 5, 300, 310, 2000, 2100)
+    ]
+    rows += [("few", base), ("few", base + dt.timedelta(seconds=60))]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    out = {r["u"]: r for r in robotic_cadence(df, "ts", "u").collect()}
+    assert "few" not in out  # below min_events
+    assert out["bot"].robotic and out["bot"].mean_gap_us == 60_000_000
+    assert out["bot"].n_gaps == 9
+    assert out["edge"].robotic  # spread exactly at the 10% boundary
+    assert (out["edge"].min_gap_us, out["edge"].max_gap_us) == (
+        99_000_000,
+        101_000_000,
+    )
+    assert not out["human"].robotic
+
+
+def test_robotic_cadence_tie_timestamps_deterministic(spark):
+    """Duplicate timestamps: the diff multiset is tie-order
+    independent — gap 0 appears, min_gap_us = 0, never negative."""
+    import datetime as dt
+
+    from validate_spark.operators.temporal import robotic_cadence
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", base),
+        ("u", base),
+        ("u", base + dt.timedelta(seconds=10)),
+        ("u", base + dt.timedelta(seconds=10)),
+        ("u", base + dt.timedelta(seconds=20)),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    r = robotic_cadence(df, "ts", "u").collect()[0]
+    assert (r.min_gap_us, r.max_gap_us, r.n_gaps) == (0, 10_000_000, 4)
+    assert not r.robotic
+
+
+def test_robotic_cadence_min_events_guard(spark):
+    import pytest
+
+    from validate_spark.operators.temporal import robotic_cadence
+
+    df = spark.createDataFrame([], "u string, ts timestamp")
+    with pytest.raises(ValueError):
+        robotic_cadence(df, "ts", "u", min_events=1)

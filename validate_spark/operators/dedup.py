@@ -2286,3 +2286,62 @@ def containment_pairs(
         )
         .filter(F.col("common") * 100 >= F.lit(pct) * F.col("n_a"))
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Source × source exact-duplication matrix — WHO shares content
+    with WHOM: for every pair of sources, how many distinct
+    fingerprints appear in both and how many documents each side
+    holds for them. The governance sequel to the per-source
+    duplication topline (that says "src3 is 40% dup"; this says
+    "src3's dups are src1's content" — the mirror-site / laundered-
+    scrape signal that decides which source to DROP rather than
+    dedup).
+
+    Per fingerprint the per-source doc counts collect into an array
+    bounded by |sources| — INHERENTLY bounded, unlike the LSH bucket
+    collects that needed the two-phase (pid, key) stage: a fingerprint
+    cannot have more entries than there are sources, so the hot-key
+    failure mode structurally cannot occur (documented, not assumed).
+    Source pairs then expand ROW-LOCALLY from that array (the q230
+    rule: never a self-join on the fingerprint frame) and one
+    |sources|²-bounded hash aggregate finishes.
+
+    Output: (source_a, source_b, n_shared_fps, docs_a, docs_b),
+    source_a < source_b, only pairs that actually share content.
+    """
+    from validate_spark.operators.textstats import fingerprint
+
+    fs = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            fingerprint(F.col(text_col)).alias("_fp"),
+        )
+        .filter(F.col("_src").isNotNull())
+        .groupBy("_fp", "_src")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    per_fp = fs.groupBy("_fp").agg(
+        F.sort_array(F.collect_list(F.struct("_src", "_n"))).alias("_ss")
+    )
+    pairs = per_fp.filter(F.size("_ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ss, (x, i) -> "
+                "transform(slice(_ss, i + 2, size(_ss)), "
+                "y -> struct(x._src AS sa, y._src AS sb, "
+                "x._n AS na, y._n AS nb))))"
+            )
+        ).alias("_p")
+    )
+    return pairs.groupBy(
+        F.col("_p.sa").alias("source_a"), F.col("_p.sb").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_fps"),
+        F.sum("_p.na").cast("long").alias("docs_a"),
+        F.sum("_p.nb").cast("long").alias("docs_b"),
+    )

@@ -1159,3 +1159,108 @@ def promotion_stock_suppliers(
         .select("s_suppkey", "s_name")
         .orderBy("s_name", "s_suppkey")
     )
+
+
+def basket_pairs(
+    lineitem: DataFrame,
+    *,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    max_basket: int = 200,
+    top_n: int = 100,
+) -> DataFrame:
+    """Market-basket association pairs — items co-ordered more than
+    their individual popularity predicts (support / lift mining, the
+    set-co-occurrence sibling of `textstats.collocations`' sequence
+    bigrams): the cross-sell / co-retrieval signal over any
+    (basket, item) relation.
+
+    The q202/PMI exactness split: SELECTION is pure integer — pairs
+    need ``c_ab >= min_support`` and positive lift via the
+    cross-multiplication c_ab·N > c_a·c_b carried in decimal(38,0),
+    and the top-N rank rides (c_ab DESC, item_a, item_b) — while the
+    reported ``lift`` is display-only round-6 over those same exact
+    integers.
+
+    Scale shape: basket SIZES come from a plain count aggregate
+    (bounded state — never a collect), oversized baskets (bot carts,
+    catalog dumps) drop with their pair storm BEFORE any array
+    exists, and the kept baskets' item arrays collect through
+    ``dedup._two_phase_buckets`` — the (spark_partition_id, key)
+    stage that bounds every aggregation buffer to task input even on
+    a hot basket key (the round-4 LSH lesson, applied at birth).
+    Pairs expand ROW-LOCALLY from each sorted array (q230 rule: no
+    per-basket self-join); supports and N count the SAME capped
+    universe (no lift bias from dropped baskets); the size filter and
+    the membership join share one exchange (both keyed on the basket);
+    the final cut is orderBy+limit = TakeOrderedAndProject.
+
+    Output: (item_a, item_b, c_ab, c_a, c_b, n_baskets, lift).
+    """
+    from validate_spark.operators.dedup import _two_phase_buckets
+
+    bi = (
+        lineitem.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .filter(F.col("_b").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    sizes = bi.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    kept = sizes.filter(F.col("_sz") <= max_basket).select("_b")
+    bi_kept = bi.join(kept, "_b")
+    n_b = kept.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    # multi-item baskets only (singletons yield no pairs), buffers
+    # bounded by max_basket + 1 per task
+    buckets = _two_phase_buckets(
+        bi_kept, ["_b"], F.col("_i"), max_bucket=max_basket
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("item_a"), F.col("_p.b").alias("item_b"))
+    c_ab = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    ).filter(F.col("c_ab") >= min_support)
+    supp = bi_kept.groupBy(F.col("_i").alias("_it")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        c_ab.join(
+            supp.select(F.col("_it").alias("item_a"), F.col("_c").alias("c_a")),
+            "item_a",
+        )
+        .join(
+            supp.select(F.col("_it").alias("item_b"), F.col("_c").alias("c_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .filter(
+            dec(F.col("c_ab")) * dec(F.col("n_baskets"))
+            > dec(F.col("c_a")) * dec(F.col("c_b"))
+        )
+    )
+    return (
+        joined.select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n_baskets",
+            F.round(
+                (dec(F.col("c_ab")) * dec(F.col("n_baskets"))).cast("double")
+                / (dec(F.col("c_a")) * dec(F.col("c_b"))).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "item_a", "item_b")
+        .limit(top_n)
+    )

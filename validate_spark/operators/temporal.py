@@ -958,3 +958,66 @@ def interval_overlap_audit(
             F.datediff(F.max("_e2"), F.min("_s")).cast("long").alias("span_days"),
         )
     )
+
+
+def robotic_cadence(
+    df: DataFrame,
+    ts_col: str,
+    actor_col: str,
+    *,
+    min_events: int = 5,
+    tolerance_pct: int = 10,
+) -> DataFrame:
+    """Inter-event cadence audit per actor — the bot screen web-scale
+    training data runs before sessionized content is trusted: a
+    scraper posting every 60.0 s produces gap spreads no human can
+    (humans are bursty; :func:`debounce_first` handles the bursts,
+    this catches the metronomes).
+
+    Gaps are exact unix micros between consecutive events (the
+    multiset of consecutive differences of a sorted multiset is
+    order-independent, so timestamp ties cannot make the output
+    nondeterministic). ``robotic`` is a pure integer selection — the
+    cross-multiplication (max_gap − min_gap)·100·n_gaps ≤
+    tolerance_pct·Σgaps, i.e. the gap spread is within
+    ``tolerance_pct`` percent of the MEAN gap — carried in
+    decimal(38,0) so century-long micros cannot overflow. mean_gap_us
+    is truncating div (identical both engines).
+
+    Scale: one shuffle on the actor key; the window carries O(1)
+    state (one lag); the aggregate is map-side-combinable. Output
+    |actors with >= min_events| rows.
+    """
+    if min_events < 2:
+        raise ValueError("min_events must be >= 2 (need at least one gap)")
+    base = df.select(
+        F.col(actor_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    ).filter(F.col("_u").isNotNull() & F.col("_us").isNotNull())
+    w = Window.partitionBy("_u").orderBy("_us")
+    g = base.withColumn("_g", F.col("_us") - F.lag("_us").over(w))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        g.groupBy(F.col("_u").alias(actor_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_g").cast("long").alias("n_gaps"),
+            F.sum("_g").cast("long").alias("_sg"),
+            F.min("_g").cast("long").alias("min_gap_us"),
+            F.max("_g").cast("long").alias("max_gap_us"),
+        )
+        .filter(F.col("n_events") >= min_events)
+    )
+    spread = dec(F.col("max_gap_us") - F.col("min_gap_us"))
+    return agg.select(
+        actor_col,
+        "n_events",
+        "n_gaps",
+        F.expr("_sg div n_gaps").alias("mean_gap_us"),
+        "min_gap_us",
+        "max_gap_us",
+        (
+            spread * F.lit(100).cast("decimal(38,0)") * dec(F.col("n_gaps"))
+            <= F.lit(tolerance_pct).cast("decimal(38,0)") * dec(F.col("_sg"))
+        ).alias("robotic"),
+    )
