@@ -6591,6 +6591,46 @@ def q248_robotic_cadence(spark, sf_dir):
     )
 
 
+def q249_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (retrieval.rrf_fuse):
+    BM25 lexical top-8 (q192's exact int64 pipeline) ⊕ dense cosine
+    top-10 (q19's brute-force path, query vectors = embeddings 1 and 2
+    over the shared doc_id ≡ vec_id universe), fused on pure-integer
+    10^12 div (60 + rank) contributions — no score calibration, rank
+    and cut all integer-selected. The per-query sibling of q188's
+    global quality-signal ensemble; both source rankings are
+    independently oracle-gated, so this gates exactly the fusion."""
+    from validate_spark.operators import similarity as sim
+    from validate_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    terms = spark.createDataFrame(
+        [
+            ("q1", "hash"),
+            ("q1", "join"),
+            ("q1", "merge"),
+            ("q2", "stream"),
+            ("q2", "window"),
+            ("q2", "vector"),
+        ],
+        ["query_id", "term"],
+    )
+    lex = bm25_topk(docs, terms, k=8).select("query_id", "doc_id", "rank")
+    qv = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    den = sim.brute_force_topk(emb, qv, k=10).select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias(
+            "query_id"
+        ),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, den], k=60, top_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6841,6 +6881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_cross_source_dups": q246_cross_source_dups,
         "q247_basket_pairs": q247_basket_pairs,
         "q248_robotic_cadence": q248_robotic_cadence,
+        "q249_hybrid_rrf": q249_hybrid_rrf,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -13198,6 +13239,96 @@ def oracle_sql() -> dict[str, str]:
                    ((max_gap_us - min_gap_us)::HUGEINT * 100 * n_gaps
                       <= 10::HUGEINT * sg) AS robotic
             FROM a
+        """,
+        # q249: q192's exact BM25 CTE chain + q19's cosine ranking,
+        # fused on 10^12 // (60 + rank) integer contributions; rank
+        # and cut replayed with the same (rrf_int DESC, doc_id) order
+        "q249_hybrid_rrf": f"""
+            WITH q(query_id, term) AS (
+              VALUES ('q1','hash'), ('q1','join'), ('q1','merge'),
+                     ('q2','stream'), ('q2','window'), ('q2','vector')
+            ), base AS (
+              SELECT doc_id, {_NORM} AS nt FROM documents
+            ), dl AS (
+              SELECT doc_id,
+                     (CASE WHEN nt = '' THEN 0
+                           ELSE len(string_split(nt, ' ')) END)::bigint
+                       AS dl
+              FROM base
+            ), stats AS (
+              SELECT count(*)::bigint AS n_docs,
+                     (2000 * sum(dl) + count(*)) // (2 * count(*)) AS a
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, term,
+                     least(count(*), 4096)::bigint AS tf
+              FROM (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+                FROM base WHERE nt <> ''
+              ) GROUP BY doc_id, term
+            ), m AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+              JOIN dl USING (doc_id)
+            ), dfc AS (
+              SELECT term, count(*)::bigint AS df FROM m GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     round(ln((2 * stats.n_docs + 2)::double
+                              / (2 * df + 1)) * 10000)::bigint AS idf_int
+              FROM dfc, stats
+            ), sc AS (
+              SELECT m.doc_id, m.term,
+                     (idf.idf_int * (22 * stats.a * m.tf))
+                       // (10 * stats.a * m.tf + 3 * stats.a
+                           + 9000 * m.dl) AS s
+              FROM m JOIN idf USING (term), stats
+            ), ds AS (
+              SELECT q.query_id, sc.doc_id, sum(sc.s)::bigint AS bm25_int
+              FROM sc JOIN q USING (term) GROUP BY 1, 2
+            ), lex AS (
+              SELECT query_id, doc_id, rnk FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY bm25_int DESC, doc_id) AS rnk
+                FROM ds
+              ) WHERE rnk <= 8
+            ), qd AS (
+              SELECT vec_id, embedding AS qv FROM embeddings
+              WHERE vec_id IN (1, 2)
+            ), sd AS (
+              SELECT qd.vec_id, e.vec_id AS doc_id,
+                     round(list_cosine_similarity(e.embedding, qd.qv), 9)
+                       AS cos
+              FROM embeddings e, qd WHERE e.vec_id <> qd.vec_id
+            ), den AS (
+              SELECT 'q' || vec_id::varchar AS query_id, doc_id, rnk
+              FROM (
+                SELECT vec_id, doc_id, row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY cos DESC, doc_id ASC) AS rnk
+                FROM sd
+              ) WHERE rnk <= 10
+            ), u AS (
+              SELECT query_id, doc_id,
+                     1000000000000 // (60 + rnk) AS c FROM lex
+              UNION ALL
+              SELECT query_id, doc_id, 1000000000000 // (60 + rnk)
+              FROM den
+            ), fz AS (
+              SELECT query_id, doc_id, sum(c)::bigint AS rrf_int,
+                     count(*)::int AS n_lists
+              FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, rrf_int, n_lists,
+                   round(rrf_int::DOUBLE / 1e12, 6) AS rrf,
+                   rk::int AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_int DESC, doc_id) AS rk
+              FROM fz
+            ) WHERE rk <= 10
         """,
     }
 

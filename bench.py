@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "q246_cross_source_dups",
     "q247_basket_pairs",
     "q248_robotic_cadence",
+    "q249_hybrid_rrf",
 ]
 
 

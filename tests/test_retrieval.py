@@ -1050,3 +1050,65 @@ def test_modality_dup_topline_counts(spark):
     # NULL keys coalesce to ONE countable group
     txt = out["text"]
     assert (txt["n_spans"], txt["n_distinct"], txt["dup_rows"]) == (4, 3, 1)
+
+
+# ------------------------------------------------------- rrf_fuse
+def test_rrf_fuse_hand_case(spark):
+    """Integer contributions, consensus beats either single list,
+    single-list docs still rank, top_n cuts."""
+    from validate_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 11, 1), ("q", 13, 2), ("q", 10, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_n=3).collect()}
+    # doc 11: 10^12//61 + 10^12//62; doc 10: 10^12//61 + 10^12//63
+    assert (out[11].rrf_int, out[11].n_lists, out[11].rank) == (
+        16393442622 + 16129032258,
+        2,
+        1,
+    )
+    assert (out[10].rrf_int, out[10].rank) == (16393442622 + 15873015873, 2)
+    # doc 13 (rank 2, one list) beats doc 12 (rank 3, one list) — 12 cut
+    assert (out[13].n_lists, out[13].rank) == (1, 3)
+    assert 12 not in out
+    assert out[11].rrf == round((16393442622 + 16129032258) / 1e12, 6)
+
+
+def test_rrf_fuse_guards(spark):
+    import pytest
+
+    from validate_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame(
+        [("q", 1, 1)], "query_id string, doc_id long, rank int"
+    )
+    with pytest.raises(ValueError):
+        rrf_fuse([df])
+    with pytest.raises(ValueError):
+        rrf_fuse([df, df], top_n=0)
+
+
+def test_rrf_fuse_no_per_query_window(spark):
+    """The top-n cut must be the two-phase (pid, query) slice — no
+    Window operator in the plan (no per-query hot reducer)."""
+    from validate_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame(
+        [("q", i, i + 1) for i in range(20)],
+        "query_id string, doc_id long, rank int",
+    )
+    plan = (
+        rrf_fuse([df, df], top_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # spark_partition_id shows as a _nondeterministic grouping key
+    assert "_nondeterministic" in plan

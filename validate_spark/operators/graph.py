@@ -354,3 +354,4 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+

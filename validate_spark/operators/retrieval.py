@@ -249,3 +249,84 @@ def kwic_snippets(
         "pos",
         F.substring(F.col("_nt"), start, length).alias("snippet"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    top_n: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of >= 2 per-query rankings — the hybrid-
+    retrieval merge (lexical BM25 + dense ANN is the canonical pair)
+    that needs NO score calibration because only RANKS cross lists:
+    RRF(d) = Σ_lists 1/(k + rank_d). The per-QUERY sibling of
+    `indexing.rrf_fusion` (which ensembles corpus-wide quality
+    signals into one global ordering): there the rank is a global
+    index over 10^12 rows and costs one range exchange per signal;
+    here the inputs are already k-bounded top-k lists per query, so
+    fusion is one hash aggregate. Reference seed: none (gookit has
+    no retrieval surface); standard IR practice (Cormack SIGIR'09).
+
+    Exactness: each contribution is frozen to the int64 micro-unit
+    grid as ``10^12 div (k + rank)`` — ranks are small integers, so
+    fusion scores, the (rrf_int DESC, doc ASC) order, and the top-n
+    cut are all pure integer selection (the q202 split); ``rrf`` is
+    the display-only float. Two lists of rank 1 sum to ~3.3e10 —
+    nowhere near int64.
+
+    Scale: inputs are already k-bounded per query (|queries|·k rows
+    each), so ONE hash aggregate on (query, doc) fuses them; the
+    top-n cut reuses the two-phase (pid, query) local-slice pattern —
+    no per-query window over the fused frame, no global sort.
+
+    Output: (query_id, doc_id, rrf_int, n_lists, rrf, rank).
+    """
+    from validate_spark.operators.indexing import RRF_SCALE
+
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 rankings")
+    if k < 0 or top_n < 1:
+        raise ValueError("k must be >= 0 and top_n >= 1")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.expr(f"{RRF_SCALE} div ({int(k)} + {rank_col})").alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").cast("long").alias("rrf_int"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    item = F.struct(
+        (-F.col("rrf_int")).alias("ns"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("n_lists").alias("n_lists"),
+    )
+    cap = int(top_n)
+    local = fused.groupBy(
+        F.spark_partition_id().alias("_p"), "query_id"
+    ).agg(F.slice(F.array_sort(F.collect_list(item)), 1, cap).alias("top"))
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, cap).alias(
+            "top"
+        )
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("_pos", "_e")
+    ).select(
+        "query_id",
+        F.col("_e.doc_id").alias("doc_id"),
+        (-F.col("_e.ns")).cast("long").alias("rrf_int"),
+        F.col("_e.n_lists").alias("n_lists"),
+        F.round((-F.col("_e.ns")).cast("double") / 1e12, 6).alias("rrf"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
