@@ -5910,6 +5910,28 @@ def _coviolation_oracle_sql() -> str:
     )
 
 
+def _rule_impact_oracle_sql() -> str:
+    """One scan: per rule, total firing rows + rows where the TOTAL
+    violation count is exactly 1 (the sole-gatekeeper rows); zero-fire
+    rules dropped (they never appear in the Spark explode either).
+    sole_ppm replays the same integer div."""
+    sums, rows = [], []
+    for i, (k, f, v) in enumerate(_RULE_ORDER):
+        sums.append(f"sum(({_V[k]})::int)::bigint AS _n_{i}")
+        sums.append(
+            f"sum((({_V[k]}) AND ({_NVIOL}) = 1)::int)::bigint AS _s_{i}"
+        )
+        rows.append(
+            f"SELECT '{f}:{v}' AS rule, _n_{i} AS n_rows, _s_{i} AS n_sole"
+            " FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM documents) "
+        "SELECT rule, n_rows, n_sole, 1000000 * n_sole // n_rows AS sole_ppm "
+        "FROM (" + " UNION ALL ".join(rows) + ") WHERE n_rows > 0"
+    )
+
+
 def q231_audio_fingerprint(spark, sf_dir):
     """Audio-fingerprint near-dup (multimodal.audio_fingerprint_neardup)
     — the AUDIO tier of the media dedup stack beside q195's image
@@ -6631,6 +6653,20 @@ def q249_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([lex, den], k=60, top_n=10)
 
 
+def q250_rule_impact(spark, sf_dir):
+    """Marginal rule impact (ValidationResult.rule_impact): per fired
+    rule, total firing rows vs rows where it was the SOLE violation —
+    the "what would relaxing exactly this rule rescue" governance
+    table, the unary sibling of q230's co-violation matrix. Rule names
+    derive row-locally from the engine's failed array (one explode
+    bounded by |rules|, one ≤|rules|-key aggregate — never a
+    violations-frame self-count); sole_ppm is integer div, replayed
+    exactly by the oracle's conditional sums over the q02 predicates."""
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return res.rule_impact()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "q01_verdicts_documents": q01_verdicts_documents,
@@ -6882,6 +6918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_basket_pairs": q247_basket_pairs,
         "q248_robotic_cadence": q248_robotic_cadence,
         "q249_hybrid_rrf": q249_hybrid_rrf,
+        "q250_rule_impact": q250_rule_impact,
     }
     ordered = {n: qs[n] for n in _DRIVER_FIRST}
     ordered.update((n, f) for n, f in qs.items() if n not in ordered)
@@ -12785,6 +12822,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q230: 45 conditional pair sums in one scan, stacked
         "q230_rule_coviolation": _coviolation_oracle_sql(),
+        "q250_rule_impact": _rule_impact_oracle_sql(),
         # q228: distinct-value mid-ranks joined back; NULL n_chars rows
         # pass through with NULL pct
         "q228_quantile_normalize": """

@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "q247_basket_pairs",
     "q248_robotic_cadence",
     "q249_hybrid_rrf",
+    "q250_rule_impact",
 ]
 
 

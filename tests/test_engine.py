@@ -760,3 +760,35 @@ def test_coviolation_matrix_row_local_pairs(spark):
         ("a:min", "b:required"): 1,
         ("a:min", "c:min"): 1,
     }
+
+
+def test_rule_impact_sole_violations(spark):
+    """n_rows / n_sole / sole_ppm against a hand model; zero-fire
+    rules absent; sole_ppm is truncating integer div."""
+    from validate_spark import RuleSet, validate
+
+    rs = RuleSet(rules={
+        "a": "required|min:10",
+        "b": "required",
+        "c": "min:5",
+    })
+    df = spark.createDataFrame(
+        [
+            (1, None, None, 3),   # a:required + b:required + c:min
+            (2, 5, "x", 9),       # a:min SOLE
+            (3, 4, None, 2),      # a:min + b:required + c:min
+            (4, 50, "y", 8),      # clean
+            (5, 3, "z", 7),       # a:min SOLE
+        ],
+        "rid long, a int, b string, c int",
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_sole"], r["sole_ppm"])
+        for r in validate(df, rs, key_cols=["rid"]).rule_impact().collect()
+    }
+    assert out == {
+        "a:required": (1, 0, 0),
+        "a:min": (3, 2, 666666),  # 2000000 div 3 truncates
+        "b:required": (2, 0, 0),
+        "c:min": (2, 0, 0),
+    }

@@ -87,6 +87,50 @@ class ValidationResult:
             first.getField("message").alias("message"),
         )
 
+    def rule_impact(self) -> DataFrame:
+        """Marginal rule impact: per fired rule (field:validator), how
+        many rows it fired on (``n_rows``) and on how many it was the
+        SOLE violation (``n_sole``) — the rows that relaxing exactly
+        that rule would RESCUE from quarantine. The unary sibling of
+        :meth:`coviolation_matrix` (which asks what fails *together*;
+        this asks what fails *alone*): the two tables a rule-set owner
+        reads before loosening a threshold — a rule with huge n_rows
+        but zero n_sole quarantines nothing by itself, while a high
+        ``sole_ppm`` rule is the sole gatekeeper for its rows.
+
+        ``sole_ppm`` = 1e6·n_sole div n_rows — integer, engine-portable.
+
+        Scale: rule names derive ROW-LOCALLY from the already-computed
+        failed array (no violations-frame self-count), one explode
+        bounded by |rules| per row, one hash aggregate over ≤ |rules|
+        keys. Rules that never fired don't appear (use
+        :meth:`rule_report` for the zero-failure view).
+        """
+        rules = F.transform(
+            F.col(FAILED_COL),
+            lambda s: F.concat_ws(
+                ":", s.getField("field"), s.getField("validator")
+            ),
+        )
+        return (
+            self.annotated.filter(F.size(F.col(FAILED_COL)) > 0)
+            .select(
+                F.explode(rules).alias("rule"),
+                (F.size(F.col(FAILED_COL)) == 1).cast("int").alias("_sole"),
+            )
+            .groupBy("rule")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("_sole").cast("long").alias("n_sole"),
+            )
+            .select(
+                "rule",
+                "n_rows",
+                "n_sole",
+                F.expr("1000000 * n_sole div n_rows").alias("sole_ppm"),
+            )
+        )
+
     def coviolation_matrix(self) -> DataFrame:
         """Which rules fail TOGETHER: (rule_a, rule_b, n_rows) for
         every unordered pair of violated rules (rule = field:validator,
