@@ -5410,6 +5410,10 @@ def q208_sequence_conformance(spark, sf_dir):
 # q199 A-ES sampling, q202 mutual information) replaced
 # doubly-represented entries (q58, q76, q82, q144, q154, q155 — each
 # family keeps another driver-stamped row or its mirror row).
+# Final-block rotation: q247 (basket association — a new family) and
+# q250 (engine governance twin of q230) replaced q238 (embedding-LSH
+# family keeps q16-q18 mirror rows + three driver-stamped rounds) and
+# q146 (decontam family keeps q72 in this list).
 _DRIVER_FIRST = [
     "q57_map_wildcard_validation",
     "q59_format_gauntlet2",
@@ -5430,7 +5434,7 @@ _DRIVER_FIRST = [
     "q78_quality_quantile",
     "q235_spatial_grid_join",
     "q236_merge_upsert",
-    "q238_embedding_lsh_multitable",
+    "q247_basket_pairs",
     "q100_gopher_rules",
     "q241_ess_report",
     "q130_quality_classifier",
@@ -5438,7 +5442,7 @@ _DRIVER_FIRST = [
     "q152_nfc_normalization",
     "q239_hll_distinct_sketch",
     "q72_semantic_decontam",
-    "q146_phrase_contamination",
+    "q250_rule_impact",
     "q67_sequence_packing",
     "q131_doc_chunks",
     "q142_pagerank",
