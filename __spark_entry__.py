@@ -6050,7 +6050,9 @@ def q233_embedding_lsh_recall(spark, sf_dir):
         cand = embedding_neardup_lsh(
             emb, threshold=t, n_planes=8, seed=7, dim=64
         ).select("a", "b")
-        truth = embedding_neardup_pairs(emb, threshold=t).select("a", "b")
+        truth = embedding_neardup_pairs(emb, threshold=t, dim=64).select(
+            "a", "b"
+        )
         reports.append(
             dedup_recall_report(cand, truth).select(
                 F.lit(int(t * 100)).alias("threshold_pct"), "*"
@@ -6143,7 +6145,9 @@ def q238_embedding_lsh_multitable(spark, sf_dir):
         )
     )
     emb = _mixed_emb(spark, sf_dir).filter(valid)
-    truth = embedding_neardup_pairs(emb, threshold=0.5).select("a", "b")
+    truth = embedding_neardup_pairs(emb, threshold=0.5, dim=64).select(
+        "a", "b"
+    )
     reports = []
     for t in (1, 4):
         cand = embedding_neardup_lsh(
