@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from validate_spark.operators.dedup import cosine_sim
+from validate_spark.session import fan_out as _fan_out
 
 
 def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -625,22 +626,27 @@ def pq_codebooks(
     return [[r[j * sub:(j + 1) * sub] for r in rows] for j in range(m)]
 
 
-def _pq_subdist(sub_col: Column, cvec: list[float]) -> Column:
-    """L2² between a staged subvector column and one literal codebook
-    entry, UNROLLED into plain arithmetic: higher-order functions
-    (zip_with/aggregate) are CodegenFallback — 128 interpreted
-    per-element folds per row made pq_encode ~35k rows/s on 32 cores;
-    the unrolled element chain is whole-stage-codegen arithmetic (the
-    r2 enum-membership lesson). Addition order is the identical
-    left-to-right chain 0.0 + t0 + t1 + … the fold produced, so every
-    distance is BIT-IDENTICAL to the previous form and to DuckDB's
-    index-ascending list_aggregate sum (the l2NormBetween fold
-    contract) — the oracle is untouched."""
-    expr: Column = F.lit(0.0)
-    for i, c in enumerate(cvec):
-        d = F.get(sub_col, i).cast("double") - F.lit(float(c))
-        expr = expr + d * d
-    return expr
+def _np_sq_l2_chain(S, cv):
+    """Per-row L2² between S (n×sub float64) and one literal codebook
+    vector, accumulated LEFT-TO-RIGHT: acc starts at 0.0 and gains
+    (x_i − c_i)² in index order — the exact IEEE addition chain the
+    former unrolled Spark expression (and DuckDB's index-ascending
+    list_aggregate fold, the l2NormBetween contract) performs, so every
+    distance double is BIT-IDENTICAL across all three forms and the
+    oracles stay untouched."""
+    import numpy as np
+
+    acc = np.zeros(len(S))
+    for i in range(S.shape[1]):
+        diff = S[:, i] - cv[i]
+        acc += diff * diff
+    return acc
+
+
+def _np_code_table(codebooks) -> "object":
+    import numpy as np
+
+    return np.array(codebooks, dtype=np.float64)  # (m, n_codes, sub)
 
 
 def pq_encode(
@@ -651,53 +657,56 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(neighbor_id, codes: array<int>) — per subspace the argmin-L2²
-    code, ties to the lower code id (struct-min on (dist, code), a
-    total deterministic order; dist doubles are bit-identical
-    cross-engine so the argmin is too).
+    code, ties to the lower code id.
 
-    Map-only: no shuffle, no explode — each subspace is STAGED as a
-    named slice column in its own select (the r5 phash lesson: a
-    Column helper does not bind, and each slice is referenced
-    n_codes times; naming it keeps one subtree), then the argmin
-    select references the stage. Codebooks ride in as literals
-    (m·n_codes·sub doubles — broadcast-free, folded into codegen).
-    Invalid vectors (NULL / ragged / non-finite) are EXCLUDED — they
-    are not encodable; `allFinite` validation is where they get
-    reported."""
+    Kernel: Arrow-vectorized numpy (`mapInPandas`) — the m·n_codes
+    unrolled distance chains this used to build as ONE Spark expression
+    (~10k Catalyst nodes) cost ~8 s of driver-side plan construction /
+    optimization PER ACTION at any data size (measured r6: encode cell
+    8.1 s warm, of which <0.5 s was execution); the numpy kernel needs
+    no giant tree and vectorizes the same arithmetic batch-wise
+    (guide §4.2). Distances accumulate via `_np_sq_l2_chain` — the
+    identical left-to-right IEEE chain — and `np.argmin`'s
+    first-occurrence rule IS the struct-min (dist, code) tie-break, so
+    code assignments are bit-for-bit the previous ones and the DuckDB
+    oracle is untouched. Still map-side only (fan_out is a no-op on
+    well-partitioned inputs); only (id, vector) columns cross the
+    Arrow boundary. Invalid vectors (NULL / ragged / non-finite) are
+    EXCLUDED — they are not encodable; `allFinite` validation is where
+    they get reported."""
+    import numpy as np
+
     m = len(codebooks)
     n_codes = len(codebooks[0])
     sub = len(codebooks[0][0])
     d = m * sub
-    c = corpus.filter(_pq_valid(F.col(vec_col), d)).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-    )
-    staged = c.select(
-        "neighbor_id",
-        *[
-            F.slice(F.col("_v"), j * sub + 1, sub).alias(f"_s{j}")
-            for j in range(m)
-        ],
-    )
-    def argmin(j: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(
-                    _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]).alias("d"),
-                    F.lit(cc).alias("c"),
-                )
-                for cc in range(n_codes)
-            ]
+    C = _np_code_table(codebooks)
+    c = _fan_out(
+        corpus.filter(_pq_valid(F.col(vec_col), d)).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )
-        return F.array_min(cands).getField("c")
+    )
+    id_t = c.schema["neighbor_id"].dataType.simpleString()
 
-    coded = staged.select(
-        "neighbor_id",
-        *[argmin(j).cast("int").alias(f"_c{j}") for j in range(m)],
-    )
-    return coded.select(
-        "neighbor_id",
-        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
-    )
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                dists = np.empty((n_codes, len(pdf)))
+                for cc in range(n_codes):
+                    dists[cc] = _np_sq_l2_chain(S, C[j, cc])
+                codes[:, j] = np.argmin(dists, axis=0)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"], "codes": list(codes)}
+            )
+
+    return c.mapInPandas(enc, schema=f"neighbor_id {id_t}, codes array<int>")
 
 
 def pq_adc_topk(
@@ -727,8 +736,9 @@ def pq_adc_topk(
     never in the arithmetic.
 
     Plan shape: the code table is map-only (`pq_encode`); the ADC
-    table is |queries|·m·n_codes cells built from the broadcast
-    query frame (staged slice columns, same inlining discipline);
+    table is |queries|·m·n_codes cells built by the same Arrow/numpy
+    kernel as the encode (the unrolled-expression form cost seconds of
+    driver-side plan work per action — measured r6, see pq_encode);
     scoring is a broadcast cross join + an m-term integer fold via
     array indexing — NO per-candidate join against an exploded
     (neighbor, subspace) frame (that would shuffle m× the corpus);
@@ -738,30 +748,42 @@ def pq_adc_topk(
 
     Output: (query_id, neighbor_id, rank).
     """
+    import numpy as np
+
     m = len(codebooks)
     n_codes = len(codebooks[0])
     sub = len(codebooks[0][0])
     d = m * sub
+    C = _np_code_table(codebooks)
     codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
     q = queries.filter(_pq_valid(F.col(query_vec_col), d)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qv"),
     )
-    qstaged = q.select(
-        "query_id",
-        *[
-            F.slice(F.col("_qv"), j * sub + 1, sub).alias(f"_s{j}")
-            for j in range(m)
-        ],
-    )
-    cells = [
-        F.floor(
-            _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]) * 1e6 + F.lit(0.5)
-        ).cast("long")
-        for j in range(m)
-        for cc in range(n_codes)
-    ]
-    tbl = qstaged.select("query_id", F.array(*cells).alias("tbl"))
+    qid_t = q.schema["query_id"].dataType.simpleString()
+
+    def tblf(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            cells = np.empty((len(pdf), m * n_codes), dtype=np.int64)
+            for j in range(m):
+                S = Q[:, j * sub : (j + 1) * sub]
+                for cc in range(n_codes):
+                    # floor(L2²·1e6 + 0.5) of the bit-identical double
+                    # → the exact int64 micro-unit cell the expression
+                    # form produced
+                    cells[:, j * n_codes + cc] = np.floor(
+                        _np_sq_l2_chain(S, C[j, cc]) * 1e6 + 0.5
+                    ).astype(np.int64)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "tbl": list(cells)}
+            )
+
+    tbl = q.mapInPandas(tblf, schema=f"query_id {qid_t}, tbl array<long>")
     scored = codes.crossJoin(F.broadcast(tbl))
     if not include_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -847,16 +869,6 @@ def negative_samples(
     return _two_phase_topk(scored, n)
 
 
-def _full_l2(vec_col: Column, cvec: list[float]) -> Column:
-    """Unrolled full-dimension L2² against a literal vector — the
-    `_pq_subdist` chain without slicing (same left-to-right addition
-    order, same bit-identity contract)."""
-    expr: Column = F.lit(0.0)
-    for i, c in enumerate(cvec):
-        d = F.get(vec_col, i).cast("double") - F.lit(float(c))
-        expr = expr + d * d
-    return expr
-
 
 def ivf_pq_topk(
     corpus: DataFrame,
@@ -890,95 +902,106 @@ def ivf_pq_topk(
     (a true neighbor in an unprobed bucket is missed) — measure with
     the q220/q233 recall-report loop before freezing nprobe.
 
-    Plan: bucket assignment rides the SAME map-only projection as
-    `pq_encode` (one pass emits codes + bucket); the query-side probe
-    set and ADC table broadcast; candidate filtering is a map-side
-    array_contains against the broadcast probe array — the corpus
-    never shuffles; top-k is the two-phase skew-free merge.
+    Plan: bucket assignment rides the SAME map-only Arrow/numpy pass
+    as the code assignment (one kernel emits codes + bucket — the
+    former unrolled-expression form cost seconds of driver-side plan
+    work per action at ANY data size, measured r6, see pq_encode; the
+    numpy chains are bit-identical); the query-side probe set and ADC
+    table broadcast; candidate filtering is a map-side array_contains
+    against the broadcast probe array — the corpus never shuffles;
+    top-k is the two-phase skew-free merge.
     """
+    import numpy as np
+
     m = len(codebooks)
     n_codes = len(codebooks[0])
     sub = len(codebooks[0][0])
     d = m * sub
     n_cent = len(centroids)
+    C = _np_code_table(codebooks)
+    CENT = np.array(
+        [[float(x) for x in cv] for cv in centroids], dtype=np.float64
+    )  # (n_cent, d)
 
-    bucket_of = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _full_l2(F.col("_v"), centroids[c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(n_cent)
-            ]
+    c_base = _fan_out(
+        corpus.filter(_pq_valid(F.col(vec_col), d)).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         )
-    ).getField("c")
-
-    c_base = corpus.filter(_pq_valid(F.col(vec_col), d)).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
     )
-    staged = c_base.select(
-        "neighbor_id",
-        bucket_of.alias("_bkt"),
-        *[
-            F.slice(F.col("_v"), j * sub + 1, sub).alias(f"_s{j}")
-            for j in range(m)
-        ],
-    )
+    id_t = c_base.schema["neighbor_id"].dataType.simpleString()
 
-    def argmin(j: int) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]).alias("d"),
-                        F.lit(cc).alias("c"),
-                    )
-                    for cc in range(n_codes)
-                ]
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            cdists = np.empty((n_cent, n))
+            for cc in range(n_cent):
+                cdists[cc] = _np_sq_l2_chain(V, CENT[cc])
+            # first-occurrence argmin ≡ struct-min (d, c) tie-break
+            bkt = np.argmin(cdists, axis=0).astype(np.int32)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                dists = np.empty((n_codes, n))
+                for cc in range(n_codes):
+                    dists[cc] = _np_sq_l2_chain(S, C[j, cc])
+                codes[:, j] = np.argmin(dists, axis=0)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "_bkt": bkt,
+                    "codes": list(codes),
+                }
             )
-        ).getField("c")
 
-    codes = staged.select(
-        "neighbor_id",
-        "_bkt",
-        F.array(*[argmin(j).cast("int") for j in range(m)]).alias("codes"),
+    codes = c_base.mapInPandas(
+        enc, schema=f"neighbor_id {id_t}, _bkt int, codes array<int>"
     )
 
     q = queries.filter(_pq_valid(F.col(query_vec_col), d)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qv"),
     )
-    cent_ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _full_l2(F.col("_qv"), centroids[c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(n_cent)
-            ]
-        )
+    qid_t = q.schema["query_id"].dataType.simpleString()
+    nprobe_i = int(nprobe)
+
+    def tblf(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            cdists = np.empty((n_cent, n))
+            for cc in range(n_cent):
+                cdists[cc] = _np_sq_l2_chain(Q, CENT[cc])
+            # stable argsort on (d) keeps index order on ties ≡ the
+            # array_sort of struct(d, c) the expression form ranked
+            order = np.argsort(cdists, axis=0, kind="stable")
+            probes = order[:nprobe_i].T.astype(np.int32)  # (n, nprobe)
+            cells = np.empty((n, m * n_codes), dtype=np.int64)
+            for j in range(m):
+                S = Q[:, j * sub : (j + 1) * sub]
+                for cc in range(n_codes):
+                    cells[:, j * n_codes + cc] = np.floor(
+                        _np_sq_l2_chain(S, C[j, cc]) * 1e6 + 0.5
+                    ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "_probes": list(probes),
+                    "tbl": list(cells),
+                }
+            )
+
+    tbl = q.mapInPandas(
+        tblf, schema=f"query_id {qid_t}, _probes array<int>, tbl array<long>"
     )
-    probes = F.transform(
-        F.slice(cent_ranked, 1, int(nprobe)), lambda s: s.getField("c")
-    )
-    qstaged = q.select(
-        "query_id",
-        probes.alias("_probes"),
-        *[
-            F.slice(F.col("_qv"), j * sub + 1, sub).alias(f"_s{j}")
-            for j in range(m)
-        ],
-    )
-    cells = [
-        F.floor(
-            _pq_subdist(F.col(f"_s{j}"), codebooks[j][cc]) * 1e6 + F.lit(0.5)
-        ).cast("long")
-        for j in range(m)
-        for cc in range(n_codes)
-    ]
-    tbl = qstaged.select("query_id", "_probes", F.array(*cells).alias("tbl"))
     scored = codes.crossJoin(F.broadcast(tbl)).filter(
         F.array_contains(F.col("_probes"), F.col("_bkt"))
     )
