@@ -390,7 +390,12 @@ def _mixed_emb(spark, sf_dir):
 
 
 def q18_embedding_neardup(spark, sf_dir):
-    return dd.embedding_neardup_pairs(_doubled_emb(spark, sf_dir), threshold=0.99)
+    # dim=64: the fixture embedding column is uniformly 64-wide with
+    # finite elements (all SFs) — routes the scorer to the blocked
+    # numpy kernel; pair set identical to the fold-join form
+    return dd.embedding_neardup_pairs(
+        _doubled_emb(spark, sf_dir), threshold=0.99, dim=64
+    )
 
 
 def q19_ann_brute_force(spark, sf_dir):
@@ -6030,7 +6035,7 @@ def q233_embedding_lsh_recall(spark, sf_dir):
     from validate_spark.operators.dedup import (
         dedup_recall_report,
         embedding_neardup_lsh,
-        embedding_neardup_pairs,
+        embedding_pair_cos,
     )
 
     v = F.col("embedding")
@@ -6045,14 +6050,17 @@ def q233_embedding_lsh_recall(spark, sf_dir):
         )
     )
     emb = _doubled_emb(spark, sf_dir).filter(valid)
+    # ONE exhaustive truth pass at the lower threshold; the 0.99-regime
+    # truth is the same pair frame re-filtered (cos ≥ 0.99 ⊆ cos ≥ 0.5
+    # — identical pair sets to running the scorer twice, half the n²
+    # work); persist so both report branches read the computed pairs
+    sims = embedding_pair_cos(emb, threshold=0.5, dim=64).persist()
     reports = []
     for t in (0.5, 0.99):
         cand = embedding_neardup_lsh(
             emb, threshold=t, n_planes=8, seed=7, dim=64
         ).select("a", "b")
-        truth = embedding_neardup_pairs(emb, threshold=t, dim=64).select(
-            "a", "b"
-        )
+        truth = sims.filter(F.col("cos") >= t).select("a", "b")
         reports.append(
             dedup_recall_report(cand, truth).select(
                 F.lit(int(t * 100)).alias("threshold_pct"), "*"

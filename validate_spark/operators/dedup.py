@@ -1018,6 +1018,135 @@ def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def embedding_pair_cos(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    *,
+    threshold: float,
+    dim: int,
+) -> DataFrame:
+    """(a, b, cos) for every id pair a < b with cos ≥ threshold —
+    the exhaustive O(n²) scorer as a BLOCKED numpy kernel.
+
+    The former form (self-join on a < b + per-pair unrolled cosine)
+    was a BroadcastNestedLoopJoin evaluating a 192-term codegen chain
+    per pair: ~500k pairs/s on 32 cores, and the pair count grows
+    n² — the one shape that cannot ride to a bigger fixture (guide
+    §4.2: batch the math into native code). Here the (id, vector)
+    frame is collected ONCE (an O(n²) scorer is only affordable when
+    n is small enough that n rows are trivially memory-resident:
+    n=10⁶ already means 5·10¹¹ pairs — the collect is bounded by the
+    same budget that makes exhaustive scoring affordable at all; the
+    scale path is ``embedding_neardup_lsh``), key-sorted, broadcast,
+    and `spark.range` chunks fan row-block × corpus products across
+    the cluster. Per block: a BLAS matmul prefilter with a rigorous
+    floating-point error margin finds candidate pairs (provably no
+    false negatives — see the stage-1 comment), then the candidates
+    alone are re-scored with the SAME left-to-right IEEE addition
+    chain the unrolled expression performed (0.0 + t0 + t1 + …,
+    index-ascending), the norm gate `(na>0) AND (nb>0) ELSE 0.0`
+    replicated, `a < b` enforced by searchsorted rank on the sorted
+    keys — so the output pair set and every cos double are
+    bit-identical to the join form and the DuckDB fold oracles stay
+    untouched (measured: q233 truth 16M pairs 2×~15 s → one sub-second
+    pass at sf0.1).
+
+    Contract: ``dim`` is the caller's guarantee that every vector is
+    exactly that length with finite, non-null elements (both report
+    queries pre-filter exactly this); the kernel is undefined on
+    unvalidated frames — use the fold path / LSH for those."""
+    import numpy as np
+
+    spark = df.sparkSession
+    kt = df.schema[key_col].dataType.simpleString()
+    out_schema = f"a {kt}, b {kt}, cos double"
+    pdf = df.select(
+        F.col(key_col).alias("k"), F.col(vec_col).alias("v")
+    ).toPandas()
+    n = len(pdf)
+    if n < 2:
+        return spark.createDataFrame([], out_schema)
+    keys = pdf["k"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    M = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+    dim_i = int(dim)
+    na2 = np.zeros(n)
+    for d_ in range(dim_i):
+        x = M[:, d_]
+        na2 += x * x
+    na = np.sqrt(na2)
+    bc = spark.sparkContext.broadcast((keys, M, na))
+    n_chunks = min(n, max(1, spark.sparkContext.defaultParallelism) * 4)
+    bounds = [int(round(i * n / n_chunks)) for i in range(n_chunks + 1)]
+    thr = float(threshold)
+
+    def gen(batches):
+        import pandas as pd
+
+        keys_, M_, na_ = bc.value
+        for pdfb in batches:
+            for ci in pdfb["id"]:
+                i0, i1 = bounds[ci], bounds[ci + 1]
+                if i1 <= i0:
+                    continue
+                # columns with key <= the block's smallest key can
+                # never satisfy b > a — skip them wholesale
+                j0 = int(np.searchsorted(keys_, keys_[i0], side="right"))
+                if j0 >= len(keys_):
+                    continue
+                A = M_[i0:i1]
+                # Stage 1 — BLAS prefilter with a RIGOROUS margin.
+                # For any summation order, |fl(dot) − dot| ≤
+                # γ_d·Σ|aᵢbᵢ| ≤ γ_d·‖a‖‖b‖ (γ_64 ≈ 7.1e-15), and the
+                # same bound covers the exact left-to-right chain, so
+                # |blas − chain| ≤ 2γ_d·na·nb ≪ 1e-9·na·nb. Every pair
+                # whose chain cos ≥ thr therefore has blas_dot ≥
+                # (thr − 1e-9)·na·nb — candidates cannot miss a true
+                # pair; false candidates are discarded by stage 2.
+                G = A @ M_[j0:].T
+                lim = np.outer(na_[i0:i1], na_[j0:])
+                lim *= thr - 1e-9
+                # strict a < b via key rank (numeric AND string keys;
+                # equal keys excluded exactly as the a < b join did)
+                hi = np.searchsorted(keys_, keys_[i0:i1], side="right")
+                col_ok = (
+                    np.arange(j0, len(keys_))[None, :] >= hi[:, None]
+                )
+                rows, cols = np.nonzero((G >= lim) & col_ok)
+                if not len(rows):
+                    continue
+                # Stage 2 — exact ordered-chain recompute on the
+                # candidate pairs only: the SAME left-to-right IEEE
+                # chain the unrolled expression performed, so every
+                # emitted cos double (and the ≥ thr verdict) is
+                # bit-identical to the join form.
+                CA = A[rows]
+                CB = M_[j0 + cols]
+                dot = np.zeros(len(rows))
+                for d_ in range(dim_i):
+                    dot += CA[:, d_] * CB[:, d_]
+                na_p = na_[i0 + rows]
+                nb_p = na_[j0 + cols]
+                ok = (na_p > 0) & (nb_p > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(ok, dot / (na_p * nb_p), 0.0)
+                sel = cos >= thr
+                if not sel.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "a": keys_[i0 + rows[sel]],
+                        "b": keys_[j0 + cols[sel]],
+                        "cos": cos[sel],
+                    }
+                )
+
+    drv = spark.range(0, n_chunks, 1, n_chunks)
+    return drv.mapInPandas(gen, schema=out_schema)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1027,16 +1156,22 @@ def embedding_neardup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Brute-force (a, b) id pairs with cosine ≥ threshold, a < b.
-    O(n²) — correct at any scale but only AFFORDABLE inside a bucket;
-    this is the verify kernel and the small-scale oracle path. The
-    scale path is ``embedding_neardup_lsh``. Pass ``dim`` when every
-    vector is exactly that length (pre-validated frames): the cosine
-    unrolls into whole-stage codegen, bit-identical to the fold —
-    ~10× on the n² kernel (q233's truth side measured)."""
+    O(n²) — correct at any scale but only AFFORDABLE inside a bucket
+    or on a bounded sample; the scale path is
+    ``embedding_neardup_lsh``. Pass ``dim`` when every vector is
+    exactly that length with finite non-null elements (pre-validated
+    frames): the scorer then runs as the blocked numpy kernel
+    (``embedding_pair_cos`` — bit-identical cos doubles, ~30× on the
+    n² fixture truth); without ``dim`` the ragged-safe HOF fold join
+    form is kept."""
+    if dim is not None:
+        return embedding_pair_cos(
+            df, vec_col, key_col, threshold=threshold, dim=dim
+        ).select("a", "b")
     a = df.select(F.col(key_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(key_col).alias("b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("a") < F.col("b"))
-    sim = cosine_sim(F.col("va"), F.col("vb"), dim)
+    sim = cosine_sim(F.col("va"), F.col("vb"), None)
     return pairs.select("a", "b", sim.alias("cos")).filter(F.col("cos") >= threshold).select("a", "b")
 
 
@@ -1146,6 +1281,65 @@ def embedding_neardup_lsh(
         grouped = _two_phase_buckets(
             tagged, ["t", "bucket"], F.struct("k", "vec"), max_bucket
         )
+    if explicit_dim:
+        # in-bucket verify, numpy form: an EXPLICIT dim is the
+        # caller's exactly-dim / finite-elements guarantee, so the
+        # whole bucket verifies as ONE blocked dot-product batch per
+        # bucket row instead of a per-pair expression chain (the
+        # embedding_pair_cos rationale; bucket rows are ≤ max_bucket
+        # members ≈ 1 MB, so a batch is always memory-bounded). The
+        # accumulators run the identical left-to-right IEEE chains,
+        # the (na>0 AND nb>0) ELSE 0.0 gate is replicated, and ms is
+        # key-sorted (array_sort on the unique leading k), so the
+        # upper triangle IS the (least, greatest) pair orientation —
+        # pairs and cos thresholds bit-match the expression form.
+        kt = df.schema[key_col].dataType.simpleString()
+        thr = float(threshold)
+        dim_i = int(dim)
+
+        def verify(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdfb in batches:
+                out_a: list = []
+                out_b: list = []
+                for ms in pdfb["ms"]:
+                    s = len(ms)
+                    if s < 2:
+                        continue
+                    E = np.stack(
+                        [
+                            np.asarray(m["vec"], dtype=np.float64)
+                            for m in ms
+                        ]
+                    )
+                    ks = [m["k"] for m in ms]
+                    na2 = np.zeros(s)
+                    for d_ in range(dim_i):
+                        x = E[:, d_]
+                        na2 += x * x
+                    na = np.sqrt(na2)
+                    dot = np.zeros((s, s))
+                    for d_ in range(dim_i):
+                        dot += E[:, d_ : d_ + 1] * E[:, d_]
+                    ok = (na[:, None] > 0) & (na[None, :] > 0)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(
+                            ok, dot / (na[:, None] * na[None, :]), 0.0
+                        )
+                    iu, ju = np.triu_indices(s, 1)
+                    sel = cos[iu, ju] >= thr
+                    out_a.extend(ks[i] for i in iu[sel])
+                    out_b.extend(ks[j] for j in ju[sel])
+                if out_a:
+                    yield pd.DataFrame({"a": out_a, "b": out_b})
+
+        return (
+            grouped.select("ms")
+            .mapInPandas(verify, schema=f"a {kt}, b {kt}")
+            .distinct()
+        )
     pairs = grouped.select(
         F.explode(
             F.flatten(
@@ -1164,12 +1358,8 @@ def embedding_neardup_lsh(
             )
         ).alias("p")
     ).select("p.a", "p.b", "p.va", "p.vb")
-    # in-bucket verify: an EXPLICIT dim is the caller's exact-length
-    # guarantee — unrolled cosine, bit-identical to the fold, inside
-    # whole-stage codegen; inferred dim keeps the ragged-safe fold
-    sim = cosine_sim(
-        F.col("va"), F.col("vb"), dim if explicit_dim else None
-    )
+    # in-bucket verify: inferred dim keeps the ragged-safe fold
+    sim = cosine_sim(F.col("va"), F.col("vb"), None)
     return (
         pairs.select("a", "b", sim.alias("cos"))
         .filter(F.col("cos") >= threshold)
