@@ -3840,14 +3840,17 @@ def q148_stream_outer_interval_join(spark, sf_dir):
             cohort.coalesce(1).write.mode("append").parquet(src)
             for eid, ts in sentinel_rows:
                 _time.sleep(0.3)  # file-source orders chunks by mtime
-                spark.createDataFrame(
-                    [(eid, ts, -999, kind, 0.0, None)],
-                    "event_id long, _ts string, user_id long, "
-                    "event_type string, value double, props string",
-                ).select(
-                    "event_id",
-                    F.to_timestamp("_ts").alias("ts"),
-                    "user_id", "event_type", "value", "props",
+                # pure-JVM literal row: createDataFrame(list) writes
+                # via a 32-slice Python RDD whose coalesce(1) task
+                # pays ~32 sequential Python-runner round-trips ≈ 5 s
+                # PER SENTINEL (measured r6); identical bytes, ~0.2 s
+                spark.range(1).select(
+                    F.lit(eid).cast("long").alias("event_id"),
+                    F.to_timestamp(F.lit(ts)).alias("ts"),
+                    F.lit(-999).cast("long").alias("user_id"),
+                    F.lit(kind).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
                 ).coalesce(1).write.mode("append").parquet(src)
             srcs[kind] = src
         err = (
@@ -4174,13 +4177,17 @@ def q159_stateful_sessionize(spark, sf_dir):
         _time.sleep(0.3)
     for eid, ts in [(-1, "2200-01-01"), (-2, "2210-01-01"),
                     (-3, "2220-01-01")]:
-        spark.createDataFrame(
-            [(eid, ts, -999, "click", 0.0, None)],
-            "event_id long, _ts string, user_id long, event_type string, "
-            "value double, props string",
-        ).select(
-            "event_id", F.to_timestamp("_ts").alias("ts"),
-            "user_id", "event_type", "value", "props",
+        # pure-JVM literal row — the createDataFrame(list) form wrote
+        # through a 32-slice Python RDD whose coalesce(1) task pays
+        # ~32 sequential Python-runner round-trips ≈ 5 s per sentinel
+        # (measured r6); identical bytes, ~0.2 s
+        spark.range(1).select(
+            F.lit(eid).cast("long").alias("event_id"),
+            F.to_timestamp(F.lit(ts)).alias("ts"),
+            F.lit(-999).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
         ).coalesce(1).write.mode("append").parquet(src)
         _time.sleep(0.3)
     stream = (
