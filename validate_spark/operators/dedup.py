@@ -696,12 +696,19 @@ def gram_set_jaccard_pairs(
     so non-text modalities reuse it: `multimodal.
     audio_fingerprint_neardup` feeds frame-signature shingles through
     the identical machinery (any (key, token-set) dedup does)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the hashed gram frame feeds THREE branches (gram explode + both
+    # verify join sides); without the persist each branch re-runs the
+    # regex tokenize + hash scan — the minhash/containment
+    # persisted-frame-sharing pattern (CLAUDE.md r4), MEMORY_AND_DISK
+    # so a corpus-scale frame spills instead of evicting
     hashed = sets_.select(
         "k",
         F.array_sort(
             F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
         ).alias("gh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # rarest-first global order: explode grams, count document
     # frequency per gram (partial agg), join it back, and keep each
     # doc's plen smallest (df, g) pairs as the prefix. Partition counts
