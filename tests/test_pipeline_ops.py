@@ -381,17 +381,23 @@ def test_contamination_report_semantics(spark):
 
 
 def test_contamination_broadcasts_benchmark(spark):
-    """The benchmark gram probe must be a broadcast join — a shuffle of
-    the 10^12-doc exploded gram stream to co-locate with a tiny eval
-    set would be THE scale bug here."""
+    """The benchmark gram set must reach the corpus as a BROADCAST
+    (one array row → BroadcastNestedLoopJoin since r6) and the per-doc
+    hit count must stay row-local: a shuffle of the 10^12-doc exploded
+    gram stream — either to co-locate with a tiny eval set or to
+    groupBy the count back per doc — would be THE scale bug here."""
     from validate_spark.operators import decontam as dc
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
     rep = dc.contamination_report(docs, bench)
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+    # corpus side: scan → gram build → row-local intersect, shuffle-free
+    # (the only exchanges belong to the bench-side distinct/aggregate
+    # and the fan_out of the under-partitioned fixture scan)
+    assert "hashpartitioning(k" not in plan
 
 
 def test_deterministic_and_stratified_sampling(spark):

@@ -47,23 +47,30 @@ def contamination_report(
     fraction of the doc's DISTINCT word n-grams present in ANY benchmark
     doc, and ``contaminated`` = overlap ≥ threshold. Docs whose
     normalized text is empty produce no grams and no row (nothing to
-    collide)."""
+    collide).
+
+    Plan shape (r6): the benchmark gram set rides as ONE broadcast row
+    holding the distinct-gram array, and ``n_hit`` is a row-local
+    ``size(array_intersect(grams, bench))`` — the former
+    explode-corpus-grams → left-join → groupBy(k) form shuffled the
+    full (doc, gram) stream twice to compute a per-doc count that
+    never needed to leave its row (guide §2.4); counts are identical
+    because both gram arrays are already distinct. Broadcast budget is
+    the SAME benchmark gram set the previous form broadcast as rows —
+    when it outgrows broadcast, that is `bloom_contamination`'s job."""
     corpus_g = word_ngram_frame(corpus, text_col, key_col, n=n)
-    bench_g = (
+    bench_set = (
         word_ngram_frame(bench, text_col, key_col, n=n)
         .select(F.explode("grams").alias("g"))
         .distinct()
-        .withColumn("_hit", F.lit(1))
+        .agg(F.collect_list("g").alias("_bg"))
     )
     if broadcast_bench:
-        bench_g = F.broadcast(bench_g)
-    exploded = corpus_g.select(
-        "k", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
-    )
-    rep = (
-        exploded.join(bench_g, "g", "left")
-        .groupBy("k", "n_grams")
-        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"))
+        bench_set = F.broadcast(bench_set)
+    rep = corpus_g.crossJoin(bench_set).select(
+        "k",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_intersect("grams", "_bg")).alias("n_hit"),
     )
     overlap = F.round(F.col("n_hit") / F.col("n_grams"), 6)
     return rep.select(
