@@ -34,6 +34,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _lit_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Small literal input frame as a JVM/Arrow-backed relation.
+
+    A plain ``createDataFrame(list)`` parallelizes the rows over
+    defaultParallelism PYTHON slices, and every consuming action
+    re-pays a Python-runner scan of all slices (~0.3-0.5 s per action
+    measured r6; ~5 s when a coalesce(1) serializes the slice reads —
+    the q148/q159 sentinel lesson). The pandas/Arrow path converts
+    ONCE at build time and every scan is JVM-side."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+
 def _streaming_fixture(fn):
     """Run a Structured Streaming FIXTURE query under 4 shuffle
     partitions (session.low_shuffle): stateful streaming wall time on a
@@ -1560,7 +1574,8 @@ def q66_url_blocklist(spark, sf_dir):
         .otherwise(F.lit("")),
     )
     corpus = docs.select("doc_id", t2.alias("text"))
-    bl = spark.createDataFrame(
+    bl = _lit_df(
+        spark,
         [("spam.example.com",), ("tracker.example.org",), ("unused.example.io",)],
         "domain string",
     )
@@ -4906,7 +4921,8 @@ def q192_bm25_topk(spark, sf_dir):
     from validate_spark.operators.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    q = spark.createDataFrame(
+    q = _lit_df(
+        spark,
         [
             ("q1", "hash"),
             ("q1", "join"),
@@ -5031,8 +5047,8 @@ def q198_kwic_snippets(spark, sf_dir):
     from validate_spark.operators.retrieval import kwic_snippets
 
     docs = _t(spark, sf_dir, "documents")
-    q = spark.createDataFrame(
-        [("q1", "hash"), ("q2", "vector")], ["query_id", "term"]
+    q = _lit_df(
+        spark, [("q1", "hash"), ("q2", "vector")], ["query_id", "term"]
     )
     return kwic_snippets(docs, q, window=24)
 
@@ -5163,7 +5179,7 @@ def q204_cms_frequency_sketch(spark, sf_dir):
         .select(F.col("user_id").cast("string").alias("user_id"))
         .distinct()
         .unionAll(
-            spark.createDataFrame([("absent-user",)], ["user_id"])
+            _lit_df(spark, [("absent-user",)], "user_id string")
         )
     )
     est = cms_point_estimates(counts, probes, "user_id", width=256, depth=4)
@@ -6650,7 +6666,8 @@ def q249_hybrid_rrf(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    terms = spark.createDataFrame(
+    terms = _lit_df(
+        spark,
         [
             ("q1", "hash"),
             ("q1", "join"),
