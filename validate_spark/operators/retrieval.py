@@ -283,14 +283,21 @@ def rrf_fuse(
     top-n cut reuses the two-phase (pid, query) local-slice pattern —
     no per-query window over the fused frame, no global sort.
 
+    Input contract (r6 advisory): ranks are 1-BASED (the contract
+    every producer in this repo satisfies; with ``k >= 1`` enforced
+    below, even a stray 0 rank cannot divide by zero and abort the
+    job under ANSI), and each ranking must carry at most ONE row per
+    (query_id, doc_id) — duplicate rows within a single list would
+    double-count into both ``rrf_int`` and ``n_lists``.
+
     Output: (query_id, doc_id, rrf_int, n_lists, rrf, rank).
     """
     from validate_spark.operators.indexing import RRF_SCALE
 
     if len(rankings) < 2:
         raise ValueError("rrf_fuse needs >= 2 rankings")
-    if k < 0 or top_n < 1:
-        raise ValueError("k must be >= 0 and top_n >= 1")
+    if k < 1 or top_n < 1:
+        raise ValueError("k must be >= 1 and top_n >= 1")
     parts = [
         r.select(
             F.col(query_col).alias("query_id"),

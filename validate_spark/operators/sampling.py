@@ -670,9 +670,14 @@ def token_budget_mix(
     ``weights_ppm`` get weight 0 and appear with zero allocation (the
     honest "you forgot a source" signal, not a silent drop).
 
-    All arithmetic is int64 (budget·ppm ≤ 9.2e18 caps budget at ~9e12
-    tokens — validated); one groupBy(source) shuffle to a
-    |sources|-row frame, then map-side math.
+    All arithmetic is int64, validated on BOTH factors: budget·ppm ≤
+    9.2e18 caps budget at ~9e12 tokens (eager check), and
+    tokens_avail·max_epochs_ppm is guarded by a lazy per-source
+    assert — a pretraining-scale source above int64_max/max_epochs_ppm
+    tokens (~2.3e12 at the default 4 epochs) fails with an explicit
+    message instead of an opaque ANSI overflow abort (r6 advisory).
+    One groupBy(source) shuffle to a |sources|-row frame, then
+    map-side math.
     """
     if budget <= 0:
         raise ValueError("token_budget_mix: budget must be positive")
@@ -696,6 +701,25 @@ def token_budget_mix(
     )
     supply = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(F.col(token_col).cast("long")).alias("tokens_avail")
+    )
+    # lazy overflow guard: cap = tokens_avail·max_epochs_ppm must stay
+    # inside int64; assert_true returns NULL for passing rows (filter
+    # keeps them all) and raises a DIAGNOSTIC error for a source whose
+    # supply would overflow — a filter, not a dropped projection, so
+    # the optimizer cannot prune it
+    avail_lim = 9_223_372_036_854_775_807 // max(int(max_epochs_ppm), 1)
+    supply = supply.filter(
+        F.assert_true(
+            F.col("tokens_avail") <= F.lit(avail_lim),
+            F.concat(
+                F.lit(
+                    "token_budget_mix: tokens_avail overflows the "
+                    f"max_epochs_ppm={int(max_epochs_ppm)} repeat cap "
+                    f"(per-source limit {avail_lim}); source="
+                ),
+                F.col("source").cast("string"),
+            ),
+        ).isNull()
     )
     w = F.coalesce(wmap[F.col("source")], F.lit(0)).cast("long")
     desired = F.expr(f"{budget} * weight_ppm div {total_w}")

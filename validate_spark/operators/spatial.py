@@ -62,7 +62,32 @@ def grid_distance_join(
     r2 = radius * radius
 
     def prep(df: DataFrame, kb: str, xn: str, yn: str) -> DataFrame:
-        return df.select(
+        # lazy coordinate-contract guard (module docstring): 0 ≤ coord
+        # ≤ _COORD_MAX, enforced with a diagnostic error instead of a
+        # downstream ANSI overflow abort or silently wrong cell
+        # geometry for negative coords; NULL coords keep their prior
+        # behavior (NULL cell → dropped by the equi-join). assert_true
+        # returns NULL for passing rows, so the filter keeps them all;
+        # a filter cannot be pruned by the optimizer (r6 advisory).
+        def _ok(c):
+            col = F.col(c).cast("long")
+            return col.isNull() | ((col >= 0) & (col <= F.lit(_COORD_MAX)))
+
+        guarded = df.filter(
+            F.assert_true(
+                _ok(x) & _ok(y),
+                F.concat(
+                    F.lit(
+                        "grid_distance_join: coordinate outside the "
+                        f"non-negative int64-safe contract [0, {_COORD_MAX}]: "
+                    ),
+                    F.concat_ws(
+                        ",", F.col(x).cast("string"), F.col(y).cast("string")
+                    ),
+                ),
+            ).isNull()
+        )
+        return guarded.select(
             F.col(key).alias(kb),
             F.col(x).cast("long").alias(xn),
             F.col(y).cast("long").alias(yn),
