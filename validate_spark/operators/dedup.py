@@ -852,30 +852,47 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # the frame whose checkpoint BLOCKS back the current `labels`
+    # (labels itself becomes a projection over it from round 1 on —
+    # free() must target the LogicalRDD holder, not the projection)
+    labels_store = labels
 
     for _ in range(max_iter):
-        # neighbor labels → per-node min(own, neighbors')
+        # neighbor labels → per-node min(own, neighbors'). The own row
+        # is tagged so the round's aggregate carries BOTH the new min
+        # label and the previous label — fixed-point detection is then
+        # a plain scan of the checkpointed round (the former
+        # join-new-against-old probe cost one extra shuffle join job
+        # per round; r6, guide §2.4). Every node contributes exactly
+        # one own row, so `_old` is never NULL and min(union) is
+        # unchanged — identical labels, identical round count.
         msgs = adj.join(
             labels.select(F.col("node").alias("v"), F.col("label").alias("nlabel")),
             "v",
-        ).select(F.col("u").alias("node"), F.col("nlabel").alias("label"))
+        ).select(
+            F.col("u").alias("node"),
+            F.col("nlabel").alias("label"),
+            F.lit(False).alias("_own"),
+        )
         # eager localCheckpoint: materializes THIS round and replaces
         # the lineage with the stored blocks — every round starts from
         # a flat LogicalRDD scan (tests/test_dataset.py asserts the
         # returned plan is join-free)
-        new_labels = ckpt(
-            labels.unionAll(msgs)
+        new_full = ckpt(
+            labels.select("node", "label", F.lit(True).alias("_own"))
+            .unionAll(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("label") != F.col("_old")).limit(1).count()
         )
-        free(labels)  # superseded round's blocks — release now
-        labels = new_labels
+        free(labels_store)  # superseded round's blocks — release now
+        labels_store = new_full
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
 
