@@ -48,6 +48,30 @@ def _lit_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
 
 
+def _rows_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Materialized result rows (memory-sink collects) as a JVM/Arrow-
+    backed frame. ``createDataFrame(rows)`` builds a 32-slice Python
+    RDD that re-pays a Python-runner scan per consuming action (the
+    `_lit_df` mechanism); for scalar-only schemas the rows convert
+    once through pandas/Arrow instead. Timestamp handling is identical
+    to the RDD path (both interpret naive datetimes in the driver
+    session zone), and complex schemas keep the original path."""
+    from pyspark.sql import types as T
+
+    if rows and all(
+        isinstance(f.dataType, T.AtomicType) for f in schema.fields
+    ):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows],
+            columns=[f.name for f in schema.fields],
+            dtype=object,
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(rows, schema)
+
+
 def _streaming_fixture(fn):
     """Run a Structured Streaming FIXTURE query under 4 shuffle
     partitions (session.low_shuffle): stateful streaming wall time on a
@@ -829,7 +853,7 @@ def q48_streaming_manifest(spark, sf_dir):
         )
         # materialize before the temp dirs go away — one row
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1035,7 +1059,7 @@ def q56_streaming_stateful_dedup(spark, sf_dir):
         q.awaitTermination(300)
         res = spark.read.parquet(sink).select("fp")
         rows = res.collect()  # materialize before the temp dir goes away
-        return spark.createDataFrame(rows, res.schema)
+        return _rows_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2208,7 +2232,7 @@ def q89_streaming_windowed_drift(spark, sf_dir):
             "dof",
         )
         rows = out.collect()  # materialize before the memory table goes away
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -2928,7 +2952,7 @@ def q105_streaming_sessionize(spark, sf_dir):
             F.round("sum_value", 6).alias("sum_value"),
         )
         rows = out.collect()  # materialize before the memory table goes away
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -3118,7 +3142,7 @@ def q112_stream_interval_join(spark, sf_dir):
         q.awaitTermination(300)
         out = spark.table(name)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -3183,7 +3207,7 @@ def q113_streaming_hopping(spark, sf_dir):
             F.round("sum_value", 6).alias("sum_value"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -3249,7 +3273,7 @@ def q114_native_streaming_dedup(spark, sf_dir):
         q.awaitTermination(300)
         res = spark.read.parquet(sink).select("fp")
         rows = res.collect()  # materialize before the temp dir goes away
-        return spark.createDataFrame(rows, res.schema)
+        return _rows_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3339,7 +3363,7 @@ def q116_stream_static_enrich(spark, sf_dir):
             F.round("sum_value", 6).alias("sum_value"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -3907,7 +3931,7 @@ def q148_stream_outer_interval_join(spark, sf_dir):
             q.awaitTermination(2)
         out = spark.table(name).filter(F.col("user_id") != -999)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -3951,7 +3975,7 @@ def q149_bucketed_join(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         drop_bucketed(spark, lt, rt)
 
@@ -4225,7 +4249,7 @@ def q159_stateful_sessionize(spark, sf_dir):
             q.awaitTermination(2)
         out = spark.table(name).filter(F.col("key") != -999)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -4325,7 +4349,7 @@ def q162_python_stream_source(spark, sf_dir):
             q.awaitTermination(2)
         out = spark.table(name)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(name)
@@ -5295,7 +5319,7 @@ def q213_streaming_kmv(spark, sf_dir):
             spark, state, k=64, group_cols=["event_type"]
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -5741,7 +5765,7 @@ def q221_streaming_cms(spark, sf_dir):
         update(first_chunk, 0)
         out = read_cms_state(spark, state, group_cols=["event_type"])
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
