@@ -84,9 +84,29 @@ class _SynthReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        # runs on an executor; generates ONLY this partition's range
-        for i in range(partition.lo, partition.hi):
-            yield synth_row(self.seed, i)
+        # runs on an executor; generates ONLY this partition's range.
+        # Rows are yielded as ONE Arrow RecordBatch per partition (the
+        # documented Spark 4 fast path) instead of per-row tuples:
+        # row-at-a-time yields cross the worker boundary through
+        # pickled rows, ~0.5 s per 5k-row read measured r6; the batch
+        # form is a single columnar hand-off with identical values.
+        import pyarrow as pa
+
+        rows = [
+            synth_row(self.seed, i) for i in range(partition.lo, partition.hi)
+        ]
+        if not rows:
+            return
+        ids, cats, values, texts = zip(*rows)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(cats, type=pa.string()),
+                pa.array(values, type=pa.int64()),
+                pa.array(texts, type=pa.string()),
+            ],
+            names=["id", "cat", "value", "text"],
+        )
 
 
 class SyntheticDocsSource(DataSource):
