@@ -28,6 +28,7 @@ from validate_spark.operators import similarity as sim
 from validate_spark.operators import textstats as ts
 from validate_spark.operators import multimodal as mm
 from validate_spark.sources.synth import synth_documents, synth_media_catalog
+from validate_spark.session import fan_out as _fan
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -209,7 +210,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q01_verdicts_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     res = validate(docs, DOC_RULES, key_cols=["doc_id"])
     return (
         res.verdicts().groupBy("pass").agg(F.count(F.lit(1)).alias("n"))
@@ -217,7 +218,7 @@ def q01_verdicts_documents(spark, sf_dir):
 
 
 def q02_violations_by_rule(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     res = validate(docs, DOC_RULES, key_cols=["doc_id"])
     return (
         res.violations()
@@ -227,7 +228,7 @@ def q02_violations_by_rule(spark, sf_dir):
 
 
 def q03_first_errors(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     res = validate(docs, DOC_RULES, key_cols=["doc_id"])
     return res.first_errors().select("doc_id", "field", "validator")
 
@@ -496,7 +497,7 @@ KITCHEN_RULES = RuleSet(
 
 
 def _events_kitchen(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
@@ -536,7 +537,7 @@ def q23_spans_validation(spark, sf_dir):
     """Flagship on an interleaved table built deterministically from the
     registered ``documents`` view — DuckDB recomputes the violation
     counts per cohort, so the flagship is value-oracled."""
-    return _flagship(_t(spark, sf_dir, "documents"))
+    return _flagship(_fan(_t(spark, sf_dir, "documents")))
 
 
 def q26_dedup_clusters(spark, sf_dir):
@@ -565,7 +566,7 @@ def q28_violation_messages(spark, sf_dir):
     """Violations WITH rendered messages — the reference's Errors map
     (field → validator → message) as rows; the oracle embeds the same
     compile-time-rendered message literals."""
-    res = validate(_t(spark, sf_dir, "documents"), DOC_RULES, key_cols=["doc_id"])
+    res = validate(_fan(_t(spark, sf_dir, "documents")), DOC_RULES, key_cols=["doc_id"])
     return (
         res.violations()
         .groupBy("field", "validator", "message")
@@ -578,7 +579,7 @@ def q46_default_substitution(spark, sf_dir):
     take the default WITHOUT re-validating it, non-empty values validate
     normally — safe rows carry the substituted value. The oracle mirrors
     the substitution + conditional-validation gate in SQL."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _fan(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.when(F.col("value") > 250, F.col("event_type")).alias("etype"),
     )
@@ -594,7 +595,7 @@ def q46_default_substitution(spark, sf_dir):
 def q29_required_family(spark, sf_dir):
     """Cross-field presence family (requiredIf / requiredWith) over
     derived nullable columns + default substitution."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     derived = ev.select(
         "event_id",
         "event_type",
@@ -622,7 +623,7 @@ def q30_json_validation(spark, sf_dir):
     validate.go:345-364): parse once, dotted-path rules."""
     from validate_spark.sources.jsonsrc import validate_json
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     res = validate_json(
         ev, "props", "k int", {"k": "required|min:10|max:95"}, key_cols=["event_id"]
     )
@@ -639,7 +640,7 @@ def q30_json_validation(spark, sf_dir):
 
 def _format_gauntlet(spark, sf_dir):
     """Deterministic derived columns exercising the regex/format family."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fan(_t(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     h = F.md5(i.cast("string"))
     email = F.when(i % 7 == 0, F.lit("bad email @@")).otherwise(
@@ -702,7 +703,7 @@ def q31_format_gauntlet(spark, sf_dir):
 def q32_date_gauntlet(spark, sf_dir):
     """Date validator family (§2.7: isDate / afterOrEqualDate /
     beforeDate) over string dates derived from orders."""
-    od = _t(spark, sf_dir, "orders").select(
+    od = _fan(_t(spark, sf_dir, "orders")).select(
         "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate")
     )
     rs = RuleSet(
@@ -878,7 +879,7 @@ def q50_pii_scrub(spark, sf_dir):
     scrubPhone and returned via updated_rows(); the patterns live in
     the Java∩RE2 common dialect, so DuckDB applies the identical
     regexes and the scrubbed strings match byte-for-byte."""
-    cust = _t(spark, sf_dir, "customer")
+    cust = _fan(_t(spark, sf_dir, "customer"))
     key = F.col("c_custkey").cast("string")
     note = F.concat(
         F.lit("contact "),
@@ -1165,7 +1166,7 @@ _CJK = {
 def _format_gauntlet2(spark, sf_dir):
     """Deterministic derived columns for the q59 gauntlet: good value
     everywhere except the field's bad-seed modulo cohort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fan(_t(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     h = F.md5(i.cast("string"))
     s = i.cast("string")
@@ -1249,7 +1250,7 @@ _G3 = [
 def _type_gauntlet(spark, sf_dir):
     """Deterministic derived columns for the q70 gauntlet (same
     good-except-bad-cohort discipline as _format_gauntlet2)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fan(_t(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     s = i.cast("string")
 
@@ -1390,7 +1391,7 @@ def q60_crossfield_equality(spark, sf_dir):
     isEqual/notEqual/intEqual, rule_one_of — validators.go:240-475).
     Derived columns are built so every rule has a deterministic
     violating cohort."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     i = F.col("event_id")
     v1 = F.coalesce(F.col("value"), F.lit(0.0))
     derived = ev.select(
@@ -1502,7 +1503,7 @@ def q63_global_custom_validator(spark, sf_dir):
         "endsWithDigit",
         lambda col, args, ctx: col.cast("string").rlike(r"[0-9]$"),
     )
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     i = F.col("event_id")
     derived = ev.select(
         "event_id",
@@ -1533,7 +1534,7 @@ def q64_custom_type_extractor(spark, sf_dir):
 
     from validate_spark.functions import validators as V
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     i = F.col("event_id")
     money = F.struct(
         F.col("value").alias("amount"),
@@ -1697,7 +1698,7 @@ def q71_filter_gauntlet(spark, sf_dir):
     joined strings (sorted for `unique`, since DuckDB's list_distinct
     does not pin first-occurrence order); the timestamp to a formatted
     string — so the hash compare is byte-exact cross-engine."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     s = i.cast("string")
     raw = docs.select(

@@ -38,6 +38,17 @@ def test_validation_is_shuffle_free(spark):
     assert "Exchange" not in plan
     plan_v = physical(res.violations())
     assert "Exchange" not in plan_v  # explode is stateless, still no shuffle
+    # r6: the Generate must explode a LITERAL index sequence, never the
+    # failed/results array expression — an inline array generator is
+    # evaluated INTERPRETED by GenerateExec, and column pruning inlines
+    # the whole compiled rule tree into it (~13x, measured). The rule
+    # evaluation has to stay a codegen projection BELOW the Generate.
+    gen_line = next(l for l in plan_v.splitlines() if "Generate " in l)
+    # the generator argument (before the requiredChildOutput list) must
+    # be the constant-folded literal index array, not a _vs_ expression
+    gen_expr = gen_line.split("), [")[0]
+    assert "_vs_" not in gen_expr
+    assert "UnsafeArrayData" in gen_expr or "sequence(0" in gen_expr
 
 
 def test_scan_column_pruning(spark):

@@ -46,6 +46,7 @@ class ValidationResult:
     annotated: DataFrame  # input + _vs_results/_vs_failed/_vs_pass
     plan: Plan
     key_cols: list[str]
+    stop_on_error: bool = False  # FAILED was sliced to the first failure
 
     @property
     def is_lazy(self) -> bool:
@@ -62,17 +63,55 @@ class ValidationResult:
     def violations(self) -> DataFrame:
         """Exploded violation rows: (key..., field, validator, message) —
         the reference's ``Errors`` map in table form. Ordered per row by
-        rule declaration order (idx)."""
-        v = self.annotated.select(
+        rule declaration order (idx).
+
+        Plan shape (r6): the Generate explodes a LITERAL index
+        sequence 0..|rules|−1 and the failing struct is extracted
+        ABOVE it from the results attribute. Exploding the failed
+        array directly was ~13× slower at scale (2.1 s → 0.27 s at
+        100k rows, 19.3 s → 1.5 s at 1M, identical output): with a
+        single reference, column pruning inlines the whole compiled
+        rule tree into the generator expression, and GenerateExec
+        evaluates its generator INTERPRETED — the entire validation
+        re-ran at ~10× its codegen cost. With a literal generator the
+        rule tree stays a codegen projection below the Generate and
+        flows through as data. Emitted multiset is identical: element
+        i is kept iff its predicate is strictly FALSE (NULL `ok`
+        passes, exactly as the filter(!ok) form kept only false).
+        [Also tried and rejected, r6: persisting a staged failed
+        frame (materialization hits the same interpreted collapse, or
+        caches corpus-scale result arrays) and a pure-codegen
+        concat-of-conditionals failed array (one giant generated
+        method JIT-bails to ~12× slower).] The stop-on-error /
+        zero-rule paths keep the sliced-FAILED explode — their
+        volumes are 1-bounded per row."""
+        if self.stop_on_error or not self.plan.rules:
+            v = self.annotated.select(
+                *self.key_cols,
+                F.explode(F.col(FAILED_COL)).alias("_viol"),
+            )
+            return v.select(
+                *self.key_cols,
+                F.col("_viol.field").alias("field"),
+                F.col("_viol.validator").alias("validator"),
+                F.col("_viol.message").alias("message"),
+                F.col("_viol.idx").alias("rule_idx"),
+            )
+        n_rules = len(self.plan.rules)
+        g = self.annotated.select(
             *self.key_cols,
-            F.explode(F.col(FAILED_COL)).alias("_viol"),
+            F.col(RESULTS_COL),
+            F.explode(F.sequence(F.lit(0), F.lit(n_rules - 1))).alias("_i"),
         )
-        return v.select(
+        e = F.get(F.col(RESULTS_COL), F.col("_i"))
+        return g.filter(
+            ~F.coalesce(e.getField("ok"), F.lit(True))
+        ).select(
             *self.key_cols,
-            F.col("_viol.field").alias("field"),
-            F.col("_viol.validator").alias("validator"),
-            F.col("_viol.message").alias("message"),
-            F.col("_viol.idx").alias("rule_idx"),
+            e.getField("field").alias("field"),
+            e.getField("validator").alias("validator"),
+            e.getField("message").alias("message"),
+            e.getField("idx").alias("rule_idx"),
         )
 
     def first_errors(self) -> DataFrame:
@@ -426,7 +465,12 @@ def validate(
         out = out.withColumn(FAILED_COL, F.slice(F.col(FAILED_COL), 1, 1))
     out = out.withColumn(PASS_COL, F.size(F.col(FAILED_COL)) == 0)
 
-    return ValidationResult(annotated=out, plan=plan, key_cols=key_cols)
+    return ValidationResult(
+        annotated=out,
+        plan=plan,
+        key_cols=key_cols,
+        stop_on_error=ruleset.stop_on_error,
+    )
 
 
 def observed_counters(annotated: DataFrame, name: str = "vs_metrics"):

@@ -261,6 +261,24 @@ class CompiledRule:
     value_col: Column | None = None
 
 
+
+_RESULTS_TYPE = (
+    "array<struct<idx:int,field:string,validator:string,"
+    "message:string,ok:boolean>>"
+)
+
+
+def _msg_col(r: "CompiledRule") -> Column:
+    if r.value_col is None:
+        return F.lit(r.message)
+    # ErrShowValue: "%s (value: %v)" — Go renders nil as <nil>
+    return F.concat(
+        F.lit(r.message + " (value: "),
+        F.coalesce(r.value_col.cast("string"), F.lit("<nil>")),
+        F.lit(")"),
+    )
+
+
 @dataclass
 class Plan:
     """Compiled, schema-bound rule plan. Immutable; reusable across
@@ -279,18 +297,7 @@ class Plan:
         failing rule" semantics that independent columns can't
         (SURVEY.md §4 item 5)."""
         if not self.rules:
-            return F.array().cast(
-                "array<struct<idx:int,field:string,validator:string,message:string,ok:boolean>>"
-            )
-        def msg_col(r: CompiledRule) -> Column:
-            if r.value_col is None:
-                return F.lit(r.message)
-            # ErrShowValue: "%s (value: %v)" — Go renders nil as <nil>
-            return F.concat(
-                F.lit(r.message + " (value: "),
-                F.coalesce(r.value_col.cast("string"), F.lit("<nil>")),
-                F.lit(")"),
-            )
+            return F.array().cast(_RESULTS_TYPE)
 
         return F.array(
             *[
@@ -298,12 +305,13 @@ class Plan:
                     F.lit(r.index).alias("idx"),
                     F.lit(r.field).alias("field"),
                     F.lit(r.validator).alias("validator"),
-                    msg_col(r).alias("message"),
+                    _msg_col(r).alias("message"),
                     r.predicate.alias("ok"),
                 )
                 for r in self.rules
             ]
         )
+
 
 
 # ---------------------------------------------------------------------------
