@@ -73,6 +73,61 @@ def _rows_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _write_chunks(chunks: dict[str, list[DataFrame]]) -> None:
+    """Write ordered chunk files for the file-source streaming fixtures.
+
+    Two r6 wall-clock sinks removed at once (guide §2.6, §1.2):
+
+    - **Chunk ORDER is stamped, not slept.** The file stream source
+      orders files by modification time, so determinism used to be
+      bought with a real ``time.sleep(0.3)`` between writes (~1.8 s
+      per fixture) or by relying on sequential writes landing ms
+      apart. An explicit ``os.utime`` stamp — strictly increasing
+      full-second slots in list order — gives the same order
+      collision-free and for free. Order-dependent fixtures (q221's
+      batch-id replay fence re-fires CHUNK 0 as BATCH 0) keep their
+      exact current semantics because slot order ≡ the old sequential
+      write order.
+    - **The writes overlap.** Each chunk is an independent single-task
+      job costing ~0.2-0.9 s of job-launch + scan overhead on the
+      kilobyte fixtures; submitted sequentially they serialize that
+      overhead. All chunks across all target dirs go through one
+      thread pool (actions are only sequential because the driver
+      calls them sequentially — guide §2.6). Concurrent jobs must not
+      share an output path (FileOutputCommitter stages under a
+      per-path ``_temporary`` dir), so each chunk writes to its own
+      staging dir and the part file is moved into place afterwards.
+
+    ``maxFileAge`` (7 days, relative to the newest listed file) can
+    never age a chunk out: all slots sit within seconds of each other,
+    anchored an hour before wall clock."""
+    import shutil
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = int(_time.time()) - 3600
+    tasks = []
+    for src, frames in chunks.items():
+        os.makedirs(src, exist_ok=True)
+        for i, frame in enumerate(frames):
+            tasks.append((src, i, frame))
+
+    def _one(task):
+        src, i, frame = task
+        stage = f"{src}.__stage{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in sorted(os.listdir(stage)):
+            if f.startswith(("_", ".")):
+                continue
+            dst = os.path.join(src, f"chunk{i:03d}-{f}")
+            os.rename(os.path.join(stage, f), dst)
+            os.utime(dst, (base + i, base + i))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    with ThreadPoolExecutor(max_workers=min(len(tasks), 8)) as pool:
+        list(pool.map(_one, tasks))
+
+
 def _streaming_fixture(fn):
     """Run a Structured Streaming FIXTURE query under 4 shuffle
     partitions (session.low_shuffle): stateful streaming wall time on a
@@ -819,15 +874,19 @@ def q48_streaming_manifest(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vs_stream_q48_")
     try:
         src = f"{tmp}/src"
-        for i in range(4):
-            (
-                docs.filter(
-                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    docs.filter(
+                        F.pmod(
+                            F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)
+                        )
+                        == i
+                    )
+                    for i in range(4)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1033,15 +1092,19 @@ def q56_streaming_stateful_dedup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vs_stream_q56_")
     try:
         src = f"{tmp}/src"
-        for i in range(4):
-            (
-                corpus.filter(
-                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    corpus.filter(
+                        F.pmod(
+                            F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)
+                        )
+                        == i
+                    )
+                    for i in range(4)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2189,15 +2252,19 @@ def q89_streaming_windowed_drift(spark, sf_dir):
     name = f"q89_drift_{uuid.uuid4().hex[:8]}"
     try:
         src = f"{tmp}/src"
-        for i in range(3):
-            (
-                odd.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    odd.filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
+                        == i
+                    )
+                    for i in range(3)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2921,15 +2988,19 @@ def q105_streaming_sessionize(spark, sf_dir):
     name = f"q105_sess_{uuid.uuid4().hex[:8]}"
     try:
         src = f"{tmp}/src"
-        for i in range(3):
-            (
-                odd.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    odd.filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
+                        == i
+                    )
+                    for i in range(3)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3096,21 +3167,21 @@ def q112_stream_interval_join(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vs_stream_q112_")
     name = f"q112_ivj_{uuid.uuid4().hex[:8]}"
     try:
-        srcs = {}
-        for kind in ("error", "click"):
-            src = f"{tmp}/{kind}"
-            cohort = events.filter(F.col("event_type") == kind)
-            for i in range(3):
-                (
-                    cohort.filter(
-                        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+        srcs = {kind: f"{tmp}/{kind}" for kind in ("error", "click")}
+        _write_chunks(
+            {
+                srcs[kind]: [
+                    events.filter(F.col("event_type") == kind).filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
                         == i
                     )
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(src)
-                )
-            srcs[kind] = src
+                    for i in range(3)
+                ]
+                for kind in ("error", "click")
+            }
+        )
         err = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3177,15 +3248,19 @@ def q113_streaming_hopping(spark, sf_dir):
     name = f"q113_hop_{uuid.uuid4().hex[:8]}"
     try:
         src = f"{tmp}/src"
-        for i in range(3):
-            (
-                even.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    even.filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
+                        == i
+                    )
+                    for i in range(3)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3245,15 +3320,19 @@ def q114_native_streaming_dedup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vs_stream_q114_")
     try:
         src = f"{tmp}/src"
-        for i in range(4):
-            (
-                corpus.filter(
-                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    corpus.filter(
+                        F.pmod(
+                            F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(4)
+                        )
+                        == i
+                    )
+                    for i in range(4)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3329,15 +3408,19 @@ def q116_stream_static_enrich(spark, sf_dir):
     name = f"q116_enr_{uuid.uuid4().hex[:8]}"
     try:
         src = f"{tmp}/src"
-        for i in range(3):
-            (
-                events.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    events.filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
+                        == i
+                    )
+                    for i in range(3)
+                ]
+            }
+        )
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3852,7 +3935,6 @@ def q148_stream_outer_interval_join(spark, sf_dir):
     output. The oracle is the direct SQL LEFT JOIN; hash match proves
     streaming outer ≡ batch ≡ SQL."""
     import tempfile
-    import time as _time
     import uuid
 
     from validate_spark.operators.temporal import interval_join
@@ -3874,25 +3956,31 @@ def q148_stream_outer_interval_join(spark, sf_dir):
     ]
     try:
         srcs = {}
+        # pure-JVM literal sentinel rows: createDataFrame(list) writes
+        # via a 32-slice Python RDD whose coalesce(1) task pays ~32
+        # sequential Python-runner round-trips ≈ 5 s PER SENTINEL
+        # (measured r6); identical bytes, ~0.2 s. All 8 chunk writes
+        # (2 cohorts + 2×3 sentinels) overlap via _write_chunks, with
+        # per-dir mtime slots replacing the former 0.3 s sleeps.
+        def _sentinel(kind, eid, ts):
+            return spark.range(1).select(
+                F.lit(eid).cast("long").alias("event_id"),
+                F.to_timestamp(F.lit(ts)).alias("ts"),
+                F.lit(-999).cast("long").alias("user_id"),
+                F.lit(kind).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+
         for kind in ("error", "click"):
-            src = f"{tmp}/{kind}"
-            cohort = events.filter(F.col("event_type") == kind)
-            cohort.coalesce(1).write.mode("append").parquet(src)
-            for eid, ts in sentinel_rows:
-                _time.sleep(0.3)  # file-source orders chunks by mtime
-                # pure-JVM literal row: createDataFrame(list) writes
-                # via a 32-slice Python RDD whose coalesce(1) task
-                # pays ~32 sequential Python-runner round-trips ≈ 5 s
-                # PER SENTINEL (measured r6); identical bytes, ~0.2 s
-                spark.range(1).select(
-                    F.lit(eid).cast("long").alias("event_id"),
-                    F.to_timestamp(F.lit(ts)).alias("ts"),
-                    F.lit(-999).cast("long").alias("user_id"),
-                    F.lit(kind).alias("event_type"),
-                    F.lit(0.0).alias("value"),
-                    F.lit(None).cast("string").alias("props"),
-                ).coalesce(1).write.mode("append").parquet(src)
-            srcs[kind] = src
+            srcs[kind] = f"{tmp}/{kind}"
+        _write_chunks(
+            {
+                srcs[kind]: [events.filter(F.col("event_type") == kind)]
+                + [_sentinel(kind, eid, ts) for eid, ts in sentinel_rows]
+                for kind in ("error", "click")
+            }
+        )
         err = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -4197,7 +4285,6 @@ def q159_stateful_sessionize(spark, sf_dir):
     (sentinel key filtered after the sink). Output set proven == the
     q102 gaps-and-islands SQL."""
     import tempfile
-    import time as _time
     import uuid
 
     from validate_spark.streaming.stateful_session import stateful_sessionize
@@ -4205,31 +4292,35 @@ def q159_stateful_sessionize(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="vs_stream_q159_")
     src = f"{tmp}/events"
-    for i in range(3):
-        (
-            events.filter(
-                F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
-        _time.sleep(0.3)
-    for eid, ts in [(-1, "2200-01-01"), (-2, "2210-01-01"),
-                    (-3, "2220-01-01")]:
-        # pure-JVM literal row — the createDataFrame(list) form wrote
-        # through a 32-slice Python RDD whose coalesce(1) task pays
-        # ~32 sequential Python-runner round-trips ≈ 5 s per sentinel
-        # (measured r6); identical bytes, ~0.2 s
-        spark.range(1).select(
-            F.lit(eid).cast("long").alias("event_id"),
-            F.to_timestamp(F.lit(ts)).alias("ts"),
-            F.lit(-999).cast("long").alias("user_id"),
-            F.lit("click").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        ).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(0.3)
+    # pure-JVM literal sentinel rows — the createDataFrame(list) form
+    # wrote through a 32-slice Python RDD whose coalesce(1) task pays
+    # ~32 sequential Python-runner round-trips ≈ 5 s per sentinel
+    # (measured r6); identical bytes, ~0.2 s. All 6 chunk writes
+    # overlap via _write_chunks, with explicit mtime slots replacing
+    # the former 0.3 s sleeps (file-source orders chunks by mtime).
+    _write_chunks(
+        {
+            src: [
+                events.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+                    == i
+                )
+                for i in range(3)
+            ]
+            + [
+                spark.range(1).select(
+                    F.lit(eid).cast("long").alias("event_id"),
+                    F.to_timestamp(F.lit(ts)).alias("ts"),
+                    F.lit(-999).cast("long").alias("user_id"),
+                    F.lit("click").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+                for eid, ts in [(-1, "2200-01-01"), (-2, "2210-01-01"),
+                                (-3, "2220-01-01")]
+            ]
+        }
+    )
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -5281,16 +5372,19 @@ def q213_streaming_kmv(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vs_stream_q213_")
     try:
         src = f"{tmp}/src"
-        for i in range(3):
-            (
-                events.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
-                    == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    events.filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
+                        == i
+                    )
+                    for i in range(3)
+                ]
+            }
+        )
         state = f"{tmp}/state"
         update = kmv_stream_updater(
             state, "user_id", k=64, group_cols=["event_type"]
@@ -5731,16 +5825,19 @@ def q221_streaming_cms(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="vs_stream_q221_")
     try:
         src = f"{tmp}/src"
-        for i in range(3):
-            (
-                events.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
-                    == i
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        _write_chunks(
+            {
+                src: [
+                    events.filter(
+                        F.pmod(
+                            F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)
+                        )
+                        == i
+                    )
+                    for i in range(3)
+                ]
+            }
+        )
         state = f"{tmp}/state"
         update = cms_stream_updater(
             state, "user_id", width=256, depth=4, group_cols=["event_type"]
