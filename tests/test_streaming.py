@@ -563,3 +563,38 @@ def test_stateful_sessionize_rocksdb_provider(spark, tmp_path):
         (2, s(5), s(5), 1),
     }
     assert got == expected
+
+
+def test_write_chunks_parallel_order_and_content(spark, tmp_path):
+    """_write_chunks (the r6 streaming-fixture writer) must preserve
+    the TWO properties the fixtures rely on: (1) chunk ORDER — the
+    file stream source sorts by mtime, and order-dependent fixtures
+    (q221's batch-id replay fence) need slot order ≡ list order even
+    though the writes themselves overlap in a thread pool; (2) exact
+    content — one part file per chunk, all rows present."""
+    import __spark_entry__ as em
+
+    src = str(tmp_path / "chunks")
+    frames = [
+        spark.range(10 * i, 10 * i + 5).select(F.col("id").alias("v"))
+        for i in range(4)
+    ]
+    em._write_chunks({src: frames})
+
+    part_files = sorted(
+        f for f in os.listdir(src) if not f.startswith(("_", "."))
+    )
+    assert len(part_files) == 4
+    # mtimes strictly increase in slot order (slot is the name prefix)
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in part_files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    # each slot file carries exactly its frame's rows
+    for i, f in enumerate(part_files):
+        assert f.startswith(f"chunk{i:03d}-")
+        got = {
+            r["v"]
+            for r in spark.read.parquet(os.path.join(src, f)).collect()
+        }
+        assert got == set(range(10 * i, 10 * i + 5))
+    # no staging dirs left behind
+    assert not [d for d in os.listdir(tmp_path) if "__stage" in d]
