@@ -847,10 +847,18 @@ def dedup_clusters(
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
+    # round 1 folded into initialization: from the identity init
+    # (label = node) the first propagation round computes exactly
+    # min(u, min_{v∈N(u)} v), and the single shuffle that used to
+    # build the distinct node set (a groupBy in disguise) can carry
+    # that aggregate directly — every invocation saves one full
+    # join-over-the-edge-list round (r6, guide §1.2: remove a pass).
+    # Same fixed point, identical final labels; the loop just starts
+    # one round further in.
     labels = ckpt(
-        adj.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        adj.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
     )
     # the frame whose checkpoint BLOCKS back the current `labels`
     # (labels itself becomes a projection over it from round 1 on —
